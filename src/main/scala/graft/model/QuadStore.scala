@@ -1,0 +1,96 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed quad store: the Spark-native equivalent of the reference's
+  * `SparqlDatabase` + `DatasetIndex` (`kolibrie/src/sparql_database.rs:172-188`,
+  * `shared/src/dataset_index.rs:56-72`).
+  *
+  * Where the reference maintains four in-memory hash permutation indexes
+  * (gspo/gpos/gosp/spog), this store holds one quads DataFrame
+  * `(g, s, p, o)` — Catalyst predicate pushdown into Parquet plus
+  * partition pruning replace the permutation dispatch
+  * (`dataset_index.rs:223-344`). Set semantics (the reference stores
+  * quads in HashSets) are enforced on mutation, not on every read.
+  *
+  * The named-graph catalog preserves empty-graph identity
+  * (`dataset_index.rs:426-459`).
+  */
+class QuadStore(val spark: SparkSession, initial: DataFrame) {
+  import QuadStore._
+
+  private var quadsDf: DataFrame = align(spark, initial)
+  private var graphCatalog: Set[String] = Set.empty
+  /** String→String UDF registry (`sparql_database.rs:2130-2135`). */
+  val udfs = scala.collection.mutable.Map.empty[String, Seq[String] => String]
+
+  def quads: DataFrame = quadsDf
+  def namedGraphs: Set[String] =
+    graphCatalog // plus graphs present in data, resolved lazily by callers
+
+  def registerUdf(name: String, fn: Seq[String] => String): Unit = {
+    udfs(name) = fn
+    // exposed as a 1-arg UDF over array(args…); the compiler wraps call
+    // sites accordingly (`engine.rs:472-507` passes Vec<&str> the same way)
+    spark.udf.register(name, udf(fn))
+  }
+
+  def createGraph(g: String): Unit = graphCatalog += g
+  def dropGraph(g: String): Unit = {
+    graphCatalog -= g
+    quadsDf = quadsDf.filter(col("g").isNull || col("g") =!= lit(g))
+  }
+  def clearGraph(g: String): Unit =
+    quadsDf = quadsDf.filter(col("g").isNull || col("g") =!= lit(g))
+
+  /** Apply an update: deletes before inserts, quad-level set identity
+    * (`execute_query.rs:578-592,867-884`). */
+  def applyUpdate(deletes: DataFrame, inserts: DataFrame): Unit = {
+    var df = quadsDf
+    if (deletes != null) df = df.exceptAll(align(spark, deletes).distinct())
+    if (inserts != null) df = df.unionByName(align(spark, inserts)).distinct()
+    quadsDf = df
+  }
+
+  def insert(inserts: DataFrame): Unit = applyUpdate(null, inserts)
+  def delete(deletes: DataFrame): Unit = applyUpdate(deletes, null)
+
+  /** Pin the current quads in memory (used by repeated-query sessions;
+    * replaces the reference's always-resident in-memory store). */
+  def persist(): this.type = { quadsDf = quadsDf.persist(); this }
+}
+
+object QuadStore {
+  val schema: StructType = StructType(Seq(
+    StructField("g", StringType, nullable = true),
+    StructField("s", StringType, nullable = false),
+    StructField("p", StringType, nullable = false),
+    StructField("o", StringType, nullable = false)))
+
+  /** Normalize any (g,s,p,o)-shaped DF (or (s,p,o), g defaulted null). */
+  def align(spark: SparkSession, df: DataFrame): DataFrame = {
+    val withG = if (df.columns.contains("g")) df
+      else df.withColumn("g", lit(null).cast(StringType))
+    withG.select(col("g").cast(StringType), col("s").cast(StringType),
+      col("p").cast(StringType), col("o").cast(StringType))
+  }
+
+  def empty(spark: SparkSession): QuadStore =
+    new QuadStore(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema))
+
+  def apply(spark: SparkSession, quads: DataFrame): QuadStore =
+    new QuadStore(spark, quads)
+
+  /** Build from in-memory triples (tests / examples). */
+  def fromTriples(spark: SparkSession, triples: Seq[(String, String, String)]): QuadStore =
+    fromQuads(spark, triples.map(t => (null: String, t._1, t._2, t._3)))
+
+  def fromQuads(spark: SparkSession, qs: Seq[(String, String, String, String)]): QuadStore = {
+    val rows = qs.map(q => Row(q._1, q._2, q._3, q._4))
+    new QuadStore(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(qs.size / 1000 + 1, 32))), schema))
+  }
+}

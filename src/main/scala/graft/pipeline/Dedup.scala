@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB posture):
+  *  - exact dedup = hash-partitioned groupBy on a content digest — one
+  *    shuffle of (digest, id), never of full documents
+  *  - MinHash/LSH = per-doc signatures (narrow), band buckets, then a
+  *    bucket-join restricted to same-bucket pairs — candidate pairs only,
+  *    never the n² cross join
+  *  - verification joins carry doc ids + signatures, not text
+  *  - skew: a hot bucket (e.g. empty docs) is capped via per-bucket
+  *    row_number limit before the self-join
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Groups of byte-identical texts (normalized): (fp, doc_id, keep).
+    * keep = the group's minimum id survives. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy("fp")
+    docs.select(col(idCol), fp.as("fp"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  /** Survivors after exact dedup (min doc_id per content fingerprint). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exactGroups(docs, idCol, textCol)
+      .filter(col(idCol) === col("keep_id"))
+      .select(col(idCol), col("fp"), col("group_size"))
+
+  // ---- shingles ----------------------------------------------------------
+
+  /** Distinct k-word shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val sh = transform(
+      sequence(lit(0), greatest(n - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(when(n >= k, sh).otherwise(array()))).as("shingle"))
+  }
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Pairwise n-gram Jaccard over an inverted shingle index: only pairs
+    * sharing ≥1 shingle are generated (the standard scalable formulation —
+    * no cross join). Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard ≥ threshold. `maxDf` drops ubiquitous shingles (both a noise
+    * and a skew guard: a shingle shared by f docs generates f² pairs). */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf).drop("df")
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Deterministic 64-bit mix of a shingle under permutation seed i
+    * (xxhash64 is codegen'd; (seed, value) gives k independent hashes). */
+  private def mh(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins. */
+  def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol)
+    val aggs = (0 until numHashes).map(i => min(mh(col("shingle"), i)).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join, estimate
+    * similarity as matching-minhash fraction; keep ≥ threshold.
+    * bands*rows must equal numHashes. */
+  def minHashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, k, numHashes, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          c => c)).cast(DoubleType) / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
+    * token hashes. Near-dups = signatures within `maxHamming`. */
+  def simHashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    // per-bit contribution: +1 if bit set else -1; sum > 0 → bit set
+    val aggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    tok.withColumn("h", h).groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via 4-segment blocking (pigeonhole: hamming ≤ 3
+    * ⇒ at least one of 4 16-bit segments identical) — candidate join stays
+    * linear in practice instead of n². */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simHashSignatures(docs, idCol, textCol)
+    val seg = sigs.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    seg.as("a").join(seg.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding cosine near-dup ------------------------------------------
+
+  /** Double-precision cosine similarity of two float vectors (sequential
+    * fold, oracle-parity with DuckDB list_dot_product). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by a
+    * partition column (e.g. label or an LSH bucket) to avoid n² at scale. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+      blockCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; the correctness oracle).
+  * Scale path: IVF — k-means-lite coarse quantizer, then search only the
+  * `nProbe` nearest inverted lists. At 100 TB the broadcast of ~centroids
+  * (kB-MB) replaces the full cross join: candidate generation is a
+  * broadcast-join + cluster-pruned shuffle, never n×m.
+  */
+object Similarity {
+
+  import Dedup.cosine
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Queries broadcast (they are the small side by construction). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic k-means-lite centroids: seeded from evenly-spaced corpus
+    * vectors (by id order), refined with `iters` Lloyd rounds. Returns
+    * (cid, centroid: array<double>). Runs as DF aggregations — no collect
+    * of vectors besides the k centroids themselves. */
+  def trainCentroids(corpus: DataFrame, nClusters: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val stride = math.max(n / nClusters, 1L)
+    val seedIds = corpus.select(col(idCol).as("id")).orderBy("id")
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+      .filter((col("rn") - 1) % stride === 0 && (col("rn") - 1) / stride < nClusters)
+      .select(col("id"), (((col("rn") - 1) / stride)).cast(IntegerType).as("cid"))
+    var centroids = corpus.join(seedIds, corpus(idCol) === seedIds("id"))
+      .select(col("cid"), transform(col(vecCol), _.cast(DoubleType)).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      centroids = corpus.join(assigned, idCol)
+        .select(col("cid"), posexplode(col(vecCol)))
+        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each corpus vector to its nearest centroid (broadcast join). */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** IVF top-k: probe the `nProbe` closest clusters per query, brute-force
+    * within them. Approximate — recall measured against bruteForceTopK in
+    * the test suite. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nClusters, iters = 2, idCol, vecCol)
+    val corpusAssign = assign(corpus, centroids, idCol, vecCol)
+    val indexed = corpus.join(corpusAssign, idCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid"))
+    val qProbes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val scored = indexed.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+}

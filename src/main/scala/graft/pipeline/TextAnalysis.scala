@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Beyond-reference surface (SURVEY §7.1.8): all pure narrow
+  * transformations built from codegen'd `functions._` expressions — no
+  * UDFs, no shuffles, no driver loops — so they scale linearly over 100 TB
+  * of documents: each executor processes its Parquet splits independently.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the `\s+` split the oracle mirrors). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword-profile language ID: count profile hits per language, pick
+    * the max with a fixed priority order on ties (deterministic — the
+    * DuckDB oracle mirrors the same CASE order). N-gram-free heuristic
+    * chosen so both engines compute the identical formula. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "que", "en"))
+
+  def profileScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => l -> profileScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    // NOTE: foldRight gives priority to earlier profiles on ties ("en" wins)
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, stopword ratio,
+    * alpha-character ratio, mean token length sanity. Deterministic
+    * arithmetic only (oracle-mirrored). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nCh = length(text).cast(DoubleType)
+    val stop = profileScore(text, langProfiles.flatMap(_._2)).cast(DoubleType)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    val stopRatio = least(stop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    val alphaRatio = alpha / greatest(nCh, lit(1.0))
+    round((lenSat + stopRatio + alphaRatio) / 3.0, 6)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * (The shingle rolling-hash near-dup fingerprint lives in Dedup.) */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** All-in-one annotation: adds lang_pred / quality / n_tokens / fp. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator queries over documents/embeddings, each with
+  * a DuckDB oracle where the computation is SQL-expressible on both
+  * engines with bit-identical results. MinHash/SimHash/IVF rely on Spark
+  * xxhash64 / engine-specific plans, so they get rows-only driver checks
+  * here and full assertions in the ScalaTest suite (recall vs exact
+  * results, superset-of-exact-dups, etc.).
+  */
+object PipelineSuite {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir)).select("doc_id", "fp", "group_size")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), maxHamming = 6)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), threshold = 0.95, blockCol = "label")),
+
+    "similarity_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "similarity_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nClusters = 16, nProbe = 4)
+    }),
+
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))))
+
+  // ---- DuckDB mirrors ----------------------------------------------------
+
+  private val toks = """string_split_regex(trim(text), '\s+')"""
+  private val stopAll = TextAnalysis.langProfiles.flatMap(_._2)
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def profScore(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($lst, t)))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents)
+         SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS group_size
+         FROM f GROUP BY fp""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                 FROM t WHERE len(w) >= 3),
+          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM sh),
+          sz AS (SELECT id, COUNT(*) AS n_sh FROM e GROUP BY id),
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+                 FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+                 GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 ROUND(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+          FROM cm JOIN sz na ON na.id = id_a JOIN sz nb ON nb.id = id_b
+          WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5""",
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                  sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                       list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                    list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.95 - 5e-7""",
+
+    "similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+          s AS (SELECT qid, nid,
+                  ROUND(list_dot_product(qv, nv) /
+                    sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)), 6) AS cos
+                FROM q JOIN c ON qid <> nid),
+          r AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                FROM s)
+          SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
+
+    "text_token_count" ->
+      s"""SELECT doc_id, len($toks) AS n_tokens FROM documents""",
+
+    "text_langid" -> {
+      val cases = TextAnalysis.langProfiles.map { case (l, ws) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      val scores = TextAnalysis.langProfiles.map { case (l, ws) =>
+        s"${profScore(ws)} AS s_$l"
+      }.mkString(", ")
+      val bestExpr = "greatest(" + TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+          b AS (SELECT *, $bestExpr AS best FROM sc)
+          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+    },
+
+    "text_quality" ->
+      s"""SELECT doc_id, ROUND((
+            least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
+            least(CAST(${profScore(TextAnalysis.langProfiles.flatMap(_._2))} AS DOUBLE)
+                  / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) +
+            CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(len(text) AS DOUBLE), 1.0)
+          ) / 3.0, 6) AS quality FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""")
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.QuadStore
+import graft.relational.Triplizer
+import graft.sparql.Compiler
+
+/** SPARQL-path correctness queries: each runs a real SPARQL string through
+  * the full parser→compiler→DataFrame engine over the triplized TPC-H
+  * testdata, paired with hand-written ANSI SQL the driver runs in DuckDB
+  * over the *original* parquet tables. Covers SURVEY §2.1-2.8 + §2.13.
+  *
+  * Double-typed aggregate results are rounded to 4 decimals on BOTH sides:
+  * Spark and DuckDB sum floating-point columns in different orders, and the
+  * ~1e-10 associativity noise would otherwise break the driver's hash
+  * compare.
+  */
+object SparqlSuite {
+
+  private def engine(spark: SparkSession, sfDir: String): Compiler =
+    new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = true))
+
+  /** Separate store family with per-table named graphs for GRAPH tests. */
+  private def graphEngine(spark: SparkSession, sfDir: String): Compiler =
+    new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = false))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparql_scan" -> ((s, dir) =>
+      engine(s, dir).select(
+        "SELECT ?s ?o WHERE { ?s <customer#c_mktsegment> ?o }")),
+
+    "sparql_bgp_join" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?nname ?rname WHERE {
+          ?c <customer#c_nationkey> ?n .
+          ?n <nation#n_name> ?nname .
+          ?n <nation#n_regionkey> ?r .
+          ?r <region#r_name> ?rname }""")),
+
+    "sparql_star_join" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?name ?bal ?seg WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg }""")),
+
+    "sparql_filter" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?name ?bal WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg .
+          FILTER(?bal > 5000.0 && ?seg = "BUILDING") }""")),
+
+    "sparql_filter_arith" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?li ?price ?disc WHERE {
+          ?li <lineitem#l_extendedprice> ?price .
+          ?li <lineitem#l_discount> ?disc .
+          FILTER(?price * (1 - ?disc) > 90000.0) }""")),
+
+    "sparql_union" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?s ?cname ?sname WHERE {
+          { ?s <customer#c_name> ?cname } UNION { ?s <supplier#s_name> ?sname } }""")),
+
+    "sparql_values" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?seg WHERE {
+          ?c <customer#c_mktsegment> ?seg .
+          VALUES ?seg { "BUILDING" "MACHINERY" } }""")),
+
+    "sparql_bind_concat" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?tag WHERE {
+          ?c <customer#c_name> ?n .
+          ?c <customer#c_mktsegment> ?s .
+          BIND(CONCAT(?n, "/", ?s) AS ?tag) }""")),
+
+    "sparql_groupby_agg" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?seg (COUNT(*) AS ?n) (SUM(?bal) AS ?total) (AVG(?bal) AS ?avgbal)
+               (MIN(?bal) AS ?minbal) (MAX(?bal) AS ?maxbal)
+        WHERE { ?c <customer#c_mktsegment> ?seg . ?c <customer#c_acctbal> ?bal }
+        GROUP BY ?seg""")
+        .withColumn("total", round(col("total"), 4))
+        .withColumn("avgbal", round(col("avgbal"), 4))),
+
+    "sparql_agg_global" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT (COUNT(*) AS ?n) (SUM(?q) AS ?sumqty)
+        WHERE { ?li <lineitem#l_quantity> ?q }""")
+        .withColumn("sumqty", round(col("sumqty"), 4))),
+
+    "sparql_distinct" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT DISTINCT ?seg WHERE { ?c <customer#c_mktsegment> ?seg }""")),
+
+    "sparql_orderby_limit" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?name ?bal WHERE {
+          ?c <customer#c_name> ?name . ?c <customer#c_acctbal> ?bal }
+        ORDER BY DESC(?bal) ?name LIMIT 10""")),
+
+    "sparql_subquery" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?seg ?name ?bal WHERE {
+          { SELECT ?seg (MAX(?b) AS ?mx)
+            WHERE { ?c2 <customer#c_mktsegment> ?seg . ?c2 <customer#c_acctbal> ?b }
+            GROUP BY ?seg }
+          ?c <customer#c_mktsegment> ?seg .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_name> ?name .
+          FILTER(?bal = ?mx) }""")),
+
+    "sparql_graph_var" -> ((s, dir) =>
+      graphEngine(s, dir).select("""
+        SELECT ?g (COUNT(*) AS ?n)
+        WHERE { GRAPH ?g { ?x <nation#n_name> ?o } } GROUP BY ?g""")),
+
+    "sparql_graph_iri" -> ((s, dir) =>
+      graphEngine(s, dir).select("""
+        SELECT ?x ?o WHERE { GRAPH <graph/nation> { ?x <nation#n_name> ?o } }""")),
+
+    "sparql_update_insert_where" -> ((s, dir) => {
+      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        INSERT { ?c <customer#tier> "gold" }
+        WHERE { ?c <customer#c_acctbal> ?b . FILTER(?b > 9000.0) }""")
+      c.select("""SELECT ?c WHERE { ?c <customer#tier> "gold" }""")
+    }),
+
+    "sparql_update_delete_where" -> ((s, dir) => {
+      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        DELETE { ?c <customer#c_mktsegment> ?seg }
+        WHERE { ?c <customer#c_mktsegment> ?seg . FILTER(?seg = "BUILDING") }""")
+      c.select("""
+        SELECT ?seg (COUNT(*) AS ?n)
+        WHERE { ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg""")
+    }),
+
+    "sparql_rdfstar" -> ((s, dir) => {
+      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        INSERT { <<?n <nation#n_name> ?o>> <prov/source> "tpch" }
+        WHERE { ?n <nation#n_name> ?o }""")
+      c.select("""
+        SELECT ?s ?name WHERE {
+          ?qt <prov/source> "tpch" .
+          FILTER(isTRIPLE(?qt))
+          BIND(SUBJECT(?qt) AS ?s)
+          BIND(OBJECT(?qt) AS ?name) }""")
+    }))
+
+  /** DuckDB mirror of Triplizer's lineitem row-fingerprint subject. */
+  private val liSubj: String =
+    """'lineitem/' || md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+       CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
+       CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_quantity AS VARCHAR) || '|' ||
+       CAST(l_extendedprice AS VARCHAR) || '|' || CAST(l_discount AS VARCHAR) || '|' ||
+       CAST(l_tax AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus || '|' ||
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "sparql_scan" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                c_mktsegment AS o FROM customer""",
+
+    "sparql_bgp_join" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                n_name AS nname, r_name AS rname
+         FROM customer
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey""",
+
+    "sparql_star_join" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
+                c_mktsegment AS seg FROM customer""",
+
+    "sparql_filter" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'""",
+
+    "sparql_filter_arith" ->
+      s"""SELECT $liSubj AS li,
+                CAST(l_extendedprice AS VARCHAR) AS price,
+                CAST(l_discount AS VARCHAR) AS disc
+         FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 90000.0""",
+
+    "sparql_union" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                c_name AS cname, CAST(NULL AS VARCHAR) AS sname FROM customer
+         UNION ALL
+         SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS s,
+                CAST(NULL AS VARCHAR) AS cname, s_name AS sname FROM supplier""",
+
+    "sparql_values" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+         FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+
+    "sparql_bind_concat" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                c_name || '/' || c_mktsegment AS tag FROM customer""",
+
+    "sparql_groupby_agg" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+                ROUND(SUM(c_acctbal), 4) AS total,
+                ROUND(AVG(c_acctbal), 4) AS avgbal,
+                MIN(c_acctbal) AS minbal, MAX(c_acctbal) AS maxbal
+         FROM customer GROUP BY c_mktsegment""",
+
+    "sparql_agg_global" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sumqty FROM lineitem""",
+
+    "sparql_distinct" ->
+      """SELECT DISTINCT c_mktsegment AS seg FROM customer""",
+
+    "sparql_orderby_limit" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 10""",
+
+    "sparql_subquery" ->
+      """SELECT c_mktsegment AS seg, c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer
+         WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_mktsegment = customer.c_mktsegment)""",
+
+    "sparql_graph_var" ->
+      """SELECT 'graph/nation' AS g, COUNT(*) AS n FROM nation""",
+
+    "sparql_graph_iri" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS x, n_name AS o FROM nation""",
+
+    "sparql_update_insert_where" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c
+         FROM customer WHERE c_acctbal > 9000.0""",
+
+    "sparql_update_delete_where" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+         WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment""",
+
+    "sparql_rdfstar" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS name FROM nation""")
+}

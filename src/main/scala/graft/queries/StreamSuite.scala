@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Streaming-layer correctness queries (SURVEY §2.9) in their batch
+  * formulation: Spark's `window()` assigns events to time windows with
+  * exactly the CSPARQL `scope()` semantics, and the R2S operators are
+  * relation-sequence diffs — both verifiable against DuckDB on the
+  * `events` table. The live Structured Streaming path (watermarks,
+  * MemoryStream, incremental R2S emission) is asserted in StreamingSpec —
+  * same operators, same code path for window assignment.
+  */
+object StreamSuite {
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 rejects by default; read nanos as long and convert to
+    * microsecond TimestampType (sub-second precision is irrelevant to
+    * window assignment and aggregation here). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> ((s, dir) =>
+      StreamOps.windowedAgg(events(s, dir), "ts", "1 hour", "1 hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv")))),
+
+    "stream_sliding_agg" -> ((s, dir) =>
+      StreamOps.windowedAgg(events(s, dir), "ts", "2 hours", "30 minutes",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv")))),
+
+    "stream_istream" -> ((s, dir) =>
+      StreamOps.istream(
+        StreamOps.windowRelation(events(s, dir), "ts", "1 hour", "1 hour",
+          Seq("event_type")), "1 hour")),
+
+    "stream_dstream" -> ((s, dir) =>
+      StreamOps.dstream(
+        StreamOps.windowRelation(events(s, dir), "ts", "1 hour", "1 hour",
+          Seq("event_type")), "1 hour")))
+
+  private val wstartHour =
+    """strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      s"""SELECT $wstartHour AS wstart, event_type,
+                 COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+          FROM events GROUP BY 1, 2""",
+
+    "stream_sliding_agg" ->
+      """WITH g AS (SELECT *,
+              date_trunc('hour', ts) +
+                CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                     ELSE INTERVAL 0 MINUTE END AS grid
+            FROM events),
+          e AS (SELECT g.*, grid - k.k * INTERVAL 30 MINUTE AS ws
+                FROM g, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+                 COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+          FROM e GROUP BY 1, 2""",
+
+    "stream_istream" ->
+      s"""WITH rel AS (SELECT DISTINCT $wstartHour AS wstart, event_type FROM events)
+          SELECT r.wstart, r.event_type FROM rel r
+          WHERE NOT EXISTS (
+            SELECT 1 FROM rel p WHERE p.event_type = r.event_type
+              AND strptime(p.wstart, '%Y-%m-%d %H:%M:%S') =
+                  strptime(r.wstart, '%Y-%m-%d %H:%M:%S') - INTERVAL 1 HOUR)""",
+
+    "stream_dstream" ->
+      s"""WITH rel AS (SELECT DISTINCT $wstartHour AS wstart, event_type FROM events)
+          SELECT strftime(strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR,
+                          '%Y-%m-%d %H:%M:%S') AS wstart,
+                 p.event_type
+          FROM rel p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM rel c WHERE c.event_type = p.event_type
+              AND strptime(c.wstart, '%Y-%m-%d %H:%M:%S') =
+                  strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR)
+            AND EXISTS (
+              SELECT 1 FROM rel f
+              WHERE strptime(f.wstart, '%Y-%m-%d %H:%M:%S') =
+                    strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR)""")
+}

@@ -1,0 +1,173 @@
+package graft.reasoner
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{QuadStore, TermLex}
+import graft.sparql.Ast._
+import graft.sparql.Compiler
+
+/** Datalog forward-chaining over the quad store's default graph:
+  * naive and semi-naive materialization with stratified negation (NAF) —
+  * the Spark rebuild of the reference's materialisation modules
+  * (`datalog/src/reasoning/materialisation`: `my_naive.rs`,
+  * `semi_naive.rs:10-92`) and `shared/src/rule.rs:21-57`.
+  *
+  * Execution model: each rule premise is a pattern scan over the facts
+  * DataFrame joined on shared variables (the reference's
+  * `perform_hash_join_for_rules`, `shared/src/join_algorithm.rs:64-265`,
+  * becomes a plain equi-join Catalyst plans as broadcast/SMJ). The
+  * fixpoint loop runs on the driver; every round `localCheckpoint`s the
+  * accumulated facts to truncate plan lineage (SURVEY §7.4.2), so a
+  * 10K-deep taxonomy closure doesn't build a 10K-node logical plan.
+  *
+  * Semi-naive: per round, for each rule and each positive premise
+  * position i, evaluate with premise i bound to Δ and the rest to the
+  * full fact set; union, dedup, subtract known facts (`semi_naive.rs`).
+  */
+class Reasoner(spark: SparkSession) {
+
+  private def tripleSchema = StructType(Seq(
+    StructField("s", StringType, nullable = false),
+    StructField("p", StringType, nullable = false),
+    StructField("o", StringType, nullable = false)))
+
+  private def emptyTriples: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tripleSchema)
+
+  // ---- pattern machinery over a plain (s,p,o) facts DF -------------------
+
+  private def termVars(t: Term): Seq[String] = t match {
+    case Var(n) => Seq(n)
+    case Quoted(s, p, o) => termVars(s) ++ termVars(p) ++ termVars(o)
+    case _ => Nil
+  }
+
+  /** Scan one premise pattern over `facts`: constants filter, vars project. */
+  def scan(facts: DataFrame, tp: TriplePattern): DataFrame = {
+    var filters = List.empty[Column]
+    var binds = List.empty[(String, Column)]
+    def walk(c: Column, t: Term): Unit = t match {
+      case Var(n) => binds ::= (n -> c)
+      case Iri(v) => filters ::= (c === lit(v))
+      case Lit(v) => filters ::= (c === lit(v))
+      case q @ Quoted(s, p, o) =>
+        if (termVars(q).isEmpty) filters ::= (c === lit(TermLex.lexical(q)))
+        else {
+          filters ::= Compiler.qtIs(c)
+          walk(Compiler.qtS(c), s); walk(Compiler.qtP(c), p); walk(Compiler.qtO(c), o)
+        }
+    }
+    walk(col("s"), tp.s); walk(col("p"), tp.p); walk(col("o"), tp.o)
+    val grouped = binds.reverse.groupBy(_._1)
+    val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
+    val filtered = (filters ++ eqs).foldLeft(facts)((d, f) => d.filter(f))
+    filtered.select(grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq: _*)
+  }
+
+  private def joinBindings(l: DataFrame, r: DataFrame): DataFrame = {
+    val shared = l.columns.filter(r.columns.contains(_)).toSeq
+    if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, "inner")
+  }
+
+  /** Evaluate one rule body: positive premises (with `deltaAt` optionally
+    * binding premise i to the delta), then NAF anti-joins, then filters.
+    * Returns the variable bindings DF. */
+  def evalBody(rule: Rule, facts: DataFrame, delta: Option[(Int, DataFrame)],
+      cond: (DataFrame, Condition) => Column): DataFrame = {
+    val scans = rule.premise.zipWithIndex.map { case (tp, i) =>
+      val src = delta match {
+        case Some((di, d)) if di == i => d
+        case _ => facts
+      }
+      scan(src, tp)
+    }
+    var b = scans.reduce(joinBindings)
+    // stratified negation: drop bindings matching any negative premise
+    rule.negativePremise.foreach { ntp =>
+      val neg = scan(facts, ntp)
+      val shared = b.columns.filter(neg.columns.contains(_)).toSeq
+      b = if (shared.isEmpty) {
+        // ground negative premise: keep all rows iff no match exists
+        b.join(broadcast(neg.limit(1)), lit(true), "left_anti")
+      } else b.join(neg, shared, "left_anti")
+    }
+    rule.filters.foreach(f => b = b.filter(cond(b, f)))
+    b
+  }
+
+  /** Instantiate rule conclusions from bindings → derived (s,p,o) facts. */
+  def instantiateHead(rule: Rule, bindings: DataFrame): DataFrame = {
+    def termCol(t: Term): Column = t match {
+      case Var(n) =>
+        if (bindings.columns.contains(n)) col(n) else lit(null).cast(StringType)
+      case Quoted(s, p, o) => Compiler.qtMake(termCol(s), termCol(p), termCol(o))
+      case other => lit(TermLex.lexical(other))
+    }
+    rule.conclusion.map { tp =>
+      bindings.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"), termCol(tp.o).as("o"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  private def defaultCond(df: DataFrame, c: Condition): Column = {
+    val store = QuadStore.empty(spark)
+    new Compiler(store).compileCond(df, c)
+  }
+
+  /** Naive fixpoint: apply all rules to all facts until no new facts. */
+  def materializeNaive(facts0: DataFrame, rules: Seq[Rule],
+      maxRounds: Int = 1000): DataFrame = {
+    var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
+    var size = facts.count()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val derived = rules.map { r =>
+        instantiateHead(r, evalBody(r, facts, None, defaultCond))
+      }.reduce(_ unionByName _)
+      facts = facts.unionByName(derived).distinct().localCheckpoint()
+      val n = facts.count()
+      changed = n > size
+      size = n
+      round += 1
+    }
+    facts
+  }
+
+  /** Semi-naive fixpoint (`semi_naive.rs:10-92`): per round only join the
+    * delta in each premise position. The standard recursive-Datalog
+    * optimization — the delta shrinks to the closure frontier instead of
+    * re-deriving everything every round. */
+  def materializeSemiNaive(facts0: DataFrame, rules: Seq[Rule],
+      maxRounds: Int = 1000): DataFrame = {
+    var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
+    var delta = facts
+    var round = 0
+    while (round < maxRounds) {
+      val derived = rules.flatMap { r =>
+        r.premise.indices.map { i =>
+          instantiateHead(r, evalBody(r, facts, Some((i, delta)), defaultCond))
+        }
+      }.reduce(_ unionByName _).distinct()
+      delta = derived.join(facts, Seq("s", "p", "o"), "left_anti").localCheckpoint()
+      if (delta.isEmpty) return facts
+      facts = facts.unionByName(delta).distinct().localCheckpoint()
+      round += 1
+    }
+    facts
+  }
+
+  /** Materialize into a store's default graph (API parity with the
+    * reference's `infer_generic` driver). */
+  def materialize(store: QuadStore, rules: Seq[Rule],
+      semiNaive: Boolean = true): QuadStore = {
+    val facts0 = store.quads.filter(col("g").isNull).select("s", "p", "o")
+    val closed =
+      if (semiNaive) materializeSemiNaive(facts0, rules)
+      else materializeNaive(facts0, rules)
+    val derived = closed.join(facts0.distinct(), Seq("s", "p", "o"), "left_anti")
+    store.insert(derived.withColumn("g", lit(null).cast(StringType)))
+    store
+  }
+}

@@ -1,0 +1,120 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.QuadStore
+
+/** Maps the driver's TPC-H-ish parquet tables to RDF quads so the SPARQL
+  * engine can be exercised (and DuckDB-oracle-verified) over relational
+  * test data (FIXTURES.md §A usage mapping).
+  *
+  * Conventions:
+  *  - subject: `<table>/<key>` (lineitem uses `l_orderkey-l_linenumber`)
+  *  - predicate: `<table>#<column>`
+  *  - graph: `graph/<table>` (one named graph per table, so GRAPH / FROM /
+  *    FROM NAMED semantics are testable on real data); callers who want
+  *    everything in the default graph pass `defaultGraph = true`
+  *  - foreign keys become IRIs of the referenced entity (`nation/5`)
+  *  - lexical forms: numbers via CAST AS STRING, timestamps as
+  *    `yyyy-MM-dd HH:mm:ss` (UTC) — mirrored exactly by the DuckDB oracle
+  *    SQL in SparkEntry.oracleSql
+  *
+  * Single-scan design: each table is read once and exploded into quads via
+  * an array of (p, o) structs — column-pruned, no joins, no shuffle. At
+  * 100 TB each table triplizes embarrassingly parallel per input split.
+  */
+object Triplizer {
+
+  /** keyCols empty → subject is a full-row md5 fingerprint (the synthetic
+    * lineitem has no unique business key — `(l_orderkey, l_linenumber)`
+    * collides — and full rows are distinct, so the fingerprint is a
+    * deterministic unique id both Spark and DuckDB can compute). */
+  final case class TableSpec(
+      name: String,
+      keyCols: Seq[String],
+      fks: Map[String, String]) // column → referenced table name
+
+  val tables: Seq[TableSpec] = Seq(
+    TableSpec("region", Seq("r_regionkey"), Map.empty),
+    TableSpec("nation", Seq("n_nationkey"), Map("n_regionkey" -> "region")),
+    TableSpec("customer", Seq("c_custkey"), Map("c_nationkey" -> "nation")),
+    TableSpec("supplier", Seq("s_suppkey"), Map("s_nationkey" -> "nation")),
+    TableSpec("part", Seq("p_partkey"), Map.empty),
+    TableSpec("orders", Seq("o_orderkey"), Map("o_custkey" -> "customer")),
+    TableSpec("lineitem", Seq.empty,
+      Map("l_orderkey" -> "orders", "l_partkey" -> "part", "l_suppkey" -> "supplier")))
+
+  /** Canonical lexical form of a column value — keep in sync with the
+    * DuckDB-side expressions in SparkEntry.oracleSql. */
+  def lexical(df: DataFrame, c: String): Column = {
+    df.schema(c).dataType match {
+      case TimestampType => date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+      case _ => col(c).cast(StringType)
+    }
+  }
+
+  def subjectCol(df: DataFrame, spec: TableSpec): Column =
+    if (spec.keyCols.nonEmpty)
+      concat(lit(spec.name + "/"),
+        concat_ws("-", spec.keyCols.map(k => col(k).cast(StringType)): _*))
+    else
+      concat(lit(spec.name + "/"),
+        md5(concat_ws("|", df.columns.toSeq.map(c => lexical(df, c)): _*)))
+
+  /** Quads for one table: (g, s, p, o), one row per non-null cell. */
+  def tableQuads(spark: SparkSession, sfDir: String, spec: TableSpec,
+      defaultGraph: Boolean = false): DataFrame = {
+    // The driver parquet is one small file per table → one input split;
+    // without a repartition the explode+md5 projection of the largest
+    // table runs on a single core and dominates store materialization.
+    // (On a real cluster the reader splits by row group and this shuffle
+    // of raw columnar rows is still cheap relative to the projection.)
+    val df = spark.read.parquet(s"$sfDir/${spec.name}.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs: Seq[Column] = df.columns.toSeq.map { c =>
+      val oCol = spec.fks.get(c) match {
+        case Some(ref) => concat(lit(ref + "/"), col(c).cast(StringType))
+        case None => lexical(df, c)
+      }
+      struct(lit(s"${spec.name}#$c").as("p"), oCol.as("o"))
+    }
+    val g = if (defaultGraph) lit(null).cast(StringType) else lit(s"graph/${spec.name}")
+    df.select(g.as("g"), subjectCol(df, spec).as("s"), explode(array(pairs: _*)).as("po"))
+      .select(col("g"), col("s"), col("po.p").as("p"), col("po.o").as("o"))
+      .filter(col("o").isNotNull)
+  }
+
+  /** All tables triplized; each table in its own named graph AND merged
+    * into the default graph view by unioning (subjects are table-prefixed,
+    * so graphs are disjoint and the merged-default dedup is a no-op). */
+  def quads(spark: SparkSession, sfDir: String, defaultGraph: Boolean = true): DataFrame =
+    tables.map(t => tableQuads(spark, sfDir, t, defaultGraph)).reduce(_ unionByName _)
+
+  def store(spark: SparkSession, sfDir: String, defaultGraph: Boolean = true): QuadStore =
+    QuadStore(spark, quads(spark, sfDir, defaultGraph))
+
+  // Materialized quad tables per (sfDir, defaultGraph): triplize once,
+  // write Parquet clustered by predicate, and serve every later query from
+  // that table. Clustering by `p` gives row-group min/max + dictionary
+  // pruning on the dominant access key — the Spark-native replacement for
+  // the reference's gpos/gspo permutation indexes (SURVEY §1.5), and the
+  // same layout that scales to a 100 TB quad corpus (predicate-clustered
+  // columnar files; the in-memory columnar cache measured 10× slower to
+  // build and no faster to scan for this string-heavy schema).
+  private val cache = scala.collection.mutable.Map.empty[(String, Boolean), QuadStore]
+  def cachedStore(spark: SparkSession, sfDir: String, defaultGraph: Boolean = true): QuadStore =
+    synchronized {
+      cache.getOrElseUpdate((sfDir, defaultGraph), {
+        val key = new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g")
+        val path = s"/tmp/graft_quads/$key"
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          quads(spark, sfDir, defaultGraph)
+            .repartition(col("p"))
+            .sortWithinPartitions("p", "s")
+            .write.mode("overwrite").parquet(path)
+        }
+        QuadStore(spark, spark.read.parquet(path))
+      })
+    }
+}

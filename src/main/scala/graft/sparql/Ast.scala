@@ -1,0 +1,133 @@
+package graft.sparql
+
+/** Algebra for the SPARQL 1.1 fragment supported by the reference engine
+  * (StreamIntelligenceLab/Kolibrie): SELECT + six Update forms, GRAPH /
+  * UNION / VALUES / BIND / FILTER / subqueries, SUM/MIN/MAX/AVG/COUNT
+  * aggregates, RDF-star quoted triples, RSP-QL window blocks.
+  *
+  * Mirrors the shape of the reference AST (`shared/src/query.rs:104-424`,
+  * `shared/src/terms.rs:14-23`) but is an independent design: terms carry
+  * lexical forms (no u32 dictionary — see graft.model.TermLex for the
+  * storage-level conventions).
+  */
+object Ast {
+
+  // ---- terms -------------------------------------------------------------
+  sealed trait Term
+  final case class Var(name: String) extends Term
+  /** IRI, stored without angle brackets (reference strips them when
+    * interning: `kolibrie/src/sparql_database.rs:1628-1656`). */
+  final case class Iri(value: String) extends Term
+  /** Literal: datatype suffix stripped, language tag kept appended to the
+    * lexical form — the reference's dictionary-cleaning policy
+    * (`sparql_database.rs:1628-1656`). */
+  final case class Lit(value: String) extends Term
+  /** RDF-star quoted triple pattern `<< s p o >>`; nestable
+    * (`shared/src/quoted_triple_store.rs:17-57`). */
+  final case class Quoted(s: Term, p: Term, o: Term) extends Term
+
+  final case class TriplePattern(s: Term, p: Term, o: Term)
+
+  // ---- graph scope (`shared/src/dataset_index.rs:41-54`) -----------------
+  sealed trait GraphSpec
+  case object DefaultGraph extends GraphSpec
+  final case class GraphIri(iri: String) extends GraphSpec
+  final case class GraphVar(name: String) extends GraphSpec
+
+  // ---- expressions (FILTER / BIND) ---------------------------------------
+  sealed trait Expr
+  final case class ETerm(t: Term) extends Expr
+  /** `+ - * /` over numeric-parsed operands (`shared/src/query.rs:24-58`). */
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  /** CONCAT / TRIPLE / SUBJECT / PREDICATE / OBJECT / isTRIPLE / registered
+    * UDFs (`engine.rs:437-573`). */
+  final case class Func(name: String, args: Seq[Expr]) extends Expr
+
+  sealed trait Condition
+  /** op ∈ = != > >= < <= ; numeric-if-both-parse else lexical
+    * (`streamertail_optimizer/types.rs:349-371`). */
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Condition
+  final case class And(l: Condition, r: Condition) extends Condition
+  final case class Or(l: Condition, r: Condition) extends Condition
+  final case class Not(c: Condition) extends Condition
+  /** Boolean function in FILTER position; reference supports isTRIPLE only
+    * (`types.rs:444-456`). */
+  final case class CondFunc(name: String, args: Seq[Expr]) extends Condition
+
+  // ---- group graph pattern elements --------------------------------------
+  sealed trait Element
+  final case class Bgp(patterns: Seq[TriplePattern]) extends Element
+  final case class GraphBlock(graph: GraphSpec, elems: Seq[Element]) extends Element
+  /** n-ary UNION; duplicates retained, branch schemas may differ
+    * (`operators/logical.rs:25-27`, README.md:277-307). */
+  final case class UnionBlock(branches: Seq[Seq[Element]]) extends Element
+  /** FILTERs are scoped to the end of the enclosing group
+    * (`utils.rs:443-453`). */
+  final case class FilterElem(cond: Condition) extends Element
+  final case class BindElem(expr: Expr, v: String) extends Element
+  /** VALUES with UNDEF → None (`engine.rs:155-167`). */
+  final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Element
+  final case class SubSelect(query: Select) extends Element
+  /** RSP-QL `WINDOW :w { … }` block (`parser.rs:249-282`). */
+  final case class WindowBlockElem(windowIri: String, elems: Seq[Element]) extends Element
+
+  // ---- solution modifiers -------------------------------------------------
+  /** func ∈ SUM MIN MAX AVG COUNT; COUNT(*) → v=None. The reference parser
+    * misses COUNT (`parser.rs:1629-1661`) but the executor and README
+    * support it — we support it (SURVEY §7.5). */
+  final case class Aggregate(func: String, v: Option[String], alias: String)
+  final case class OrderKey(v: String, asc: Boolean)
+
+  final case class Select(
+      distinct: Boolean,
+      projection: Seq[String],          // bare projected variables
+      aggregates: Seq[Aggregate],       // (expr AS ?alias) projections
+      where: Seq[Element],
+      groupBy: Seq[String],
+      orderBy: Seq[OrderKey],
+      limit: Option[Int],
+      offset: Option[Int],
+      fromGraphs: Seq[String],          // FROM <g> (merged default graph)
+      fromNamed: Seq[String])           // FROM NAMED <g>
+
+  // ---- SPARQL Update (`shared/src/query.rs:377-402`) ---------------------
+  sealed trait Update
+  final case class InsertData(quads: Seq[(TriplePattern, GraphSpec)]) extends Update
+  final case class DeleteData(quads: Seq[(TriplePattern, GraphSpec)]) extends Update
+  /** DELETE/INSERT … WHERE: WHERE evaluated once pre-mutation, deletes
+    * applied before inserts (`execute_query.rs:578-592,867-884`).
+    * DELETE WHERE = delete template == where patterns. */
+  final case class Modify(
+      deleteTemplate: Seq[(TriplePattern, GraphSpec)],
+      insertTemplate: Seq[(TriplePattern, GraphSpec)],
+      where: Seq[Element]) extends Update
+
+  sealed trait Operation
+  final case class SelectOp(q: Select) extends Operation
+  final case class UpdateOp(u: Update) extends Operation
+
+  /** Datalog-style rule: `RULE :name :- CONSTRUCT { … } WHERE { … }`
+    * (`shared/src/rule.rs:21-29`, `parser.rs:3101-3177`). */
+  final case class Rule(
+      name: String,
+      premise: Seq[TriplePattern],
+      negativePremise: Seq[TriplePattern],
+      filters: Seq[Condition],
+      conclusion: Seq[TriplePattern])
+
+  /** RSP-QL window spec `[RANGE w STEP s]`, milliseconds
+    * (`rsp/s2r.rs:175-330`, `parser.rs:2594-2643`). */
+  final case class WindowSpec(iri: String, streamIri: String, rangeMs: Long, stepMs: Long)
+
+  sealed trait R2SKind
+  case object RStream extends R2SKind
+  case object IStream extends R2SKind
+  case object DStream extends R2SKind
+
+  /** REGISTER R/I/DSTREAM <out> AS SELECT … (`parser.rs:2795-2846`). */
+  final case class RspQuery(
+      kind: R2SKind,
+      outIri: String,
+      windows: Seq[WindowSpec],
+      select: Select)
+}

@@ -1,0 +1,329 @@
+package graft.sparql
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** Parser for the reference's SPARQL fragment (grammar surface per
+  * `kolibrie/src/parser.rs:3264-3377` and SURVEY §2): prologue PREFIX,
+  * SELECT with DISTINCT / aggregates / GROUP BY / ORDER BY / LIMIT /
+  * OFFSET / FROM / FROM NAMED, group patterns with BGP / GRAPH / UNION /
+  * FILTER / BIND / VALUES / subselect / WINDOW blocks, the six Update
+  * forms, RULE definitions, and RSP-QL REGISTER queries.
+  *
+  * Independent implementation on scala-parser-combinators; the reference
+  * uses nom. Differences kept deliberately (SURVEY §7.5): COUNT is
+  * parseable here; literals keep the reference's dictionary-cleaning
+  * (datatype stripped, language tag appended).
+  */
+class SparqlParser extends RegexParsers {
+  override val whiteSpace = """(\s|#[^\n]*)+""".r
+
+  private var prefixes = Map.empty[String, String]
+
+  // ---- terminals ---------------------------------------------------------
+  private def kw(s: String): Parser[String] = ("""(?i)\Q""" + s + """\E""").r ^^ (_ => s)
+
+  def varName: Parser[String] = """[?$]([A-Za-z_][A-Za-z0-9_]*)""".r ^^ (_.drop(1))
+  def iriRef: Parser[String] = """<[^<>\s{}|^`\\]*>""".r ^^ (s => s.substring(1, s.length - 1))
+  def pname: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.%]*""".r ^^ { s =>
+    val i = s.indexOf(':')
+    val (pfx, local) = (s.substring(0, i + 1), s.substring(i + 1))
+    prefixes.getOrElse(pfx, pfx) + local
+  }
+  def iri: Parser[String] = iriRef | pname
+
+  def stringLit: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { raw =>
+      unescape(raw.substring(1, raw.length - 1))
+    }
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 4
+          case x => sb += x
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Literal with the reference's cleaning policy: `^^datatype` stripped,
+    * `@lang` appended to the lexical form (`sparql_database.rs:1628-1656`). */
+  def literal: Parser[Lit] =
+    stringLit ~ opt("^^" ~> iri | "@" ~> """[A-Za-z\-]+""".r ^^ ("@" + _)) ^^ {
+      case v ~ Some(tag) if tag.startsWith("@") => Lit(v + tag)
+      case v ~ _ => Lit(v)
+    } |
+    """[+-]?\d+\.\d+""".r ^^ (Lit(_)) |
+    """[+-]?\d+""".r ^^ (Lit(_)) |
+    kw("true") ^^ (_ => Lit("true")) | kw("false") ^^ (_ => Lit("false"))
+
+  def quoted: Parser[Quoted] = "<<" ~> term ~ term ~ term <~ ">>" ^^ {
+    case s ~ p ~ o => Quoted(s, p, o)
+  }
+
+  def term: Parser[Term] =
+    quoted | varName ^^ (Var(_)) | literal | "a" ^^ (_ =>
+      Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) | iri ^^ (Iri(_))
+
+  // ---- prologue ----------------------------------------------------------
+  def prefixDecl: Parser[Unit] = kw("PREFIX") ~> """[A-Za-z_][A-Za-z0-9_\-]*:""".r ~ iriRef ^^ {
+    case p ~ i => prefixes += (p -> i); ()
+  }
+
+  // ---- triples block -----------------------------------------------------
+  /** `s p1 o1 ; p2 o2 , o3 .` with `;`/`,` continuations. */
+  def triplesSame: Parser[Seq[TriplePattern]] =
+    term ~ rep1sep(term ~ rep1sep(term, ","), ";") ^^ { case s ~ pol =>
+      pol.flatMap { case p ~ os => os.map(o => TriplePattern(s, p, o)) }
+    }
+  def triplesBlock: Parser[Seq[TriplePattern]] =
+    rep1sep(triplesSame, ".") <~ opt(".") ^^ (_.flatten)
+
+  // ---- expressions -------------------------------------------------------
+  def funcName: Parser[String] = """[A-Za-z_][A-Za-z0-9_.]*""".r
+  def funcCall: Parser[Func] = funcName ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+    case n ~ as => Func(n.toUpperCase match {
+      case u @ ("CONCAT" | "TRIPLE" | "SUBJECT" | "PREDICATE" | "OBJECT" | "ISTRIPLE") => u
+      case _ => n
+    }, as)
+  }
+
+  def expr: Parser[Expr] = addExpr
+  def addExpr: Parser[Expr] = mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+    case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+  }
+  def mulExpr: Parser[Expr] = unaryExpr ~ rep(("*" | "/") ~ unaryExpr) ^^ {
+    case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+  }
+  def unaryExpr: Parser[Expr] =
+    "(" ~> addExpr <~ ")" | funcCall | term ^^ (ETerm(_))
+
+  // ---- conditions --------------------------------------------------------
+  def condition: Parser[Condition] = orCond
+  def orCond: Parser[Condition] = andCond ~ rep("||" ~> andCond) ^^ {
+    case h ~ t => t.foldLeft(h)(Or(_, _))
+  }
+  def andCond: Parser[Condition] = notCond ~ rep("&&" ~> notCond) ^^ {
+    case h ~ t => t.foldLeft(h)(And(_, _))
+  }
+  def notCond: Parser[Condition] =
+    "!" ~> notCond ^^ (Not(_)) |
+    cmpCond |
+    "(" ~> condition <~ ")"
+  def cmpCond: Parser[Condition] =
+    expr ~ ("!=" | ">=" | "<=" | "=" | ">" | "<") ~ expr ^^ { case l ~ op ~ r => Cmp(op, l, r) } |
+    funcCall ^^ (f => CondFunc(f.name, f.args)) |
+    "(" ~> condition <~ ")"
+
+  // ---- group graph pattern ----------------------------------------------
+  def groupGraphPattern: Parser[Seq[Element]] = "{" ~> rep(element) <~ "}" ^^ { els =>
+    // fold adjacent raw pattern groups; keep FILTER placement (compiler
+    // defers filters to group end anyway, `utils.rs:443-482`)
+    els
+  }
+
+  def element: Parser[Element] =
+    subSelect |
+    unionBlock |
+    graphBlock |
+    windowBlock |
+    filterElem |
+    bindElem |
+    valuesElem |
+    triplesBlock ^^ (Bgp(_))
+
+  def graphBlock: Parser[Element] =
+    kw("GRAPH") ~> (varName ^^ (GraphVar(_)) | iri ^^ (GraphIri(_))) ~ groupGraphPattern ^^ {
+      case g ~ els => GraphBlock(g, els)
+    }
+
+  def windowBlock: Parser[Element] =
+    kw("WINDOW") ~> iri ~ groupGraphPattern ^^ { case w ~ els => WindowBlockElem(w, els) }
+
+  def unionBlock: Parser[Element] =
+    groupGraphPattern ~ rep1(kw("UNION") ~> groupGraphPattern) ^^ {
+      case h ~ t => UnionBlock(h +: t)
+    }
+
+  def filterElem: Parser[Element] = kw("FILTER") ~> "(" ~> condition <~ ")" ^^ (FilterElem(_))
+
+  def bindElem: Parser[Element] =
+    kw("BIND") ~> "(" ~> expr ~ (kw("AS") ~> varName) <~ ")" ^^ { case e ~ v => BindElem(e, v) }
+
+  def valuesElem: Parser[Element] = {
+    val undef = kw("UNDEF") ^^ (_ => None)
+    val valueTerm: Parser[Option[Term]] = undef | term ^^ (Some(_))
+    kw("VALUES") ~> (
+      // multi-var form: VALUES (?a ?b) { (1 2) (3 UNDEF) }
+      ("(" ~> rep1(varName) <~ ")") ~ ("{" ~> rep("(" ~> rep1(valueTerm) <~ ")") <~ "}") ^^ {
+        case vs ~ rows => ValuesElem(vs, rows)
+      } |
+      // single-var form: VALUES ?a { 1 2 3 }
+      varName ~ ("{" ~> rep1(valueTerm) <~ "}") ^^ {
+        case v ~ vals => ValuesElem(Seq(v), vals.map(Seq(_)))
+      })
+  }
+
+  def subSelect: Parser[Element] = "{" ~> selectQuery <~ "}" ^^ (SubSelect(_))
+
+  // ---- SELECT ------------------------------------------------------------
+  def aggFunc: Parser[String] =
+    (kw("SUM") | kw("MIN") | kw("MAX") | kw("AVG") | kw("COUNT")) ^^ (_.toUpperCase)
+
+  def aggProjection: Parser[Aggregate] =
+    "(" ~> aggFunc ~ ("(" ~> (("*" ^^ (_ => None)) | opt(kw("DISTINCT")) ~> varName ^^ (Some(_))) <~ ")") ~
+      (kw("AS") ~> varName) <~ ")" ^^ { case f ~ v ~ a => Aggregate(f, v, a) }
+
+  def selectQuery: Parser[Select] =
+    kw("SELECT") ~> opt(kw("DISTINCT")) ~
+      (("*" ^^ (_ => (Seq.empty[String], Seq.empty[Aggregate], true))) |
+        rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_))) ^^ { items =>
+          (items.collect { case Left(v) => v },
+           items.collect { case Right(a) => a }, false)
+        }) ~
+      rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
+      (kw("WHERE") ~> groupGraphPattern) ~
+      opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ~
+      opt(kw("ORDER") ~> kw("BY") ~> rep1(orderKey)) ~
+      opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toInt)) ~
+      opt(kw("OFFSET") ~> """\d+""".r ^^ (_.toInt)) ^^ {
+      case dist ~ proj ~ froms ~ where ~ gb ~ ob ~ lim ~ off =>
+        val (vars, aggs, star) = proj
+        Select(
+          distinct = dist.isDefined,
+          projection = if (star) Seq("*") else vars,
+          aggregates = aggs,
+          where = where,
+          groupBy = gb.getOrElse(Nil),
+          orderBy = ob.getOrElse(Nil),
+          limit = lim, offset = off,
+          fromGraphs = froms.collect { case Left(g) => g },
+          fromNamed = froms.collect { case Right(g) => g })
+    }
+
+  def orderKey: Parser[OrderKey] =
+    kw("DESC") ~> "(" ~> varName <~ ")" ^^ (OrderKey(_, asc = false)) |
+    kw("ASC") ~> "(" ~> varName <~ ")" ^^ (OrderKey(_, asc = true)) |
+    varName ^^ (OrderKey(_, asc = true))
+
+  // ---- Update ------------------------------------------------------------
+  /** Quad data block: triples + GRAPH <g> { triples } groups. */
+  def quadData: Parser[Seq[(TriplePattern, GraphSpec)]] =
+    "{" ~> rep(
+      kw("GRAPH") ~> iri ~ ("{" ~> opt(triplesBlock) <~ "}") ^^ { case g ~ ts =>
+        ts.getOrElse(Nil).map(t => (t, GraphIri(g): GraphSpec))
+      } |
+      triplesSame <~ opt(".") ^^ (_.map(t => (t, DefaultGraph: GraphSpec)))
+    ) <~ "}" ^^ (_.flatten)
+
+  def update: Parser[Update] =
+    kw("INSERT") ~> kw("DATA") ~> quadData ^^ (InsertData(_)) |
+    kw("DELETE") ~> kw("DATA") ~> quadData ^^ (DeleteData(_)) |
+    kw("DELETE") ~> quadData ~ (kw("INSERT") ~> quadData) ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case d ~ i ~ w => Modify(d, i, w)
+    } |
+    kw("DELETE") ~> kw("WHERE") ~> quadData ^^ { d =>
+      Modify(d, Nil, Seq(groupFromQuads(d)))
+    } |
+    kw("DELETE") ~> quadData ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case d ~ w => Modify(d, Nil, w)
+    } |
+    kw("INSERT") ~> quadData ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case i ~ w => Modify(Nil, i, w)
+    }
+
+  private def groupFromQuads(qs: Seq[(TriplePattern, GraphSpec)]): Element = {
+    val byGraph = qs.groupBy(_._2)
+    val els = byGraph.toSeq.map {
+      case (DefaultGraph, ts) => Bgp(ts.map(_._1))
+      case (g, ts) => GraphBlock(g, Seq(Bgp(ts.map(_._1))))
+    }
+    if (els.size == 1) els.head else UnionBlock(Seq(els)) // all in one group
+  }
+
+  // ---- RULE (`parser.rs:3101-3177`) --------------------------------------
+  def ruleDef: Parser[Rule] =
+    kw("RULE") ~> iri ~ opt("(" ~> repsep(varName, ",") <~ ")") ~ (":-" ~>
+      kw("CONSTRUCT") ~> "{" ~> triplesBlock <~ "}") ~ (kw("WHERE") ~> "{" ~>
+      rep(filterElem ^^ (Right(_)) |
+          kw("NOT") ~> "{" ~> triplesBlock <~ "}" ^^ (ts => Left(Left(ts))) |
+          triplesBlock ^^ (ts => Left(Right(ts)))) <~ "}") ^^ {
+      case name ~ _ ~ concl ~ body =>
+        Rule(
+          name,
+          premise = body.collect { case Left(Right(ts)) => ts }.flatten,
+          negativePremise = body.collect { case Left(Left(ts)) => ts }.flatten,
+          filters = body.collect { case Right(FilterElem(c)) => c },
+          conclusion = concl)
+    }
+
+  // ---- RSP-QL (`parser.rs:2594-2846`) ------------------------------------
+  def duration: Parser[Long] =
+    """\d+""".r ~ opt(kw("ms") | kw("s") | kw("m") | kw("h")) ^^ {
+      case n ~ u => n.toLong * (u.map(_.toLowerCase) match {
+        case Some("ms") => 1L; case Some("s") => 1000L
+        case Some("m") => 60000L; case Some("h") => 3600000L; case None => 1000L
+      })
+    }
+
+  def windowClause: Parser[(String, String, Long, Long)] =
+    kw("FROM") ~> kw("NAMED") ~> kw("WINDOW") ~> iri ~ (kw("ON") ~> iri) ~
+      ("[" ~> kw("RANGE") ~> duration ~ opt(kw("STEP") ~> duration) <~ "]") ^^ {
+      case w ~ s ~ (r ~ st) => (w, s, r, st.getOrElse(r))
+    }
+
+  def rspQuery: Parser[RspQuery] =
+    kw("REGISTER") ~> (kw("RSTREAM") ^^ (_ => RStream) | kw("ISTREAM") ^^ (_ => IStream) |
+      kw("DSTREAM") ^^ (_ => DStream)) ~ iri ~ (kw("AS") ~>
+      kw("SELECT") ~> opt(kw("DISTINCT")) ~ rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_)))) ~
+      rep1(windowClause) ~ (kw("WHERE") ~> groupGraphPattern) ~
+      opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ^^ {
+      case kind ~ out ~ (dist ~ items) ~ wins ~ where ~ gb =>
+        RspQuery(kind, out,
+          wins.map { case (w, s, r, st) => WindowSpec(w, s, r, st) },
+          Select(dist.isDefined,
+            items.collect { case Left(v) => v },
+            items.collect { case Right(a) => a },
+            where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil))
+    }
+
+  // ---- entry points ------------------------------------------------------
+  def operation: Parser[Operation] =
+    rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | update ^^ (UpdateOp(_)))
+
+  private def run[T](p: Parser[T], input: String): T = {
+    prefixes = Map.empty
+    parseAll(p, input) match {
+      case Success(r, _) => r
+      case NoSuccess(msg, next) =>
+        throw new IllegalArgumentException(
+          s"SPARQL parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
+      case other => throw new IllegalArgumentException(s"SPARQL parse error: $other")
+    }
+  }
+
+  def parseOperation(q: String): Operation = run(operation, q)
+  def parseSelect(q: String): Select = parseOperation(q) match {
+    case SelectOp(s) => s
+    case _ => throw new IllegalArgumentException("not a SELECT query")
+  }
+  def parseUpdate(q: String): Update = parseOperation(q) match {
+    case UpdateOp(u) => u
+    case _ => throw new IllegalArgumentException("not an UPDATE")
+  }
+  def parseRule(q: String): Rule = run(rep(prefixDecl) ~> ruleDef, q)
+  def parseRsp(q: String): RspQuery = run(rep(prefixDecl) ~> rspQuery, q)
+}
+
+object SparqlParser {
+  def apply(): SparqlParser = new SparqlParser
+  def select(q: String): Ast.Select = new SparqlParser().parseSelect(q)
+  def operation(q: String): Ast.Operation = new SparqlParser().parseOperation(q)
+}

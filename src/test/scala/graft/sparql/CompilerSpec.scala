@@ -1,0 +1,165 @@
+package graft.sparql
+
+import graft.SparkSpec
+import graft.model.QuadStore
+import org.apache.spark.sql.Row
+
+/** Execution micro-semantics over tiny in-memory stores, mirroring the
+  * reference's engine unit tests (`engine.rs:37-168`,
+  * `dataset_index.rs:593-825`, `kolibrie/tests/sparql_*`). */
+class CompilerSpec extends SparkSpec {
+
+  private def store(ts: (String, String, String)*): QuadStore =
+    QuadStore.fromTriples(spark, ts)
+  private def qstore(qs: (String, String, String, String)*): QuadStore =
+    QuadStore.fromQuads(spark, qs)
+  private def rows(st: QuadStore, q: String): Seq[Seq[Any]] =
+    new Compiler(st).select(q).collect().toSeq.map(_.toSeq)
+
+  test("bgp join with shared variable") {
+    val st = store(("alice", "knows", "bob"), ("bob", "knows", "carol"),
+      ("alice", "age", "30"))
+    assert(rows(st, "SELECT ?a ?c WHERE { ?a <knows> ?b . ?b <knows> ?c }") ==
+      Seq(Seq("alice", "carol")))
+  }
+
+  test("union keeps duplicates and pads missing vars with null (engine.rs:328-339)") {
+    val st = store(("s1", "p", "x"), ("s1", "q", "x"))
+    val r = rows(st, "SELECT ?s ?a ?b WHERE { { ?s <p> ?a } UNION { ?s <q> ?b } }")
+    assert(r.size == 2)
+    assert(r.contains(Seq("s1", "x", null)) && r.contains(Seq("s1", null, "x")))
+  }
+
+  test("union branches see incoming bindings") {
+    val st = store(("s1", "p", "1"), ("s2", "p", "2"), ("s1", "q", "y"))
+    val r = rows(st, "SELECT ?s ?v WHERE { ?s <p> ?v . { ?s <q> "
+      + "\"y\" } UNION { ?s <p> \"2\" } }")
+    assert(r.toSet == Set(Seq("s1", "1"), Seq("s2", "2")))
+  }
+
+  test("filter scope: filter sees later BINDs in same group (filter_scope_test)") {
+    val st = store(("s1", "p", "5"), ("s2", "p", "50"))
+    val r = rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?w > 10) BIND(?v AS ?w) }""")
+    assert(r == Seq(Seq("s2")))
+  }
+
+  test("numeric-else-lexical comparison (types.rs:349-371)") {
+    val st = store(("a", "p", "9"), ("b", "p", "10"), ("c", "p", "x10"))
+    // numeric when both parse: 9 < 10 numerically (lexically "9" > "10")
+    assert(rows(st, "SELECT ?s WHERE { ?s <p> ?v . FILTER(?v < 10) }") == Seq(Seq("a")))
+    // non-numeric falls back to lexical comparison
+    assert(rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?v > "x") }""") == Seq(Seq("c")))
+  }
+
+  test("arithmetic with division-by-zero drops row (query.rs:24-58)") {
+    val st = store(("a", "p", "4"), ("b", "p", "0"))
+    assert(rows(st, "SELECT ?s WHERE { ?s <p> ?v . FILTER(8 / ?v = 2) }") == Seq(Seq("a")))
+  }
+
+  test("GRAPH ?g binds graph including for empty patterns; GRAPH iri filters") {
+    val st = qstore(("g1", "s", "p", "o"), ("g2", "s", "p", "o"), (null, "s", "p", "d"))
+    val r = rows(st, "SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o } }")
+    assert(r.map(_.head).toSet == Set("g1", "g2"))
+    assert(rows(st, "SELECT ?o WHERE { GRAPH <g1> { ?s <p> ?o } }") == Seq(Seq("o")))
+    // default scope sees only the default graph
+    assert(rows(st, "SELECT ?o WHERE { ?s <p> ?o }") == Seq(Seq("d")))
+  }
+
+  test("FROM merges graphs with dedup (dataset_index.rs:207-221)") {
+    val st = qstore(("g1", "s", "p", "o"), ("g2", "s", "p", "o"))
+    assert(rows(st, "SELECT ?o FROM <g1> FROM <g2> WHERE { ?s <p> ?o }") == Seq(Seq("o")))
+  }
+
+  test("FROM NAMED restricts GRAPH visibility") {
+    val st = qstore(("g1", "s", "p", "o1"), ("g2", "s", "p", "o2"))
+    val r = rows(st, "SELECT ?g FROM NAMED <g2> WHERE { GRAPH ?g { ?s <p> ?o } }")
+    assert(r == Seq(Seq("g2")))
+  }
+
+  test("VALUES with UNDEF joins compatibly (engine.rs:155-167)") {
+    val st = store(("s1", "p", "1"), ("s2", "p", "2"))
+    val r = rows(st, """SELECT ?s ?v ?w WHERE {
+      ?s <p> ?v . VALUES (?v ?w) { ("1" "one") (UNDEF "any") } }""")
+    assert(r.toSet == Set(Seq("s1", "1", "one"), Seq("s1", "1", "any"), Seq("s2", "2", "any")))
+  }
+
+  test("repeated variable in one pattern") {
+    val st = store(("a", "p", "a"), ("a", "p", "b"))
+    assert(rows(st, "SELECT ?x WHERE { ?x <p> ?x }") == Seq(Seq("a")))
+  }
+
+  test("subquery modifiers: agg → order → project → distinct → limit (engine.rs:685-719)") {
+    val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
+    val r = rows(st, """SELECT ?s ?mx WHERE {
+      { SELECT ?s (MAX(?v) AS ?mx) WHERE { ?s <p> ?v } GROUP BY ?s } }""")
+    assert(r.map(x => (x(0), x(1))).toSet == Set(("a", 2.0), ("b", 3.0)))
+  }
+
+  test("aggregate drops non-numeric values (execute_query.rs:432-465)") {
+    val st = store(("a", "p", "1"), ("a", "p", "x"), ("a", "p", "2"))
+    val r = rows(st, "SELECT (SUM(?v) AS ?s) (COUNT(*) AS ?n) WHERE { ?a <p> ?v }")
+    assert(r == Seq(Seq(3.0, 3L)))
+  }
+
+  test("empty input yields one group for global aggregate") {
+    val st = store(("a", "q", "1"))
+    val r = rows(st, "SELECT (COUNT(*) AS ?n) WHERE { ?a <nope> ?v }")
+    assert(r == Seq(Seq(0L)))
+  }
+
+  test("distinct applied on projection before limit (execute_query.rs:289-304)") {
+    val st = store(("a", "p", "1"), ("b", "p", "1"), ("c", "p", "2"))
+    val r = rows(st, "SELECT DISTINCT ?v WHERE { ?s <p> ?v } ORDER BY ?v LIMIT 2")
+    assert(r == Seq(Seq("1"), Seq("2")))
+  }
+
+  test("order by numeric-else-lexical with desc") {
+    val st = store(("a", "p", "9"), ("b", "p", "10"), ("c", "p", "2"))
+    val r = rows(st, "SELECT ?v WHERE { ?s <p> ?v } ORDER BY DESC(?v)")
+    assert(r.map(_.head) == Seq("10", "9", "2"))
+  }
+
+  test("rdf-star: TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE round-trip") {
+    val st = store(("alice", "says", "hi"))
+    val c = new Compiler(st)
+    c.execute("""INSERT { <<?s <says> ?o>> <certainty> "0.9" } WHERE { ?s <says> ?o }""")
+    val r = rows(st, """SELECT ?subj ?obj WHERE {
+      ?t <certainty> "0.9" . FILTER(isTRIPLE(?t))
+      BIND(SUBJECT(?t) AS ?subj) BIND(OBJECT(?t) AS ?obj) }""")
+    assert(r == Seq(Seq("alice", "hi")))
+    // non-quoted terms are not triples
+    assert(rows(st, """SELECT ?s WHERE { ?s <says> ?o . FILTER(isTRIPLE(?s)) }""").isEmpty)
+  }
+
+  test("update: WHERE evaluated once pre-mutation; deletes before inserts") {
+    val st = store(("a", "score", "1"), ("b", "score", "2"))
+    val c = new Compiler(st)
+    c.execute("""DELETE { ?s <score> ?v } INSERT { ?s <score> "9" } WHERE { ?s <score> ?v }""")
+    val r = rows(st, "SELECT ?s ?v WHERE { ?s <score> ?v }")
+    assert(r.toSet == Set(Seq("a", "9"), Seq("b", "9")))
+  }
+
+  test("insert data / delete data with graphs") {
+    val st = store()
+    val c = new Compiler(st)
+    c.execute("""INSERT DATA { <a> <b> <c> . GRAPH <g> { <d> <e> <f> } }""")
+    assert(rows(st, "SELECT ?s WHERE { ?s <b> <c> }") == Seq(Seq("a")))
+    assert(rows(st, "SELECT ?s WHERE { GRAPH <g> { ?s <e> <f> } }") == Seq(Seq("d")))
+    c.execute("""DELETE DATA { <a> <b> <c> }""")
+    assert(rows(st, "SELECT ?s WHERE { ?s <b> <c> }").isEmpty)
+  }
+
+  test("registered UDF callable from BIND (sparql_database.rs:2130-2135)") {
+    val st = store(("a", "name", "alice"))
+    st.registerUdf("SHOUT", args => args.head.toUpperCase)
+    val r = rows(st, """SELECT ?u WHERE { ?s <name> ?n . BIND(SHOUT(?n) AS ?u) }""")
+    assert(r == Seq(Seq("ALICE")))
+  }
+
+  test("CONCAT in BIND") {
+    val st = store(("a", "first", "ada"), ("a", "last", "lovelace"))
+    val r = rows(st, """SELECT ?full WHERE {
+      ?s <first> ?f . ?s <last> ?l . BIND(CONCAT(?f, " ", ?l) AS ?full) }""")
+    assert(r == Seq(Seq("ada lovelace")))
+  }
+}
