@@ -15,7 +15,9 @@ object SparkEntry {
       (graft.queries.SparqlSuite.queries, graft.queries.SparqlSuite.oracleSql),
       (graft.queries.PipelineSuite.queries, graft.queries.PipelineSuite.oracleSql),
       (graft.queries.ReasonerSuite.queries, graft.queries.ReasonerSuite.oracleSql),
-      (graft.queries.StreamSuite.queries, graft.queries.StreamSuite.oracleSql))
+      (graft.queries.StreamSuite.queries, graft.queries.StreamSuite.oracleSql),
+      (graft.queries.RelationalSuite.queries, graft.queries.RelationalSuite.oracleSql),
+      (graft.queries.MlSuite.queries, graft.queries.MlSuite.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a SPARQL BGP join through the full parser→compiler→Catalyst path. */

@@ -1,0 +1,108 @@
+package graft.mlx
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.QuadStore
+import graft.sparql.Ast.TriplePattern
+import graft.sparql.Compiler
+
+/** The ML query surface (SURVEY §2.11): MODEL declarations, NEURAL
+  * RELATION materialization, TRAIN, and the ML.PREDICT plan stage —
+  * rebuilt as: descriptor registry + driver-side training on collected
+  * feature rows (as the reference does, `execute_ml_train.rs`) +
+  * distributed inference as a broadcast-weights mapPartitions stage
+  * (`engine.rs:603-670,1162-1374`).
+  */
+final case class ModelSpec(
+    name: String,
+    hidden: Seq[Int],
+    outputs: Seq[String], // exclusive labels; singleton = binary
+    binary: Boolean)
+
+final case class NeuralRelationSpec(
+    predicate: String,
+    model: String,
+    inputQuery: String,    // SPARQL SELECT producing feature rows
+    featureVars: Seq[String],
+    anchorVar: String)
+
+class MlRuntime(spark: SparkSession) {
+  val models = scala.collection.mutable.Map.empty[String, ModelSpec]
+  val trained = scala.collection.mutable.Map.empty[String, Mlp]
+  val neuralRelations = scala.collection.mutable.Map.empty[String, NeuralRelationSpec]
+
+  def declareModel(spec: ModelSpec): Unit = models(spec.name) = spec
+
+  def declareNeuralRelation(spec: NeuralRelationSpec): Unit =
+    neuralRelations(spec.predicate) = spec
+
+  /** Attach externally-built weights (fixed-weight models, loads). */
+  def setWeights(name: String, mlp: Mlp): Unit = trained(name) = mlp
+
+  /** TRAIN: evaluate the data query, collect (features, label) rows to the
+    * driver, run SGD. Label column must hold values from spec.outputs. */
+  def train(modelName: String, data: DataFrame, featureCols: Seq[String],
+      labelCol: String, lr: Double = 0.05, epochs: Int = 50,
+      batch: Int = 32): Seq[Double] = {
+    val spec = models(modelName)
+    val rows = data.select(
+        (featureCols.map(c => col(c).cast(DoubleType)) :+ col(labelCol).cast(StringType)): _*)
+      .collect().toSeq
+      .filter(r => (0 until featureCols.size).forall(!r.isNullAt(_)))
+    val labelIx = spec.outputs.zipWithIndex.toMap
+    val train = rows.flatMap { r =>
+      val x = Array.tabulate(featureCols.size)(r.getDouble)
+      val lbl = r.getString(featureCols.size)
+      val y = if (spec.binary) (if (lbl == spec.outputs.head) 1 else 0)
+              else labelIx.getOrElse(lbl, -1)
+      if (y >= 0) Some((x, y)) else None
+    }
+    val sizes = featureCols.size +: spec.hidden :+ (if (spec.binary) 1 else spec.outputs.size)
+    val init = Mlp.init(sizes, spec.outputs, spec.binary)
+    val (m, losses) = Mlp.train(init, train, lr, epochs, batch)
+    trained(modelName) = m
+    losses
+  }
+
+  /** ML.PREDICT: append `outCol` with the model's label for each row.
+    * Broadcast weights; whole inference is a narrow mapPartitions — no
+    * shuffle, scales with input partitions. */
+  def predict(input: DataFrame, modelName: String, featureCols: Seq[String],
+      outCol: String): DataFrame = {
+    val mlp = trained.getOrElse(modelName,
+      throw new IllegalStateException(s"model $modelName not trained"))
+    val bc = spark.sparkContext.broadcast(mlp)
+    val schema = StructType(input.schema.fields :+ StructField(outCol, StringType))
+    val fIdx = featureCols.map(input.schema.fieldIndex)
+    val out = input.rdd.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val x = fIdx.map(i => r.get(i) match {
+          case null => 0.0
+          case d: Double => d
+          case n: Number => n.doubleValue()
+          case s: String => try s.toDouble catch { case _: Exception => 0.0 }
+        }).toArray
+        Row.fromSeq(r.toSeq :+ m.predictLabel(x))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** NEURAL RELATION materialization (`neural_relations.rs`): run the
+    * input query over the store, infer, insert `(anchor, predicate,
+    * label)` facts. */
+  def materializeNeuralRelation(store: QuadStore, predicate: String): Long = {
+    val spec = neuralRelations(predicate)
+    val features = new Compiler(store).select(spec.inputQuery)
+    val preds = predict(features, spec.model, spec.featureVars, "__label")
+    val facts = preds.select(
+      lit(null).cast(StringType).as("g"),
+      col(spec.anchorVar).as("s"),
+      lit(predicate).as("p"),
+      col("__label").as("o"))
+    store.insert(facts)
+    facts.count()
+  }
+}

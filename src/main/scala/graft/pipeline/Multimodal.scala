@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators for training-data pipelines: image/audio/
+  * video payloads are opaque `binary` columns travelling beside typed
+  * metadata, processed batch-wise inside `mapPartitions` so a real decoder
+  * (JNI/FFI image lib) drops in without changing the Spark plumbing.
+  *
+  * The decode step is STUBBED: this container has no image/audio codecs,
+  * so [[stubDecode]] derives deterministic fake dimensions/features from
+  * the bytes. Schema, partitioning, batch shape, and the UDF signatures —
+  * the parts that matter at 100 TB (no shuffle, no driver collect, bounded
+  * per-batch memory) — are real and tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))))))
+
+  /** Wrap an id + string column as a media payload (test/ingest helper —
+    * real pipelines read binary columns from parquet directly). */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+      mime: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        lit(mime).as("mime"),
+        length(col(textCol)).cast(LongType).as("n_bytes"),
+        lit("inline").as("source")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-decode of an image payload into
+    * (width, height, channels) + a tiny feature vector. Replace the body
+    * with a real codec; the mapPartitions shape stays identical. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val w = 16 + (n % 64)
+    val h = 16 + ((n / 64) % 64)
+    // 8-bin byte histogram as the stand-in feature vector
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < n) { hist((payload(i) & 0xFF) / 32) += 1f; i += 1 }
+    if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
+    (w, h, 3, hist)
+  }
+
+  /** Decode + feature-extract as a narrow mapPartitions stage. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("features", ArrayType(FloatType))))
+    val pIdx = media.schema.fieldIndex("payload")
+    val out = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val (w, h, c, f) = stubDecode(if (payload == null) Array.empty else payload)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, f.toSeq))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Resize metadata transform (the codec-free part of a resize op):
+    * recompute target dims preserving aspect, tag the op. Pure column
+    * expressions — stays in codegen. */
+  def planResize(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"), lit(1.0))
+    decoded
+      .withColumn("target_width", ceil(col("width") * scale).cast(IntegerType))
+      .withColumn("target_height", ceil(col("height") * scale).cast(IntegerType))
+  }
+
+  /** Frame sampling for video-ish payloads: split the byte stream into
+    * `frameBytes` chunks, keep every `stride`-th chunk. Demonstrates the
+    * batch-explode shape without a codec. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val pIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val out = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val id = r.getLong(idIdx)
+        if (payload == null) Iterator.empty
+        else payload.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, i) => Row(id, i, chunk) }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

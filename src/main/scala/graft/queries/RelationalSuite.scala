@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic relational analytics directly on the parquet tables — the
+  * engine's DataFrame-native mode (no triplization). TPC-H-shaped
+  * pricing-summary / shipping-priority / local-supplier / forecast-revenue
+  * queries, used both as correctness entries and as bench anchors.
+  *
+  * Scale notes: filters and projections sit directly on the scan
+  * (PushedFilters in explain), dimension joins are broadcast, aggregates
+  * are partial (map-side) by construction.
+  */
+object RelationalSuite {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: pricing summary over lineitem
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: top unshipped orders by revenue
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1997-06-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+    }),
+
+    // TPC-H Q5 shape: revenue by nation within one region
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey") &&
+          sup("s_nationkey") === cust("c_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc)
+    }),
+
+    // TPC-H Q6 shape: forecast revenue change (pure scan+filter+agg)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // decorrelated-aggregate shape: parts priced above their type average
+    "q_above_avg_parts" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val typeAvg = part.groupBy(col("p_type").as("t_type"))
+        .agg(avg("p_retailprice").as("avg_price"))
+      part.join(broadcast(typeAvg), col("p_type") === col("t_type"))
+        .filter(col("p_retailprice") > col("avg_price") * 1.2)
+        .select(col("p_partkey"), col("p_type"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_quantity), 4) AS sum_qty,
+                ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                ROUND(AVG(l_quantity), 4) AS avg_qty,
+                ROUND(AVG(l_discount), 4) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                o_orderpriority,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC""",
+
+    "q6_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""",
+
+    "q_above_avg_parts" ->
+      """SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice
+         FROM part
+         WHERE p_retailprice > 1.2 * (SELECT AVG(p2.p_retailprice) FROM part p2
+                                      WHERE p2.p_type = part.p_type)""")
+}

@@ -294,6 +294,32 @@ class SparqlParser extends RegexParsers {
             where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil))
     }
 
+  // ---- ML surface (`parser.rs:2219-2580`) --------------------------------
+  /** `MODEL <n> { mlp(hidden=8,4); output "a" "b"; }` → (name, hidden,
+    * outputs, binary). Single output label = binary head. */
+  def modelDecl: Parser[(String, Seq[Int], Seq[String])] =
+    kw("MODEL") ~> iri ~ ("{" ~> kw("mlp") ~> "(" ~> kw("hidden") ~> "=" ~>
+      repsep("""\d+""".r ^^ (_.toInt), ",") <~ ")" <~ opt(";")) ~
+      (kw("output") ~> rep1(stringLit) <~ opt(";") <~ "}") ^^ {
+      case n ~ h ~ outs => (n, h, outs)
+    }
+
+  /** `NEURAL RELATION <pred> USING MODEL <m> { INPUT { SELECT … }
+    * FEATURES ?a ?b ANCHOR ?c }`. */
+  def neuralRelationDecl: Parser[(String, String, Select, Seq[String], String)] =
+    kw("NEURAL") ~> kw("RELATION") ~> iri ~ (kw("USING") ~> kw("MODEL") ~> iri) ~
+      ("{" ~> kw("INPUT") ~> "{" ~> selectQuery <~ "}") ~
+      (kw("FEATURES") ~> rep1(varName)) ~ (kw("ANCHOR") ~> varName) <~ "}" ^^ {
+      case p ~ m ~ q ~ fs ~ a => (p, m, q, fs, a)
+    }
+
+  /** `ML.PREDICT(MODEL <m>, INPUT { SELECT … }) AS ?out`. */
+  def mlPredict: Parser[(String, Select, String)] =
+    "ML.PREDICT" ~> "(" ~> kw("MODEL") ~> iri ~ ("," ~> kw("INPUT") ~> "{" ~>
+      selectQuery <~ "}") ~ (")" ~> kw("AS") ~> varName) ^^ {
+      case m ~ q ~ out => (m, q, out)
+    }
+
   // ---- entry points ------------------------------------------------------
   def operation: Parser[Operation] =
     rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | update ^^ (UpdateOp(_)))
@@ -320,6 +346,12 @@ class SparqlParser extends RegexParsers {
   }
   def parseRule(q: String): Rule = run(rep(prefixDecl) ~> ruleDef, q)
   def parseRsp(q: String): RspQuery = run(rep(prefixDecl) ~> rspQuery, q)
+  def parseModel(q: String): (String, Seq[Int], Seq[String]) =
+    run(rep(prefixDecl) ~> modelDecl, q)
+  def parseNeuralRelation(q: String): (String, String, Select, Seq[String], String) =
+    run(rep(prefixDecl) ~> neuralRelationDecl, q)
+  def parseMlPredict(q: String): (String, Select, String) =
+    run(rep(prefixDecl) ~> mlPredict, q)
 }
 
 object SparqlParser {

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.{QuadStore, QueryBuilder}
+import org.apache.spark.sql.functions._
+
+/** Pipeline + builder + multimodal semantics not covered by the DuckDB
+  * oracle: LSH candidate quality, IVF recall, SimHash properties,
+  * multimodal plumbing, fluent QueryBuilder. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+
+  test("minhash-lsh candidate pairs are a superset of high-jaccard exact pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding (8 bands × 4 rows) catches j≥0.8 pairs with prob ~1-(1-0.8^4)^8 ≈ 0.99
+    val missed = exact -- lsh
+    assert(missed.size <= math.max(1, exact.size / 10),
+      s"LSH missed ${missed.size} of ${exact.size} high-sim pairs")
+  }
+
+  test("simhash of identical docs is identical; hamming to near-dup small") {
+    val base = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark engines and queries"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHashSignatures(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("ivf recall@5 vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 5, nClusters = 8, nProbe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall $recall")
+  }
+
+  test("multimodal: payload round-trip, stub decode shape, frame sampling") {
+    val media = Multimodal.fromText(docs.limit(50), "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val dec = Multimodal.decodeFeatures(media)
+    val row = dec.filter(col("media_id") === 0).collect().head
+    assert(row.getAs[Int]("channels") == 3)
+    assert(row.getSeq[Float](row.fieldIndex("features")).size == 8)
+    val sized = Multimodal.planResize(dec, 32)
+    assert(sized.filter(col("target_width") > 32 || col("target_height") > 32).count() == 0)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    val f0 = frames.filter(col("media_id") === 0).collect()
+    assert(f0.nonEmpty && f0.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("query builder: filters, join, modifiers, terminals (query_builder.rs:151-758)") {
+    val st = QuadStore.fromTriples(spark, Seq(
+      ("alice", "knows", "bob"), ("bob", "knows", "carol"),
+      ("alice", "age", "30"), ("bob", "age", "25")))
+    val qb = QueryBuilder(st)
+    assert(qb.predicate("knows").count() == 2)
+    assert(qb.subject("alice").predicate("knows").getObjects == Seq("bob"))
+    assert(qb.subjectStartsWith("al").count() == 2)
+    assert(qb.objContains("3").getTriples == Seq(("alice", "age", "30")))
+    // join: ?x knows ?y . ?y knows ?z
+    val joined = qb.predicate("knows").join(qb.predicate("knows"), "o", "s")
+    assert(joined.toDF.select("s", "o2").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("alice", "carol")))
+    assert(qb.predicate("age").orderBy("o").getTriples.map(_._3) == Seq("25", "30"))
+    assert(qb.predicate("age").orderBy("o").offset(1).limit(1).getTriples.map(_._3) == Seq("30"))
+    assert(qb.where((s, p, o) => p === "age" && o.cast("double") > 27).count() == 1)
+    assert(qb.groupByPosition("p").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("knows", 2L), ("age", 2L)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.rdfio
+
+import graft.SparkSpec
+import graft.model.TermLex
+import graft.sparql.Compiler
+
+/** Reader/writer coverage mirroring the reference's format tests
+  * (rdf_star_test.rs, named_graph_test.rs, dataset fixtures). */
+class RdfIOSpec extends SparkSpec {
+
+  private def res(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  test("n-triples-star reader: literals, lang tags, datatypes, bnodes, nesting") {
+    val df = RdfIO.readNTriples(spark, res("star.nt"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("http://ex.org/alice", "http://ex.org/says", "hello")))
+    // datatype stripped
+    assert(rows.contains(("http://ex.org/bob", "http://ex.org/age", "25")))
+    // lang tag appended
+    assert(rows.exists(t => t._3 == "Carol@en"))
+    // quoted triple subject
+    val qt = TermLex.encodeQuoted("http://ex.org/alice", "http://ex.org/age", "30")
+    assert(rows.contains((qt, "http://ex.org/certainty", "0.9")))
+    // nested quoted triple
+    val inner = TermLex.encodeQuoted("http://ex.org/c", "http://ex.org/d", "x")
+    val outer = TermLex.encodeQuoted("http://ex.org/a", "http://ex.org/b", inner)
+    assert(rows.contains((outer, "http://ex.org/meta", "nested")))
+    assert(df.count() == 6)
+  }
+
+  test("n-quads reader: named graphs + default graph") {
+    val df = RdfIO.readNQuads(spark, res("graphs.nq"))
+    val gs = df.collect().map(r => Option(r.getString(0))).toSet
+    assert(gs == Set(Some("http://ex.org/g1"), Some("http://ex.org/g2"), None))
+  }
+
+  test("turtle reader: prefixes, continuations, annotation syntax, 'a'") {
+    val rows = RdfIO.readTurtle(spark, res("annot.ttl")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob")))
+    assert(rows.contains(("http://ex.org/alice", "http://ex.org/age", "30")))
+    // annotation asserts base triple AND quoted-triple metadata
+    assert(rows.contains(("http://ex.org/bob", "http://ex.org/likes", "http://ex.org/pizza")))
+    val qt = TermLex.encodeQuoted("http://ex.org/bob", "http://ex.org/likes", "http://ex.org/pizza")
+    assert(rows.contains((qt, "http://ex.org/since", "2020")))
+    assert(rows.contains((qt, "http://ex.org/source", "chat")))
+    // 'a' → rdf:type
+    assert(rows.contains(("http://ex.org/carol",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/Person")))
+    // object lists
+    assert(Seq("1", "2", "3").forall(v =>
+      rows.contains(("http://ex.org/carol", "http://ex.org/scores", v))))
+  }
+
+  test("rdf/xml reader: descriptions, typed nodes, resources, text props") {
+    val rows = RdfIO.readRdfXml(spark, res("employees.rdf")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("http://example.org/emp/1",
+      "http://xmlns.com/foaf/0.1/name", "Alice")))
+    assert(rows.contains(("http://example.org/emp/1",
+      "http://xmlns.com/foaf/0.1/workplaceHomepage", "http://corp.example.org/hq")))
+    // typed node element → rdf:type triple
+    assert(rows.contains(("http://example.org/emp/2",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "http://xmlns.com/foaf/0.1/Person")))
+  }
+
+  test("n-triples round-trip preserves triples") {
+    val df = RdfIO.readNTriples(spark, res("star.nt"))
+    val out = java.nio.file.Files.createTempDirectory("ntout").toString + "/nt"
+    RdfIO.writeNTriples(df, out)
+    val back = RdfIO.readNTriples(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("n-quads round-trip preserves graphs") {
+    val df = RdfIO.readNQuads(spark, res("graphs.nq"))
+    val out = java.nio.file.Files.createTempDirectory("nqout").toString + "/nq"
+    RdfIO.writeNQuads(df, out)
+    val back = RdfIO.readNQuads(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("loaded store is queryable end-to-end (employee dataset shape)") {
+    val store = RdfIO.storeFromRdfXml(spark, res("employees.rdf"))
+    val r = new Compiler(store).select("""
+      PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      PREFIX ds: <https://data.example.org/>
+      SELECT ?name ?sal WHERE {
+        ?e foaf:name ?name . ?e ds:annual_salary ?sal . FILTER(?sal > 55000)
+      }""").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(r.toSeq == Seq(("Alice", "60000")))
+  }
+}
