@@ -98,6 +98,12 @@ class Compiler(store: QuadStore) {
     case UpdateOp(u) => executeUpdate(u); spark.emptyDataFrame
   }
 
+  /** Public hook: compile a group of elements against this store's
+    * default view (used by the RSP engine to evaluate window blocks over
+    * per-window content stores). */
+  def compileElements(elems: Seq[Element]): Bindings =
+    compileGroup(elems, DefaultGraph, buildView(Nil, Nil), None).getOrElse(unitBindings)
+
   def compileSelect(sel: Select): DataFrame = {
     val view = buildView(sel.fromGraphs, sel.fromNamed)
     val b = compileGroup(sel.where, DefaultGraph, view, None).getOrElse(unitBindings)

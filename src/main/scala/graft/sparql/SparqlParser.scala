@@ -25,7 +25,9 @@ class SparqlParser extends RegexParsers {
 
   def varName: Parser[String] = """[?$]([A-Za-z_][A-Za-z0-9_]*)""".r ^^ (_.drop(1))
   def iriRef: Parser[String] = """<[^<>\s{}|^`\\]*>""".r ^^ (s => s.substring(1, s.length - 1))
-  def pname: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.%]*""".r ^^ { s =>
+  /** Prefixed name; the empty prefix (`:w`) resolves against a declared
+    * default prefix or stays verbatim (reference window IRIs use `:w`). */
+  def pname: Parser[String] = """([A-Za-z_][A-Za-z0-9_\-]*)?:[A-Za-z0-9_\-.%]*""".r ^^ { s =>
     val i = s.indexOf(':')
     val (pfx, local) = (s.substring(0, i + 1), s.substring(i + 1))
     prefixes.getOrElse(pfx, pfx) + local
@@ -273,8 +275,11 @@ class SparqlParser extends RegexParsers {
       })
     }
 
+  /** `ON ?s` (stream variable = match all streams, `rsp_engine.rs:773-810`)
+    * is represented as stream IRI "*". */
   def windowClause: Parser[(String, String, Long, Long)] =
-    kw("FROM") ~> kw("NAMED") ~> kw("WINDOW") ~> iri ~ (kw("ON") ~> iri) ~
+    kw("FROM") ~> kw("NAMED") ~> kw("WINDOW") ~> iri ~
+      (kw("ON") ~> (varName ^^ (_ => "*") | iri)) ~
       ("[" ~> kw("RANGE") ~> duration ~ opt(kw("STEP") ~> duration) <~ "]") ^^ {
       case w ~ s ~ (r ~ st) => (w, s, r, st.getOrElse(r))
     }
@@ -282,15 +287,21 @@ class SparqlParser extends RegexParsers {
   def rspQuery: Parser[RspQuery] =
     kw("REGISTER") ~> (kw("RSTREAM") ^^ (_ => RStream) | kw("ISTREAM") ^^ (_ => IStream) |
       kw("DSTREAM") ^^ (_ => DStream)) ~ iri ~ (kw("AS") ~>
-      kw("SELECT") ~> opt(kw("DISTINCT")) ~ rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_)))) ~
+      kw("SELECT") ~> opt(kw("DISTINCT")) ~
+        (("*" ^^ (_ => None)) |
+          rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_))) ^^ (items => Some(items)))) ~
       rep1(windowClause) ~ (kw("WHERE") ~> groupGraphPattern) ~
       opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ^^ {
-      case kind ~ out ~ (dist ~ items) ~ wins ~ where ~ gb =>
+      case kind ~ out ~ (dist ~ proj) ~ wins ~ where ~ gb =>
+        val (vars, aggs) = proj match {
+          case None => (Seq("*"), Nil)
+          case Some(items) =>
+            (items.collect { case Left(v) => v },
+             items.collect { case Right(a) => a })
+        }
         RspQuery(kind, out,
           wins.map { case (w, s, r, st) => WindowSpec(w, s, r, st) },
-          Select(dist.isDefined,
-            items.collect { case Left(v) => v },
-            items.collect { case Right(a) => a },
+          Select(dist.isDefined, vars, aggs,
             where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil))
     }
 

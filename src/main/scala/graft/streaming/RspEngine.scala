@@ -1,0 +1,180 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.QuadStore
+import graft.sparql.Ast._
+import graft.sparql.{Compiler, SparqlParser}
+
+/** RSP-QL continuous-query engine (SURVEY §2.9): CSPARQL sliding windows,
+  * R2S operators, multi-window coordination with sync policies, and
+  * static-data joins — observable semantics matched against the
+  * reference's own streaming tests (`kolibrie/tests/rsp_engine_test.rs`).
+  *
+  * Architecture split, mirroring the reference's coordinator design but
+  * Spark-shaped: window-firing bookkeeping (TimeDriven tick, max-closing
+  * window per advance, `s2r.rs:210-330`) is driver-side control plane —
+  * exactly like the reference's window threads — while each firing's
+  * relation is computed as a DataFrame pipeline (window content store →
+  * compiled WINDOW block → compat-join across windows → static join →
+  * solution modifiers). High-volume aggregation-only pipelines should use
+  * the watermark/window path in [[StreamOps]] instead; this engine is the
+  * full-semantics path (exact emission sequences, R2S diffs, policies).
+  *
+  * Firing rule (validated against `rsp_engine_test.rs:10-193`): windows
+  * close at multiples of STEP; an event at time t fires the max close c
+  * with c < t, c > lastFired, c ≥ first event time; content = events with
+  * ts ∈ [c−RANGE, c].
+  */
+object RspEngine {
+  sealed trait SyncPolicy
+  case object Wait extends SyncPolicy
+  case object Steal extends SyncPolicy
+  /** Treated as Wait in the deterministic single-driver mode, matching the
+    * reference's SingleThread behavior (`rsp_engine_test.rs:713-760`). */
+  final case class Timeout(ms: Long, fallbackSteal: Boolean) extends SyncPolicy
+
+  final case class Emission(windowClose: Long, rows: Seq[Map[String, String]])
+}
+
+class RspEngine(
+    spark: SparkSession,
+    val query: RspQuery,
+    staticStore: Option[QuadStore] = None,
+    policy: RspEngine.SyncPolicy = RspEngine.Wait,
+    consumer: RspEngine.Emission => Unit = _ => ()) {
+
+  import RspEngine._
+
+  private case class WindowRuntime(
+      spec: WindowSpec,
+      blockElems: Seq[Element],
+      events: scala.collection.mutable.ArrayBuffer[(Long, String, String, String)] =
+        scala.collection.mutable.ArrayBuffer.empty,
+      var firstEventTs: Option[Long] = None,
+      var lastFiredClose: Option[Long] = None,
+      var latest: Option[Seq[Row]] = None,
+      var latestCols: Seq[String] = Nil,
+      var fresh: Boolean = false)
+
+  private val windowBlocks: Map[String, Seq[Element]] =
+    query.select.where.collect { case WindowBlockElem(w, elems) => w -> elems }.toMap
+  private val staticElems: Seq[Element] =
+    query.select.where.filterNot(_.isInstanceOf[WindowBlockElem])
+
+  private val windows: Seq[WindowRuntime] = query.windows.map { spec =>
+    WindowRuntime(spec, windowBlocks.getOrElse(spec.iri,
+      throw new IllegalArgumentException(s"no WINDOW block for ${spec.iri}")))
+  }
+
+  /** R2S state: previous emitted relation per the single output stream. */
+  private var lastEmitted: Option[Set[Map[String, String]]] = None
+  private val emitted = scala.collection.mutable.ArrayBuffer.empty[Emission]
+  def emissions: Seq[Emission] = emitted.toSeq
+
+  /** Route one timestamped triple (`rsp_engine.rs:773-810`): stream IRI
+    * match or `*` wildcard. TimeDriven advance may fire windows. */
+  /** IRI normalization for routing (`rsp_engine.rs:773-810`): compare on
+    * the local suffix so `:streamA`, `streamA`, and absolute forms match. */
+  private def streamMatches(spec: String, actual: String): Boolean = {
+    if (spec == "*") return true
+    def norm(x: String) = x.substring(math.max(x.lastIndexOf('/'), x.lastIndexOf(':')) + 1)
+    spec == actual || norm(spec) == norm(actual)
+  }
+
+  def add(streamIri: String, s: String, p: String, o: String, ts: Long): Unit = {
+    windows.foreach { w =>
+      if (streamMatches(w.spec.streamIri, streamIri)) {
+        advance(w, ts)
+        w.events += ((ts, s, p, o))
+        if (w.firstEventTs.isEmpty) w.firstEventTs = Some(ts)
+      }
+    }
+  }
+
+  /** Feed a batch of events in event-time order (foreachBatch adapter). */
+  def addBatch(rows: Seq[(String, Long, String, String, String)]): Unit =
+    rows.sortBy(_._2).foreach { case (stream, ts, s, p, o) => add(stream, s, p, o, ts) }
+
+  private def advance(w: WindowRuntime, t: Long): Unit = {
+    val step = math.max(w.spec.stepMs, 1L)
+    // max close c (multiple of step) with c < t, c > lastFired, c ≥ first event
+    val cMax = ((t - 1) / step) * step
+    val eligible = w.firstEventTs.exists(f => cMax >= f) &&
+      w.lastFiredClose.forall(cMax > _)
+    if (eligible) fire(w, cMax)
+  }
+
+  private def fire(w: WindowRuntime, close: Long): Unit = {
+    w.lastFiredClose = Some(close)
+    val lo = close - w.spec.rangeMs
+    val content = w.events.filter { case (ts, _, _, _) => ts >= lo && ts <= close }
+      .map { case (_, s, p, o) => (s, p, o) }.toSeq
+    // evict events that can never appear in a future window
+    val evictBefore = close + w.spec.stepMs - w.spec.rangeMs
+    w.events.filterInPlace(_._1 >= evictBefore)
+    // R2R: run this window's compiled block over the content store
+    val store = QuadStore.fromTriples(spark, content)
+    val b = new Compiler(store).compileElements(w.blockElems)
+    val asStrings = b.df.select(b.df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    w.latest = Some(asStrings.collect().toSeq)
+    w.latestCols = b.df.columns.toSeq
+    w.fresh = true
+    coordinate(close)
+  }
+
+  /** Coordinator (`rsp_engine.rs:539-770`): latest-per-window with replace
+    * semantics; Wait needs every window fresh this cycle, Steal joins a
+    * fresh firing with cached results of the others. */
+  private def coordinate(close: Long): Unit = {
+    val ready = policy match {
+      case Steal => windows.forall(_.latest.isDefined)
+      case _ => windows.forall(w => w.latest.isDefined && w.fresh)
+    }
+    if (!ready) return
+    windows.foreach(_.fresh = false)
+    // data plane: join window results, then static patterns, then modifiers
+    val windowBindings = windows.map { w =>
+      val schema = org.apache.spark.sql.types.StructType(w.latestCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, nullable = true)))
+      Compiler.Bindings(spark.createDataFrame(
+        spark.sparkContext.parallelize(w.latest.get, 1), schema), Set.empty)
+    }
+    val anyStore = staticStore.getOrElse(QuadStore.empty(spark))
+    val c = new Compiler(anyStore)
+    var joined = windowBindings.reduce(c.compatJoin)
+    if (staticElems.nonEmpty) {
+      val sb = c.compileElements(staticElems)
+      joined = c.compatJoin(joined, sb)
+    }
+    val result = c.finalizeSelect(joined, query.select, subquery = false)
+    val rows = result.collect().map { r =>
+      result.columns.zipWithIndex.flatMap { case (col, i) =>
+        Option(r.get(i)).map(v => col -> v.toString)
+      }.toMap
+    }.toSeq
+    val current = rows.toSet
+    val out: Seq[Map[String, String]] = query.kind match {
+      case RStream => rows
+      case IStream => (current -- lastEmitted.getOrElse(Set.empty)).toSeq
+      case DStream => (lastEmitted.getOrElse(Set.empty) -- current).toSeq
+    }
+    lastEmitted = Some(current)
+    // ISTREAM first firing emits everything (old = ∅); DSTREAM first firing
+    // emits nothing — both fall out of the set algebra above
+    if (out.nonEmpty || query.kind == RStream) {
+      val e = Emission(close, out)
+      emitted += e
+      consumer(e)
+    }
+  }
+}
+
+object RspEngineBuilder {
+  /** Builder parity with `RSPBuilder` (`rsp/builder.rs`). */
+  def fromQuery(spark: SparkSession, rspQl: String,
+      staticStore: Option[QuadStore] = None,
+      policy: RspEngine.SyncPolicy = RspEngine.Wait,
+      consumer: RspEngine.Emission => Unit = _ => ()): RspEngine =
+    new RspEngine(spark, SparqlParser().parseRsp(rspQl), staticStore, policy, consumer)
+}

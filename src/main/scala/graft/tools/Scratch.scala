@@ -1,14 +1,11 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.relational.Triplizer
-import graft.sparql.Compiler
+import graft.streaming.{RspEngine, RspEngineBuilder}
 
-/** Ad-hoc profiling entry (not part of the driver contract). */
+/** Ad-hoc driving entry (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -16,24 +13,17 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    val engine = RspEngineBuilder.fromQuery(spark, """
+      REGISTER ISTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <http://test/IType> . } }""",
+      consumer = e => println(s"[rsp] firing close=${e.windowClose} rows=${e.rows}"))
+    Seq("A" -> 1L, "B" -> 2L, "C" -> 3L, "D" -> 4L).foreach { case (n, ts) =>
+      engine.add("stream", s"http://test/subject$n",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://test/IType", ts)
     }
-    time("warmup") { spark.range(10000000L).agg(sum("id")).collect() }
-    val store = time("cachedStore build") { Triplizer.cachedStore(spark, sfDir) }
-    time("quads count") { store.quads.count() }
-    val c = new Compiler(store)
-    val df = c.select("""
-      SELECT ?c ?nname ?rname WHERE {
-        ?c <customer#c_nationkey> ?n .
-        ?n <nation#n_name> ?nname .
-        ?n <nation#n_regionkey> ?r .
-        ?r <region#r_name> ?rname }""")
-    time("bgp_join count") { println(df.count()) }
-    time("bgp_join count again") { println(df.count()) }
+    println(s"[rsp] total emissions: ${engine.emissions.size}")
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.QuadStore
+import RspEngine._
+
+/** Exact emission-sequence parity with the reference's streaming tests
+  * (`kolibrie/tests/rsp_engine_test.rs`). */
+class RspEngineSpec extends SparkSpec {
+
+  private val itype = "http://test/IType"
+  private def typeTriple(n: String) =
+    (s"http://test/$n", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", itype)
+
+  test("ISTREAM RANGE 3 STEP 1: firings emit exactly the new subject (rsp_engine_test.rs:10-103)") {
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER ISTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    Seq("subjectA" -> 1L, "subjectB" -> 2L, "subjectC" -> 3L, "subjectD" -> 4L)
+      .foreach { case (n, ts) =>
+        val (s, p, o) = typeTriple(n)
+        e.add("stream", s, p, o, ts)
+      }
+    val got = e.emissions.map(_.rows.map(_("s")).toSet)
+    assert(got == Seq(
+      Set("http://test/subjectA"),
+      Set("http://test/subjectB"),
+      Set("http://test/subjectC")), s"got $got")
+  }
+
+  test("DSTREAM RANGE 3 STEP 1: single deletion emission (rsp_engine_test.rs:105-193)") {
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER DSTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    Seq("A" -> 1L, "B" -> 2L, "C" -> 3L, "D" -> 4L, "E" -> 5L, "F" -> 6L)
+      .foreach { case (n, ts) =>
+        val (s, p, o) = typeTriple(n); e.add("stream", s, p, o, ts)
+      }
+    val got = e.emissions.map(_.rows.map(_("s")).toSet)
+    assert(got == Seq(Set("http://test/A")), s"got $got")
+  }
+
+  test("RSTREAM emits each firing's full relation") {
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out> AS SELECT *
+      FROM NAMED WINDOW :w ON ?s [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    Seq("A" -> 1L, "B" -> 2L, "C" -> 3L).foreach { case (n, ts) =>
+      val (s, p, o) = typeTriple(n); e.add("x", s, p, o, ts)
+    }
+    val got = e.emissions.map(_.rows.map(_("s")).toSet)
+    assert(got == Seq(Set("http://test/A"), Set("http://test/A", "http://test/B")))
+  }
+
+  private def twoWindowEngine(policy: SyncPolicy): RspEngine =
+    RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :windA ON :streamA [RANGE 10 ms STEP 2 ms]
+      FROM NAMED WINDOW :windB ON :streamB [RANGE 10 ms STEP 2 ms]
+      WHERE {
+        WINDOW :windA { ?s1 a <http://test/TypeA> . }
+        WINDOW :windB { ?s2 a <http://test/TypeB> . }
+      }""", policy = policy)
+
+  private def addTyped(e: RspEngine, stream: String, n: String, tpe: String, ts: Long): Unit =
+    e.add(stream, s"http://test/$n",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", s"http://test/$tpe", ts)
+
+  test("Steal: no emission when the other window never fired (rsp_engine_test.rs:648-664)") {
+    val e = twoWindowEngine(Steal)
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", i.toLong))
+    assert(e.emissions.isEmpty)
+  }
+
+  test("Steal: stale results of B joined with fresh A firings (rsp_engine_test.rs:666-692)") {
+    val e = twoWindowEngine(Steal)
+    (0 until 3).foreach(i => addTyped(e, "streamB", s"b$i", "TypeB", i.toLong))
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", (i + 20).toLong))
+    assert(e.emissions.nonEmpty)
+    // joined rows carry variables from both windows
+    val row = e.emissions.flatMap(_.rows).head
+    assert(row.contains("s1") && row.contains("s2"))
+  }
+
+  test("Wait: only A fires → no emission (rsp_engine_test.rs:694-711)") {
+    val e = twoWindowEngine(Wait)
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", i.toLong))
+    assert(e.emissions.isEmpty)
+  }
+
+  test("Timeout behaves as Wait in deterministic mode (rsp_engine_test.rs:713-760)") {
+    val e = twoWindowEngine(Timeout(100, fallbackSteal = true))
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", i.toLong))
+    assert(e.emissions.isEmpty)
+  }
+
+  test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646,1018)") {
+    val static = QuadStore.fromTriples(spark, Seq(
+      ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
+      ("http://test/sensor2", "http://test/inRoom", "http://test/room13")))
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :stream [RANGE 5 ms STEP 1 ms]
+      WHERE {
+        WINDOW :w { ?sensor a <http://test/Reading> . }
+        ?sensor <http://test/inRoom> ?room
+      }""", staticStore = Some(static))
+    e.add("stream", "http://test/sensor1",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://test/Reading", 1L)
+    e.add("stream", "http://test/other",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://test/Reading", 2L)
+    assert(e.emissions.nonEmpty)
+    val rows = e.emissions.head.rows
+    // sensor1 joins to room42; 'other' has no static room → filtered out
+    assert(rows == Seq(Map("sensor" -> "http://test/sensor1", "room" -> "http://test/room42")))
+    // static triples alone never satisfy the WINDOW block
+    assert(!e.emissions.flatMap(_.rows).exists(_.get("sensor").contains("http://test/sensor2")))
+  }
+}
