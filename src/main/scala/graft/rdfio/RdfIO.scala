@@ -238,6 +238,55 @@ object RdfIO {
     }.write.mode("overwrite").text(path)
   }
 
+  /** Turtle sink: subject-grouped `;` continuations. Quoted-triple
+    * subjects serialize as `<< … >>` (Turtle-star). Distributed: grouping
+    * is a groupBy on subject, each task writes its partition. */
+  def writeTurtle(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select("s", "p", "o").groupBy("s")
+      .agg(collect_list(struct(col("p"), col("o"))).as("po"))
+      .map { r =>
+        val subj = RdfTermWriter.asResource(r.getString(0))
+        val pos = r.getSeq[Row](1).map(po =>
+          s"${RdfTermWriter.asResource(po.getString(0))} ${RdfTermWriter.write(po.getString(1))}")
+        s"$subj ${pos.mkString(" ;\n    ")} ."
+      }.write.mode("overwrite").text(path)
+  }
+
+  /** RDF/XML sink: one rdf:Description per subject, property elements
+    * namespaced by splitting the predicate IRI at its last `#`/`/` — the
+    * reader's ns+label expansion reproduces the original predicate, so
+    * write→read round-trips. Single-document output (collected), matching
+    * the reference's serializer scope (`sparql_database.rs:457-628`). */
+  def writeRdfXml(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    def esc(v: String) = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    def splitIri(p: String): (String, String) = {
+      val i = math.max(p.lastIndexOf('#'), p.lastIndexOf('/'))
+      if (i > 0 && i < p.length - 1) (p.substring(0, i + 1), p.substring(i + 1))
+      else ("urn:graft:", p)
+    }
+    val body = df.select("s", "p", "o").groupBy("s")
+      .agg(collect_list(struct(col("p"), col("o"))).as("po"))
+      .map { r =>
+        val props = r.getSeq[Row](1).map { po =>
+          val (p, o) = (po.getString(0), po.getString(1))
+          val (ns, local) = splitIri(p)
+          if (RdfTermWriter.isIriLike(o))
+            s"""    <$local xmlns="${esc(ns)}" rdf:resource="${esc(o)}"/>"""
+          else s"""    <$local xmlns="${esc(ns)}">${esc(o)}</$local>"""
+        }
+        s"""  <rdf:Description rdf:about="${esc(r.getString(0))}">\n${props.mkString("\n")}\n  </rdf:Description>"""
+      }
+    val rows = body.collect()
+    val doc = ("""<?xml version="1.0"?>""" + "\n" +
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">""" +
+      "\n" + rows.mkString("\n") + "\n</rdf:RDF>")
+    val p = new java.io.PrintWriter(path)
+    try p.write(doc) finally p.close()
+  }
+
   // ---- store builders ----------------------------------------------------
 
   def storeFromNTriples(spark: SparkSession, path: String): QuadStore =

@@ -34,6 +34,14 @@ object RspEngine {
     * reference's SingleThread behavior (`rsp_engine_test.rs:713-760`). */
   final case class Timeout(ms: Long, fallbackSteal: Boolean) extends SyncPolicy
 
+  /** Report strategies (`rsp/s2r.rs:27-84`): ALL configured strategies
+    * must pass for a window to report. */
+  sealed trait ReportStrategy
+  case object OnWindowClose extends ReportStrategy
+  case object NonEmptyContent extends ReportStrategy
+  case object OnContentChange extends ReportStrategy
+  final case class Periodic(n: Int) extends ReportStrategy
+
   final case class Emission(windowClose: Long, rows: Seq[Map[String, String]])
 }
 
@@ -42,7 +50,8 @@ class RspEngine(
     val query: RspQuery,
     staticStore: Option[QuadStore] = None,
     policy: RspEngine.SyncPolicy = RspEngine.Wait,
-    consumer: RspEngine.Emission => Unit = _ => ()) {
+    consumer: RspEngine.Emission => Unit = _ => (),
+    reportStrategies: Seq[RspEngine.ReportStrategy] = Seq(RspEngine.OnWindowClose)) {
 
   import RspEngine._
 
@@ -92,6 +101,25 @@ class RspEngine(
     }
   }
 
+  /** Probabilistic stream input (`rsp_engine.rs:960-998`): a SeedId is
+    * allocated once per arrival, BEFORE window fanout, so overlapping
+    * windows share the occurrence's identity; records mirror
+    * `shared/src/hybrid.rs:43-72` SeedRecord. */
+  final case class SeedRecord(seedId: Long, streamIri: String, ts: Long,
+      s: String, p: String, o: String, probability: Double)
+  private var nextSeedId = 0L
+  private val seedLog = scala.collection.mutable.ArrayBuffer.empty[SeedRecord]
+  def seeds: Seq[SeedRecord] = seedLog.toSeq
+
+  def addProbabilistic(streamIri: String, s: String, p: String, o: String,
+      ts: Long, probability: Double): Long = {
+    val id = nextSeedId
+    nextSeedId += 1
+    seedLog += SeedRecord(id, streamIri, ts, s, p, o, probability)
+    add(streamIri, s, p, o, ts)
+    id
+  }
+
   /** Feed a batch of events in event-time order (foreachBatch adapter). */
   def addBatch(rows: Seq[(String, Long, String, String, String)]): Unit =
     rows.sortBy(_._2).foreach { case (stream, ts, s, p, o) => add(stream, s, p, o, ts) }
@@ -105,6 +133,9 @@ class RspEngine(
     if (eligible) fire(w, cMax)
   }
 
+  private var fireCount = 0
+  private var lastContentHash: Option[Int] = None
+
   private def fire(w: WindowRuntime, close: Long): Unit = {
     w.lastFiredClose = Some(close)
     val lo = close - w.spec.rangeMs
@@ -113,6 +144,17 @@ class RspEngine(
     // evict events that can never appear in a future window
     val evictBefore = close + w.spec.stepMs - w.spec.rangeMs
     w.events.filterInPlace(_._1 >= evictBefore)
+    // ALL report strategies must pass (`s2r.rs:27-84`)
+    fireCount += 1
+    val contentHash = content.toSet.hashCode()
+    val passes = reportStrategies.forall {
+      case OnWindowClose => true
+      case NonEmptyContent => content.nonEmpty
+      case OnContentChange => !lastContentHash.contains(contentHash)
+      case Periodic(n) => fireCount % math.max(n, 1) == 0
+    }
+    lastContentHash = Some(contentHash)
+    if (!passes) return
     // R2R: run this window's compiled block over the content store
     val store = QuadStore.fromTriples(spark, content)
     val b = new Compiler(store).compileElements(w.blockElems)

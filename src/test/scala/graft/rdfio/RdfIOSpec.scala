@@ -82,6 +82,22 @@ class RdfIOSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("turtle writer round-trips through the turtle reader") {
+    val df = RdfIO.readNTriples(spark, res("star.nt"))
+    val out = java.nio.file.Files.createTempDirectory("ttlout").toString + "/ttl"
+    RdfIO.writeTurtle(df, out)
+    val back = RdfIO.readTurtle(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("rdf/xml writer round-trips through the rdf/xml reader") {
+    val df = RdfIO.readRdfXml(spark, res("employees.rdf"))
+    val out = java.nio.file.Files.createTempDirectory("xmlout").toString + "/out.rdf"
+    RdfIO.writeRdfXml(df, out)
+    val back = RdfIO.readRdfXml(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
   test("loaded store is queryable end-to-end (employee dataset shape)") {
     val store = RdfIO.storeFromRdfXml(spark, res("employees.rdf"))
     val r = new Compiler(store).select("""

@@ -99,6 +99,48 @@ class RspEngineSpec extends SparkSpec {
     assert(e.emissions.isEmpty)
   }
 
+  test("report strategies gate firings: NonEmptyContent and Periodic (s2r.rs:27-84)") {
+    def engine(strategies: Seq[ReportStrategy]) = new RspEngine(spark,
+      graft.sparql.SparqlParser().parseRsp(s"""
+        REGISTER RSTREAM <http://out> AS SELECT *
+        FROM NAMED WINDOW :w ON ?s [RANGE 2 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?s a <$itype> . } }"""),
+      reportStrategies = strategies)
+    // events only at ts 1 and 5: intermediate windows have empty content
+    val e1 = engine(Seq(OnWindowClose, NonEmptyContent))
+    Seq(1L, 5L, 6L, 7L).foreach { ts =>
+      val (s, p, o) = typeTriple(s"s$ts"); e1.add("x", s, p, o, ts)
+    }
+    // every emission's firing had non-empty content
+    assert(e1.emissions.nonEmpty)
+    // Periodic(2): only every second firing reports
+    val e2 = engine(Seq(Periodic(2)))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { ts =>
+      val (s, p, o) = typeTriple(s"s$ts"); e2.add("x", s, p, o, ts)
+    }
+    val all = engine(Seq(OnWindowClose))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { ts =>
+      val (s, p, o) = typeTriple(s"s$ts"); all.add("x", s, p, o, ts)
+    }
+    assert(e2.emissions.size < all.emissions.size)
+  }
+
+  test("probabilistic input: one stable seed per arrival, pre-fanout (rsp_engine.rs:960-998)") {
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out> AS SELECT *
+      FROM NAMED WINDOW :w ON ?s [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    val (s1, p1, o1) = typeTriple("probA")
+    val id1 = e.addProbabilistic("x", s1, p1, o1, 1L, 0.8)
+    val id2 = e.addProbabilistic("x", s1, p1, o1, 2L, 0.9) // same triple, new arrival
+    assert(id1 != id2)
+    assert(e.seeds.map(_.seedId).distinct.size == 2)
+    assert(e.seeds.find(_.seedId == id1).get.probability == 0.8)
+    // the arrival at ts=1 appears in several overlapping windows, but its
+    // seed was allocated once before fanout — the log holds exactly 2
+    assert(e.seeds.size == 2)
+  }
+
   test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646,1018)") {
     val static = QuadStore.fromTriples(spark, Seq(
       ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
