@@ -39,6 +39,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // long single-session runs degrade linearly without these: the
+      // status stores retain every execution/stage, and the weak-ref
+      // ContextCleaner never fires on a mostly-idle 64g heap (measured
+      // 25x per-query slowdown by query ~20; see scripts/ + git history)
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
@@ -52,7 +60,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.gc() // drive the weak-ref ContextCleaner between queries
+      name -> secs
     })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

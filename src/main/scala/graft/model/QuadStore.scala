@@ -57,6 +57,16 @@ class QuadStore(val spark: SparkSession, initial: DataFrame) {
   def insert(inserts: DataFrame): Unit = applyUpdate(null, inserts)
   def delete(deletes: DataFrame): Unit = applyUpdate(deletes, null)
 
+  /** Merge another store (`sparql_database.rs:1819-1983`): with lexical
+    * terms there is no dictionary to re-encode — union + quad-level dedup
+    * and a catalog merge do the whole job. */
+  def union(other: QuadStore): this.type = {
+    quadsDf = quadsDf.unionByName(other.quads).distinct()
+    graphCatalog ++= other.namedGraphs
+    other.udfs.foreach { case (n, f) => if (!udfs.contains(n)) registerUdf(n, f) }
+    this
+  }
+
   /** Pin the current quads in memory (used by repeated-query sessions;
     * replaces the reference's always-resident in-memory store). */
   def persist(): this.type = { quadsDf = quadsDf.persist(); this }

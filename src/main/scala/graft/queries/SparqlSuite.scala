@@ -123,6 +123,20 @@ object SparqlSuite {
       graphEngine(s, dir).select("""
         SELECT ?x ?o WHERE { GRAPH <graph/nation> { ?x <nation#n_name> ?o } }""")),
 
+    "sparql_offset" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?name ?bal WHERE {
+          ?c <customer#c_name> ?name . ?c <customer#c_acctbal> ?bal }
+        ORDER BY DESC(?bal) ?name LIMIT 10 OFFSET 5""")),
+
+    "sparql_udf" -> ((s, dir) => {
+      val store = Triplizer.store(s, dir, defaultGraph = true)
+      store.registerUdf("SHOUT", args => args.head.toUpperCase)
+      new Compiler(store).select("""
+        SELECT ?c ?up WHERE {
+          ?c <customer#c_name> ?n . BIND(SHOUT(?n) AS ?up) }""")
+    }),
+
     "sparql_update_insert_where" -> ((s, dir) => {
       val store = Triplizer.store(s, dir, defaultGraph = true)
       val c = new Compiler(store)
@@ -235,6 +249,14 @@ object SparqlSuite {
 
     "sparql_graph_iri" ->
       """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS x, n_name AS o FROM nation""",
+
+    "sparql_offset" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 10 OFFSET 5""",
+
+    "sparql_udf" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                UPPER(c_name) AS up FROM customer""",
 
     "sparql_update_insert_where" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c

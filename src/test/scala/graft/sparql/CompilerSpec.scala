@@ -156,6 +156,15 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq("ALICE")))
   }
 
+  test("database union merges quads with set semantics (sparql_database.rs:1819-1983)") {
+    val a = store(("s1", "p", "x"), ("shared", "p", "y"))
+    val b = store(("s2", "p", "z"), ("shared", "p", "y"))
+    a.union(b)
+    val r = rows(a, "SELECT ?s WHERE { ?s <p> ?o }").map(_.head).toSet
+    assert(r == Set("s1", "s2", "shared"))
+    assert(a.quads.count() == 3) // duplicate quad deduplicated
+  }
+
   test("CONCAT in BIND") {
     val st = store(("a", "first", "ada"), ("a", "last", "lovelace"))
     val r = rows(st, """SELECT ?full WHERE {
