@@ -124,6 +124,23 @@ class RspEngine(
   def addBatch(rows: Seq[(String, Long, String, String, String)]): Unit =
     rows.sortBy(_._2).foreach { case (stream, ts, s, p, o) => add(stream, s, p, o, ts) }
 
+  /** Attach to a live streaming DataFrame with columns
+    * `(stream, ts: timestamp, s, p, o)`: every micro-batch drains into the
+    * engine in event-time order, firing windows and emitting through the
+    * consumer. Micro-batch boundaries replace the reference's window and
+    * coordinator threads (SURVEY §3.3). */
+  def runStream(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("stream", "ts", "s", "p", "o").collect().map { r =>
+          (r.getString(0), r.getTimestamp(1).getTime, r.getString(2),
+            r.getString(3), r.getString(4))
+        }.toSeq
+        addBatch(rows)
+      }
+      .start()
+
   private def advance(w: WindowRuntime, t: Long): Unit = {
     val step = math.max(w.spec.stepMs, 1L)
     // max close c (multiple of step) with c < t, c > lastFired, c ≥ first event

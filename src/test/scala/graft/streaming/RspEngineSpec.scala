@@ -99,6 +99,35 @@ class RspEngineSpec extends SparkSpec {
     assert(e.emissions.isEmpty)
   }
 
+  test("live Structured Streaming feed reproduces the ISTREAM sequence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER ISTREAM <http://out/live> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3000 ms STEP 1000 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    val mem = MemoryStream[(String, Long, String, String, String)]
+    val df = mem.toDF().toDF("stream", "secs", "s", "p", "o")
+      .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+    val q = e.runStream(df)
+    try {
+      mem.addData(("x", 1L, "http://test/subjectA",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", itype))
+      q.processAllAvailable()
+      mem.addData(("x", 2L, "http://test/subjectB",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", itype))
+      mem.addData(("x", 3L, "http://test/subjectC",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", itype))
+      q.processAllAvailable()
+      val got = e.emissions.map(_.rows.map(_("s")).toSet)
+      assert(got == Seq(Set("http://test/subjectA"), Set("http://test/subjectB")),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("report strategies gate firings: NonEmptyContent and Periodic (s2r.rs:27-84)") {
     def engine(strategies: Seq[ReportStrategy]) = new RspEngine(spark,
       graft.sparql.SparqlParser().parseRsp(s"""
