@@ -26,6 +26,7 @@ import graft.sparql.Compiler
   * full fact set; union, dedup, subtract known facts (`semi_naive.rs`).
   */
 class Reasoner(spark: SparkSession) {
+  graft.functions.QtComponent.register(spark)
 
   private def tripleSchema = StructType(Seq(
     StructField("s", StringType, nullable = false),

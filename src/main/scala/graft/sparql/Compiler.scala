@@ -39,25 +39,24 @@ object Compiler {
     def vars: Set[String] = df.columns.toSet
   }
 
-  // RDF-star helpers over the TermLex quoted-triple encoding. Scalar UDFs
-  // are acceptable here: RDF-star decomposition is not a hot path; the
-  // encode side (TRIPLE) is pure concat and stays in codegen.
-  private val qtSubj = udf((l: String) => TermLex.decodeQuoted(l).map(_._1).orNull)
-  private val qtPred = udf((l: String) => TermLex.decodeQuoted(l).map(_._2).orNull)
-  private val qtObj = udf((l: String) => TermLex.decodeQuoted(l).map(_._3).orNull)
+  // RDF-star helpers over the TermLex quoted-triple encoding. The encode
+  // side (TRIPLE) is pure concat; decomposition is a native Catalyst
+  // expression with codegen (graft.functions.QtComponent) so RDF-star
+  // plans stay inside whole-stage codegen (no UDF stage break).
   def qtIs(c: Column): Column = c.startsWith(TermLex.QtOpen.toString)
   def qtMake(s: Column, p: Column, o: Column): Column =
     concat(lit(TermLex.QtOpen.toString), s, lit(TermLex.QtSep.toString), p,
       lit(TermLex.QtSep.toString), o, lit(TermLex.QtClose.toString))
-  def qtS(c: Column): Column = qtSubj(c)
-  def qtP(c: Column): Column = qtPred(c)
-  def qtO(c: Column): Column = qtObj(c)
+  def qtS(c: Column): Column = graft.functions.QtComponent.subject(c)
+  def qtP(c: Column): Column = graft.functions.QtComponent.predicate(c)
+  def qtO(c: Column): Column = graft.functions.QtComponent.obj(c)
 }
 
 class Compiler(store: QuadStore) {
   import Compiler._
 
   private val spark: SparkSession = store.spark
+  graft.functions.QtComponent.register(spark)
 
   /** FROM / FROM NAMED dataset view (`engine.rs:170-209`): no clauses =
     * physical default graph + all named graphs; otherwise exactly the
