@@ -21,7 +21,9 @@ object Bench {
     // reasoner fixpoint
     "datalog_closure_seminaive",
     // streaming (batch window semantics)
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_istream",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_istream", "stream_dstream",
+    // ml inference stage
+    "ml_predict_fixed",
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ivf_topk", "text_langid", "text_quality",
