@@ -60,6 +60,24 @@ class PipelineSpec extends SparkSpec {
     assert(f0.nonEmpty && f0.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("skew helpers: salted agg and salted join match unsalted results") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), col("l_orderkey"),
+        buckets = 8, partial = sum("l_quantity"), merge = sum, as = "q")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, v) => assert(math.abs(v - salted(k)) < 1e-6) }
+
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, Seq("l_orderkey"), "inner").count()
+    val saltedJ = Skew.saltedJoin(li, orders, Seq("l_orderkey"),
+      col("l_partkey"), buckets = 4).count()
+    assert(plain == saltedJ)
+  }
+
   test("query builder: filters, join, modifiers, terminals (query_builder.rs:151-758)") {
     val st = QuadStore.fromTriples(spark, Seq(
       ("alice", "knows", "bob"), ("bob", "knows", "carol"),
