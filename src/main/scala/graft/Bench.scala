@@ -35,6 +35,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local-iteration escape hatch: comma-separated subset of headline names.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +60,8 @@ object Bench {
     val tLoad = System.nanoTime()
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
-    val results = (("_load_quads", loadSecs) +: headline.filter(all.contains).map { name =>
+    val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
+    val results = (("_load_quads", loadSecs) +: selected.map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -144,15 +144,24 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs via 4-segment blocking (pigeonhole: hamming ≤ 3
-    * ⇒ at least one of 4 16-bit segments identical) — candidate join stays
-    * linear in practice instead of n². */
+  /** SimHash near-dup pairs via segment blocking: the 64-bit signature is
+    * split into `maxHamming + 1` near-equal segments, so by pigeonhole any
+    * pair within `maxHamming` bit flips shares at least one identical
+    * segment — candidate generation is recall-complete for the requested
+    * radius and stays linear in practice instead of n². */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nSegs = maxHamming + 1
+    val widths = Array.tabulate(nSegs)(i => 64 / nSegs + (if (i < 64 % nSegs) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def segment(i: Int): Column = {
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val sigs = simHashSignatures(docs, idCol, textCol)
     val seg = sigs.select(col("id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array((0 until nSegs).map(segment): _*)))
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     seg.as("a").join(seg.as("b"),
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&

@@ -31,20 +31,22 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
-  /** Deterministic k-means-lite centroids: seeded from evenly-spaced corpus
-    * vectors (by id order), refined with `iters` Lloyd rounds. Returns
-    * (cid, centroid: array<double>). Runs as DF aggregations — no collect
-    * of vectors besides the k centroids themselves. */
+  /** Deterministic k-means-lite centroids, refined with `iters` Lloyd
+    * rounds. Returns (cid, centroid: array<double>). Runs as DF
+    * aggregations — no collect of vectors besides the k centroids
+    * themselves.
+    *
+    * Seeding: each id hashes to a cluster slot and the minimum id per slot
+    * becomes that slot's seed — one narrow scan plus a (cid, id) groupBy,
+    * no global window (a `Window.orderBy` with no partition funnels the
+    * whole corpus through one task; that was round 1's IVF scale-killer). */
   def trainCentroids(corpus: DataFrame, nClusters: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val n = corpus.count()
-    val stride = math.max(n / nClusters, 1L)
-    val seedIds = corpus.select(col(idCol).as("id")).orderBy("id")
-      .withColumn("rn", row_number().over(Window.orderBy("id")))
-      .filter((col("rn") - 1) % stride === 0 && (col("rn") - 1) / stride < nClusters)
-      .select(col("id"), (((col("rn") - 1) / stride)).cast(IntegerType).as("cid"))
-    var centroids = corpus.join(seedIds, corpus(idCol) === seedIds("id"))
+    val seedIds = corpus
+      .select(col(idCol).as("id"),
+        pmod(xxhash64(lit("ivf-seed"), col(idCol)), lit(nClusters)).cast(IntegerType).as("cid"))
+      .groupBy("cid").agg(min(col("id")).as("id"))
+    var centroids = corpus.join(broadcast(seedIds), corpus(idCol) === seedIds("id"))
       .select(col("cid"), transform(col(vecCol), _.cast(DoubleType)).as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, centroids, idCol, vecCol)

@@ -108,7 +108,7 @@ class Reasoner(spark: SparkSession) {
     rule.conclusion.map { tp =>
       bindings.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"), termCol(tp.o).as("o"))
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _)
   }
 
   private def defaultCond(df: DataFrame, c: Condition): Column = {
@@ -136,24 +136,74 @@ class Reasoner(spark: SparkSession) {
     facts
   }
 
+  /** Broadcast the delta into premise joins when it has at most this many
+    * rows. `localCheckpoint` erases size stats (the LogicalRDD reports
+    * `defaultSizeInBytes`), so Catalyst/AQE would never pick a broadcast
+    * join on its own even when the frontier is a few thousand rows. */
+  private val broadcastDeltaMaxRows = 1000000L
+
   /** Semi-naive fixpoint (`semi_naive.rs:10-92`): per round only join the
     * delta in each premise position. The standard recursive-Datalog
     * optimization — the delta shrinks to the closure frontier instead of
-    * re-deriving everything every round. */
+    * re-deriving everything every round.
+    *
+    * Scale posture (round-2 rework): the accumulated closure is a plain
+    * union of the checkpointed per-round deltas — the delta is dedup'd and
+    * anti-joined disjoint from the known facts, so the union stays distinct
+    * without an O(rounds × |closure|) re-shuffle/re-checkpoint per round.
+    * When every rule head has a constant predicate, a premise position
+    * whose constant predicate is outside the head set can never match the
+    * delta after round 0 (delta facts only carry head predicates), so those
+    * positions are skipped, and the anti-join's known side is pruned to
+    * head-predicate facts. Small deltas are broadcast into the premise
+    * joins, making each round shuffle-free on the facts side. */
   def materializeSemiNaive(facts0: DataFrame, rules: Seq[Rule],
       maxRounds: Int = 1000): DataFrame = {
+    def constPred(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v)
+      case Lit(v) => Some(v)
+      case _ => None
+    }
+    // Some(set) iff every conclusion predicate is constant — only then can
+    // we bound what predicates a delta fact may carry.
+    val headPreds: Option[Set[String]] = {
+      val ps = rules.flatMap(_.conclusion).map(tp => constPred(tp.p))
+      if (ps.forall(_.isDefined)) Some(ps.flatten.toSet) else None
+    }
+    def deltaCanMatch(tp: TriplePattern): Boolean = (headPreds, constPred(tp.p)) match {
+      case (Some(hp), Some(p)) => hp.contains(p)
+      case _ => true
+    }
+
+    val debug = sys.env.contains("GRAFT_REASONER_DEBUG")
     var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
     var delta = facts
+    var deltaRows = -1L // unknown on round 0 (delta = full facts)
     var round = 0
     while (round < maxRounds) {
-      val derived = rules.flatMap { r =>
-        r.premise.indices.map { i =>
-          instantiateHead(r, evalBody(r, facts, Some((i, delta)), defaultCond))
-        }
-      }.reduce(_ unionByName _).distinct()
-      delta = derived.join(facts, Seq("s", "p", "o"), "left_anti").localCheckpoint()
-      if (delta.isEmpty) return facts
-      facts = facts.unionByName(delta).distinct().localCheckpoint()
+      val tRound = System.nanoTime()
+      val deltaSide =
+        if (deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows) broadcast(delta) else delta
+      val perPosition = rules.flatMap { r =>
+        r.premise.indices
+          .filter(i => round == 0 || deltaCanMatch(r.premise(i)))
+          .map(i => instantiateHead(r, evalBody(r, facts, Some((i, deltaSide)), defaultCond)))
+      }
+      if (perPosition.isEmpty) return facts
+      val derived = perPosition.reduce(_ unionByName _)
+      // Only head-predicate facts can collide with the derivations.
+      val known = headPreds match {
+        case Some(hp) => facts.filter(col("p").isin(hp.toSeq: _*))
+        case None => facts
+      }
+      // distinct() after the anti-join: the join already hash-partitioned
+      // the derived side on (s,p,o), so the aggregate adds no exchange.
+      delta = derived.join(known, Seq("s", "p", "o"), "left_anti")
+        .distinct().localCheckpoint()
+      deltaRows = delta.count()
+      if (debug) println(f"[reasoner] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      if (deltaRows == 0) return facts
+      facts = facts.unionByName(delta)
       round += 1
     }
     facts

@@ -36,6 +36,22 @@ class PipelineSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
   }
 
+  test("simhash blocking finds every pair within maxHamming (vs brute-force scan)") {
+    // pigeonhole completeness at radius 6 — round 1 blocked on 4 segments,
+    // which silently missed pairs at hamming 4-6
+    val sigs = Dedup.simHashSignatures(docs)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .withColumn("hamming", Dedup.hamming(col("a.simhash"), col("b.simhash")))
+      .filter(col("hamming") <= 6)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simHashPairs(docs, maxHamming = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed ${(brute -- blocked).size}, spurious ${(blocked -- brute).size}")
+  }
+
   test("ivf recall@5 vs brute force is reasonable") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
