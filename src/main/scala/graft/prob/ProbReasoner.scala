@@ -1,0 +1,257 @@
+package graft.prob
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.QuadStore
+import graft.reasoner.{AnnotatedReasoner, Semiring}
+import graft.sparql.Ast._
+import graft.sparql.Compiler
+
+/** PROB-annotated rule execution — the Spark rebuild of the reference's
+  * probabilistic inference dispatch (`kolibrie/src/parser.rs:3784-3927`)
+  * and the hybrid top-k certified-interval evaluator
+  * (`shared/src/hybrid.rs:1160-1240,1415-1560`, decision ladder without
+  * the SDD escalation arm — facts the interval cannot decide are emitted
+  * as `NeedsExact`).
+  *
+  * Seeds are a DataFrame `(s, p, o, prob)`; seed identity is
+  * `xxhash64(s,p,o)` (deterministic, join-free — the reference's
+  * `SeedRegistry` allocates ids driver-side, `hybrid.rs:104-160`).
+  *
+  * Evaluation is distributed: lineage rides the facts as a column
+  * ([[Lineage]]), and the per-fact interval evaluation is a scalar
+  * function of that column — no driver-side collect of facts. The WMC of
+  * the retained proofs is exact inclusion-exclusion (`provenance.rs:
+  * 299-318`), capped at [[ProbReasoner.MaxWmcProofs]] proofs per fact.
+  */
+object ProbReasoner {
+
+  /** 2^m inclusion-exclusion terms — beyond this the fact is NeedsExact
+    * (the reference escalates to SDD; round-3 scope here). */
+  val MaxWmcProofs = 16
+
+  val ProbNs = "http://www.w3.org/ns/prob#"
+
+  /** Exact WMC of a set of proofs over independent seeds by
+    * inclusion-exclusion; seeds shared between proofs are counted once
+    * per union (`provenance.rs:299-318` recover_probability). */
+  def wmcOfProofs(proofs: Seq[Map[Long, Double]]): Double = {
+    val m = proofs.size
+    if (m == 0) return 0.0
+    var total = 0.0
+    var mask = 1
+    while (mask < (1 << m)) {
+      val union = scala.collection.mutable.Map.empty[Long, Double]
+      var i = 0
+      while (i < m) {
+        if ((mask & (1 << i)) != 0) union ++= proofs(i)
+        i += 1
+      }
+      val prod = union.valuesIterator.foldLeft(1.0)(_ * _)
+      total += (if (java.lang.Integer.bitCount(mask) % 2 == 1) prod else -prod)
+      mask += 1
+    }
+    math.max(0.0, math.min(1.0, total))
+  }
+
+  /** Typed result of the per-fact ladder (UDF return shape). */
+  final case class HybridResult(status: String, decision: String, reason: String,
+      value: Option[Double], lower: Option[Double], upper: Option[Double], k_used: Int)
+
+  /** Per-fact hybrid evaluation (`hybrid.rs:1496-1548` ladder, minus SDD). */
+  private def evalOne(proofs: Seq[Map[Long, Double]], trunc: Boolean, k: Int,
+      threshold: Double): HybridResult = {
+    val exhaustive = !trunc && proofs.size <= k
+    if (exhaustive && proofs.size <= MaxWmcProofs) {
+      val p = wmcOfProofs(proofs)
+      val dec = if (p >= threshold) "Alert" else "NoAlert"
+      HybridResult("Exact", dec, "top-k-exhausted", Some(p), None, None, proofs.size)
+    } else {
+      val retained = proofs.take(math.min(k, MaxWmcProofs))
+      val lower = wmcOfProofs(retained)
+      // probe mass: proofs we still hold beyond k; frontier mass is zero
+      // iff nothing was truncated upstream (ResidualMass::Exhausted)
+      val probeMass = proofs.drop(retained.size)
+        .map(_.valuesIterator.foldLeft(1.0)(_ * _)).sum
+      val upper = if (!trunc) math.min(1.0, lower + probeMass) else 1.0
+      if (lower >= threshold)
+        HybridResult("Bounded", "Alert", "lower-bound-crossed-threshold",
+          None, Some(lower), Some(upper), retained.size)
+      else if (upper < threshold)
+        HybridResult("Bounded", "NoAlert", "upper-bound-below-threshold",
+          None, Some(lower), Some(upper), retained.size)
+      else
+        HybridResult("NeedsExact", "Indeterminate", "sdd-budget",
+          None, Some(lower), Some(upper), retained.size)
+    }
+  }
+
+  private def zipProofs(sids: Seq[Seq[Long]], sps: Seq[Seq[Double]]): Seq[Map[Long, Double]] =
+    sids.lazyZip(sps).map((is, ps) => is.zip(ps).toMap)
+
+  /** Split a lineage tag into UDF-friendly parallel arrays. */
+  private def proofParts(tag: Column): (Column, Column) = (
+    transform(tag.getField("proofs"), p => transform(p, x => x.getField("sid"))),
+    transform(tag.getField("proofs"), p => transform(p, x => x.getField("sp"))))
+
+  /** Column-level evaluator over a [[Lineage]] tag. A Scala UDF (not an
+    * Expression): per-row inclusion-exclusion over ≤ 2^k subsets is real
+    * control flow, and it runs distributed on the fact rows. */
+  def hybridEvalColumn(tag: Column, k: Int, threshold: Double): Column = {
+    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], trunc: Boolean) =>
+      evalOne(zipProofs(sids, sps), trunc, k, threshold))
+    val (sids, sps) = proofParts(tag)
+    f(sids, sps, tag.getField("trunc"))
+  }
+
+  /** Estimate column for diagnostic `topk` provenance
+    * (`parser.rs:3888-3927` UnsafeApproximation). */
+  def topkEstimateColumn(tag: Column): Column = {
+    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]]) =>
+      wmcOfProofs(zipProofs(sids, sps).take(MaxWmcProofs)))
+    val (sids, sps) = proofParts(tag)
+    f(sids, sps)
+  }
+
+  // ---- seed tagging -------------------------------------------------------
+
+  /** Tag seed facts with single-seed lineage proofs. */
+  def lineageSeeds(seeds: DataFrame): DataFrame =
+    seeds.select(col("s"), col("p"), col("o"),
+      Lineage.seedTag(xxhash64(col("s"), col("p"), col("o")), col("prob")).as("tag"))
+
+  /** Tag seed facts with a scalar probability (minmax/addmult/boolean). */
+  def scalarSeeds(seeds: DataFrame): DataFrame =
+    seeds.select(col("s"), col("p"), col("o"), col("prob").cast("double").as("tag"))
+
+  // ---- provenance dispatch (`parser.rs:3792-3927`) ------------------------
+
+  /** ⊕ = a+b−ab, ⊗ = ab over independent probabilities
+    * (`provenance.rs:111-148` AddMultProbability). The grouped ⊕ is
+    * 1 − ∏(1−p) via exp·sum·log with a floor to keep log finite. */
+  val addMultProbability: Semiring = Semiring(
+    cs => cs.reduce(_ * _),
+    c => lit(1.0) - exp(sum(log(greatest(lit(1e-300), lit(1.0) - c)))),
+    (a, b) => a + b - a * b)
+
+  /** ⊗=AND, ⊕=OR over {0,1} tags (`provenance.rs:153-188`) — the min/max
+    * algebra restricted to booleans. */
+  val booleanProvenance: Semiring = Semiring(
+    cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b))
+
+  /** Run PROB-annotated rules over scalar-semiring provenance and
+    * return `(s, p, o, probability)` facts (derived only). */
+  def scalarMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule],
+      semiring: Semiring): DataFrame = {
+    val r = new AnnotatedReasoner(spark, semiring)
+    val tagged = scalarSeeds(seeds)
+    val closed = r.materialize(tagged, rules)
+    closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .withColumnRenamed("tag", "probability")
+  }
+
+  /** Hybrid v1 refuses recursion (`hybrid.rs` UnsupportedRecursion;
+    * `kolibrie/tests/hybrid_test.rs:47-58`): a conclusion predicate that
+    * reappears among any rule's premise predicates would grow the lineage
+    * cone unboundedly. */
+  private def checkNonRecursive(rules: Seq[Rule]): Unit = {
+    def constPred(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v); case Lit(v) => Some(v); case _ => None
+    }
+    val heads = rules.flatMap(_.conclusion).map(tp => constPred(tp.p))
+    val premises = rules.flatMap(r => r.premise ++ r.negativePremise).map(tp => constPred(tp.p))
+    val recursive = heads.exists(h => h.isEmpty || premises.exists(p => p.isEmpty || p == h))
+    if (recursive) throw new IllegalArgumentException(
+      "hybrid v1 does not support recursion: rule head predicate feeds its own premises")
+  }
+
+  /** Hybrid inference: derive facts with full lineage, evaluate each
+    * fact's certified interval, decide against the threshold. Returns
+    * `(s, p, o, status, decision, reason, value, lower, upper, k_used)`. */
+  def hybridMaterialize(spark: SparkSession, seeds: DataFrame, rule: Rule,
+      ann: ProbAnnotation): DataFrame = {
+    checkNonRecursive(Seq(rule))
+    val k = ann.kInitial
+    val r = new AnnotatedReasoner(spark, Lineage.semiring(k + 1))
+    val tagged = lineageSeeds(seeds)
+    // non-recursive: a single rule application is the fixpoint
+    val derived = r.applyRule(tagged, rule)
+      .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+    derived
+      .withColumn("h", hybridEvalColumn(col("tag"), k, ann.threshold.getOrElse(0.5)))
+      .select(col("s"), col("p"), col("o"),
+        col("h.status").as("status"), col("h.decision").as("decision"),
+        col("h.reason").as("reason"), col("h.value").as("value"),
+        col("h.lower").as("lower"), col("h.upper").as("upper"),
+        col("h.k_used").as("k_used"))
+  }
+
+  /** Diagnostic top-k proofs provenance over the full fixpoint
+    * (`parser.rs:3888-3927`): estimate = WMC of the retained proofs,
+    * flagged UnsafeApproximation. k comes from the threshold field. */
+  def topkMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule],
+      k: Int): DataFrame = {
+    val r = new AnnotatedReasoner(spark, Lineage.semiring(k))
+    val tagged = lineageSeeds(seeds)
+    val closed = r.materialize(tagged, rules)
+    closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .withColumn("estimate", topkEstimateColumn(col("tag")))
+      .withColumn("status", lit("UnsafeApproximation"))
+      .withColumn("reason", lit("diagnostic-only"))
+      .select("s", "p", "o", "estimate", "status", "reason")
+  }
+
+  /** Execute a PROB-annotated rule (`parser.rs:3784-3927` dispatch) and
+    * insert both the derived facts and their RDF-star probability
+    * annotations into the store's default graph. Returns the result DF
+    * (shape depends on the provenance mode, as above). */
+  def executeRule(store: QuadStore, seeds: DataFrame, rule: Rule): DataFrame = {
+    val spark = store.spark
+    val ann = rule.prob.getOrElse(ProbAnnotation("independent", None))
+    val result = ann.provenance match {
+      case "minmax" | "min" =>
+        scalarMaterialize(spark, seeds, Seq(rule), Semiring.minMaxProbability)
+      case "addmult" | "independent" =>
+        scalarMaterialize(spark, seeds, Seq(rule), addMultProbability)
+      case "boolean" =>
+        scalarMaterialize(spark, seeds, Seq(rule), booleanProvenance)
+      case "topk" =>
+        topkMaterialize(spark, seeds, Seq(rule), ann.threshold.map(_.toInt).getOrElse(5))
+      case "hybrid" =>
+        hybridMaterialize(spark, seeds, rule, ann)
+      case other =>
+        throw new IllegalArgumentException(s"unknown PROB provenance: $other")
+    }
+    store.insert(result.select(
+      col("s"), col("p"), col("o"), lit(null).cast(StringType).as("g")))
+    store.insert(annotationQuads(result, ann))
+    result
+  }
+
+  /** RDF-star annotation triples `<<s p o>> prob:… value`
+    * (`hybrid.rs:1593-1720` encode_hybrid_results_as_rdf_star; scalar
+    * provenances annotate prob:value like `tag_store.rs` encode_as_rdf_star). */
+  def annotationQuads(result: DataFrame, ann: ProbAnnotation): DataFrame = {
+    val subj = Compiler.qtMake(col("s"), col("p"), col("o"))
+    def t(p: String, o: Column): Column =
+      struct(lit(ProbNs + p).as("p"), o.cast(StringType).as("o"))
+    val cols = result.columns.toSet
+    val annots: Seq[Column] =
+      (if (cols.contains("probability")) Seq(t("value", col("probability"))) else Nil) ++
+      (if (cols.contains("estimate")) Seq(t("estimate", col("estimate"))) else Nil) ++
+      (if (cols.contains("status")) Seq(t("status", col("status"))) else Nil) ++
+      (if (cols.contains("decision")) Seq(t("decision", col("decision"))) else Nil) ++
+      (if (cols.contains("reason")) Seq(t("reason", col("reason"))) else Nil) ++
+      (if (cols.contains("value")) Seq(t("value", col("value"))) else Nil) ++
+      (if (cols.contains("lower")) Seq(t("lowerBound", col("lower"))) else Nil) ++
+      (if (cols.contains("upper")) Seq(t("upperBound", col("upper"))) else Nil) ++
+      (if (cols.contains("k_used")) Seq(t("kUsed", col("k_used"))) else Nil) ++
+      ann.threshold.map(th => t("effectiveThreshold", lit(th))).toSeq ++
+      (if (ann.provenance == "hybrid") Seq(t("thresholdPolicy", lit(ann.thresholdPolicy))) else Nil)
+    result.select(subj.as("s"), explode(array(annots: _*)).as("po"))
+      .filter(col("po.o").isNotNull)
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"),
+        lit(null).cast(StringType).as("g"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.prob.ProbReasoner
+import graft.reasoner.Semiring
+import graft.sparql.SparqlParser
+
+/** Probabilistic-inference correctness queries (SURVEY §2.10 SDD/hybrid
+  * slice, round 2): min-max semiring closure, top-k proof lineage, and the
+  * hybrid certified-interval evaluator, each with a DuckDB oracle.
+  *
+  * Seeds: the halving-chain edges (`ReasonerSuite.chainStore` shape) with
+  * a deterministic per-edge probability `0.5 + (c_custkey % 50)/100` that
+  * both engines compute from the same integers — min/max propagate exact
+  * doubles; products are rounded on both sides.
+  */
+object ProbSuite {
+
+  /** Halving-chain edges with a deterministic per-edge probability.
+    * `probOf` must mirror the DuckDB-side expression exactly. For the
+    * product-based entries the grid is BINARY fractions (n/4, n/32): every
+    * factor has a tiny mantissa, so chain products of any depth stay
+    * bitwise-exact in double — identical in both engines regardless of
+    * multiplication order, with no rounding step to straddle. */
+  private def seedEdges(s: SparkSession, dir: String,
+      probOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    c.filter(col("c_custkey") >= 1).select(
+      concat(lit("customer/"), col("c_custkey")).as("s"),
+      lit("chain/parent").as("p"),
+      concat(lit("customer/"), (col("c_custkey") / 2).cast("long")).as("o"),
+      probOf(col("c_custkey")).as("prob"))
+  }
+
+  private def gridProb(k: org.apache.spark.sql.Column) =
+    lit(0.5) + (k % 50).cast("double") / 100.0
+  private def binProb2(k: org.apache.spark.sql.Column) =
+    lit(0.5) + (k % 2).cast("double") / 4.0
+  private def binProb8(k: org.apache.spark.sql.Column) =
+    lit(0.5) + (k % 8).cast("double") / 32.0
+
+  private val closureRules = Seq(
+    SparqlParser().parseRule(
+      """RULE <rules/panc_base> PROB(provenance=minmax) :-
+         CONSTRUCT { ?x <chain/anc> ?y } WHERE { ?x <chain/parent> ?y }"""),
+    SparqlParser().parseRule(
+      """RULE <rules/panc_step> PROB(provenance=minmax) :-
+         CONSTRUCT { ?x <chain/anc> ?z }
+         WHERE { ?x <chain/parent> ?y . ?y <chain/anc> ?z }"""))
+
+  private val twoHopRule = SparqlParser().parseRule(
+    """RULE <rules/anc2> PROB(provenance=hybrid, threshold=0.5) :-
+       CONSTRUCT { ?x <chain/anc2> ?z }
+       WHERE { ?x <chain/parent> ?y . ?y <chain/parent> ?z }""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // min-max probability semiring over the recursive closure: a derived
+    // fact's probability = min of its premise tags, max across derivations
+    // (unique path on the chain, so LEAST along the path)
+    "prob_minmax_closure" -> ((s, dir) => {
+      ProbReasoner.scalarMaterialize(s, seedEdges(s, dir, gridProb), closureRules,
+          Semiring.minMaxProbability)
+        .filter(col("p") === "chain/anc")
+        .select(col("s").as("x"), col("o").as("y"),
+          col("probability").cast("string").as("pr"))
+    }),
+
+    // diagnostic top-k proof lineage (`parser.rs:3888-3927`): on the chain
+    // each fact has exactly one proof, so the WMC estimate is the product
+    // of the edge probabilities along the path; reported in parts-per-
+    // million (exact: the ×1e6 keeps small deep-chain products in the
+    // plain-decimal formatting range of both engines)
+    "prob_topk" -> ((s, dir) => {
+      ProbReasoner.topkMaterialize(s, seedEdges(s, dir, binProb2), closureRules, k = 5)
+        .filter(col("p") === "chain/anc")
+        .select(col("s").as("x"), col("o").as("y"),
+          (col("estimate") * 1000000.0).cast("string").as("est_ppm"),
+          col("status"), col("reason"))
+    }),
+
+    // hybrid certified evaluation on a non-recursive two-hop rule: single
+    // proof per fact → Exact, value = product, Alert iff ≥ threshold
+    "prob_hybrid_twohop" -> ((s, dir) => {
+      ProbReasoner.hybridMaterialize(s, seedEdges(s, dir, binProb8), twoHopRule,
+          twoHopRule.prob.get)
+        .select(col("s").as("x"), col("o").as("z"),
+          col("value").cast("string").as("value"),
+          col("status"), col("decision"), col("reason"))
+    }))
+
+  private val gridProbSql = "0.5 + (%s %% 50) / 100.0"
+  private val binProb2Sql = "0.5 + (%s %% 2) / 4.0"
+  private val binProb8Sql = "0.5 + (%s %% 8) / 32.0"
+
+  val oracleSql: Map[String, String] = Map(
+    "prob_minmax_closure" ->
+      s"""WITH RECURSIVE anc(x, y, pr) AS (
+           SELECT c_custkey, CAST(floor(c_custkey / 2) AS BIGINT),
+                  ${gridProbSql.format("c_custkey")}
+           FROM customer WHERE c_custkey >= 1
+           UNION
+           SELECT e.c_custkey, a.y,
+                  LEAST(${gridProbSql.format("e.c_custkey")}, a.pr)
+           FROM customer e JOIN anc a ON a.x = CAST(floor(e.c_custkey / 2) AS BIGINT)
+           WHERE e.c_custkey >= 1)
+         SELECT 'customer/' || CAST(x AS VARCHAR) AS x,
+                'customer/' || CAST(y AS VARCHAR) AS y,
+                CAST(pr AS VARCHAR) AS pr FROM anc""",
+
+    "prob_topk" ->
+      s"""WITH RECURSIVE anc(x, y, pr) AS (
+           SELECT c_custkey, CAST(floor(c_custkey / 2) AS BIGINT),
+                  ${binProb2Sql.format("c_custkey")}
+           FROM customer WHERE c_custkey >= 1
+           UNION
+           SELECT e.c_custkey, a.y,
+                  (${binProb2Sql.format("e.c_custkey")}) * a.pr
+           FROM customer e JOIN anc a ON a.x = CAST(floor(e.c_custkey / 2) AS BIGINT)
+           WHERE e.c_custkey >= 1)
+         SELECT 'customer/' || CAST(x AS VARCHAR) AS x,
+                'customer/' || CAST(y AS VARCHAR) AS y,
+                CAST(pr * 1000000.0 AS VARCHAR) AS est_ppm,
+                'UnsafeApproximation' AS status,
+                'diagnostic-only' AS reason FROM anc""",
+
+    "prob_hybrid_twohop" ->
+      s"""SELECT 'customer/' || CAST(a.c_custkey AS VARCHAR) AS x,
+                'customer/' || CAST(CAST(floor(b.c_custkey / 2) AS BIGINT) AS VARCHAR) AS z,
+                CAST((${binProb8Sql.format("a.c_custkey")}) *
+                     (${binProb8Sql.format("b.c_custkey")}) AS VARCHAR) AS value,
+                'Exact' AS status,
+                CASE WHEN (${binProb8Sql.format("a.c_custkey")}) *
+                          (${binProb8Sql.format("b.c_custkey")}) >= 0.5
+                     THEN 'Alert' ELSE 'NoAlert' END AS decision,
+                'top-k-exhausted' AS reason
+         FROM customer a JOIN customer b
+           ON b.c_custkey = CAST(floor(a.c_custkey / 2) AS BIGINT)
+         WHERE a.c_custkey >= 1 AND b.c_custkey >= 1""")
+}

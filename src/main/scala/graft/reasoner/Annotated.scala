@@ -91,22 +91,30 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("s", "p", "o").agg(semiring.plusAgg(col("tag")).as("tag"))
 
-  /** Annotated fixpoint: rounds until no fact's tag improves and no new
-    * fact appears (tag improvement = ⊕ changes the stored value, the
-    * `D_new` criterion of `cross_window_incremental.rs:25-111`). */
+  /** Annotated fixpoint (Jacobi iteration): each round recomputes every
+    * fact's tag FRESH as seeds ⊕ {this round's derivations over the
+    * previous tags}, then stops when tags stabilize. Recomputing from the
+    * seed base — instead of ⊕-accumulating into the previous closure — is
+    * what keeps non-idempotent ⊕ correct: AddMult/TopKProofs must combine
+    * each distinct derivation exactly once, while the reference achieves
+    * the same via delta-triggered `update_disjunction`
+    * (`provenance_semi_naive.rs:134-200`). For idempotent ⊕ (min-max /
+    * boolean / expiration) the two formulations share their fixpoint
+    * (the `D_new` criterion of `cross_window_incremental.rs:25-111`). */
   def materialize(facts0: DataFrame, rules: Seq[Rule], maxRounds: Int = 100): DataFrame = {
-    var facts = facts0.groupBy("s", "p", "o")
+    val base = facts0.groupBy("s", "p", "o")
       .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+    var facts = base
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
       val derived = rules.map(r => applyRule(facts, r)).reduce(merge)
-      val next = merge(facts, derived).localCheckpoint()
-      // improvement check: any (s,p,o) new or with a strictly better tag
+      val next = merge(base, derived).localCheckpoint()
+      // stability check: a monotone semiring's tags only grow, so the
+      // iteration has converged when no fact is new or re-tagged
       val improved = next.as("n").join(facts.as("f"),
           Seq("s", "p", "o"), "left_outer")
-        .filter(col("f.tag").isNull ||
-          semiring.plusPair(col("n.tag"), col("f.tag")) =!= col("f.tag"))
+        .filter(col("f.tag").isNull || col("n.tag") =!= col("f.tag"))
       changed = !improved.isEmpty
       facts = next
       round += 1

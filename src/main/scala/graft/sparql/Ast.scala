@@ -106,14 +106,35 @@ object Ast {
   final case class SelectOp(q: Select) extends Operation
   final case class UpdateOp(u: Update) extends Operation
 
+  /** `PROB(provenance=…, threshold=…, …)` rule annotation
+    * (`kolibrie/src/parser.rs:2846-3100`). `thresholdPolicy` is
+    * "explicit" or "auto:cost" (threshold derived as fp/(fp+fn)).
+    * The hybrid knobs mirror `HybridConfig` defaults
+    * (`shared/src/hybrid.rs:675-693`). */
+  final case class ProbAnnotation(
+      provenance: String,
+      threshold: Option[Double],
+      thresholdPolicy: String = "explicit",
+      confidence: Option[Double] = None,
+      bandEpsilon: Double = 0.02,
+      marginalGainFloor: Double = 1e-4,
+      kInitial: Int = 8,
+      kMax: Int = 64,
+      kGrowth: Int = 2,
+      topkBudgetMs: Long = 25L,
+      sddBudgetMs: Long = 250L,
+      sddNodeBudget: Int = 100000)
+
   /** Datalog-style rule: `RULE :name :- CONSTRUCT { … } WHERE { … }`
-    * (`shared/src/rule.rs:21-29`, `parser.rs:3101-3177`). */
+    * (`shared/src/rule.rs:21-29`, `parser.rs:3101-3177`); optionally
+    * carries a PROB annotation (`parser.rs:3099-3100`). */
   final case class Rule(
       name: String,
       premise: Seq[TriplePattern],
       negativePremise: Seq[TriplePattern],
       filters: Seq[Condition],
-      conclusion: Seq[TriplePattern])
+      conclusion: Seq[TriplePattern],
+      prob: Option[ProbAnnotation] = None)
 
   /** RSP-QL window spec `[RANGE w STEP s]`, milliseconds
     * (`rsp/s2r.rs:175-330`, `parser.rs:2594-2643`). */

@@ -250,20 +250,92 @@ class SparqlParser extends RegexParsers {
     if (els.size == 1) els.head else UnionBlock(Seq(els)) // all in one group
   }
 
+  // ---- PROB annotation (`parser.rs:2846-3100`) ---------------------------
+  // Values are free tokens up to the next top-level comma; auto:cost(…)
+  // nests one paren level (take_prob_body / split_top_level_commas).
+  private def probValue: Parser[String] =
+    """auto:cost\([^)]*\)""".r | """[^,()\s][^,()]*""".r ^^ (_.trim)
+
+  private def probPair: Parser[(String, String)] =
+    ("""[A-Za-z_][A-Za-z0-9_]*""".r <~ "=") ~ probValue ^^ { case k ~ v => (k, v) }
+
+  private val hybridKeys = Set("combination", "provenance", "threshold",
+    "band_epsilon", "marginal_floor", "k_initial", "k_max", "k_growth",
+    "topk_budget_ms", "sdd_budget_ms", "node_budget")
+
+  /** `auto:cost(fp=…, fn=…)` → fp/(fp+fn) (`parser.rs:2897-2932`). */
+  private def costRatioThreshold(value: String): Double = {
+    val inner = value.stripPrefix("auto:cost(").stripSuffix(")")
+    val kv = inner.split(",").map(_.split("=") match {
+      case Array(k, v) => k.trim -> v.trim.toDouble
+      case _ => throw new IllegalArgumentException(s"bad auto:cost pair in $value")
+    }).toMap
+    val (fp, fn) = (kv.getOrElse("fp", throw new IllegalArgumentException("auto:cost needs fp")),
+      kv.getOrElse("fn", throw new IllegalArgumentException("auto:cost needs fn")))
+    require(fp >= 0 && fn >= 0 && fp + fn > 0 && (fp + fn).isFinite,
+      "auto:cost costs must be non-negative with positive total")
+    fp / (fp + fn)
+  }
+
+  def probAnnotation: Parser[ProbAnnotation] =
+    kw("PROB") ~> "(" ~> repsep(probPair, ",") <~ ")" ^^ { pairs =>
+      val dup = pairs.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+      val kv = pairs.toMap
+      val provenance = kv.get("provenance").orElse(kv.get("combination")).getOrElse("independent")
+      val isAutoCost = kv.get("threshold").exists(_.startsWith("auto:cost"))
+      val threshold = kv.get("threshold").map { v =>
+        if (isAutoCost) {
+          require(provenance == "hybrid", "auto:cost threshold requires provenance=hybrid")
+          costRatioThreshold(v)
+        } else v.toDouble
+      }
+      var ann = ProbAnnotation(provenance, threshold,
+        thresholdPolicy = if (isAutoCost) "auto:cost" else "explicit",
+        confidence = kv.get("confidence").flatMap(_.toDoubleOption))
+      def d(k: String, f: (ProbAnnotation, Double) => ProbAnnotation): Unit =
+        kv.get(k).foreach(v => ann = f(ann, v.toDouble))
+      def i(k: String, f: (ProbAnnotation, Int) => ProbAnnotation): Unit =
+        kv.get(k).foreach(v => ann = f(ann, v.toInt))
+      d("band_epsilon", (a, v) => a.copy(bandEpsilon = v))
+      d("marginal_floor", (a, v) => a.copy(marginalGainFloor = v))
+      i("k_initial", (a, v) => a.copy(kInitial = v))
+      i("k_max", (a, v) => a.copy(kMax = v))
+      i("k_growth", (a, v) => a.copy(kGrowth = v))
+      kv.get("topk_budget_ms").foreach(v => ann = ann.copy(topkBudgetMs = v.toLong))
+      kv.get("sdd_budget_ms").foreach(v => ann = ann.copy(sddBudgetMs = v.toLong))
+      i("node_budget", (a, v) => a.copy(sddNodeBudget = v))
+      if (provenance == "hybrid") {
+        // `parser.rs:3003-3034`: hybrid validates strictly — no unknown or
+        // duplicate keys, no confidence, threshold mandatory and in range
+        require(dup.isEmpty, s"duplicate PROB key: ${dup.get}")
+        val unknown = kv.keySet -- hybridKeys
+        require(unknown.isEmpty, s"unknown PROB key(s) for hybrid: ${unknown.mkString(",")}")
+        require(!kv.contains("confidence"), "hybrid does not accept confidence")
+        require(ann.threshold.exists(t => t.isFinite && t >= 0.0 && t <= 1.0),
+          "hybrid requires threshold in [0, 1]")
+        require(ann.bandEpsilon >= 0.0 && ann.bandEpsilon <= 1.0, "band_epsilon must be in [0, 1]")
+        require(ann.marginalGainFloor >= 0.0, "marginal_floor must be non-negative")
+        require(ann.kInitial >= 1 && ann.kInitial <= ann.kMax, "require 1 <= k_initial <= k_max")
+        require(ann.kGrowth >= 2, "k_growth must be >= 2")
+      }
+      ann
+    }
+
   // ---- RULE (`parser.rs:3101-3177`) --------------------------------------
   def ruleDef: Parser[Rule] =
-    kw("RULE") ~> iri ~ opt("(" ~> repsep(varName, ",") <~ ")") ~ (":-" ~>
+    kw("RULE") ~> iri ~ opt(probAnnotation) ~ opt("(" ~> repsep(varName, ",") <~ ")") ~ (":-" ~>
       kw("CONSTRUCT") ~> "{" ~> triplesBlock <~ "}") ~ (kw("WHERE") ~> "{" ~>
       rep(filterElem ^^ (Right(_)) |
           kw("NOT") ~> "{" ~> triplesBlock <~ "}" ^^ (ts => Left(Left(ts))) |
           triplesBlock ^^ (ts => Left(Right(ts)))) <~ "}") ^^ {
-      case name ~ _ ~ concl ~ body =>
+      case name ~ ann ~ _ ~ concl ~ body =>
         Rule(
           name,
           premise = body.collect { case Left(Right(ts)) => ts }.flatten,
           negativePremise = body.collect { case Left(Left(ts)) => ts }.flatten,
           filters = body.collect { case Right(FilterElem(c)) => c },
-          conclusion = concl)
+          conclusion = concl,
+          prob = ann)
     }
 
   // ---- RSP-QL (`parser.rs:2594-2846`) ------------------------------------
