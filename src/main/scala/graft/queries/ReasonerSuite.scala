@@ -51,13 +51,23 @@ object ReasonerSuite {
     }),
 
     "datalog_negation" -> ((s, dir) => {
+      // Two strata, evaluated in order as the reference does (positive
+      // rules to fixpoint first, then NAF rules — provenance_semi_naive.rs
+      // stratum note): every customer has SOME order in the synthetic
+      // data, so the negation target is "no URGENT order" — a conjunctive
+      // condition that needs the stratum-0 intermediate predicate.
       val store = Triplizer.store(s, dir, defaultGraph = true)
-      val rule = SparqlParser().parseRule(
-        """RULE <rules/noorders> :- CONSTRUCT { ?c <flag/noorders> "true" }
-           WHERE { ?c <customer#c_name> ?name . NOT { ?o <orders#o_custkey> ?c } }""")
-      new Reasoner(s).materialize(store, Seq(rule))
+      val hasUrgent = SparqlParser().parseRule(
+        """RULE <rules/hasurgent> :- CONSTRUCT { ?c <flag/hasurgent> "true" }
+           WHERE { ?o <orders#o_custkey> ?c . ?o <orders#o_orderpriority> "1-URGENT" }""")
+      val noUrgent = SparqlParser().parseRule(
+        """RULE <rules/nourgent> :- CONSTRUCT { ?c <flag/nourgent> "true" }
+           WHERE { ?c <customer#c_name> ?name . NOT { ?c <flag/hasurgent> "true" } }""")
+      val r = new Reasoner(s)
+      r.materialize(store, Seq(hasUrgent))
+      r.materialize(store, Seq(noUrgent))
       new Compiler(store).select(
-        """SELECT ?c WHERE { ?c <flag/noorders> "true" }""")
+        """SELECT ?c WHERE { ?c <flag/nourgent> "true" }""")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -76,6 +86,8 @@ object ReasonerSuite {
       "datalog_closure_naive" -> closure,
       "datalog_negation" ->
         """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c FROM customer
-           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderpriority = '1-URGENT')""")
   }
 }

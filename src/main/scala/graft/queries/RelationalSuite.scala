@@ -79,7 +79,7 @@ object RelationalSuite {
       val typeAvg = part.groupBy(col("p_type").as("t_type"))
         .agg(avg("p_retailprice").as("avg_price"))
       part.join(broadcast(typeAvg), col("p_type") === col("t_type"))
-        .filter(col("p_retailprice") > col("avg_price") * 1.2)
+        .filter(col("p_retailprice") > col("avg_price") * 1.01)
         .select(col("p_partkey"), col("p_type"),
           round(col("p_retailprice"), 2).as("p_retailprice"))
     }))
@@ -129,6 +129,6 @@ object RelationalSuite {
     "q_above_avg_parts" ->
       """SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice
          FROM part
-         WHERE p_retailprice > 1.2 * (SELECT AVG(p2.p_retailprice) FROM part p2
-                                      WHERE p2.p_type = part.p_type)""")
+         WHERE p_retailprice > 1.01 * (SELECT AVG(p2.p_retailprice) FROM part p2
+                                       WHERE p2.p_type = part.p_type)""")
 }
