@@ -90,6 +90,36 @@ class MlRuntime(spark: SparkSession) {
     spark.createDataFrame(out, schema)
   }
 
+  /** Registered SAVE_TO artifact paths per model (`neural_model_artifacts`
+    * in the reference's SparqlDatabase). */
+  val modelArtifacts = scala.collection.mutable.Map.empty[String, String]
+
+  /** Execute a `TRAIN NEURAL RELATION` declaration
+    * (`neural_relations.rs:168-263` lower + execute): resolve the
+    * registered NEURAL RELATION for the predicate (model, feature vars,
+    * anchor), build the training frame from the DATA patterns (wrapped
+    * into a SELECT over anchor+features+label, the reference's
+    * `build_select_query`) or the raw QUERY, and train the model. The
+    * loss/optimizer choices are validated at parse time; the runtime's
+    * SGD trainer covers both (`execute_ml_train.rs` also lowers to one
+    * training loop). Returns per-epoch losses. */
+  def trainNeuralRelation(store: QuadStore,
+      decl: graft.sparql.Ast.TrainNeuralRelationDecl): Seq[Double] = {
+    val rel = neuralRelations.getOrElse(decl.predicate,
+      throw new IllegalStateException(
+        s"No NEURAL RELATION declaration registered for ${decl.predicate}"))
+    val compiler = new Compiler(store)
+    val data = decl.dataSource match {
+      case Left(query) => compiler.select(query)
+      case Right(patterns) =>
+        val vars = (rel.anchorVar +: rel.featureVars :+ decl.labelVar).distinct
+        compiler.select(s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { $patterns }")
+    }
+    decl.savePath.foreach(p => modelArtifacts(rel.model) = p)
+    train(rel.model, data, rel.featureVars, decl.labelVar,
+      lr = decl.learningRate, epochs = decl.epochs, batch = decl.batchSize)
+  }
+
   /** NEURAL RELATION materialization (`neural_relations.rs`): run the
     * input query over the store, infer, insert `(anchor, predicate,
     * label)` facts. */

@@ -41,6 +41,11 @@ object RdfIO {
     } catch { case _: Exception => None }
   }
 
+  /** Parse an in-memory N-Triples document (HTTP payloads — the
+    * reference's `parse_ntriples_and_add`, `sparql_database.rs:1335-1342`). */
+  def parseNtDoc(doc: String): Seq[(String, String, String)] =
+    doc.linesIterator.flatMap(l => parseNtLine(l).map(t => (t._1, t._2, t._3))).toSeq
+
   def readNTriples(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.textFile(path).mapPartitions(_.flatMap(l =>
@@ -62,15 +67,18 @@ object RdfIO {
   def parseTurtleDoc(doc: String): Seq[(String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var prefixes = Map.empty[String, String]
-    // strip comments (naive: # outside quotes), join logical statements on '.'
+    // strip comments (# outside quotes AND outside <…> IRIs — datatype
+    // IRIs like xsd#integer carry fragments), join logical statements on '.'
     val cleaned = doc.linesIterator.map { l =>
-      var inQ = false
+      var inQ = false; var inIri = false
       val sb = new StringBuilder
       var j = 0
       while (j < l.length) {
         val c = l.charAt(j)
-        if (c == '"' && (j == 0 || l.charAt(j - 1) != '\\')) inQ = !inQ
-        if (c == '#' && !inQ) j = l.length
+        if (c == '"' && !inIri && (j == 0 || l.charAt(j - 1) != '\\')) inQ = !inQ
+        if (c == '<' && !inQ) inIri = true
+        if (c == '>' && !inQ) inIri = false
+        if (c == '#' && !inQ && !inIri) j = l.length
         else { sb += c; j += 1 }
       }
       sb.toString
@@ -158,6 +166,19 @@ object RdfIO {
     spark.read.option("wholetext", "true").textFile(path)
       .flatMap(parseTurtleDoc).toDF("s", "p", "o")
   }
+
+  // ---- N3 ----------------------------------------------------------------
+
+  /** N3 reader (`sparql_database.rs:1264-1332` parse_n3): the reference's
+    * N3 support is @prefix declarations plus the same whitespace-token
+    * statement grammar (`;`/`,` continuations, `.` terminator, typed and
+    * lang-tagged literals) its Turtle path lowers to
+    * (`parse_statement`, `sparql_database.rs:1658-1717`), so the Turtle
+    * document parser covers the accepted subset. N3-only constructs the
+    * reference does not implement (formulae `{}`, `=>` implication) are
+    * likewise out of scope. */
+  def readN3(spark: SparkSession, path: String): DataFrame =
+    readTurtle(spark, path)
 
   // ---- RDF/XML -----------------------------------------------------------
 

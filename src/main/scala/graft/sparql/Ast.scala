@@ -136,6 +136,24 @@ object Ast {
       conclusion: Seq[TriplePattern],
       prob: Option[ProbAnnotation] = None)
 
+  /** `TRAIN NEURAL RELATION <pred> { DATA{…}|QUERY{…} LABEL … TARGET {…}
+    * LOSS … OPTIMIZER … LEARNING_RATE … EPOCHS … BATCH_SIZE … [SAVE_TO …] }`
+    * (`kolibrie/src/parser.rs:2391-2503`). `dataSource` carries the raw
+    * block text: Left = a full SELECT (QUERY form), Right = graph
+    * patterns to be wrapped into a SELECT over the relation's variables
+    * (the reference's `build_select_query`, `neural_relations.rs:173-196`). */
+  final case class TrainNeuralRelationDecl(
+      predicate: String,
+      dataSource: Either[String, String],
+      labelVar: String,
+      targetTriple: TriplePattern,
+      loss: String,
+      optimizer: String,
+      learningRate: Double,
+      epochs: Int,
+      batchSize: Int,
+      savePath: Option[String])
+
   /** RSP-QL window spec `[RANGE w STEP s]`, milliseconds
     * (`rsp/s2r.rs:175-330`, `parser.rs:2594-2643`). */
   final case class WindowSpec(iri: String, streamIri: String, rangeMs: Long, stepMs: Long)

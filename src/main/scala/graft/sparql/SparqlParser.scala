@@ -403,6 +403,74 @@ class SparqlParser extends RegexParsers {
       case m ~ q ~ out => (m, q, out)
     }
 
+  /** Raw text of a `{ … }` block, braces balanced (the reference's
+    * `parse_balanced`/`extract_wrapped_block`, `parser.rs:2404-2425`). */
+  private def balancedBlock: Parser[String] = new Parser[String] {
+    def apply(in: Input): ParseResult[String] = {
+      val source = in.source
+      val start = handleWhiteSpace(source, in.offset)
+      if (start >= source.length || source.charAt(start) != '{')
+        return Failure("`{' expected", in.drop(start - in.offset))
+      var depth = 0; var i = start; var end = -1
+      while (i < source.length && end < 0) {
+        source.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) Failure("unbalanced `{'", in.drop(start - in.offset))
+      else Success(source.subSequence(start + 1, end).toString,
+        in.drop(end + 1 - in.offset))
+    }
+  }
+
+  private val lossFns = Set("cross_entropy", "nll", "mse", "binary_cross_entropy", "bce")
+  private val optimizers = Set("adam", "sgd")
+  private def num: Parser[String] = """-?\d+(\.\d+)?""".r
+
+  private def trainClause: Parser[(String, Any)] =
+    kw("LABEL") ~> varName ^^ (("label", _)) |
+    kw("TARGET") ~> "{" ~> triplesBlock <~ "}" ^^ (("target", _)) |
+    kw("LOSS") ~> """[A-Za-z_]+""".r ^^ (v => ("loss", v.toLowerCase)) |
+    kw("OPTIMIZER") ~> """[A-Za-z_]+""".r ^^ (v => ("optimizer", v.toLowerCase)) |
+    kw("LEARNING_RATE") ~> num ^^ (("lr", _)) |
+    kw("EPOCHS") ~> num ^^ (("epochs", _)) |
+    kw("BATCH_SIZE") ~> num ^^ (("batch", _)) |
+    kw("SAVE_TO") ~> stringLit ^^ (("save", _))
+
+  /** `TRAIN NEURAL RELATION <pred> { DATA{…}|QUERY{…} LABEL ?l TARGET {…}
+    * LOSS … OPTIMIZER … LEARNING_RATE … EPOCHS … BATCH_SIZE … [SAVE_TO "…"] }`
+    * (`parser.rs:2391-2503`; required fields mirror the reference's
+    * ok_or_else validation — all but SAVE_TO are mandatory). */
+  def trainNeuralRelationDecl: Parser[TrainNeuralRelationDecl] =
+    kw("TRAIN") ~> kw("NEURAL") ~> kw("RELATION") ~> iri ~ ("{" ~>
+      (kw("DATA") ~> balancedBlock ^^ (b => Right(b): Either[String, String]) |
+       kw("QUERY") ~> balancedBlock ^^ (b => Left(b): Either[String, String])) ~
+      rep(trainClause) <~ "}") ^^ { case pred ~ (src ~ clauses) =>
+      val kv = clauses.toMap
+      def req[T](k: String, what: String): T = kv.getOrElse(k,
+        throw new IllegalArgumentException(s"TRAIN NEURAL RELATION requires $what")).asInstanceOf[T]
+      val targets = req[Seq[TriplePattern]]("target", "TARGET { … }")
+      require(targets.size == 1, "triple templates must contain exactly one triple")
+      val loss = req[String]("loss", "LOSS")
+      require(lossFns.contains(loss), s"unknown LOSS: $loss")
+      val opt = req[String]("optimizer", "OPTIMIZER")
+      require(optimizers.contains(opt), s"unknown OPTIMIZER: $opt")
+      TrainNeuralRelationDecl(
+        predicate = pred,
+        dataSource = src,
+        labelVar = req[String]("label", "LABEL"),
+        targetTriple = targets.head,
+        loss = loss,
+        optimizer = opt,
+        learningRate = req[String]("lr", "LEARNING_RATE").toDouble,
+        epochs = req[String]("epochs", "EPOCHS").toInt,
+        batchSize = req[String]("batch", "BATCH_SIZE").toInt,
+        savePath = kv.get("save").map(_.asInstanceOf[String]))
+    }
+
   // ---- entry points ------------------------------------------------------
   def operation: Parser[Operation] =
     rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | update ^^ (UpdateOp(_)))
@@ -435,6 +503,8 @@ class SparqlParser extends RegexParsers {
     run(rep(prefixDecl) ~> neuralRelationDecl, q)
   def parseMlPredict(q: String): (String, Select, String) =
     run(rep(prefixDecl) ~> mlPredict, q)
+  def parseTrainNeuralRelation(q: String): TrainNeuralRelationDecl =
+    run(rep(prefixDecl) ~> trainNeuralRelationDecl, q)
 }
 
 object SparqlParser {

@@ -56,6 +56,51 @@ class MlSpec extends SparkSpec {
     assert(out == Set((1.0, "not_pos"), (2.0, "not_pos"), (3.0, "pos")))
   }
 
+  test("TRAIN NEURAL RELATION syntax parses and trains (parser.rs:2391-2503)") {
+    val p = SparqlParser()
+    val decl = p.parseTrainNeuralRelation(
+      """TRAIN NEURAL RELATION <ml/size> {
+           DATA { ?e <score> ?s . ?e <cls> ?lbl }
+           LABEL ?lbl
+           TARGET { ?e <ml/size> ?lbl }
+           LOSS cross_entropy
+           OPTIMIZER sgd
+           LEARNING_RATE 0.1
+           EPOCHS 25
+           BATCH_SIZE 8
+           SAVE_TO "/tmp/m_size.bin"
+         }""")
+    assert(decl.predicate == "ml/size" && decl.labelVar == "lbl")
+    assert(decl.loss == "cross_entropy" && decl.optimizer == "sgd")
+    assert(decl.learningRate == 0.1 && decl.epochs == 25 && decl.batchSize == 8)
+    assert(decl.savePath.contains("/tmp/m_size.bin"))
+    // missing mandatory clause → parse error (reference ok_or_else arms)
+    intercept[Exception](p.parseTrainNeuralRelation(
+      """TRAIN NEURAL RELATION <ml/size> {
+           DATA { ?e <score> ?s } LABEL ?s TARGET { ?e <ml/size> ?s } }"""))
+
+    // end-to-end: train through the reference grammar, then materialize
+    val rnd = new scala.util.Random(3)
+    val triples = (1 to 200).flatMap { i =>
+      val v = rnd.nextDouble() * 10
+      Seq((s"e$i", "score", f"$v%.3f"),
+          (s"e$i", "cls", if (v > 5) "big" else "small"))
+    }
+    val store = QuadStore.fromTriples(spark, triples)
+    val rt = new MlRuntime(spark)
+    rt.declareModel(ModelSpec("m/sz", Seq(4), Seq("big", "small"), binary = false))
+    rt.declareNeuralRelation(NeuralRelationSpec(
+      "ml/size", "m/sz", "SELECT ?e ?s WHERE { ?e <score> ?s }", Seq("s"), "e"))
+    val losses = rt.trainNeuralRelation(store, decl)
+    assert(losses.last < losses.head, s"loss did not drop: $losses")
+    val preds = rt.predict(
+      new Compiler(store).select("SELECT ?e ?s ?lbl WHERE { ?e <score> ?s . ?e <cls> ?lbl }"),
+      "m/sz", Seq("s"), "pred")
+    val acc = preds.filter(col("pred") === col("lbl")).count().toDouble / 200
+    assert(acc > 0.85, s"accuracy $acc")
+    assert(rt.modelArtifacts("m/sz") == "/tmp/m_size.bin")
+  }
+
   test("neural relation materializes facts queryable via SPARQL") {
     val store = QuadStore.fromTriples(spark,
       Seq(("e1", "score", "10"), ("e2", "score", "1")))

@@ -66,6 +66,26 @@ class RdfIOSpec extends SparkSpec {
       "http://xmlns.com/foaf/0.1/Person")))
   }
 
+  test("n3 reader: prefixes, continuations, typed/lang literals, 'a' (sparql_database.rs:1264-1332)") {
+    val rows = RdfIO.readN3(spark, res("people.n3")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("http://ex.org/alice", "http://xmlns.com/foaf/0.1/name", "Alice")))
+    assert(rows.contains(("http://ex.org/alice", "http://xmlns.com/foaf/0.1/knows", "http://ex.org/bob")))
+    assert(rows.contains(("http://ex.org/alice", "http://ex.org/age", "30")))
+    assert(rows.exists(t => t._1 == "http://ex.org/bob" && t._3 == "Bob@en"))
+    assert(rows.contains(("http://ex.org/carol",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/Person")))
+    assert(rows.size == 5)
+  }
+
+  test("n3 round-trips through the turtle writer") {
+    val df = RdfIO.readN3(spark, res("people.n3"))
+    val out = java.nio.file.Files.createTempDirectory("n3out").toString + "/n3"
+    RdfIO.writeTurtle(df, out)
+    val back = RdfIO.readN3(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
   test("n-triples round-trip preserves triples") {
     val df = RdfIO.readNTriples(spark, res("star.nt"))
     val out = java.nio.file.Files.createTempDirectory("ntout").toString + "/nt"

@@ -1,0 +1,106 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.model.QuadStore
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** SPARQL HTTP protocol endpoint semantics, mirroring the reference's
+  * `kolibrie-http-server` request/response contract
+  * (`src/main.rs:598-623` routes, `main.rs:896-1125` body shape). */
+class HttpServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(new URI(s"http://localhost:$port/query"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /query: rdf payload + sparql, pair-array rows") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val body = mapper.createObjectNode()
+      body.put("format", "turtle")
+      body.put("rdf",
+        """@prefix ex: <http://ex.org/> .
+          |ex:alice ex:knows ex:bob .
+          |ex:bob ex:knows ex:carol .""".stripMargin)
+      body.put("sparql",
+        "SELECT ?a ?b WHERE { ?a <http://ex.org/knows> ?b } ORDER BY ?a")
+      val resp = post(srv.port, body.toString)
+      assert(resp.statusCode() == 200)
+      val json = mapper.readTree(resp.body())
+      val result = json.get("results").get(0)
+      assert(result.get("query_index").asInt() == 0)
+      assert(result.get("execution_time_ms").asDouble() > 0)
+      val data = result.get("data")
+      assert(data.size() == 2)
+      val first = data.get(0)
+      assert(first.get(0).get(0).asText() == "a")
+      assert(first.get(0).get(1).asText() == "http://ex.org/alice")
+      assert(first.get(1).get(1).asText() == "http://ex.org/bob")
+    } finally srv.stop()
+  }
+
+  test("POST /query: RULE definitions apply before querying (main.rs rules path)") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val body = mapper.createObjectNode()
+      body.put("format", "ntriples")
+      body.put("rdf",
+        """<http://ex.org/a> <http://ex.org/parent> <http://ex.org/b> .
+          |<http://ex.org/b> <http://ex.org/parent> <http://ex.org/c> .""".stripMargin)
+      body.put("rule",
+        """RULE <r/anc> :- CONSTRUCT { ?x <http://ex.org/anc> ?z }
+           WHERE { ?x <http://ex.org/parent> ?y . ?y <http://ex.org/parent> ?z }""")
+      body.put("sparql", "SELECT ?x ?z WHERE { ?x <http://ex.org/anc> ?z }")
+      val resp = post(srv.port, body.toString)
+      assert(resp.statusCode() == 200)
+      val data = mapper.readTree(resp.body()).get("results").get(0).get("data")
+      assert(data.size() == 1)
+      assert(data.get(0).get(1).get(1).asText() == "http://ex.org/c")
+    } finally srv.stop()
+  }
+
+  test("GET /query against a preloaded base store; errors for bad requests") {
+    val store = QuadStore.fromTriples(spark, Seq(("s1", "p", "o1"), ("s2", "p", "o2")))
+    val srv = new GraftHttpServer(spark, Some(store)).start()
+    try {
+      val q = java.net.URLEncoder.encode("SELECT ?s WHERE { ?s <p> ?o }", "UTF-8")
+      val resp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query?query=$q"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(mapper.readTree(resp.body()).get("results").get(0).get("data").size() == 2)
+
+      val bad = post(srv.port, "{ not json")
+      assert(bad.statusCode() == 400)
+      assert(mapper.readTree(bad.body()).get("error").asText().startsWith("Invalid JSON"))
+      val none = post(srv.port, "{}")
+      assert(none.statusCode() == 400)
+      assert(mapper.readTree(none.body()).get("error").asText() == "No queries provided")
+    } finally srv.stop()
+  }
+
+  test("multi-query POST returns indexed results") {
+    val store = QuadStore.fromTriples(spark, Seq(("s1", "p", "o1")))
+    val srv = new GraftHttpServer(spark, Some(store)).start()
+    try {
+      val body = mapper.createObjectNode()
+      val arr = body.putArray("queries")
+      arr.add("SELECT ?s WHERE { ?s <p> ?o }")
+      arr.add("SELECT ?o WHERE { ?s <p> ?o }")
+      val resp = post(srv.port, body.toString)
+      val results = mapper.readTree(resp.body()).get("results")
+      assert(results.size() == 2)
+      assert(results.get(1).get("query_index").asInt() == 1)
+      assert(results.get(1).get("data").get(0).get(0).get(1).asText() == "o1")
+    } finally srv.stop()
+  }
+}
