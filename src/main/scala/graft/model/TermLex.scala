@@ -61,6 +61,7 @@ object TermLex {
     case Ast.Iri(v) => v
     case Ast.Lit(v) => v
     case Ast.Quoted(s, p, o) => encodeQuoted(lexical(s), lexical(p), lexical(o))
+    case Ast.BNode(l) => "_:" + l
     case Ast.Var(n) => throw new IllegalArgumentException(s"variable ?$n has no lexical form")
   }
 }

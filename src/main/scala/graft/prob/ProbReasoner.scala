@@ -187,6 +187,32 @@ object ProbReasoner {
         col("h.k_used").as("k_used"))
   }
 
+  /** Exact WMC provenance (`parser.rs:3858-3886` wmc/sdd arms,
+    * `provenance.rs:336+` DnfWmcProvenance): the full proof DNF rides the
+    * facts (retention = [[MaxWmcProofs]]); when the enumeration is
+    * exhaustive the inclusion-exclusion WMC is exact
+    * (subsumed proofs are absorbed: A ∨ (A∧B) = A leaves the count
+    * unchanged), otherwise the fact reports NeedsExact (the reference
+    * escalates those to the SDD engine). Output carries the proof-count
+    * and a rendered DNF formula (`tag_store.rs:117-184`
+    * encode_as_rdf_star_with_explanation's prob:proofCount/formula). */
+  def wmcMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val r = new AnnotatedReasoner(spark, Lineage.semiring(MaxWmcProofs))
+    val tagged = lineageSeeds(seeds)
+    val closed = r.materialize(tagged, rules)
+    val formulaF = udf((sids: Seq[Seq[Long]]) =>
+      sids.map(_.map(id => s"x$id").mkString("(", " ∧ ", ")")).mkString(" ∨ "))
+    val sidsCol =
+      transform(col("tag").getField("proofs"), p => transform(p, x => x.getField("sid")))
+    closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .withColumn("value", topkEstimateColumn(col("tag")))
+      .withColumn("status", when(col("tag").getField("trunc") ||
+        size(col("tag").getField("proofs")) > MaxWmcProofs, "NeedsExact").otherwise("Exact"))
+      .withColumn("proof_count", size(col("tag").getField("proofs")))
+      .withColumn("formula", formulaF(sidsCol))
+      .select("s", "p", "o", "value", "status", "proof_count", "formula")
+  }
+
   /** Diagnostic top-k proofs provenance over the full fixpoint
     * (`parser.rs:3888-3927`): estimate = WMC of the retained proofs,
     * flagged UnsafeApproximation. k comes from the threshold field. */
@@ -218,6 +244,8 @@ object ProbReasoner {
         scalarMaterialize(spark, seeds, Seq(rule), booleanProvenance)
       case "topk" =>
         topkMaterialize(spark, seeds, Seq(rule), ann.threshold.map(_.toInt).getOrElse(5))
+      case "wmc" | "sdd" =>
+        wmcMaterialize(spark, seeds, Seq(rule))
       case "hybrid" =>
         hybridMaterialize(spark, seeds, rule, ann)
       case other =>

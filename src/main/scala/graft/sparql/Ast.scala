@@ -25,6 +25,10 @@ object Ast {
   /** RDF-star quoted triple pattern `<< s p o >>`; nestable
     * (`shared/src/quoted_triple_store.rs:17-57`). */
   final case class Quoted(s: Term, p: Term, o: Term) extends Term
+  /** Blank node `_:label`. In update templates each solution allocates a
+    * fresh node per label, shared within the solution
+    * (`execute_query.rs:610-627`). */
+  final case class BNode(label: String) extends Term
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 
@@ -169,4 +173,14 @@ object Ast {
       outIri: String,
       windows: Seq[WindowSpec],
       select: Select)
+
+  /** `RETRIEVE SOME|EVERY LATENT|ACTIVE STREAM ?v FROM <iri> WITH { … }`
+    * (`parser.rs:3179-3263`). Parse-level parity: the reference defines
+    * the grammar but wires no executor for it either. */
+  final case class RetrieveClause(
+      mode: String,       // "SOME" | "EVERY"
+      state: String,      // "LATENT" | "ACTIVE"
+      variable: String,
+      fromIri: String,
+      pattern: Seq[TriplePattern])
 }

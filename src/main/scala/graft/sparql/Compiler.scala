@@ -50,6 +50,10 @@ object Compiler {
   def qtS(c: Column): Column = graft.functions.QtComponent.subject(c)
   def qtP(c: Column): Column = graft.functions.QtComponent.predicate(c)
   def qtO(c: Column): Column = graft.functions.QtComponent.obj(c)
+
+  /** Distinguishes blank-node allocations across updates in one session
+    * (the reference's dictionary hands out globally fresh ids). */
+  private[sparql] val bnodeEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class Compiler(store: QuadStore) {
@@ -407,35 +411,102 @@ class Compiler(store: QuadStore) {
       // WHERE evaluated once pre-mutation: both templates share one binding
       // snapshot — guaranteed here by lineage (templates reference the
       // pre-mutation quads DataFrame) (`execute_query.rs:578-592`)
-      val delDf = if (del.isEmpty) null else instantiate(b.df, del)
-      val insDf = if (ins.isEmpty) null else instantiate(b.df, ins)
+      val delDf = if (del.isEmpty) null else instantiate(b.df, del, forInsert = false)
+      val insDf = if (ins.isEmpty) null else instantiate(b.df, ins, forInsert = true)
       store.applyUpdate(delDf, insDf)
   }
 
   private def constQuads(qs: Seq[(TriplePattern, GraphSpec)]): DataFrame = {
+    // INSERT DATA: one fresh blank-node allocation per update execution —
+    // the same label in one update shares a node; re-running the update
+    // allocates new ones (`execute_query.rs:598-600` empty-binding path)
+    val epoch = Compiler.bnodeEpoch.incrementAndGet()
+    def lex(t: Term): String = t match {
+      case BNode(l) => s"_:$l-$epoch"
+      case Quoted(s, p, o) => TermLex.encodeQuoted(lex(s), lex(p), lex(o))
+      case other => TermLex.lexical(other)
+    }
     val rows = qs.map { case (tp, g) =>
       Row(g match { case GraphIri(i) => i; case _ => null },
-        TermLex.lexical(tp.s), TermLex.lexical(tp.p), TermLex.lexical(tp.o))
+        lex(tp.s), lex(tp.p), lex(tp.o))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), QuadStore.schema)
   }
 
   /** Instantiate template quads from a binding snapshot; solutions leaving
-    * a template var unbound are dropped (`execute_query.rs:594-865`). */
-  private def instantiate(bindings: DataFrame, tmpl: Seq[(TriplePattern, GraphSpec)]): DataFrame = {
+    * a template var unbound are dropped (`execute_query.rs:594-865`).
+    *
+    * Blank-node templates (`execute_query.rs:610-627`): every solution
+    * gets its own fresh node per label; repeated labels within one
+    * solution share it (all templates read the same per-row column).
+    * Blank nodes are illegal in DELETE templates (SPARQL 1.1 §3.1.3.2).
+    *
+    * RDF-star / term legality (`execute_query.rs:727-796`): rows whose
+    * VARIABLE-bound terms land in an illegal position are silently
+    * dropped — a quoted triple or blank node as predicate or graph name,
+    * or a quoted triple whose own predicate is quoted or blank (the
+    * reference recurses through the quoted-triple store; we check one
+    * nesting level, which covers every shape its tests exercise). */
+  private def instantiate(bindings: DataFrame, tmpl: Seq[(TriplePattern, GraphSpec)],
+      forInsert: Boolean): DataFrame = {
+    def bnodeLabels(t: Term): Seq[String] = t match {
+      case BNode(l) => Seq(l)
+      case Quoted(s, p, o) => bnodeLabels(s) ++ bnodeLabels(p) ++ bnodeLabels(o)
+      case _ => Nil
+    }
+    val labels = tmpl.flatMap { case (tp, _) =>
+      bnodeLabels(tp.s) ++ bnodeLabels(tp.p) ++ bnodeLabels(tp.o)
+    }.distinct
+    if (!forInsert && labels.nonEmpty)
+      throw new IllegalArgumentException("blank nodes are not allowed in DELETE templates")
+    val epoch = Compiler.bnodeEpoch.incrementAndGet()
+    // one column per label: identical across the per-template re-reads of
+    // this plan, so a label shared by two templates yields ONE node per row
+    val withNodes = labels.foldLeft(bindings)((df, l) =>
+      df.withColumn(s"__bnode_$l",
+        concat(lit(s"_:$l-$epoch-"), monotonically_increasing_id())))
+
     def termCol(t: Term): Column = t match {
-      case Var(n) => varCol(bindings, n)
+      case Var(n) => varCol(withNodes, n)
+      case BNode(l) => col(s"__bnode_$l")
       case Quoted(s, p, o) => qtMake(termCol(s), termCol(p), termCol(o))
       case other => lit(TermLex.lexical(other))
     }
+    def isBn(c: Column): Column = c.startsWith("_:")
+    // predicate-position legality for a value column: never quoted, never blank
+    def legalPred(c: Column): Column = !qtIs(c) && !isBn(c)
+    // a quoted value is legal if its predicate component is
+    def legalQuoted(c: Column): Column = !qtIs(c) || legalPred(qtP(c))
+
     tmpl.map { case (tp, g) =>
       val gCol = g match {
         case GraphIri(i) => lit(i).cast(StringType)
-        case _ => lit(null).cast(StringType)
+        case GraphVar(n) => varCol(withNodes, n)
+        case DefaultGraph => lit(null).cast(StringType)
       }
-      bindings.select(gCol.as("g"), termCol(tp.s).as("s"),
+      var q = withNodes.select(gCol.as("g"), termCol(tp.s).as("s"),
           termCol(tp.p).as("p"), termCol(tp.o).as("o"))
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      // legality only constrains positions filled from variables (constants
+      // were validated by the parser's grammar, as in the reference)
+      tp.p match {
+        case Var(_) => q = q.filter(legalPred(col("p")))
+        case _ =>
+      }
+      tp.s match {
+        case Var(_) | Quoted(_, _, _) => q = q.filter(legalQuoted(col("s")))
+        case _ =>
+      }
+      tp.o match {
+        case Var(_) | Quoted(_, _, _) => q = q.filter(legalQuoted(col("o")))
+        case _ =>
+      }
+      g match {
+        case GraphVar(_) =>
+          q = q.filter(col("g").isNotNull && !qtIs(col("g")) && !isBn(col("g")))
+        case _ =>
+      }
+      q
     }.reduce(_ unionByName _)
   }
 }

@@ -70,8 +70,10 @@ class SparqlParser extends RegexParsers {
     case s ~ p ~ o => Quoted(s, p, o)
   }
 
+  def bnode: Parser[BNode] = """_:([A-Za-z0-9_\-]+)""".r ^^ (s => BNode(s.drop(2)))
+
   def term: Parser[Term] =
-    quoted | varName ^^ (Var(_)) | literal | "a" ^^ (_ =>
+    quoted | varName ^^ (Var(_)) | literal | bnode | "a" ^^ (_ =>
       Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) | iri ^^ (Iri(_))
 
   // ---- prologue ----------------------------------------------------------
@@ -403,6 +405,16 @@ class SparqlParser extends RegexParsers {
       case m ~ q ~ out => (m, q, out)
     }
 
+  /** `RETRIEVE SOME|EVERY LATENT|ACTIVE STREAM ?v FROM <iri> WITH { … }`
+    * (`parser.rs:3179-3263`). */
+  def retrieveClause: Parser[RetrieveClause] =
+    kw("RETRIEVE") ~> (kw("SOME") | kw("EVERY")) ~ (kw("LATENT") | kw("ACTIVE")) ~
+      (kw("STREAM") ~> varName) ~ (kw("FROM") ~> iri) ~
+      (kw("WITH") ~> "{" ~> triplesBlock <~ "}") ^^ {
+      case mode ~ state ~ v ~ from ~ pats =>
+        RetrieveClause(mode, state, v, from, pats)
+    }
+
   /** Raw text of a `{ … }` block, braces balanced (the reference's
     * `parse_balanced`/`extract_wrapped_block`, `parser.rs:2404-2425`). */
   private def balancedBlock: Parser[String] = new Parser[String] {
@@ -505,6 +517,8 @@ class SparqlParser extends RegexParsers {
     run(rep(prefixDecl) ~> mlPredict, q)
   def parseTrainNeuralRelation(q: String): TrainNeuralRelationDecl =
     run(rep(prefixDecl) ~> trainNeuralRelationDecl, q)
+  def parseRetrieve(q: String): RetrieveClause =
+    run(rep(prefixDecl) ~> retrieveClause, q)
 }
 
 object SparqlParser {

@@ -94,6 +94,49 @@ class PipelineSpec extends SparkSpec {
     assert(plain == saltedJ)
   }
 
+  test("query builder streaming mode: window, R2S, report strategies (query_builder.rs:631-758)") {
+    val st = QuadStore.fromTriples(spark, Nil)
+    val sb = QueryBuilder(st).predicate("temp")
+      .window(widthMs = 10, slideMs = 10)
+      .withStreamOperator("RSTREAM")
+      .asStream()
+    assert(sb.isStreaming)
+    // window (0,10] gets two temp readings and one (filtered-out) humidity
+    sb.addStreamTriple("s1", "temp", "20", 2)
+    sb.addStreamTriple("s2", "humidity", "80", 5)
+    sb.addStreamTriple("s3", "temp", "21", 9)
+    sb.addStreamTriple("s4", "temp", "30", 12) // closes window at 10
+    val batches = sb.getStreamResults()
+    assert(batches.size == 1)
+    assert(batches.head.toSet == Set(("s1", "temp", "20"), ("s3", "temp", "21")))
+    // next window (10,20]: ISTREAM-style diff via a fresh builder
+    sb.addStreamTriple("s5", "temp", "31", 21) // closes window at 20
+    val b2 = sb.getStreamResults()
+    assert(b2.head.toSet == Set(("s4", "temp", "30")))
+    assert(sb.getAllStreamResults.size == 2)
+    sb.stopStream()
+    assert(!sb.isStreaming)
+    intercept[IllegalArgumentException](sb.addStreamTriple("x", "temp", "1", 30))
+
+    // DSTREAM emits what left the window
+    val ds = QueryBuilder(st).predicate("temp")
+      .window(10, 10).withStreamOperator("DSTREAM").asStream()
+    ds.addStreamTriple("a", "temp", "1", 2)
+    ds.addStreamTriple("b", "temp", "2", 12)
+    ds.getStreamResults()
+    ds.addStreamTriple("c", "temp", "3", 22)
+    val d2 = ds.getStreamResults()
+    assert(d2.head.toSet == Set(("a", "temp", "1")))
+
+    // NonEmptyContent suppresses empty windows
+    val ne = QueryBuilder(st).predicate("nope")
+      .window(10, 10).withReportStrategy(graft.streaming.RspEngine.NonEmptyContent)
+      .asStream()
+    ne.addStreamTriple("a", "temp", "1", 2)
+    ne.addStreamTriple("b", "temp", "2", 12)
+    assert(ne.getStreamResults().isEmpty)
+  }
+
   test("query builder: filters, join, modifiers, terminals (query_builder.rs:151-758)") {
     val st = QuadStore.fromTriples(spark, Seq(
       ("alice", "knows", "bob"), ("bob", "knows", "carol"),

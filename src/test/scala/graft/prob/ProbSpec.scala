@@ -170,6 +170,23 @@ class ProbSpec extends SparkSpec {
     assert(math.abs(am.head.getAs[Double]("probability") - 0.94) < 1e-6)
   }
 
+  test("wmc provenance: exact diamond WMC with proof-count and DNF formula") {
+    val sd = seeds(
+      ("a", "e1", "b1", 0.8), ("b1", "e2", "c", 0.5),
+      ("a", "e1", "b2", 0.6), ("b2", "e2", "c", 0.7))
+    val rule = SparqlParser().parseRule(
+      """RULE <r/w> PROB(provenance=wmc) :-
+         CONSTRUCT { ?x <goal> ?z } WHERE { ?x <e1> ?y . ?y <e2> ?z }""")
+    val out = ProbReasoner.wmcMaterialize(spark, sd, Seq(rule)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("status") == "Exact")
+    assert(r.getAs[Int]("proof_count") == 2)
+    assert(math.abs(r.getAs[Double]("value") - (0.4 + 0.42 - 0.4 * 0.42)) < 1e-9)
+    val formula = r.getAs[String]("formula")
+    assert(formula.contains(" ∨ ") && formula.count(_ == '∧') == 2)
+  }
+
   test("topk lineage fixpoint on a recursive chain: estimate = path product") {
     val sd = seeds(
       ("a", "parent", "b", 0.9), ("b", "parent", "c", 0.8),

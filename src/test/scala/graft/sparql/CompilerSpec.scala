@@ -149,6 +149,51 @@ class CompilerSpec extends SparkSpec {
     assert(rows(st, "SELECT ?s WHERE { ?s <b> <c> }").isEmpty)
   }
 
+  test("update blank nodes: fresh per solution, shared within it (execute_query.rs:610-627)") {
+    val st = store(("a", "kind", "x"), ("b", "kind", "x"))
+    val c = new Compiler(st)
+    c.execute("""INSERT { ?s <attr> _:n . _:n <of> ?s } WHERE { ?s <kind> "x" }""")
+    val r = rows(st, "SELECT ?s ?bn WHERE { ?s <attr> ?bn }")
+    assert(r.size == 2)
+    val nodes = r.map(_(1).asInstanceOf[String])
+    assert(nodes.forall(_.startsWith("_:n")))
+    assert(nodes.distinct.size == 2) // one fresh node per solution
+    // the same label in the second template shares the solution's node
+    val back = rows(st, "SELECT ?bn ?s WHERE { ?bn <of> ?s }")
+    assert(back.map(x => (x(1), x(0))).toSet == r.map(x => (x(0), x(1))).toSet)
+    // re-running allocates new nodes (4 distinct attr objects total)
+    c.execute("""INSERT { ?s <attr> _:n } WHERE { ?s <kind> "x" }""")
+    assert(rows(st, "SELECT ?bn WHERE { ?s <attr> ?bn }").flatten.distinct.size == 4)
+    // blank nodes are illegal in DELETE templates
+    intercept[IllegalArgumentException](
+      c.execute("""DELETE { ?s <attr> _:n } WHERE { ?s <kind> "x" }"""))
+  }
+
+  test("update legality: quoted/blank terms dropped from illegal positions (execute_query.rs:727-796)") {
+    val st = store(("a", "says", "hi"))
+    val c = new Compiler(st)
+    // asserted quoted triple in the store
+    c.execute("""INSERT DATA { <<<a> <says> "hi">> <certainty> "0.9" }""")
+    // a variable bound to a quoted triple cannot become a predicate: the
+    // solution is silently dropped, not an error
+    c.execute("""INSERT { <x> ?q <y> } WHERE { ?q <certainty> "0.9" }""")
+    assert(rows(st, "SELECT ?o WHERE { <x> ?p ?o }").isEmpty)
+    // ... but it is a legal subject/object
+    c.execute("""INSERT { <meta> <about> ?q } WHERE { ?q <certainty> "0.9" }""")
+    assert(rows(st, "SELECT ?o WHERE { <meta> <about> ?o . FILTER(isTRIPLE(?o)) }").size == 1)
+  }
+
+  test("RETRIEVE clause parses (parser.rs:3179-3263)") {
+    val r = SparqlParser().parseRetrieve(
+      """RETRIEVE SOME LATENT STREAM ?sensor FROM <http://ex.org/streams>
+         WITH { ?sensor <type> <TemperatureSensor> . ?sensor <unit> "C" }""")
+    assert(r.mode == "SOME" && r.state == "LATENT" && r.variable == "sensor")
+    assert(r.fromIri == "http://ex.org/streams" && r.pattern.size == 2)
+    val e = SparqlParser().parseRetrieve(
+      """RETRIEVE EVERY ACTIVE STREAM ?s FROM <x> WITH { ?s <p> ?o }""")
+    assert(e.mode == "EVERY" && e.state == "ACTIVE")
+  }
+
   test("registered UDF callable from BIND (sparql_database.rs:2130-2135)") {
     val st = store(("a", "name", "alice"))
     st.registerUdf("SHOUT", args => args.head.toUpperCase)
