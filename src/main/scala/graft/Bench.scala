@@ -24,6 +24,8 @@ object Bench {
     "stream_tumbling_agg", "stream_sliding_agg", "stream_istream", "stream_dstream",
     // ml inference stage
     "ml_predict_fixed",
+    // probabilistic stack
+    "prob_minmax_closure", "prob_hybrid_twohop",
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ivf_topk", "text_langid", "text_quality",

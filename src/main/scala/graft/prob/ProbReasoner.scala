@@ -133,7 +133,8 @@ object ProbReasoner {
   val addMultProbability: Semiring = Semiring(
     cs => cs.reduce(_ * _),
     c => lit(1.0) - exp(sum(log(greatest(lit(1e-300), lit(1.0) - c)))),
-    (a, b) => a + b - a * b)
+    (a, b) => a + b - a * b,
+    idempotent = false)
 
   /** ⊗=AND, ⊕=OR over {0,1} tags (`provenance.rs:153-188`) — the min/max
     * algebra restricted to booleans. */

@@ -24,7 +24,11 @@ import graft.sparql.Ast._
 final case class Semiring(
     times: Seq[Column] => Column,       // ⊗ across premises
     plusAgg: Column => Column,          // ⊕ as aggregate over derivations
-    plusPair: (Column, Column) => Column) // ⊕ of two tags (improvement test)
+    plusPair: (Column, Column) => Column, // ⊕ of two tags (improvement test)
+    /** ⊕ idempotent (a⊕a = a)? Enables the delta-driven semi-naive
+      * fixpoint; non-idempotent ⊕ (addmult) must recompute from the seed
+      * base every round to count each derivation exactly once. */
+    idempotent: Boolean = true)
 
 object Semiring {
   val minMaxProbability: Semiring =
@@ -62,9 +66,18 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
   }
 
   /** One rule application: derived head facts tagged ⊗(premise tags),
-    * ⊕-merged per fact. */
-  def applyRule(facts: DataFrame, rule: Rule): DataFrame = {
-    val scans = rule.premise.zipWithIndex.map { case (tp, i) => scan(facts, tp, s"__tag$i") }
+    * ⊕-merged per fact. `delta` optionally binds premise position i to the
+    * delta relation (provenance semi-naive, `provenance_semi_naive.rs:
+    * 38-90` find_premise_solutions over delta triggers). */
+  def applyRule(facts: DataFrame, rule: Rule,
+      delta: Option[(Int, DataFrame)] = None): DataFrame = {
+    val scans = rule.premise.zipWithIndex.map { case (tp, i) =>
+      val src = delta match {
+        case Some((di, d)) if di == i => d
+        case _ => facts
+      }
+      scan(src, tp, s"__tag$i")
+    }
     var b = scans.reduce(joinBindings)
     rule.negativePremise.foreach { ntp =>
       val neg = scan(facts, ntp, "__tagn").drop("__tagn")
@@ -91,17 +104,63 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("s", "p", "o").agg(semiring.plusAgg(col("tag")).as("tag"))
 
-  /** Annotated fixpoint (Jacobi iteration): each round recomputes every
-    * fact's tag FRESH as seeds ⊕ {this round's derivations over the
-    * previous tags}, then stops when tags stabilize. Recomputing from the
-    * seed base — instead of ⊕-accumulating into the previous closure — is
-    * what keeps non-idempotent ⊕ correct: AddMult/TopKProofs must combine
-    * each distinct derivation exactly once, while the reference achieves
-    * the same via delta-triggered `update_disjunction`
-    * (`provenance_semi_naive.rs:134-200`). For idempotent ⊕ (min-max /
-    * boolean / expiration) the two formulations share their fixpoint
-    * (the `D_new` criterion of `cross_window_incremental.rs:25-111`). */
-  def materialize(facts0: DataFrame, rules: Seq[Rule], maxRounds: Int = 100): DataFrame = {
+  /** Annotated fixpoint. Two regimes, matching ⊕'s algebra:
+    *
+    *  - idempotent ⊕ (min-max / boolean / expiration / proof-set union):
+    *    delta-driven semi-naive — each round evaluates rules only with the
+    *    improved-fact delta bound to one premise position, exactly the
+    *    reference's delta-trigger mechanism
+    *    (`provenance_semi_naive.rs:134-200` delta_improved), so the work
+    *    per round is proportional to the frontier, not the closure.
+    *  - non-idempotent ⊕ (addmult): Jacobi iteration — every round
+    *    recomputes each fact's tag FRESH as seeds ⊕ {derivations over the
+    *    previous tags}, stopping when tags stabilize; accumulating would
+    *    ⊕ the same derivation repeatedly (the reference tolerates that
+    *    and epsilon-stops; recomputing counts each derivation once). */
+  def materialize(facts0: DataFrame, rules: Seq[Rule], maxRounds: Int = 100): DataFrame =
+    if (semiring.idempotent) materializeSemiNaive(facts0, rules, maxRounds)
+    else materializeJacobi(facts0, rules, maxRounds)
+
+  /** See [[Reasoner.broadcastDeltaMaxRows]] — localCheckpoint erases the
+    * stats Catalyst needs to broadcast a small frontier on its own. */
+  private val broadcastDeltaMaxRows = 1000000L
+
+  private def materializeSemiNaive(facts0: DataFrame, rules: Seq[Rule],
+      maxRounds: Int): DataFrame = {
+    var facts = facts0.groupBy("s", "p", "o")
+      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+    var delta = facts
+    var deltaRows = -1L // unknown on round 0 (delta = all seeds)
+    var round = 0
+    while (round < maxRounds) {
+      val deltaSide =
+        if (deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows) broadcast(delta) else delta
+      val derived = rules.flatMap { r =>
+        r.premise.indices.map(i => applyRule(facts, r, Some((i, deltaSide))))
+      }.reduce(merge)
+      // improvement join (the D_new criterion): keep facts that are new or
+      // whose ⊕-merged tag differs from the stored one
+      val improved = derived.select(col("s"), col("p"), col("o"), col("tag").as("__dtag"))
+        .join(facts.select(col("s"), col("p"), col("o"), col("tag").as("__ftag")),
+          Seq("s", "p", "o"), "left_outer")
+        .withColumn("tag", when(col("__ftag").isNull, col("__dtag"))
+          .otherwise(semiring.plusPair(col("__dtag"), col("__ftag"))))
+        .filter(col("__ftag").isNull || col("tag") =!= col("__ftag"))
+        .select("s", "p", "o", "tag")
+        .localCheckpoint()
+      deltaRows = improved.count()
+      if (deltaRows == 0) return facts
+      // replace-merge: drop superseded rows, add the improved ones
+      facts = facts.join(improved, Seq("s", "p", "o"), "left_anti")
+        .unionByName(improved).localCheckpoint()
+      delta = improved
+      round += 1
+    }
+    facts
+  }
+
+  private def materializeJacobi(facts0: DataFrame, rules: Seq[Rule],
+      maxRounds: Int): DataFrame = {
     val base = facts0.groupBy("s", "p", "o")
       .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
     var facts = base
