@@ -56,18 +56,23 @@ object Similarity {
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("centroid"))
     }
+    // stays lazy: downstream broadcast references re-evaluate the chain,
+    // but at bench scale duplicated subplans inside ONE action beat the
+    // extra blocking action a collect/checkpoint would add (measured:
+    // eager variants were 1.7-2.5× slower end-to-end)
     centroids
   }
 
-  /** Assign each corpus vector to its nearest centroid (broadcast join). */
+  /** Assign each corpus vector to its nearest centroid: broadcast join +
+    * max_by aggregate (one shuffle of (id, cid) pairs; ties break to the
+    * lowest cid). */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol))
+    corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
   }
 
   /** IVF top-k: probe the `nProbe` closest clusters per query, brute-force
