@@ -27,64 +27,80 @@ import graft.sparql.Compiler
   */
 object ProbReasoner {
 
-  /** 2^m inclusion-exclusion terms — beyond this the fact is NeedsExact
-    * (the reference escalates to SDD; round-3 scope here). */
-  val MaxWmcProofs = 16
+  /** Proof-DNF retention cap for the diagnostic/wmc modes (the hybrid
+    * mode retains `k_max + 1`). Evaluation itself is exact at any size
+    * via [[Wmc.exact]]; the cap only bounds what rides the fact rows. */
+  val MaxWmcProofs = 64
 
   val ProbNs = "http://www.w3.org/ns/prob#"
 
-  /** Exact WMC of a set of proofs over independent seeds by
-    * inclusion-exclusion; seeds shared between proofs are counted once
-    * per union (`provenance.rs:299-318` recover_probability). */
+  /** Exact WMC of a set of proofs over independent seeds; seeds shared
+    * between proofs are counted once per model ([[Wmc.exact]] Shannon
+    * expansion — the same quantity as `provenance.rs:299-318`
+    * recover_probability's inclusion-exclusion). */
   def wmcOfProofs(proofs: Seq[Map[Long, Double]]): Double = {
-    val m = proofs.size
-    if (m == 0) return 0.0
-    var total = 0.0
-    var mask = 1
-    while (mask < (1 << m)) {
-      val union = scala.collection.mutable.Map.empty[Long, Double]
-      var i = 0
-      while (i < m) {
-        if ((mask & (1 << i)) != 0) union ++= proofs(i)
-        i += 1
-      }
-      val prod = union.valuesIterator.foldLeft(1.0)(_ * _)
-      total += (if (java.lang.Integer.bitCount(mask) % 2 == 1) prod else -prod)
-      mask += 1
-    }
-    math.max(0.0, math.min(1.0, total))
+    if (proofs.isEmpty) return 0.0
+    val probs = proofs.foldLeft(Map.empty[Long, Double])(_ ++ _)
+    Wmc.exact(proofs.map(_.keySet), probs)
   }
 
   /** Typed result of the per-fact ladder (UDF return shape). */
   final case class HybridResult(status: String, decision: String, reason: String,
       value: Option[Double], lower: Option[Double], upper: Option[Double], k_used: Int)
 
-  /** Per-fact hybrid evaluation (`hybrid.rs:1496-1548` ladder, minus SDD). */
-  private def evalOne(proofs: Seq[Map[Long, Double]], trunc: Boolean, k: Int,
-      threshold: Double): HybridResult = {
-    val exhaustive = !trunc && proofs.size <= k
-    if (exhaustive && proofs.size <= MaxWmcProofs) {
-      val p = wmcOfProofs(proofs)
-      val dec = if (p >= threshold) "Alert" else "NoAlert"
-      HybridResult("Exact", dec, "top-k-exhausted", Some(p), None, None, proofs.size)
-    } else {
-      val retained = proofs.take(math.min(k, MaxWmcProofs))
-      val lower = wmcOfProofs(retained)
-      // probe mass: proofs we still hold beyond k; frontier mass is zero
-      // iff nothing was truncated upstream (ResidualMass::Exhausted)
-      val probeMass = proofs.drop(retained.size)
-        .map(_.valuesIterator.foldLeft(1.0)(_ * _)).sum
-      val upper = if (!trunc) math.min(1.0, lower + probeMass) else 1.0
-      if (lower >= threshold)
-        HybridResult("Bounded", "Alert", "lower-bound-crossed-threshold",
-          None, Some(lower), Some(upper), retained.size)
-      else if (upper < threshold)
-        HybridResult("Bounded", "NoAlert", "upper-bound-below-threshold",
-          None, Some(lower), Some(upper), retained.size)
-      else
-        HybridResult("NeedsExact", "Indeterminate", "sdd-budget",
-          None, Some(lower), Some(upper), retained.size)
+  /** Per-fact hybrid escalation ladder (`hybrid.rs:1496-1590`
+    * evaluate_hybrid_controlled): evaluate at growing k until the
+    * certified interval decides, then escalate to the exact arm.
+    *
+    *  - at each k: Exact if the enumeration is exhaustive within k;
+    *    Bounded Alert when the lower bound crosses the threshold; Bounded
+    *    NoAlert when the upper bound stays below it
+    *  - k grows (×k_growth up to k_max) while the bound is near the
+    *    threshold (band_epsilon) or still climbing (marginal_gain_floor)
+    *  - exact arm: the reference compiles the lineage to an SDD; here the
+    *    retained DNF is complete whenever nothing truncated upstream, and
+    *    [[Wmc.exact]] computes the same exact probability over it
+    *    (reason tag "exact-sdd" kept for observable parity). Facts whose
+    *    proof enumeration WAS truncated (> k_max+1 proofs) stay
+    *    NeedsExact — recovering them needs the full lineage DAG. */
+  private def evalOne(proofs: Seq[Map[Long, Double]], trunc: Boolean,
+      ann: ProbAnnotation, threshold: Double): HybridResult = {
+    val exhaustive = !trunc
+    def alert(p: Double) = if (p >= threshold) "Alert" else "NoAlert"
+    var k = math.max(1, ann.kInitial)
+    var lastLo = 0.0
+    var lastUp = 1.0
+    while (true) {
+      if (exhaustive && proofs.size <= k) {
+        val p = wmcOfProofs(proofs)
+        return HybridResult("Exact", alert(p), "top-k-exhausted",
+          Some(p), None, None, proofs.size)
+      }
+      val lo = wmcOfProofs(proofs.take(k))
+      val probeMass = proofs.drop(k).map(_.valuesIterator.product).sum
+      val up = if (exhaustive) math.min(1.0, lo + probeMass) else 1.0
+      lastLo = lo; lastUp = up
+      if (lo >= threshold)
+        return HybridResult("Bounded", "Alert", "lower-bound-crossed-threshold",
+          None, Some(lo), Some(up), math.min(k, proofs.size))
+      if (up < threshold)
+        return HybridResult("Bounded", "NoAlert", "upper-bound-below-threshold",
+          None, Some(lo), Some(up), math.min(k, proofs.size))
+      val near = math.abs(threshold - lo) <= ann.bandEpsilon
+      val climbing = proofs.size > k &&
+        (wmcOfProofs(proofs.take(k + 1)) - lo).max(0.0) >= ann.marginalGainFloor
+      if (k >= ann.kMax || (!near && !climbing)) {
+        if (exhaustive) {
+          val p = wmcOfProofs(proofs)
+          return HybridResult("Exact", alert(p), "exact-sdd",
+            Some(p), None, None, proofs.size)
+        }
+        return HybridResult("NeedsExact", "Indeterminate", "sdd-budget",
+          None, Some(lastLo), Some(lastUp), math.min(k, proofs.size))
+      }
+      k = math.min(k * math.max(ann.kGrowth, 2), ann.kMax)
     }
+    throw new IllegalStateException("unreachable")
   }
 
   private def zipProofs(sids: Seq[Seq[Long]], sps: Seq[Seq[Double]]): Seq[Map[Long, Double]] =
@@ -96,11 +112,11 @@ object ProbReasoner {
     transform(tag.getField("proofs"), p => transform(p, x => x.getField("sp"))))
 
   /** Column-level evaluator over a [[Lineage]] tag. A Scala UDF (not an
-    * Expression): per-row inclusion-exclusion over ≤ 2^k subsets is real
-    * control flow, and it runs distributed on the fact rows. */
-  def hybridEvalColumn(tag: Column, k: Int, threshold: Double): Column = {
+    * Expression): the escalation ladder is real control flow with
+    * recursion and memoization, and it runs distributed on the fact rows. */
+  def hybridEvalColumn(tag: Column, ann: ProbAnnotation, threshold: Double): Column = {
     val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], trunc: Boolean) =>
-      evalOne(zipProofs(sids, sps), trunc, k, threshold))
+      evalOne(zipProofs(sids, sps), trunc, ann, threshold))
     val (sids, sps) = proofParts(tag)
     f(sids, sps, tag.getField("trunc"))
   }
@@ -173,14 +189,15 @@ object ProbReasoner {
   def hybridMaterialize(spark: SparkSession, seeds: DataFrame, rule: Rule,
       ann: ProbAnnotation): DataFrame = {
     checkNonRecursive(Seq(rule))
-    val k = ann.kInitial
-    val r = new AnnotatedReasoner(spark, Lineage.semiring(k + 1))
+    // retain k_max + 1 proofs so the per-row ladder can escalate k without
+    // re-deriving, and a complete enumeration reaches the exact arm
+    val r = new AnnotatedReasoner(spark, Lineage.semiring(ann.kMax + 1))
     val tagged = lineageSeeds(seeds)
     // non-recursive: a single rule application is the fixpoint
     val derived = r.applyRule(tagged, rule)
       .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
     derived
-      .withColumn("h", hybridEvalColumn(col("tag"), k, ann.threshold.getOrElse(0.5)))
+      .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
       .select(col("s"), col("p"), col("o"),
         col("h.status").as("status"), col("h.decision").as("decision"),
         col("h.reason").as("reason"), col("h.value").as("value"),

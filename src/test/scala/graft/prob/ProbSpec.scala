@@ -114,22 +114,24 @@ class ProbSpec extends SparkSpec {
     val d2 = reasoner.applyRule(tagged, rule2)
     val merged = reasoner.merge(d1, d2)
     val evaled = merged.withColumn("h",
-        ProbReasoner.hybridEvalColumn(col("tag"), 8, 0.3))
+        ProbReasoner.hybridEvalColumn(col("tag"),
+          graft.sparql.Ast.ProbAnnotation("hybrid", Some(0.3)), 0.3))
       .select(col("s"), col("h.value").as("value")).collect()
     assert(evaled.length == 1)
     val expected = 0.9 * 0.5 + 0.9 * 0.4 - 0.9 * 0.5 * 0.4
     assert(math.abs(evaled.head.getAs[Double]("value") - expected) < 1e-9)
   }
 
-  test("truncation ladder: Bounded Alert / Bounded NoAlert / NeedsExact") {
-    // force k=1 with two proofs of prob 0.42 and 0.4 (diamond): retained
-    // top-1 lower=0.42, probe=0.4, upper=0.82 (nothing truncated upstream)
+  test("escalation ladder: Bounded decisions at fixed k, exact arm when undecided") {
+    // k pinned to 1 (k_initial = k_max = 1) with two proofs 0.42 and 0.4
+    // (diamond): retained top-1 lower=0.42, probe=0.4, upper=0.82
     val sd = seeds(
       ("a", "e1", "b1", 0.8), ("b1", "e2", "c", 0.5),
       ("a", "e1", "b2", 0.6), ("b2", "e2", "c", 0.7))
-    def run(threshold: Double) = {
+    def run(threshold: Double, kMax: Int = 1) = {
       val rule = SparqlParser().parseRule(
-        s"""RULE <r/t> PROB(provenance=hybrid, threshold=$threshold, k_initial=1) :-
+        s"""RULE <r/t> PROB(provenance=hybrid, threshold=$threshold,
+           k_initial=1, k_max=$kMax) :-
            CONSTRUCT { ?x <goal> ?z } WHERE { ?x <e1> ?y . ?y <e2> ?z }""")
       ProbReasoner.hybridMaterialize(spark, sd, rule, rule.prob.get).collect().head
     }
@@ -143,9 +145,40 @@ class ProbSpec extends SparkSpec {
     assert(noAlert.getAs[String]("status") == "Bounded" &&
       noAlert.getAs[String]("decision") == "NoAlert" &&
       noAlert.getAs[String]("reason") == "upper-bound-below-threshold")
-    val needsExact = run(0.6)
-    assert(needsExact.getAs[String]("status") == "NeedsExact" &&
-      needsExact.getAs[String]("decision") == "Indeterminate")
+    // 0.6 sits inside [0.42, 0.82]: k cannot grow, so the exact arm
+    // resolves it (hybrid.rs:1552-1576 SDD escalation; exact DNF-WMC here)
+    val exact = run(0.6)
+    assert(exact.getAs[String]("status") == "Exact" &&
+      exact.getAs[String]("reason") == "exact-sdd" &&
+      exact.getAs[String]("decision") == "Alert")
+    assert(math.abs(exact.getAs[Double]("value") - 0.652) < 1e-9)
+    // with room to grow (k_max=8), k escalates to 2 and the enumeration
+    // is exhaustive there: Exact via top-k-exhausted
+    val grown = run(0.6, kMax = 8)
+    assert(grown.getAs[String]("status") == "Exact" &&
+      grown.getAs[String]("reason") == "top-k-exhausted")
+  }
+
+  test("Wmc.exact: Shannon expansion matches closed forms") {
+    // disjoint proofs: noisy-or
+    assert(math.abs(Wmc.exact(Seq(Set(1L, 2L), Set(3L, 4L)),
+      Map(1L -> 0.8, 2L -> 0.5, 3L -> 0.6, 4L -> 0.7)) -
+      (0.4 + 0.42 - 0.4 * 0.42)) < 1e-12)
+    // shared seed: p1(p2 + p3 - p2·p3)
+    assert(math.abs(Wmc.exact(Seq(Set(1L, 2L), Set(1L, 3L)),
+      Map(1L -> 0.9, 2L -> 0.5, 3L -> 0.4)) -
+      0.9 * (0.5 + 0.4 - 0.2)) < 1e-12)
+    // subsumption: {1} absorbs {1,2}
+    assert(math.abs(Wmc.exact(Seq(Set(1L), Set(1L, 2L)),
+      Map(1L -> 0.3, 2L -> 0.9)) - 0.3) < 1e-12)
+    // empty DNF = false; empty clause = true
+    assert(Wmc.exact(Nil, Map.empty) == 0.0)
+    assert(Wmc.exact(Seq(Set.empty[Long]), Map.empty) == 1.0)
+    // 20 disjoint single-seed proofs (beyond any inclusion-exclusion cap):
+    // 1 - (1-p)^20
+    val many = (1L to 20L).map(Set(_))
+    val probs = (1L to 20L).map(_ -> 0.1).toMap
+    assert(math.abs(Wmc.exact(many, probs) - (1 - math.pow(0.9, 20))) < 1e-12)
   }
 
   test("addmult vs minmax semirings on a two-path graph") {
