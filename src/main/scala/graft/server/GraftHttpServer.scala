@@ -42,6 +42,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
   def start(requestedPort: Int = 0): this.type = {
     server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
     server.createContext("/query", queryHandler)
+    server.createContext("/rsp-query", rspQueryHandler)
     server.setExecutor(null) // single-threaded dispatcher; Spark parallelizes inside
     server.start()
     this
@@ -88,6 +89,68 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
                   .map(_.asText()).getOrElse("rdfxml")
                 respond(exchange, 200, runQueries(queries, rules, rdf, format).toString)
               }
+          }
+        case _ => respond(exchange, 404, error("Not Found"))
+      }
+    } catch {
+      case e: Exception => respond(exchange, 500, error(e.getMessage))
+    }
+
+  /** `POST /rsp-query` (`main.rs:1127-1260` execute_rsp_query): one-shot
+    * RSP run — `{query, events: [{stream, timestamp, ntriples}],
+    * static_rdf?, static_format?}` → feed events in timestamp order,
+    * flush pending windows, answer
+    * `{"data": [headers, row…], "total_results", "execution_time_ms"}`. */
+  private def rspQueryHandler: HttpHandler = (exchange: HttpExchange) =>
+    try {
+      exchange.getRequestMethod match {
+        case "OPTIONS" => respond(exchange, 204, "")
+        case "POST" =>
+          val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val parsed: Either[String, JsonNode] =
+            try Right(mapper.readTree(body))
+            catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
+          parsed match {
+            case Left(msg) => respond(exchange, 400, error(msg))
+            case Right(req) if req.get("query") == null || req.get("query").isNull =>
+              respond(exchange, 400, error("No query provided"))
+            case Right(req) =>
+              val t0 = System.nanoTime()
+              val staticRdf = Option(req.get("static_rdf")).filter(!_.isNull)
+                .map(_.asText()).filter(_.trim.nonEmpty)
+              val staticFormat = Option(req.get("static_format")).filter(!_.isNull)
+                .map(_.asText()).getOrElse("rdfxml")
+              val staticStore = staticRdf.map(_ => buildStore(staticRdf, staticFormat))
+              val engine = graft.streaming.RspEngineBuilder.fromQuery(
+                spark, req.get("query").asText(), staticStore)
+              val events = Option(req.get("events")).filter(_.isArray).toSeq
+                .flatMap(a => (0 until a.size()).map(a.get))
+                .sortBy(_.get("timestamp").asLong())
+              events.foreach { e =>
+                val ts = e.get("timestamp").asLong()
+                val stream = e.get("stream").asText()
+                RdfIO.parseNtDoc(e.get("ntriples").asText()).foreach {
+                  case (s, p, o) => engine.add(stream, s, p, o, ts)
+                }
+              }
+              engine.flush()
+              // first-seen variable order across all emitted rows
+              val rows = engine.emissions.flatMap(_.rows)
+              val headers = rows.foldLeft(Vector.empty[String])((hs, r) =>
+                hs ++ r.keys.filterNot(hs.contains))
+              val resp = mapper.createObjectNode()
+              val data = resp.putArray("data")
+              if (rows.nonEmpty) {
+                val hRow = data.addArray()
+                headers.foreach(hRow.add)
+                rows.foreach { r =>
+                  val row = data.addArray()
+                  headers.foreach(h => row.add(r.getOrElse(h, "")))
+                }
+              }
+              resp.put("total_results", rows.size)
+              resp.put("execution_time_ms", (System.nanoTime() - t0) / 1e6)
+              respond(exchange, 200, resp.toString)
           }
         case _ => respond(exchange, 404, error("Not Found"))
       }

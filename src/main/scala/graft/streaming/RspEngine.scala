@@ -150,6 +150,15 @@ class RspEngine(
     if (eligible) fire(w, cMax)
   }
 
+  /** Flush: advance each window one step past its buffered events so the
+    * close covering the final arrivals fires without a new event (the
+    * reference's `engine.stop()` drain before answering `/rsp-query`,
+    * `kolibrie-http-server/src/main.rs:1228`). */
+  def flush(): Unit = windows.foreach { w =>
+    val lastTs = if (w.events.nonEmpty) Some(w.events.map(_._1).max) else w.firstEventTs
+    lastTs.foreach(t => advance(w, t + math.max(w.spec.stepMs, 1L)))
+  }
+
   private var fireCount = 0
   private var lastContentHash: Option[Int] = None
 

@@ -88,6 +88,40 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /rsp-query: one-shot RSP over posted events (main.rs:1127-1260)") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val body = mapper.createObjectNode()
+      body.put("query",
+        """REGISTER RSTREAM <http://out> AS
+          |SELECT *
+          |FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms]
+          |WHERE { WINDOW :w { ?s <http://ex.org/temp> ?v . } }""".stripMargin)
+      val events = body.putArray("events")
+      def ev(ts: Long, nt: String): Unit = {
+        val e = events.addObject()
+        e.put("stream", "sensors"); e.put("timestamp", ts); e.put("ntriples", nt)
+      }
+      ev(2, "<http://ex.org/a> <http://ex.org/temp> \"20\" .")
+      ev(9, "<http://ex.org/b> <http://ex.org/temp> \"21\" .")
+      ev(12, "<http://ex.org/c> <http://ex.org/temp> \"30\" .")
+      val resp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp-query"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body.toString)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val json = mapper.readTree(resp.body())
+      // window (0,10] emits a/b; the flush fires (10,20] with c
+      assert(json.get("total_results").asInt() == 3)
+      val data = json.get("data")
+      val headers = (0 until data.get(0).size()).map(data.get(0).get(_).asText())
+      val sIdx = headers.indexOf("s")
+      val subjects = (1 until data.size()).map(data.get(_).get(sIdx).asText()).toSet
+      assert(subjects == Set("http://ex.org/a", "http://ex.org/b", "http://ex.org/c"))
+    } finally srv.stop()
+  }
+
   test("multi-query POST returns indexed results") {
     val store = QuadStore.fromTriples(spark, Seq(("s1", "p", "o1")))
     val srv = new GraftHttpServer(spark, Some(store)).start()
