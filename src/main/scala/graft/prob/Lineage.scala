@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Lineage {
 
-  val tagType = "struct<proofs:array<array<struct<sid:bigint,sp:double>>>,trunc:boolean>"
+  val tagType =
+    "struct<proofs:array<array<struct<sid:bigint,sp:double,grp:bigint>>>,trunc:boolean>"
 
   /** ∏ seed probabilities of one proof. */
   def proofProb(p: Column): Column =
@@ -47,11 +48,15 @@ object Lineage {
   private def mkTag(proofs: Column, trunc: Column): Column =
     struct(proofs.as("proofs"), trunc.as("trunc"))
 
-  def zero: Column = mkTag(array().cast("array<array<struct<sid:bigint,sp:double>>>"), lit(false))
+  def zero: Column =
+    mkTag(array().cast("array<array<struct<sid:bigint,sp:double,grp:bigint>>>"), lit(false))
 
-  /** Seed tag: one proof containing the single seed (sid, sp). */
-  def seedTag(sid: Column, sp: Column): Column =
-    mkTag(array(array(struct(sid.cast("bigint").as("sid"), sp.cast("double").as("sp")))), lit(false))
+  /** Seed tag: one proof containing the single seed (sid, sp, grp);
+    * grp = -1 marks an independent seed, a non-negative grp groups
+    * mutually exclusive alternatives (`hybrid.rs:62-66` SeedKind). */
+  def seedTag(sid: Column, sp: Column, grp: Column = lit(-1L)): Column =
+    mkTag(array(array(struct(sid.cast("bigint").as("sid"), sp.cast("double").as("sp"),
+      grp.cast("bigint").as("grp")))), lit(false))
 
   /** ⊕ — union of the two proof sets, ranked, truncated (`provenance.rs:226-238`). */
   def disj(a: Column, b: Column, retain: Int): Column = {

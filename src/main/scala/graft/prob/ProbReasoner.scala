@@ -38,10 +38,11 @@ object ProbReasoner {
     * between proofs are counted once per model ([[Wmc.exact]] Shannon
     * expansion — the same quantity as `provenance.rs:299-318`
     * recover_probability's inclusion-exclusion). */
-  def wmcOfProofs(proofs: Seq[Map[Long, Double]]): Double = {
+  def wmcOfProofs(proofs: Seq[Map[Long, Double]],
+      groups: Map[Long, Long] = Map.empty): Double = {
     if (proofs.isEmpty) return 0.0
     val probs = proofs.foldLeft(Map.empty[Long, Double])(_ ++ _)
-    Wmc.exact(proofs.map(_.keySet), probs)
+    Wmc.exact(proofs.map(_.keySet), probs, groups)
   }
 
   /** Typed result of the per-fact ladder (UDF return shape). */
@@ -64,9 +65,21 @@ object ProbReasoner {
     *    proof enumeration WAS truncated (> k_max+1 proofs) stay
     *    NeedsExact — recovering them needs the full lineage DAG. */
   private def evalOne(proofs: Seq[Map[Long, Double]], trunc: Boolean,
-      ann: ProbAnnotation, threshold: Double): HybridResult = {
+      ann: ProbAnnotation, threshold: Double,
+      groups: Map[Long, Long] = Map.empty): HybridResult = {
     val exhaustive = !trunc
     def alert(p: Double) = if (p >= threshold) "Alert" else "NoAlert"
+    // exclusive groups invalidate the independent-proof bound arithmetic:
+    // the reference's top-k refuses them (`hybrid.rs:1492` supported_topk)
+    // and only the exact engine answers
+    if (groups.nonEmpty) {
+      if (exhaustive) {
+        val p = wmcOfProofs(proofs, groups)
+        return HybridResult("Exact", alert(p), "exact-sdd", Some(p), None, None, proofs.size)
+      }
+      return HybridResult("NeedsExact", "Indeterminate", "exclusivity-requires-exact",
+        None, None, None, 0)
+    }
     var k = math.max(1, ann.kInitial)
     var lastLo = 0.0
     var lastUp = 1.0
@@ -106,36 +119,45 @@ object ProbReasoner {
   private def zipProofs(sids: Seq[Seq[Long]], sps: Seq[Seq[Double]]): Seq[Map[Long, Double]] =
     sids.lazyZip(sps).map((is, ps) => is.zip(ps).toMap)
 
+  private def groupsOf(sids: Seq[Seq[Long]], grps: Seq[Seq[Long]]): Map[Long, Long] =
+    sids.lazyZip(grps).flatMap((is, gs) => is.zip(gs)).filter(_._2 >= 0).toMap
+
   /** Split a lineage tag into UDF-friendly parallel arrays. */
-  private def proofParts(tag: Column): (Column, Column) = (
+  private def proofParts(tag: Column): (Column, Column, Column) = (
     transform(tag.getField("proofs"), p => transform(p, x => x.getField("sid"))),
-    transform(tag.getField("proofs"), p => transform(p, x => x.getField("sp"))))
+    transform(tag.getField("proofs"), p => transform(p, x => x.getField("sp"))),
+    transform(tag.getField("proofs"), p => transform(p, x => x.getField("grp"))))
 
   /** Column-level evaluator over a [[Lineage]] tag. A Scala UDF (not an
     * Expression): the escalation ladder is real control flow with
     * recursion and memoization, and it runs distributed on the fact rows. */
   def hybridEvalColumn(tag: Column, ann: ProbAnnotation, threshold: Double): Column = {
-    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], trunc: Boolean) =>
-      evalOne(zipProofs(sids, sps), trunc, ann, threshold))
-    val (sids, sps) = proofParts(tag)
-    f(sids, sps, tag.getField("trunc"))
+    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]],
+        trunc: Boolean) =>
+      evalOne(zipProofs(sids, sps), trunc, ann, threshold, groupsOf(sids, grps)))
+    val (sids, sps, grps) = proofParts(tag)
+    f(sids, sps, grps, tag.getField("trunc"))
   }
 
   /** Estimate column for diagnostic `topk` provenance
     * (`parser.rs:3888-3927` UnsafeApproximation). */
   def topkEstimateColumn(tag: Column): Column = {
-    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]]) =>
-      wmcOfProofs(zipProofs(sids, sps).take(MaxWmcProofs)))
-    val (sids, sps) = proofParts(tag)
-    f(sids, sps)
+    val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]]) =>
+      wmcOfProofs(zipProofs(sids, sps).take(MaxWmcProofs), groupsOf(sids, grps)))
+    val (sids, sps, grps) = proofParts(tag)
+    f(sids, sps, grps)
   }
 
   // ---- seed tagging -------------------------------------------------------
 
-  /** Tag seed facts with single-seed lineage proofs. */
-  def lineageSeeds(seeds: DataFrame): DataFrame =
+  /** Tag seed facts with single-seed lineage proofs. An optional `grp`
+    * column marks exclusive groups (null / absent = independent). */
+  def lineageSeeds(seeds: DataFrame): DataFrame = {
+    val grp = if (seeds.columns.contains("grp"))
+      coalesce(col("grp").cast("bigint"), lit(-1L)) else lit(-1L)
     seeds.select(col("s"), col("p"), col("o"),
-      Lineage.seedTag(xxhash64(col("s"), col("p"), col("o")), col("prob")).as("tag"))
+      Lineage.seedTag(xxhash64(col("s"), col("p"), col("o")), col("prob"), grp).as("tag"))
+  }
 
   /** Tag seed facts with a scalar probability (minmax/addmult/boolean). */
   def scalarSeeds(seeds: DataFrame): DataFrame =

@@ -159,6 +159,46 @@ class ProbSpec extends SparkSpec {
       grown.getAs[String]("reason") == "top-k-exhausted")
   }
 
+  test("exclusive-group seeds: one-of semantics, exact-only evaluation (hybrid.rs:62-66)") {
+    // two mutually exclusive observations derive the same goal: the
+    // disjunction is p1 + p2 (never both), not noisy-or
+    assert(math.abs(Wmc.exact(Seq(Set(1L), Set(2L)),
+      Map(1L -> 0.3, 2L -> 0.4), Map(1L -> 7L, 2L -> 7L)) - 0.7) < 1e-12)
+    // a proof requiring BOTH members of a group is impossible
+    assert(Wmc.exact(Seq(Set(1L, 2L)),
+      Map(1L -> 0.3, 2L -> 0.4), Map(1L -> 7L, 2L -> 7L)) == 0.0)
+    // mixed: independent seed 3 gates an exclusive pair:
+    // P = p3 · (p1 + p2)
+    assert(math.abs(Wmc.exact(Seq(Set(1L, 3L), Set(2L, 3L)),
+      Map(1L -> 0.3, 2L -> 0.4, 3L -> 0.5),
+      Map(1L -> 7L, 2L -> 7L)) - 0.5 * 0.7) < 1e-12)
+
+    // end-to-end: seeds carry a grp column; the ladder defers to the
+    // exact arm (supported_topk excludes exclusive groups)
+    import spark.implicits._
+    val sd = Seq(
+      ("x", "obs", "hot", 0.3, 7L), ("x", "obs2", "hot", 0.4, 7L))
+      .toDF("s", "p", "o", "prob", "grp")
+    val rule1 = SparqlParser().parseRule(
+      """RULE <r/g1> PROB(provenance=hybrid, threshold=0.5) :-
+         CONSTRUCT { ?x <alarm> "on" } WHERE { ?x <obs> "hot" }""")
+    val rule2 = SparqlParser().parseRule(
+      """RULE <r/g2> PROB(provenance=hybrid, threshold=0.5) :-
+         CONSTRUCT { ?x <alarm> "on" } WHERE { ?x <obs2> "hot" }""")
+    val tagged = ProbReasoner.lineageSeeds(sd)
+    val reasoner = new graft.reasoner.AnnotatedReasoner(spark, Lineage.semiring(9))
+    val merged = reasoner.merge(
+      reasoner.applyRule(tagged, rule1), reasoner.applyRule(tagged, rule2))
+    val out = merged.withColumn("h", ProbReasoner.hybridEvalColumn(col("tag"),
+        graft.sparql.Ast.ProbAnnotation("hybrid", Some(0.5)), 0.5))
+      .select(col("h.status"), col("h.reason"), col("h.value"), col("h.decision"))
+      .collect().head
+    assert(out.getAs[String]("status") == "Exact")
+    assert(out.getAs[String]("reason") == "exact-sdd")
+    assert(math.abs(out.getAs[Double]("value") - 0.7) < 1e-9)
+    assert(out.getAs[String]("decision") == "Alert")
+  }
+
   test("Wmc.exact: Shannon expansion matches closed forms") {
     // disjoint proofs: noisy-or
     assert(math.abs(Wmc.exact(Seq(Set(1L, 2L), Set(3L, 4L)),
