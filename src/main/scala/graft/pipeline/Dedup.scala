@@ -190,10 +190,12 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       blockCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("a.v"), col("b.v")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

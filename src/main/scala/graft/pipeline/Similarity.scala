@@ -15,12 +15,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  import Dedup.cosine
+  /** Codegen cosine ([[graft.functions.CosineSimilarity]]); bitwise-equal
+    * to the HOF formulation in [[Dedup.cosine]], but fused into
+    * whole-stage codegen instead of interpreted per-element lambdas. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact brute-force top-k neighbors for each query vector.
     * Queries broadcast (they are the small side by construction). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
@@ -68,6 +73,7 @@ object Similarity {
     * lowest cid). */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col("centroid")))
@@ -81,6 +87,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val centroids = trainCentroids(corpus, nClusters, iters = 2, idCol, vecCol)
     val corpusAssign = assign(corpus, centroids, idCol, vecCol)
     val indexed = corpus.join(corpusAssign, idCol)

@@ -133,9 +133,9 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
     var deltaRows = -1L // unknown on round 0 (delta = all seeds)
     var round = 0
     while (round < maxRounds) {
-      val deltaSide =
-        if (deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows) broadcast(delta) else delta
+      val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
       val derived = rules.flatMap { r =>
+        val deltaSide = if (smallDelta && r.premise.size > 1) broadcast(delta) else delta
         r.premise.indices.map(i => applyRule(facts, r, Some((i, deltaSide))))
       }.reduce(merge)
       // improvement join (the D_new criterion): keep facts that are new or

@@ -58,6 +58,7 @@ class Reasoner(spark: SparkSession) {
           filters ::= Compiler.qtIs(c)
           walk(Compiler.qtS(c), s); walk(Compiler.qtP(c), p); walk(Compiler.qtO(c), o)
         }
+      case b: BNode => filters ::= (c === lit(TermLex.lexical(b)))
     }
     walk(col("s"), tp.s); walk(col("p"), tp.p); walk(col("o"), tp.o)
     val grouped = binds.reverse.groupBy(_._1)
@@ -182,9 +183,11 @@ class Reasoner(spark: SparkSession) {
     var round = 0
     while (round < maxRounds) {
       val tRound = System.nanoTime()
-      val deltaSide =
-        if (deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows) broadcast(delta) else delta
+      val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
       val perPosition = rules.flatMap { r =>
+        // hint only when the rule actually joins (a dangling hint on a
+        // single-premise rule just warns)
+        val deltaSide = if (smallDelta && r.premise.size > 1) broadcast(delta) else delta
         r.premise.indices
           .filter(i => round == 0 || deltaCanMatch(r.premise(i)))
           .map(i => instantiateHead(r, evalBody(r, facts, Some((i, deltaSide)), defaultCond)))

@@ -52,6 +52,28 @@ class PipelineSpec extends SparkSpec {
       s"missed ${(brute -- blocked).size}, spurious ${(blocked -- brute).size}")
   }
 
+  test("codegen cosine expression is bitwise-equal to the HOF formulation") {
+    graft.functions.CosineSimilarity.register(spark)
+    val pairs = emb.as("a").crossJoin(emb.limit(5).as("b"))
+      .select(
+        Dedup.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        graft.functions.CosineSimilarity(col("a.embedding"), col("b.embedding")).as("native"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // mixed float/double arrays (centroid case) and degenerate inputs
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0, 4.0))).toDF("f", "d")
+    val mixed = df.select(graft.functions.CosineSimilarity(col("f"), col("d"))).collect().head
+    assert(math.abs(mixed.getDouble(0) - 1.0) < 1e-12)
+    val bad = Seq((Seq(1.0f), Seq(1.0, 2.0))).toDF("f", "d")
+    assert(bad.select(graft.functions.CosineSimilarity(col("f"), col("d")))
+      .collect().head.isNullAt(0))
+  }
+
   test("ivf recall@5 vs brute force is reasonable") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
