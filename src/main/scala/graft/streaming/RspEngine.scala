@@ -104,20 +104,34 @@ class RspEngine(
   /** Probabilistic stream input (`rsp_engine.rs:960-998`): a SeedId is
     * allocated once per arrival, BEFORE window fanout, so overlapping
     * windows share the occurrence's identity; records mirror
-    * `shared/src/hybrid.rs:43-72` SeedRecord. */
+    * `shared/src/hybrid.rs:43-72` SeedRecord, including the seed kind —
+    * `group = None` is `SeedKind::Independent`, `Some(g)` is
+    * `SeedKind::ExclusiveGroup(g)`. */
   final case class SeedRecord(seedId: Long, streamIri: String, ts: Long,
-      s: String, p: String, o: String, probability: Double)
+      s: String, p: String, o: String, probability: Double,
+      group: Option[Long] = None)
   private var nextSeedId = 0L
   private val seedLog = scala.collection.mutable.ArrayBuffer.empty[SeedRecord]
   def seeds: Seq[SeedRecord] = seedLog.toSeq
 
   def addProbabilistic(streamIri: String, s: String, p: String, o: String,
-      ts: Long, probability: Double): Long = {
+      ts: Long, probability: Double, group: Option[Long] = None): Long = {
     val id = nextSeedId
     nextSeedId += 1
-    seedLog += SeedRecord(id, streamIri, ts, s, p, o, probability)
+    seedLog += SeedRecord(id, streamIri, ts, s, p, o, probability, group)
     add(streamIri, s, p, o, ts)
     id
+  }
+
+  /** Window-scoped seeds as a `(s, p, o, prob, grp)` DataFrame — the
+    * bridge from stream arrivals to [[graft.prob.ProbReasoner]] rules
+    * (the reference feeds `probability_seeds` into
+    * `infer_new_facts_with_hybrid` the same way, `parser.rs:3840-3850`). */
+  def seedsFrame(fromTs: Long = Long.MinValue, toTs: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    seedLog.toSeq.filter(r => r.ts >= fromTs && r.ts <= toTs)
+      .map(r => (r.s, r.p, r.o, r.probability, r.group.getOrElse(-1L)))
+      .toDF("s", "p", "o", "prob", "grp")
   }
 
   /** Feed a batch of events in event-time order (foreachBatch adapter). */

@@ -170,6 +170,38 @@ class RspEngineSpec extends SparkSpec {
     assert(e.seeds.size == 2)
   }
 
+  test("probabilistic seeds flow into PROB rules: kinds, window scoping, hybrid eval") {
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out> AS SELECT *
+      FROM NAMED WINDOW :w ON ?s [RANGE 10 ms STEP 10 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    // two mutually exclusive observations (group 3) plus an independent one
+    e.addProbabilistic("x", "r1", "obs", "hot", 1L, 0.3, group = Some(3L))
+    e.addProbabilistic("x", "r1", "obs", "warm", 2L, 0.4, group = Some(3L))
+    e.addProbabilistic("x", "r1", "powered", "on", 3L, 0.9)
+    e.addProbabilistic("x", "r1", "obs", "hot", 42L, 0.5) // outside the window
+    assert(e.seeds.count(_.group.contains(3L)) == 2)
+    val sd = e.seedsFrame(0L, 10L)
+    assert(sd.count() == 3)
+    val rule1 = graft.sparql.SparqlParser().parseRule(
+      """RULE <r/a1> PROB(provenance=hybrid, threshold=0.5) :-
+         CONSTRUCT { ?x <alarm> "on" } WHERE { ?x <obs> "hot" . ?x <powered> "on" }""")
+    val rule2 = graft.sparql.SparqlParser().parseRule(
+      """RULE <r/a2> PROB(provenance=hybrid, threshold=0.5) :-
+         CONSTRUCT { ?x <alarm> "on" } WHERE { ?x <obs> "warm" . ?x <powered> "on" }""")
+    val tagged = graft.prob.ProbReasoner.lineageSeeds(sd)
+    val reasoner = new graft.reasoner.AnnotatedReasoner(spark, graft.prob.Lineage.semiring(9))
+    val merged = reasoner.merge(
+      reasoner.applyRule(tagged, rule1), reasoner.applyRule(tagged, rule2))
+    val out = merged.withColumn("h", graft.prob.ProbReasoner.hybridEvalColumn(
+        org.apache.spark.sql.functions.col("tag"),
+        graft.sparql.Ast.ProbAnnotation("hybrid", Some(0.5)), 0.5))
+      .select("h.value", "h.status").collect().head
+    // exclusive pair gated by the independent seed: 0.9 · (0.3 + 0.4)
+    assert(out.getAs[String]("status") == "Exact")
+    assert(math.abs(out.getAs[Double]("value") - 0.9 * 0.7) < 1e-9)
+  }
+
   test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646,1018)") {
     val static = QuadStore.fromTriples(spark, Seq(
       ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
