@@ -107,6 +107,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, k, numHashes, idCol, textCol)
+    // Catalyst has no common-subplan reuse across self-join sides, so the
+    // signature pipeline appears twice in the physical plan. Measured at
+    // sf0.1 the duplicated lazy compute (4.9 s) beats both localCheckpoint
+    // (6.7 s, action barrier) and persist (7.5 s, columnar cache build) —
+    // recompute is cheap relative to materialization here. On a real
+    // cluster at TB scale, callers should checkpoint `sigs` themselves
+    // before pair generation; the operator keeps the lazy form.
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
