@@ -177,7 +177,8 @@ object ProbReasoner {
   /** ⊗=AND, ⊕=OR over {0,1} tags (`provenance.rs:153-188`) — the min/max
     * algebra restricted to booleans. */
   val booleanProvenance: Semiring = Semiring(
-    cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b))
+    cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b),
+    doublingSafe = true)
 
   /** Run PROB-annotated rules over scalar-semiring provenance and
     * return `(s, p, o, probability)` facts (derived only). */

@@ -28,15 +28,25 @@ final case class Semiring(
     /** ⊕ idempotent (a⊕a = a)? Enables the delta-driven semi-naive
       * fixpoint; non-idempotent ⊕ (addmult) must recompute from the seed
       * base every round to count each derivation exactly once. */
-    idempotent: Boolean = true)
+    idempotent: Boolean = true,
+    /** Safe for the recursive-doubling closure strategy? Requires a
+      * closed semiring: ⊕ idempotent/associative/commutative, ⊗
+      * associative and distributive over ⊕ — then squaring computes the
+      * same per-fact tag as path-at-a-time semi-naive (min-max, boolean).
+      * False for the proofs semiring: its top-k truncation makes ⊕/⊗
+      * association-order-sensitive, and the reference enumerates proofs
+      * in linear derivation order. */
+    doublingSafe: Boolean = false)
 
 object Semiring {
   val minMaxProbability: Semiring =
-    Semiring(cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b))
+    Semiring(cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b),
+      doublingSafe = true)
   val expiration: Semiring = minMaxProbability // same (min, max) algebra
 }
 
-class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
+class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
+    enableDoubling: Boolean = true) {
 
   private def termVars(t: Term): Seq[String] = t match {
     case Var(n) => Seq(n)
@@ -127,17 +137,56 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
 
   private def materializeSemiNaive(facts0: DataFrame, rules: Seq[Rule],
       maxRounds: Int): DataFrame = {
+    val debug = sys.env.contains("GRAFT_REASONER_DEBUG")
     var facts = facts0.groupBy("s", "p", "o")
       .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+
+    // Strategy choice, mirroring [[Reasoner.materializeSemiNaive]]: a
+    // transitive-closure rule shape over a closed semiring is evaluated by
+    // matrix-style squaring — the classic closed-semiring path problem —
+    // in O(log depth) driver rounds instead of one round per level.
+    if (enableDoubling && semiring.doublingSafe)
+      Reasoner.transitiveShape(rules).foreach { sh =>
+        if (facts.filter(col("p") === sh.head).isEmpty) {
+          if (debug) println(s"[annotated] strategy=semiring-doubling(edge=${sh.edge}, head=${sh.head})")
+          val closure = closureByDoubling(
+            facts.filter(col("p") === sh.edge).select("s", "o", "tag"),
+            maxRounds, debug)
+          return facts.unionByName(
+            closure.select(col("s"), lit(sh.head).as("p"), col("o"), col("tag")))
+        }
+      }
+
+    // Dead delta positions (as in the plain reasoner): when every rule head
+    // has a constant predicate, a delta fact after round 0 can only carry a
+    // head predicate, so premise positions with a constant non-head
+    // predicate never match the delta.
+    def constPred(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v); case Lit(v) => Some(v); case _ => None
+    }
+    val headPreds: Option[Set[String]] = {
+      val ps = rules.flatMap(_.conclusion).map(tp => constPred(tp.p))
+      if (ps.forall(_.isDefined)) Some(ps.flatten.toSet) else None
+    }
+    def deltaCanMatch(tp: TriplePattern): Boolean = (headPreds, constPred(tp.p)) match {
+      case (Some(hp), Some(p)) => hp.contains(p)
+      case _ => true
+    }
+
     var delta = facts
     var deltaRows = -1L // unknown on round 0 (delta = all seeds)
     var round = 0
     while (round < maxRounds) {
+      val tRound = System.nanoTime()
       val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
-      val derived = rules.flatMap { r =>
+      val perPosition = rules.flatMap { r =>
         val deltaSide = if (smallDelta && r.premise.size > 1) broadcast(delta) else delta
-        r.premise.indices.map(i => applyRule(facts, r, Some((i, deltaSide))))
-      }.reduce(merge)
+        r.premise.indices
+          .filter(i => round == 0 || deltaCanMatch(r.premise(i)))
+          .map(i => applyRule(facts, r, Some((i, deltaSide))))
+      }
+      if (perPosition.isEmpty) return facts
+      val derived = perPosition.reduce(merge)
       // improvement join (the D_new criterion): keep facts that are new or
       // whose ⊕-merged tag differs from the stored one
       val improved = derived.select(col("s"), col("p"), col("o"), col("tag").as("__dtag"))
@@ -146,17 +195,53 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring) {
         .withColumn("tag", when(col("__ftag").isNull, col("__dtag"))
           .otherwise(semiring.plusPair(col("__dtag"), col("__ftag"))))
         .filter(col("__ftag").isNull || col("tag") =!= col("__ftag"))
-        .select("s", "p", "o", "tag")
+        .withColumn("__retag", col("__ftag").isNotNull)
+        .select("s", "p", "o", "tag", "__retag")
         .localCheckpoint()
       deltaRows = improved.count()
+      if (debug) println(f"[annotated] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
-      // replace-merge: drop superseded rows, add the improved ones
-      facts = facts.join(improved, Seq("s", "p", "o"), "left_anti")
-        .unionByName(improved).localCheckpoint()
-      delta = improved
+      delta = improved.select("s", "p", "o", "tag")
+      // insert-only fast path: when no existing fact was re-tagged (the
+      // common case for set-like closures — each fact's tag is fixed by
+      // its first derivation), the accumulated facts are untouched and the
+      // union needs no anti-join and no O(|closure|) re-checkpoint.
+      facts =
+        if (improved.filter(col("__retag")).isEmpty) facts.unionByName(delta)
+        else facts.join(delta, Seq("s", "p", "o"), "left_anti")
+          .unionByName(delta).localCheckpoint()
       round += 1
     }
     facts
+  }
+
+  /** Semiring transitive closure by squaring: T_{k+1}(a,c) =
+    * T_k(a,c) ⊕ ⊕_b T_k(a,b) ⊗ T_k(b,c) — each round one self-join plus
+    * one ⊕-groupBy over the closure so far, converged when no pair is new
+    * and no tag changed. Valid for closed semirings ([[Semiring.doublingSafe]]). */
+  private def closureByDoubling(edges: DataFrame, maxRounds: Int,
+      debug: Boolean): DataFrame = {
+    var t = edges.groupBy("s", "o")
+      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+    var round = 0
+    while (round < math.min(maxRounds, 64)) {
+      val tRound = System.nanoTime()
+      val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"),
+          semiring.times(Seq(col("l.tag"), col("r.tag"))).as("tag"))
+      val next = t.unionByName(hop).groupBy("s", "o")
+        .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+      val changed = next.select(col("s"), col("o"), col("tag").as("__ntag"))
+        .join(t.select(col("s"), col("o"), col("tag").as("__ftag")),
+          Seq("s", "o"), "left_outer")
+        .filter(col("__ftag").isNull || col("__ntag") =!= col("__ftag"))
+        .count()
+      if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      t = next
+      if (changed == 0) return t
+      round += 1
+    }
+    t
   }
 
   private def materializeJacobi(facts0: DataFrame, rules: Seq[Rule],

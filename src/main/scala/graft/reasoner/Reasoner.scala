@@ -25,7 +25,50 @@ import graft.sparql.Compiler
   * position i, evaluate with premise i bound to Δ and the rest to the
   * full fact set; union, dedup, subtract known facts (`semi_naive.rs`).
   */
-class Reasoner(spark: SparkSession) {
+object Reasoner {
+
+  /** Detected transitive-closure rule shape: a two-rule set
+    * `{ H(x,y) ← E(x,y);  H(x,z) ← P₁(x,y), P₂(y,z) }` with constant
+    * predicates, `P₁P₂ ∈ {EH, HE, HH}`, no filters/negation/quoted terms,
+    * and all variables distinct. The least fixpoint of such a set over a
+    * fact base with no pre-existing `H` facts is exactly the transitive
+    * closure `E⁺` — independent of which linear/non-linear form the step
+    * rule takes. */
+  final case class TransitiveShape(edge: String, head: String)
+
+  /** Recognize the transitive-closure shape, or None when the rules need
+    * the general fixpoint. Ignores PROB annotations (the semiring engine
+    * does its own gating on the ⊕/⊗ algebra). */
+  def transitiveShape(rules: Seq[Rule]): Option[TransitiveShape] = {
+    def v(t: Term): Option[String] =
+      t match { case Var(n) => Some(n); case _ => None }
+    def c(t: Term): Option[String] =
+      t match { case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None }
+    if (rules.size != 2) return None
+    if (rules.exists(r => r.filters.nonEmpty || r.negativePremise.nonEmpty ||
+        r.conclusion.size != 1)) return None
+    val (bases, steps) = rules.partition(_.premise.size == 1)
+    if (bases.size != 1 || steps.size != 1 || steps.head.premise.size != 2) return None
+    val (base, step) = (bases.head, steps.head)
+    for {
+      e <- c(base.premise.head.p)
+      h <- c(base.conclusion.head.p)
+      if e != h
+      bx <- v(base.premise.head.s); by <- v(base.premise.head.o)
+      cx <- v(base.conclusion.head.s); cy <- v(base.conclusion.head.o)
+      if bx == cx && by == cy && bx != by
+      p1 <- c(step.premise(0).p); p2 <- c(step.premise(1).p)
+      if Set(p1, p2).subsetOf(Set(e, h)) && (p1 == h || p2 == h)
+      if c(step.conclusion.head.p).contains(h)
+      ax <- v(step.premise(0).s); ay <- v(step.premise(0).o)
+      mx <- v(step.premise(1).s); mz <- v(step.premise(1).o)
+      sx <- v(step.conclusion.head.s); sz <- v(step.conclusion.head.o)
+      if ay == mx && sx == ax && sz == mz && Set(ax, ay, mz).size == 3
+    } yield TransitiveShape(e, h)
+  }
+}
+
+class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
   graft.functions.QtComponent.register(spark)
 
   private def tripleSchema = StructType(Seq(
@@ -178,6 +221,25 @@ class Reasoner(spark: SparkSession) {
 
     val debug = sys.env.contains("GRAFT_REASONER_DEBUG")
     var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
+
+    // Strategy choice (optimizer-style — same declarative rules, different
+    // physical plan): a transitive-closure rule set over a base with no
+    // pre-existing head facts is evaluated by recursive doubling —
+    // O(log depth) rounds instead of O(depth). Linear semi-naive needs one
+    // Spark round per closure level; the reference's own flagship demo (a
+    // 10K-deep taxonomy, README.md:1057-1068) would cost 10K driver-paced
+    // rounds here, vs 14 doubling rounds. Per-round scheduling, not
+    // per-round data volume, is the fixpoint bottleneck on a cluster.
+    if (enableDoubling) Reasoner.transitiveShape(rules).foreach { sh =>
+      if (facts.filter(col("p") === sh.head).isEmpty) {
+        if (debug) println(s"[reasoner] strategy=recursive-doubling(edge=${sh.edge}, head=${sh.head})")
+        val closure = closureByDoubling(
+          facts.filter(col("p") === sh.edge).select("s", "o"), maxRounds, debug)
+        return facts.unionByName(
+          closure.select(col("s"), lit(sh.head).as("p"), col("o")))
+      }
+    }
+
     var delta = facts
     var deltaRows = -1L // unknown on round 0 (delta = full facts)
     var round = 0
@@ -210,6 +272,31 @@ class Reasoner(spark: SparkSession) {
       round += 1
     }
     facts
+  }
+
+  /** Transitive closure by recursive doubling: T₀ = E,
+    * T_{k+1} = T_k ∪ T_k∘T_k — after k rounds T_k holds every pair
+    * reachable in ≤ 2^k hops, so the fixpoint lands in ⌈log₂ depth⌉ + 1
+    * rounds. Each round is one self-equi-join + distinct on the closure
+    * so far; the total shuffle volume is O(|closure| · log depth), and the
+    * round count — the driver-paced part — is logarithmic. */
+  private def closureByDoubling(edges: DataFrame, maxRounds: Int,
+      debug: Boolean): DataFrame = {
+    var t = edges.distinct().localCheckpoint()
+    var n = t.count()
+    var round = 0
+    while (round < math.min(maxRounds, 64)) {
+      val tRound = System.nanoTime()
+      val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"))
+      t = t.unionByName(hop).distinct().localCheckpoint()
+      val n2 = t.count()
+      if (debug) println(f"[reasoner] doubling round $round: pairs=$n2, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      if (n2 == n) return t
+      n = n2
+      round += 1
+    }
+    t
   }
 
   /** Materialize into a store's default graph (API parity with the

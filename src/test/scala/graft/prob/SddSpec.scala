@@ -1,0 +1,109 @@
+package graft.prob
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** SDD engine checks: hand-computed WMCs, a differential oracle against
+  * the Shannon-expansion evaluator ([[Wmc.exact]]) on random DNFs —
+  * mirroring the reference's apply/wmc tests (`shared/src/sdd.rs` test
+  * module) — plus budget, negation, and model-enumeration behavior.
+  */
+class SddSpec extends AnyFunSuite {
+
+  test("literal, conjunction, disjunction WMCs match hand values") {
+    val m = new Sdd()
+    m.ensureVar(0, 0.3, 0.7)
+    m.ensureVar(1, 0.5, 0.5)
+    val a = m.literal(0, polarity = true)
+    val b = m.literal(1, polarity = true)
+    assert(m.wmc(a) === 0.3)
+    assert(m.wmc(m.conjoin(a, b)) === 0.15)
+    assert(math.abs(m.wmc(m.disjoin(a, b)) - (0.3 + 0.5 - 0.15)) < 1e-12)
+    assert(m.wmc(m.conjoin(a, m.negate(a))) === 0.0)
+    assert(m.wmc(m.disjoin(a, m.negate(a))) === 1.0)
+  }
+
+  test("shared-variable DNF: absorption and inclusion-exclusion") {
+    // F = a ∨ (a ∧ b) = a
+    val p = Map(0L -> 0.3, 1L -> 0.5)
+    assert(Sdd.wmcOfDnf(Seq(Set(0L), Set(0L, 1L)), p) === 0.3)
+    // F = (a∧b) ∨ (a∧c): P = p_a (p_b + p_c − p_b p_c)
+    val p2 = Map(0L -> 0.5, 1L -> 0.25, 2L -> 0.125)
+    val expected = 0.5 * (0.25 + 0.125 - 0.25 * 0.125)
+    assert(math.abs(Sdd.wmcOfDnf(Seq(Set(0L, 1L), Set(0L, 2L)), p2) - expected) < 1e-12)
+  }
+
+  test("differential vs Shannon expansion on random DNFs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 40) {
+      val nVars = 2 + rnd.nextInt(6)
+      val probs = (0L until nVars.toLong).map(v => v -> (0.05 + 0.9 * rnd.nextDouble())).toMap
+      val nClauses = 1 + rnd.nextInt(5)
+      val dnf = (1 to nClauses).map { _ =>
+        val w = 1 + rnd.nextInt(3)
+        (1 to w).map(_ => rnd.nextInt(nVars).toLong).toSet
+      }
+      val viaSdd = Sdd.wmcOfDnf(dnf, probs)
+      val viaShannon = Wmc.exact(dnf, probs)
+      assert(math.abs(viaSdd - viaShannon) < 1e-10,
+        s"trial $trial: sdd=$viaSdd shannon=$viaShannon dnf=$dnf")
+    }
+  }
+
+  test("differential vs Shannon with exclusive groups") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 25) {
+      val nVars = 3 + rnd.nextInt(4)
+      // group 0: vars {0,1} mutually exclusive with leftover mass
+      val groups = Map(0L -> 0L, 1L -> 0L)
+      val pg = 0.05 + 0.4 * rnd.nextDouble()
+      val probs = Map(0L -> pg, 1L -> (0.45 - 0.4 * rnd.nextDouble() * 0.5)) ++
+        (2L until nVars.toLong).map(v => v -> (0.05 + 0.9 * rnd.nextDouble())).toMap
+      val nClauses = 1 + rnd.nextInt(4)
+      val dnf = (1 to nClauses).map { _ =>
+        val w = 1 + rnd.nextInt(3)
+        (1 to w).map(_ => rnd.nextInt(nVars).toLong).toSet
+      }
+      val viaSdd = Sdd.wmcOfDnf(dnf, probs, groups)
+      val viaShannon = Wmc.exact(dnf, probs, groups)
+      assert(math.abs(viaSdd - viaShannon) < 1e-10,
+        s"trial $trial: sdd=$viaSdd shannon=$viaShannon dnf=$dnf probs=$probs")
+    }
+  }
+
+  test("exclusive group: only one member fires") {
+    // group {a: .3, b: .6}; F = a∧b is unsatisfiable under exactly-one
+    val groups = Map(0L -> 9L, 1L -> 9L)
+    val probs = Map(0L -> 0.3, 1L -> 0.6)
+    assert(Sdd.wmcOfDnf(Seq(Set(0L, 1L)), probs, groups) === 0.0)
+    assert(math.abs(Sdd.wmcOfDnf(Seq(Set(0L), Set(1L)), probs, groups) - 0.9) < 1e-12)
+  }
+
+  test("node budget aborts compilation") {
+    val probs = (0L until 24L).map(_ -> 0.5).toMap
+    // 12 disjoint two-var clauses blow a 60-node arena
+    val dnf = (0L until 24L by 2).map(v => Set(v, v + 1))
+    intercept[SddBudgetExceeded] { Sdd.wmcOfDnf(dnf, probs, maxNodes = 60) }
+  }
+
+  test("negation complements the model count") {
+    val m = new Sdd()
+    for (v <- 0 to 3) m.ensureVar(v, 0.25 * (v + 1) / 2, 1.0 - 0.25 * (v + 1) / 2)
+    val f = m.disjoin(
+      m.conjoin(m.literal(0, polarity = true), m.literal(1, polarity = true)),
+      m.conjoin(m.literal(2, polarity = true), m.literal(3, polarity = true)))
+    assert(math.abs(m.wmc(f) + m.wmc(m.negate(f)) - 1.0) < 1e-12)
+  }
+
+  test("model enumeration covers the DNF") {
+    val m = new Sdd()
+    m.ensureVar(0, 0.5, 0.5); m.ensureVar(1, 0.5, 0.5)
+    val f = m.disjoin(m.literal(0, polarity = true), m.literal(1, polarity = true))
+    val ms = m.models(f)
+    // every model satisfies a∨b; the three satisfying assignments are
+    // reachable through the decision's partition
+    assert(ms.nonEmpty)
+    assert(ms.forall(mod => mod.contains((0, true)) || mod.contains((1, true)) ||
+      mod.forall { case (_, pol) => pol }))
+  }
+}
