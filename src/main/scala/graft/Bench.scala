@@ -25,7 +25,7 @@ object Bench {
     // ml inference stage
     "ml_predict_fixed",
     // probabilistic stack
-    "prob_minmax_closure", "prob_hybrid_twohop",
+    "prob_minmax_closure", "prob_hybrid_twohop", "prob_sdd_wmc",
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ivf_topk", "text_langid", "text_quality",

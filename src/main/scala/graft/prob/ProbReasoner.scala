@@ -11,9 +11,11 @@ import graft.sparql.Compiler
 /** PROB-annotated rule execution — the Spark rebuild of the reference's
   * probabilistic inference dispatch (`kolibrie/src/parser.rs:3784-3927`)
   * and the hybrid top-k certified-interval evaluator
-  * (`shared/src/hybrid.rs:1160-1240,1415-1560`, decision ladder without
-  * the SDD escalation arm — facts the interval cannot decide are emitted
-  * as `NeedsExact`).
+  * (`shared/src/hybrid.rs:1160-1240,1415-1560`), including the SDD
+  * escalation arm: facts the interval cannot decide compile their lineage
+  * to an [[Sdd]] under the annotation's node budget; only facts whose
+  * proof enumeration was truncated upstream (or whose SDD outgrows the
+  * budget) are emitted as `NeedsExact`.
   *
   * Seeds are a DataFrame `(s, p, o, prob)`; seed identity is
   * `xxhash64(s,p,o)` (deterministic, join-free — the reference's
@@ -45,6 +47,18 @@ object ProbReasoner {
     Wmc.exact(proofs.map(_.keySet), probs, groups)
   }
 
+  /** Exact WMC via SDD compilation under a node budget — the reference's
+    * escalation target (`hybrid.rs:1310-1375` compile_sdd + wmc). Returns
+    * Left(reason) when the arena outgrows the budget, mirroring
+    * `SddBudgetError::NodeBudgetExceeded` → the caller stays NeedsExact. */
+  def sddWmcOfProofs(proofs: Seq[Map[Long, Double]],
+      groups: Map[Long, Long], nodeBudget: Int): Either[String, Double] = {
+    if (proofs.isEmpty) return Right(0.0)
+    val probs = proofs.foldLeft(Map.empty[Long, Double])(_ ++ _)
+    try Right(Sdd.wmcOfDnf(proofs.map(_.keySet), probs, groups, nodeBudget))
+    catch { case _: SddBudgetExceeded => Left("sdd-node-budget") }
+  }
+
   /** Typed result of the per-fact ladder (UDF return shape). */
   final case class HybridResult(status: String, decision: String, reason: String,
       value: Option[Double], lower: Option[Double], upper: Option[Double], k_used: Int)
@@ -58,12 +72,12 @@ object ProbReasoner {
     *    NoAlert when the upper bound stays below it
     *  - k grows (×k_growth up to k_max) while the bound is near the
     *    threshold (band_epsilon) or still climbing (marginal_gain_floor)
-    *  - exact arm: the reference compiles the lineage to an SDD; here the
-    *    retained DNF is complete whenever nothing truncated upstream, and
-    *    [[Wmc.exact]] computes the same exact probability over it
-    *    (reason tag "exact-sdd" kept for observable parity). Facts whose
-    *    proof enumeration WAS truncated (> k_max+1 proofs) stay
-    *    NeedsExact — recovering them needs the full lineage DAG. */
+    *  - exact arm: the retained DNF (complete whenever nothing truncated
+    *    upstream) is compiled to an [[Sdd]] under `sddNodeBudget` and
+    *    model-counted exactly (`hybrid.rs:1310-1375`); budget overrun →
+    *    NeedsExact "sdd-node-budget". Facts whose proof enumeration WAS
+    *    truncated (> k_max+1 proofs) stay NeedsExact — recovering them
+    *    needs the full lineage DAG. */
   private def evalOne(proofs: Seq[Map[Long, Double]], trunc: Boolean,
       ann: ProbAnnotation, threshold: Double,
       groups: Map[Long, Long] = Map.empty): HybridResult = {
@@ -72,11 +86,15 @@ object ProbReasoner {
     // exclusive groups invalidate the independent-proof bound arithmetic:
     // the reference's top-k refuses them (`hybrid.rs:1492` supported_topk)
     // and only the exact engine answers
-    if (groups.nonEmpty) {
-      if (exhaustive) {
-        val p = wmcOfProofs(proofs, groups)
-        return HybridResult("Exact", alert(p), "exact-sdd", Some(p), None, None, proofs.size)
+    def exactArm(lo: Option[Double], up: Option[Double]): HybridResult =
+      sddWmcOfProofs(proofs, groups, ann.sddNodeBudget) match {
+        case Right(p) =>
+          HybridResult("Exact", alert(p), "exact-sdd", Some(p), None, None, proofs.size)
+        case Left(reason) =>
+          HybridResult("NeedsExact", "Indeterminate", reason, None, lo, up, 0)
       }
+    if (groups.nonEmpty) {
+      if (exhaustive) return exactArm(None, None)
       return HybridResult("NeedsExact", "Indeterminate", "exclusivity-requires-exact",
         None, None, None, 0)
     }
@@ -103,11 +121,7 @@ object ProbReasoner {
       val climbing = proofs.size > k &&
         (wmcOfProofs(proofs.take(k + 1)) - lo).max(0.0) >= ann.marginalGainFloor
       if (k >= ann.kMax || (!near && !climbing)) {
-        if (exhaustive) {
-          val p = wmcOfProofs(proofs)
-          return HybridResult("Exact", alert(p), "exact-sdd",
-            Some(p), None, None, proofs.size)
-        }
+        if (exhaustive) return exactArm(Some(lastLo), Some(lastUp))
         return HybridResult("NeedsExact", "Indeterminate", "sdd-budget",
           None, Some(lastLo), Some(lastUp), math.min(k, proofs.size))
       }
@@ -254,6 +268,36 @@ object ProbReasoner {
       .select("s", "p", "o", "value", "status", "proof_count", "formula")
   }
 
+  /** SDD-backed exact provenance (`parser.rs:3858-3886` sdd arm,
+    * `shared/src/sdd.rs` SddProvenance): each derived fact compiles its
+    * retained proof DNF to an [[Sdd]] and model-counts it exactly, under
+    * the default node budget. Distinct from [[wmcMaterialize]] only in
+    * the evaluation engine (circuit WMC vs Shannon expansion) and the
+    * budget behavior — results agree bit-for-bit on complete DNFs, which
+    * SddSpec asserts differentially. */
+  def sddMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule],
+      nodeBudget: Int = 100000): DataFrame = {
+    val r = new AnnotatedReasoner(spark, Lineage.semiring(MaxWmcProofs))
+    val tagged = lineageSeeds(seeds)
+    val closed = r.materialize(tagged, rules)
+    val evalF = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]],
+        trunc: Boolean) => {
+      val proofs = zipProofs(sids, sps)
+      if (trunc || proofs.size > MaxWmcProofs)
+        ("NeedsExact", "proof-enumeration-truncated", None: Option[Double])
+      else sddWmcOfProofs(proofs, groupsOf(sids, grps), nodeBudget) match {
+        case Right(p) => ("Exact", "sdd-wmc", Some(p))
+        case Left(reason) => ("NeedsExact", reason, None)
+      }
+    })
+    val (sids, sps, grps) = proofParts(col("tag"))
+    closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .withColumn("e", evalF(sids, sps, grps, col("tag").getField("trunc")))
+      .withColumn("proof_count", size(col("tag").getField("proofs")))
+      .select(col("s"), col("p"), col("o"), col("e._3").as("value"),
+        col("e._1").as("status"), col("e._2").as("reason"), col("proof_count"))
+  }
+
   /** Diagnostic top-k proofs provenance over the full fixpoint
     * (`parser.rs:3888-3927`): estimate = WMC of the retained proofs,
     * flagged UnsafeApproximation. k comes from the threshold field. */
@@ -285,8 +329,10 @@ object ProbReasoner {
         scalarMaterialize(spark, seeds, Seq(rule), booleanProvenance)
       case "topk" =>
         topkMaterialize(spark, seeds, Seq(rule), ann.threshold.map(_.toInt).getOrElse(5))
-      case "wmc" | "sdd" =>
+      case "wmc" =>
         wmcMaterialize(spark, seeds, Seq(rule))
+      case "sdd" =>
+        sddMaterialize(spark, seeds, Seq(rule), ann.sddNodeBudget)
       case "hybrid" =>
         hybridMaterialize(spark, seeds, rule, ann)
       case other =>

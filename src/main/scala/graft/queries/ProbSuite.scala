@@ -79,6 +79,37 @@ object ProbSuite {
           col("status"), col("reason"))
     }),
 
+    // SDD-backed exact WMC on a two-proof diamond: every customer k with
+    // 2k in key range derives <k p/loop k> through ea(k,2k)∘eb(2k,k) and
+    // (when 2k+1 is in range) ea(k,2k+1)∘eb(2k+1,k) — two proofs over
+    // four DISTINCT seeds, so the SDD's model count has the closed form
+    // 1 − (1−p₁q₁)(1−p₂q₂) that DuckDB reproduces bit-for-bit on the
+    // binary-fraction grid (all weights dyadic with ≤6 mantissa bits)
+    "prob_sdd_wmc" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("k"))
+      val maxk = c.agg(max("k")).first().getLong(0)
+      def cust(k: org.apache.spark.sql.Column) = concat(lit("customer/"), k)
+      // k ≥ 1 keeps every proof's eb source (2k, 2k+1) inside eb's k ≥ 2
+      // domain; key 0 would need eb edges the seed set doesn't contain
+      val ea1 = c.filter(col("k") >= 1 && col("k") * 2 <= maxk).select(
+        cust(col("k")).as("s"), lit("e/a").as("p"), cust(col("k") * 2).as("o"),
+        (lit(0.5) + (col("k") % 8).cast("double") / 32.0).as("prob"))
+      val ea2 = c.filter(col("k") >= 1 && col("k") * 2 + 1 <= maxk).select(
+        cust(col("k")).as("s"), lit("e/a").as("p"), cust(col("k") * 2 + 1).as("o"),
+        (lit(0.25) + (col("k") % 4).cast("double") / 16.0).as("prob"))
+      val eb = c.filter(col("k") >= 2).select(
+        cust(col("k")).as("s"), lit("e/b").as("p"),
+        cust(floor(col("k") / 2).cast("long")).as("o"),
+        (lit(0.5) + (col("k") % 16).cast("double") / 64.0).as("prob"))
+      val rule = SparqlParser().parseRule(
+        """RULE <rules/roundtrip> PROB(provenance=sdd) :-
+           CONSTRUCT { ?x <p/loop> ?x } WHERE { ?x <e/a> ?y . ?y <e/b> ?x }""")
+      ProbReasoner.sddMaterialize(s, ea1.unionByName(ea2).unionByName(eb), Seq(rule))
+        .select(col("s").as("x"), col("value").cast("string").as("value"),
+          col("status"), col("reason"), col("proof_count"))
+    }),
+
     // hybrid certified evaluation on a non-recursive two-hop rule: single
     // proof per fact → Exact, value = product, Alert iff ≥ threshold
     "prob_hybrid_twohop" -> ((s, dir) => {
@@ -123,6 +154,21 @@ object ProbSuite {
                 CAST(pr * 1000000.0 AS VARCHAR) AS est_ppm,
                 'UnsafeApproximation' AS status,
                 'diagnostic-only' AS reason FROM anc""",
+
+    "prob_sdd_wmc" ->
+      """WITH mx AS (SELECT max(c_custkey) AS m FROM customer)
+         SELECT 'customer/' || CAST(c.c_custkey AS VARCHAR) AS x,
+           CAST(1.0 - (1.0 - CASE WHEN 2*c.c_custkey <= mx.m
+                 THEN (0.5 + (c.c_custkey % 8)/32.0) *
+                      (0.5 + ((2*c.c_custkey) % 16)/64.0) ELSE 0.0 END)
+              * (1.0 - CASE WHEN 2*c.c_custkey + 1 <= mx.m
+                 THEN (0.25 + (c.c_custkey % 4)/16.0) *
+                      (0.5 + ((2*c.c_custkey + 1) % 16)/64.0) ELSE 0.0 END)
+            AS VARCHAR) AS value,
+           'Exact' AS status, 'sdd-wmc' AS reason,
+           CAST(CASE WHEN 2*c.c_custkey + 1 <= mx.m THEN 2 ELSE 1 END AS INTEGER)
+             AS proof_count
+         FROM customer c, mx WHERE c.c_custkey >= 1 AND 2*c.c_custkey <= mx.m""",
 
     "prob_hybrid_twohop" ->
       s"""SELECT 'customer/' || CAST(a.c_custkey AS VARCHAR) AS x,
