@@ -133,13 +133,22 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: per-bit majority vote of xxhash64
-    * token hashes. Near-dups = signatures within `maxHamming`. */
+  /** Cross-engine-portable 60-bit token hash: the first 15 hex digits of
+    * md5, parsed base-16 — DuckDB computes the identical value with
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`, which is what lets the
+    * driver oracle-check the SimHash pipeline end-to-end. xxhash64 stays
+    * the default for throughput (no hex round-trip). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of hashed
+    * tokens (default xxhash64). Near-dups = signatures within `maxHamming`. */
   def simHashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h = hashFn(col("tok"))
     // per-bit contribution: +1 if bit set else -1; sum > 0 → bit set
     val aggs = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
@@ -157,7 +166,8 @@ object Dedup {
     * segment — candidate generation is recall-complete for the requested
     * radius and stays linear in practice instead of n². */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nSegs = maxHamming + 1
     val widths = Array.tabulate(nSegs)(i => 64 / nSegs + (if (i < 64 % nSegs) 1 else 0))
@@ -166,7 +176,7 @@ object Dedup {
       val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
       shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
     }
-    val sigs = simHashSignatures(docs, idCol, textCol)
+    val sigs = simHashSignatures(docs, idCol, textCol, hashFn)
     val seg = sigs.select(col("id"), col("simhash"),
         posexplode(array((0 until nSegs).map(segment): _*)))
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")

@@ -29,8 +29,12 @@ object PipelineSuite {
       Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
         threshold = 0.5)),
 
+    // md5-derived 60-bit token hash so DuckDB reproduces the signatures
+    // bit-for-bit; the oracle brute-forces all pairs, so it also proves
+    // the segment blocking is recall-complete at this radius
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), maxHamming = 6)),
+      Dedup.simHashPairs(docs(s, dir), maxHamming = 6,
+        hashFn = Dedup.md5Hash60)),
 
     "dedup_embedding" -> ((s, dir) =>
       // 0.35 sits inside the synthetic corpus's similarity range (max
@@ -46,6 +50,15 @@ object PipelineSuite {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
         nClusters = 16, nProbe = 4)
+    }),
+
+    // full probe (nProbe = nClusters) must recover the exact top-k — this
+    // oracle-checks the whole IVF machinery (centroid training, list
+    // assignment, probe join, ranking) against the brute-force SQL
+    "similarity_ivf_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nClusters = 16, nProbe = 16)
     }),
 
     "text_token_count" -> ((s, dir) =>
@@ -109,6 +122,35 @@ object PipelineSuite {
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
                     list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.35 - 5e-7""",
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+          h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+          bt AS (SELECT doc_id, b,
+                   SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+                 GROUP BY doc_id, b),
+          sig AS (SELECT doc_id,
+                    SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+                  FROM bt GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+
+    "similarity_ivf_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+          s AS (SELECT qid, nid,
+                  ROUND(list_dot_product(qv, nv) /
+                    sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)), 6) AS cos
+                FROM q JOIN c ON qid <> nid),
+          r AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                FROM s)
+          SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
 
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
