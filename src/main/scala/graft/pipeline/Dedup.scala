@@ -191,6 +191,41 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---- near-dup clustering ------------------------------------------------
+
+  /** Connected components over a near-dup pair list: every document gets
+    * `cluster_id` = the minimum doc id reachable through pairs (its own id
+    * when unpaired), plus the cluster size — the step that turns pairwise
+    * near-dup evidence into dedup groups with a deterministic survivor
+    * (the min id). Reachability is computed by recursive doubling on the
+    * symmetrized pair graph — O(log diameter) rounds, and near-dup
+    * components are short-diameter by construction (LSH/threshold pairs
+    * are near-cliques), so 2-3 rounds settle real corpora. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
+    val edges = fwd.unionByName(
+        fwd.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint()
+    var reach = edges
+    var n = reach.count()
+    var round = 0
+    while (round < 64) {
+      val hop = reach.as("l").join(reach.as("r"), col("l.u") === col("r.v"))
+        .select(col("l.v").as("v"), col("r.u").as("u"))
+      reach = reach.unionByName(hop).distinct().localCheckpoint()
+      val n2 = reach.count()
+      if (n2 == n) round = 64 else { n = n2; round += 1 }
+    }
+    val minReach = reach.filter(col("u") < col("v"))
+      .groupBy("v").agg(min(col("u")).as("m"))
+    val labeled = docs.select(col(idCol))
+      .join(minReach, col(idCol) === col("v"), "left_outer")
+      .select(col(idCol), coalesce(col("m"), col(idCol)).as("cluster_id"))
+    labeled.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
 
   /** Double-precision cosine similarity of two float vectors (sequential

@@ -36,6 +36,13 @@ object PipelineSuite {
       Dedup.simHashPairs(docs(s, dir), maxHamming = 6,
         hashFn = Dedup.md5Hash60)),
 
+    // pairwise evidence → dedup groups: connected components over the
+    // (oracle-checked) jaccard pairs, min-id survivor, cluster sizes
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupClusters(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       // 0.35 sits inside the synthetic corpus's similarity range (max
       // within-label cosine ≈ 0.45-0.47), so the oracle checks real pairs
@@ -111,6 +118,31 @@ object PipelineSuite {
                  ROUND(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
           FROM cm JOIN sz na ON na.id = id_a JOIN sz nb ON nb.id = id_b
           WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                 FROM t WHERE len(w) >= 3),
+          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM sh),
+          sz AS (SELECT id, COUNT(*) AS n_sh FROM e GROUP BY id),
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+                 FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+                 GROUP BY 1, 2),
+          p AS (SELECT id_a, id_b FROM cm
+                JOIN sz na ON na.id = id_a JOIN sz nb ON nb.id = id_b
+                WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5),
+          ed AS (SELECT id_a AS v, id_b AS u FROM p
+                 UNION SELECT id_b, id_a FROM p),
+          rr(v, u) AS (SELECT v, u FROM ed
+                       UNION SELECT ed.v, rr.u FROM ed JOIN rr ON rr.v = ed.u),
+          mr AS (SELECT v, MIN(u) AS m FROM rr WHERE u < v GROUP BY v),
+          lab AS (SELECT d.doc_id, COALESCE(mr.m, d.doc_id) AS cluster_id
+                  FROM documents d LEFT JOIN mr ON mr.v = d.doc_id)
+          SELECT doc_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lab""",
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
