@@ -27,15 +27,33 @@ import graft.sparql.{Compiler, SparqlParser}
   *  - `GET /query?query=…` (URL-encoded) against the base store.
   *  - `OPTIONS` answers CORS preflight like the reference.
   *
+  * RSP persistent sessions (`main.rs:616-948`):
+  *  - `POST /rsp/register` `{query, static_rdf?, static_format?,
+  *    sparql_rules?}` → builds an [[graft.streaming.RspEngine]] whose
+  *    consumer forwards every emitted row into the session's event queue;
+  *    answers `{"session_id", "streams"}`.
+  *  - `POST /rsp/push` `{session_id, stream, ntriples, timestamp}` →
+  *    parses the N-Triples, routes them into the session's windows
+  *    (firing as event time advances), then enqueues an end-of-firing
+  *    marker; answers `{"status":"ok"}`.
+  *  - `GET /rsp/events/<session_id>` → Server-Sent Events: each result
+  *    row as a `data:` JSON object, each push boundary as `event: firing`
+  *    (`main.rs:829-908`). Unlike the reference's lazily-attached SSE
+  *    channel, the queue buffers rows emitted before the client connects.
+  *
   * Uses the JDK's `com.sun.net.httpserver` and Spark's bundled Jackson —
-  * no new dependencies. The RSP session routes (`/rsp/register`,
-  * `/rsp/push`) are out of scope this round; the RSP engine itself is
-  * exercised through [[graft.streaming.RspEngine]].
+  * no new dependencies.
   */
 class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  private final case class RspSession(engine: graft.streaming.RspEngine,
+      queue: java.util.concurrent.LinkedBlockingQueue[String])
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, RspSession]()
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def port: Int = server.getAddress.getPort
 
@@ -43,7 +61,12 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
     server.createContext("/query", queryHandler)
     server.createContext("/rsp-query", rspQueryHandler)
-    server.setExecutor(null) // single-threaded dispatcher; Spark parallelizes inside
+    server.createContext("/rsp/register", rspRegisterHandler)
+    server.createContext("/rsp/push", rspPushHandler)
+    server.createContext("/rsp/events", rspEventsHandler)
+    // pooled dispatcher: the SSE route holds its connection open, which
+    // must not block /rsp/push (the reference spawns a thread per client)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     this
   }
@@ -156,6 +179,118 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
       }
     } catch {
       case e: Exception => respond(exchange, 500, error(e.getMessage))
+    }
+
+  private def jsonBody(exchange: HttpExchange): Either[String, JsonNode] = {
+    val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    try Right(mapper.readTree(body))
+    catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
+  }
+
+  private def optText(req: JsonNode, field: String): Option[String] =
+    Option(req.get(field)).filter(!_.isNull).map(_.asText()).filter(_.trim.nonEmpty)
+
+  /** `POST /rsp/register` (`main.rs:650-773` rsp_register). */
+  private def rspRegisterHandler: HttpHandler = (exchange: HttpExchange) =>
+    try {
+      exchange.getRequestMethod match {
+        case "OPTIONS" => respond(exchange, 204, "")
+        case "POST" => jsonBody(exchange) match {
+          case Left(msg) => respond(exchange, 400, error(msg))
+          case Right(req) if optText(req, "query").isEmpty =>
+            respond(exchange, 400, error("No query provided"))
+          case Right(req) =>
+            val staticStore = optText(req, "static_rdf").map { rdf =>
+              buildStore(Some(rdf), optText(req, "static_format").getOrElse("rdfxml"))
+            }
+            val rules = Option(req.get("sparql_rules")).filter(_.isArray).toSeq
+              .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+              .map(SparqlParser().parseRule)
+            val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+            val consumer: graft.streaming.RspEngine.Emission => Unit = em =>
+              em.rows.foreach { r =>
+                val node = mapper.createObjectNode()
+                r.foreach { case (k, v) => node.put(k, v) }
+                queue.offer(node.toString)
+              }
+            val engine = graft.streaming.RspEngineBuilder.fromQuery(
+              spark, optText(req, "query").get, staticStore,
+              consumer = consumer, rules = rules)
+            val id = sessionCounter.incrementAndGet().toString
+            sessions.put(id, RspSession(engine, queue))
+            val resp = mapper.createObjectNode()
+            resp.put("session_id", id)
+            val streams = resp.putArray("streams")
+            engine.query.windows.map(_.streamIri).distinct.foreach(streams.add)
+            respond(exchange, 200, resp.toString)
+        }
+        case _ => respond(exchange, 404, error("Not Found"))
+      }
+    } catch { case e: Exception => respond(exchange, 500, error(e.getMessage)) }
+
+  /** `POST /rsp/push` (`main.rs:775-859` rsp_push). */
+  private def rspPushHandler: HttpHandler = (exchange: HttpExchange) =>
+    try {
+      exchange.getRequestMethod match {
+        case "OPTIONS" => respond(exchange, 204, "")
+        case "POST" => jsonBody(exchange) match {
+          case Left(msg) => respond(exchange, 400, error(msg))
+          case Right(req) =>
+            val sid = optText(req, "session_id").getOrElse("")
+            Option(sessions.get(sid)) match {
+              case None => respond(exchange, 404, error("Session not found"))
+              case Some(session) =>
+                val stream = optText(req, "stream").getOrElse("*")
+                val ts = Option(req.get("timestamp")).map(_.asLong()).getOrElse(0L)
+                optText(req, "ntriples").foreach { nt =>
+                  // engine.add fires windows as event time advances; the
+                  // session consumer enqueues each emission's rows
+                  RdfIO.parseNtDoc(nt).foreach { case (s, p, o) =>
+                    session.engine.add(stream, s, p, o, ts)
+                  }
+                }
+                session.queue.offer("__FIRING_END__")
+                respond(exchange, 200, """{"status":"ok"}""")
+            }
+        }
+        case _ => respond(exchange, 404, error("Not Found"))
+      }
+    } catch { case e: Exception => respond(exchange, 500, error(e.getMessage)) }
+
+  /** `GET /rsp/events/<session_id>` — SSE (`main.rs:829-908`): rows as
+    * `data:` lines, push boundaries as `event: firing`; holds the
+    * connection until the client disconnects or the idle timeout hits. */
+  private def rspEventsHandler: HttpHandler = (exchange: HttpExchange) =>
+    try {
+      val sid = exchange.getRequestURI.getPath.stripPrefix("/rsp/events")
+        .stripPrefix("/")
+      Option(sessions.get(sid)) match {
+        case None => respond(exchange, 404, error("Session not found"))
+        case Some(session) =>
+          val headers = exchange.getResponseHeaders
+          headers.add("Content-Type", "text/event-stream")
+          headers.add("Cache-Control", "no-cache")
+          headers.add("Access-Control-Allow-Origin", "*")
+          exchange.sendResponseHeaders(200, 0)
+          val os = exchange.getResponseBody
+          try {
+            var open = true
+            while (open) {
+              val msg = session.queue.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+              if (msg == null) open = false // idle timeout: close politely
+              else {
+                val out = if (msg == "__FIRING_END__") "event: firing\ndata: {}\n\n"
+                  else s"data: $msg\n\n"
+                os.write(out.getBytes(StandardCharsets.UTF_8))
+                os.flush()
+              }
+            }
+          } catch { case _: java.io.IOException => /* client went away */ }
+          finally { try os.close() catch { case _: Exception => } }
+          exchange.close()
+      }
+    } catch { case e: Exception =>
+      try respond(exchange, 500, error(e.getMessage)) catch { case _: Exception => }
     }
 
   private def buildStore(rdf: Option[String], format: String): QuadStore = rdf match {

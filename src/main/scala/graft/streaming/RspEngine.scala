@@ -51,7 +51,11 @@ class RspEngine(
     staticStore: Option[QuadStore] = None,
     policy: RspEngine.SyncPolicy = RspEngine.Wait,
     consumer: RspEngine.Emission => Unit = _ => (),
-    reportStrategies: Seq[RspEngine.ReportStrategy] = Seq(RspEngine.OnWindowClose)) {
+    reportStrategies: Seq[RspEngine.ReportStrategy] = Seq(RspEngine.OnWindowClose),
+    /** Forward-chaining rules applied to each window's content store
+      * before the R2R query runs — the reference's `add_sparql_rules`
+      * R2R enrichment (`rsp/builder.rs`, `main.rs:689-700`). */
+    rules: Seq[Rule] = Nil) {
 
   import RspEngine._
 
@@ -195,8 +199,11 @@ class RspEngine(
     }
     lastContentHash = Some(contentHash)
     if (!passes) return
-    // R2R: run this window's compiled block over the content store
+    // R2R: run this window's compiled block over the content store,
+    // enriched by the registered rules' forward chaining
     val store = QuadStore.fromTriples(spark, content)
+    if (rules.nonEmpty)
+      new graft.reasoner.Reasoner(spark).materialize(store, rules)
     val b = new Compiler(store).compileElements(w.blockElems)
     val asStrings = b.df.select(b.df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
     w.latest = Some(asStrings.collect().toSeq)
@@ -257,6 +264,8 @@ object RspEngineBuilder {
   def fromQuery(spark: SparkSession, rspQl: String,
       staticStore: Option[QuadStore] = None,
       policy: RspEngine.SyncPolicy = RspEngine.Wait,
-      consumer: RspEngine.Emission => Unit = _ => ()): RspEngine =
-    new RspEngine(spark, SparqlParser().parseRsp(rspQl), staticStore, policy, consumer)
+      consumer: RspEngine.Emission => Unit = _ => (),
+      rules: Seq[Rule] = Nil): RspEngine =
+    new RspEngine(spark, SparqlParser().parseRsp(rspQl), staticStore, policy,
+      consumer, rules = rules)
 }

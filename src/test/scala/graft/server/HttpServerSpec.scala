@@ -122,6 +122,77 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("RSP session: /rsp/register + /rsp/push + /rsp/events SSE (main.rs:616-948)") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      // register with a rule so the R2R enrichment path is exercised too
+      val reg = mapper.createObjectNode()
+      reg.put("query",
+        """REGISTER RSTREAM <http://out> AS
+          |SELECT *
+          |FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms]
+          |WHERE { WINDOW :w { ?s <http://ex.org/hot> "true" . } }""".stripMargin)
+      val rules = reg.putArray("sparql_rules")
+      rules.add(
+        """RULE <r/hot> :- CONSTRUCT { ?s <http://ex.org/hot> "true" }
+           WHERE { ?s <http://ex.org/temp> "30" }""")
+      val regResp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/register"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(reg.toString)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(regResp.statusCode() == 200)
+      val regJson = mapper.readTree(regResp.body())
+      val sid = regJson.get("session_id").asText()
+      assert(regJson.get("streams").size() == 1)
+
+      def push(ts: Long, nt: String): Unit = {
+        val p = mapper.createObjectNode()
+        p.put("session_id", sid); p.put("stream", "sensors")
+        p.put("timestamp", ts); p.put("ntriples", nt)
+        val r = client.send(
+          HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/push"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(p.toString)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200)
+        assert(mapper.readTree(r.body()).get("status").asText() == "ok")
+      }
+      push(2, "<http://ex.org/a> <http://ex.org/temp> \"30\" .")
+      push(5, "<http://ex.org/b> <http://ex.org/temp> \"20\" .")
+      // event at t=12 closes the (0,10] window → one firing with only `a`
+      // (hot via the rule); b stays cold
+      push(12, "<http://ex.org/c> <http://ex.org/temp> \"30\" .")
+
+      // SSE: queued rows + firing markers are replayed to the client
+      val conn = new java.net.URI(
+        s"http://localhost:${srv.port}/rsp/events/$sid").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/event-stream"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      var firings = 0
+      while (firings < 3 && { val l = reader.readLine(); lines += l; l != null }) {
+        if (lines.last == "event: firing") firings += 1
+      }
+      conn.disconnect()
+      val dataRows = lines.filter(l => l != null && l.startsWith("data: {") && l != "data: {}")
+        .map(l => mapper.readTree(l.stripPrefix("data: ")))
+      assert(dataRows.map(_.get("s").asText()).toSet == Set("http://ex.org/a"))
+      assert(firings == 3)
+
+      val missing = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/push"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"session_id":"nope"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("multi-query POST returns indexed results") {
     val store = QuadStore.fromTriples(spark, Seq(("s1", "p", "o1")))
     val srv = new GraftHttpServer(spark, Some(store)).start()
