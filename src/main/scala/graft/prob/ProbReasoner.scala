@@ -142,6 +142,28 @@ object ProbReasoner {
     transform(tag.getField("proofs"), p => transform(p, x => x.getField("sp"))),
     transform(tag.getField("proofs"), p => transform(p, x => x.getField("grp"))))
 
+  private def proofNegs(tag: Column): Column =
+    transform(tag.getField("proofs"), p => transform(p, x => x.getField("neg")))
+
+  /** Exact value of a possibly-signed proof formula: the positive path
+    * keeps the group-aware Shannon evaluator; signed clauses (from the
+    * negative stratum's ⊖) go through the signed evaluator — exclusive
+    * groups and NAF literals cannot be combined (the reference's DnfWmc
+    * provenance has no group notion either). */
+  private def exactOfParts(sids: Seq[Seq[Long]], sps: Seq[Seq[Double]],
+      grps: Seq[Seq[Long]], negs: Seq[Seq[Boolean]]): Double = {
+    val hasNeg = negs.exists(_.exists(identity))
+    if (!hasNeg) wmcOfProofs(zipProofs(sids, sps), groupsOf(sids, grps))
+    else {
+      require(groupsOf(sids, grps).isEmpty,
+        "NAF literals cannot be combined with exclusive-group seeds")
+      val probs = sids.flatten.zip(sps.flatten).toMap
+      val clauses = sids.lazyZip(negs).map((is, ns) =>
+        is.zip(ns.map(n => !n)).toSet: Wmc.SignedClause)
+      Wmc.exactSigned(clauses.toSeq, probs)
+    }
+  }
+
   /** Column-level evaluator over a [[Lineage]] tag. A Scala UDF (not an
     * Expression): the escalation ladder is real control flow with
     * recursion and memoization, and it runs distributed on the fact rows. */
@@ -186,21 +208,28 @@ object ProbReasoner {
     cs => cs.reduce(_ * _),
     c => lit(1.0) - exp(sum(log(greatest(lit(1e-300), lit(1.0) - c)))),
     (a, b) => a + b - a * b,
-    idempotent = false)
+    idempotent = false,
+    negate = Some(c => lit(1.0) - c))
 
   /** ⊗=AND, ⊕=OR over {0,1} tags (`provenance.rs:153-188`) — the min/max
     * algebra restricted to booleans. */
   val booleanProvenance: Semiring = Semiring(
     cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b),
-    doublingSafe = true)
+    doublingSafe = true, negate = Some(c => lit(1.0) - c))
 
   /** Run PROB-annotated rules over scalar-semiring provenance and
-    * return `(s, p, o, probability)` facts (derived only). */
+    * return `(s, p, o, probability)` facts (derived only). Rules with
+    * negative premises evaluate under the stratified negation-aware
+    * pipeline (present fact → ⊖ tag, absent → ⊤) when the semiring has
+    * exact negation. */
   def scalarMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule],
       semiring: Semiring): DataFrame = {
     val r = new AnnotatedReasoner(spark, semiring)
     val tagged = scalarSeeds(seeds)
-    val closed = r.materialize(tagged, rules)
+    val closed =
+      if (rules.exists(_.negativePremise.nonEmpty) && semiring.negate.isDefined)
+        r.materializeStratified(tagged, rules)
+      else r.materialize(tagged, rules)
     closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
       .withColumnRenamed("tag", "probability")
   }
@@ -254,17 +283,24 @@ object ProbReasoner {
   def wmcMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule]): DataFrame = {
     val r = new AnnotatedReasoner(spark, Lineage.semiring(MaxWmcProofs))
     val tagged = lineageSeeds(seeds)
-    val closed = r.materialize(tagged, rules)
-    val formulaF = udf((sids: Seq[Seq[Long]]) =>
-      sids.map(_.map(id => s"x$id").mkString("(", " ∧ ", ")")).mkString(" ∨ "))
-    val sidsCol =
-      transform(col("tag").getField("proofs"), p => transform(p, x => x.getField("sid")))
+    val closed =
+      if (rules.exists(_.negativePremise.nonEmpty)) r.materializeStratified(tagged, rules)
+      else r.materialize(tagged, rules)
+    val valueF = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]],
+        grps: Seq[Seq[Long]], negs: Seq[Seq[Boolean]]) =>
+      exactOfParts(sids, sps, grps, negs))
+    val formulaF = udf((sids: Seq[Seq[Long]], negs: Seq[Seq[Boolean]]) =>
+      sids.lazyZip(negs).map((is, ns) =>
+        is.zip(ns).map { case (id, n) => (if (n) "¬" else "") + s"x$id" }
+          .mkString("(", " ∧ ", ")")).mkString(" ∨ "))
+    val (sids, sps, grps) = proofParts(col("tag"))
+    val negs = proofNegs(col("tag"))
     closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-      .withColumn("value", topkEstimateColumn(col("tag")))
+      .withColumn("value", valueF(sids, sps, grps, negs))
       .withColumn("status", when(col("tag").getField("trunc") ||
         size(col("tag").getField("proofs")) > MaxWmcProofs, "NeedsExact").otherwise("Exact"))
       .withColumn("proof_count", size(col("tag").getField("proofs")))
-      .withColumn("formula", formulaF(sidsCol))
+      .withColumn("formula", formulaF(sids, negs))
       .select("s", "p", "o", "value", "status", "proof_count", "formula")
   }
 
@@ -279,20 +315,30 @@ object ProbReasoner {
       nodeBudget: Int = 100000): DataFrame = {
     val r = new AnnotatedReasoner(spark, Lineage.semiring(MaxWmcProofs))
     val tagged = lineageSeeds(seeds)
-    val closed = r.materialize(tagged, rules)
+    val closed =
+      if (rules.exists(_.negativePremise.nonEmpty)) r.materializeStratified(tagged, rules)
+      else r.materialize(tagged, rules)
     val evalF = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]],
-        trunc: Boolean) => {
+        negs: Seq[Seq[Boolean]], trunc: Boolean) => {
       val proofs = zipProofs(sids, sps)
       if (trunc || proofs.size > MaxWmcProofs)
         ("NeedsExact", "proof-enumeration-truncated", None: Option[Double])
-      else sddWmcOfProofs(proofs, groupsOf(sids, grps), nodeBudget) match {
+      else if (negs.exists(_.exists(identity))) {
+        // signed lineage from the negative stratum: SDD literals carry
+        // 1−p natively, so the signed DNF compiles without De Morgan
+        val probs = sids.flatten.zip(sps.flatten).toMap
+        val clauses = sids.lazyZip(negs).map((is, ns) => is.zip(ns.map(n => !n)).toSet)
+        try ("Exact", "sdd-wmc", Some(Sdd.wmcOfSignedDnf(clauses.toSeq, probs, nodeBudget)))
+        catch { case _: SddBudgetExceeded => ("NeedsExact", "sdd-node-budget", None) }
+      } else sddWmcOfProofs(proofs, groupsOf(sids, grps), nodeBudget) match {
         case Right(p) => ("Exact", "sdd-wmc", Some(p))
         case Left(reason) => ("NeedsExact", reason, None)
       }
     })
     val (sids, sps, grps) = proofParts(col("tag"))
     closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-      .withColumn("e", evalF(sids, sps, grps, col("tag").getField("trunc")))
+      .withColumn("e", evalF(sids, sps, grps, proofNegs(col("tag")),
+        col("tag").getField("trunc")))
       .withColumn("proof_count", size(col("tag").getField("proofs")))
       .select(col("s"), col("p"), col("o"), col("e._3").as("value"),
         col("e._1").as("status"), col("e._2").as("reason"), col("proof_count"))

@@ -291,4 +291,24 @@ object Sdd {
     val constrained = constraints.foldLeft(root)(m.conjoin)
     m.wmc(constrained)
   }
+
+  /** Exact WMC of a SIGNED DNF over independent seeds — the SDD engine's
+    * negative literals carry weight 1−p natively, so negation-aware
+    * lineage (`provenance.rs:322-420` signed clauses) compiles directly:
+    * no De Morgan expansion needed. */
+  def wmcOfSignedDnf(clauses: Seq[Set[(Long, Boolean)]],
+      probs: Map[Long, Double], maxNodes: Int = 1 << 20): Double = {
+    if (clauses.isEmpty) return 0.0
+    if (clauses.exists(_.isEmpty)) return 1.0
+    val m = new Sdd(maxNodes)
+    val seedIds = clauses.flatMap(_.map(_._1)).distinct.sorted
+    val varOf = seedIds.zipWithIndex.toMap
+    for (sid <- seedIds) m.ensureVar(varOf(sid), probs(sid), 1.0 - probs(sid))
+    val root = clauses.map { clause =>
+      clause.toSeq.sortBy(_._1)
+        .map { case (sid, pol) => m.literal(varOf(sid), pol) }
+        .reduce(m.conjoin)
+    }.reduce(m.disjoin)
+    m.wmc(root)
+  }
 }

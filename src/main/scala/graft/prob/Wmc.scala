@@ -66,4 +66,60 @@ object Wmc {
     }
     math.max(0.0, math.min(1.0, eval(minimize(proofs.map(_.toList.sorted).toList))))
   }
+
+  // ---- signed DNFs (`provenance.rs:322-420` DnfWmcProvenance) -------------
+
+  /** A signed clause: (seed id, polarity); polarity false = ¬seed. */
+  type SignedClause = Set[(Long, Boolean)]
+
+  /** Drop clauses containing x ∧ ¬x (`provenance.rs:363-368`). */
+  def removeContradictory(f: Seq[SignedClause]): Seq[SignedClause] =
+    f.filterNot(c => c.exists { case (v, pol) => c.contains((v, !pol)) })
+
+  /** Drop clauses subsumed by a subset clause (`provenance.rs:353-360`). */
+  def removeSubsumed(f: Seq[SignedClause]): Seq[SignedClause] = {
+    val cs = f.distinct
+    cs.filterNot(c => cs.exists(o => o != c && o.subsetOf(c)))
+  }
+
+  /** Exact WMC of a signed DNF over INDEPENDENT seeds — the reference's
+    * `shannon_wmc` (`provenance.rs:370-395`): condition on the smallest
+    * variable; the x=1 branch keeps clauses without ¬x, the x=0 branch
+    * keeps clauses without x. */
+  def exactSigned(formula: Seq[SignedClause], probs: Map[Long, Double]): Double = {
+    val memo = scala.collection.mutable.HashMap.empty[Set[SignedClause], Double]
+    def eval(f0: Seq[SignedClause]): Double = {
+      val f = removeSubsumed(removeContradictory(f0))
+      if (f.isEmpty) return 0.0
+      if (f.exists(_.isEmpty)) return 1.0
+      memo.getOrElseUpdate(f.toSet, {
+        val x = f.flatMap(_.map(_._1)).min
+        val p = probs(x)
+        val whenTrue = f.filterNot(_.contains((x, false)))
+          .map(_.filterNot(_._1 == x))
+        val whenFalse = f.filterNot(_.contains((x, true)))
+          .map(_.filterNot(_._1 == x))
+        p * eval(whenTrue) + (1.0 - p) * eval(whenFalse)
+      })
+    }
+    math.max(0.0, math.min(1.0, eval(formula)))
+  }
+
+  /** De Morgan complement of a signed DNF (`provenance.rs:416+`
+    * DnfWmcProvenance::negate): ¬(∨ᵢ ∧ⱼ lᵢⱼ) = ∧ᵢ ∨ⱼ ¬lᵢⱼ, expanded back
+    * to DNF clause-by-clause with contradiction/subsumption pruning —
+    * exact, correlation-preserving. Worst case exponential in clause
+    * count; callers cap the input (proof retention already bounds it). */
+  def negate(formula: Seq[SignedClause]): Seq[SignedClause] = {
+    if (formula.isEmpty) return Seq(Set.empty) // ¬false = true
+    if (formula.exists(_.isEmpty)) return Nil // ¬true = false
+    var acc: Seq[SignedClause] = Seq(Set.empty)
+    formula.foreach { clause =>
+      val sums = clause.toSeq.map { case (v, pol) => (v, !pol) }
+      acc = removeSubsumed(removeContradictory(
+        for (a <- acc; l <- sums) yield a + l))
+      if (acc.isEmpty) return Nil
+    }
+    acc
+  }
 }

@@ -79,6 +79,75 @@ object ProbSuite {
           col("status"), col("reason"))
     }),
 
+    // negation-aware provenance (provenance_semi_naive.rs negative pass):
+    // nourgent(c) fires for every member; its tag ⊗-combines the member
+    // probability with ⊖(max urgent-order tag) when hasurgent(c) was
+    // derived in stratum 0, and ⊤ when it wasn't — min/max/1−p are exact
+    // doubles, so the oracle's closed form LEAST(pm, 1−mp) hash-matches
+    "prob_negation_minmax" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("k"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("long").as("ok"),
+          col("o_custkey").cast("long").as("ck"))
+      val member = c.select(
+        concat(lit("customer/"), col("k")).as("s"),
+        lit("is/member").as("p"), lit("true").as("o"),
+        (lit(0.5) + (col("k") % 4).cast("double") / 16.0).as("prob"))
+      val urgent = o.select(
+        concat(lit("order/"), col("ok")).as("s"),
+        lit("urgent/for").as("p"),
+        concat(lit("customer/"), col("ck")).as("o"),
+        (lit(0.5) + (col("ok") % 8).cast("double") / 32.0).as("prob"))
+      val rules = Seq(
+        SparqlParser().parseRule(
+          """RULE <rules/hasurgent> PROB(provenance=minmax) :-
+             CONSTRUCT { ?c <flag/hasurgent> "true" }
+             WHERE { ?o <urgent/for> ?c }"""),
+        SparqlParser().parseRule(
+          """RULE <rules/nourgent> PROB(provenance=minmax) :-
+             CONSTRUCT { ?c <flag/nourgent> "true" }
+             WHERE { ?c <is/member> "true" .
+                     NOT { ?c <flag/hasurgent> "true" } }"""))
+      ProbReasoner.scalarMaterialize(s, member.unionByName(urgent), rules,
+          graft.reasoner.Semiring.minMaxProbability)
+        .filter(col("p") === "flag/nourgent")
+        .select(col("s").as("cust"), col("probability").cast("string").as("pr"))
+    }),
+
+    // negation-aware LINEAGE (signed literals): safe(c) ← member(c),
+    // NOT risky(c) with risky(c) ← member(c) ∧ signal(c). The signed
+    // formula m ⊗ ⊖(m∧s) prunes to m∧¬s, so the exact value is
+    // pm·(1−ps) — the correlation-aware answer only signed WMC gets
+    // right (a scalar noisy-or would compute pm·(1−pm·ps))
+    "prob_wmc_negation" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("k"))
+      val member = c.select(
+        concat(lit("customer/"), col("k")).as("s"),
+        lit("is/member").as("p"), lit("true").as("o"),
+        (lit(0.5) + (col("k") % 4).cast("double") / 16.0).as("prob"))
+      val signal = c.filter(col("k") % 2 === 0).select(
+        concat(lit("customer/"), col("k")).as("s"),
+        lit("has/signal").as("p"), lit("true").as("o"),
+        (lit(0.5) + (col("k") % 8).cast("double") / 32.0).as("prob"))
+      val rules = Seq(
+        SparqlParser().parseRule(
+          """RULE <rules/risky> PROB(provenance=wmc) :-
+             CONSTRUCT { ?c <flag/risky> "true" }
+             WHERE { ?c <is/member> "true" . ?c <has/signal> "true" }"""),
+        SparqlParser().parseRule(
+          """RULE <rules/safe> PROB(provenance=wmc) :-
+             CONSTRUCT { ?c <flag/safe> "true" }
+             WHERE { ?c <is/member> "true" .
+                     NOT { ?c <flag/risky> "true" } }"""))
+      ProbReasoner.wmcMaterialize(s, member.unionByName(signal), rules)
+        .filter(col("p") === "flag/safe")
+        .select(col("s").as("cust"), col("value").cast("string").as("value"),
+          col("status"), col("proof_count"))
+    }),
+
     // SDD-backed exact WMC on a two-proof diamond: every customer k with
     // 2k in key range derives <k p/loop k> through ea(k,2k)∘eb(2k,k) and
     // (when 2k+1 is in range) ea(k,2k+1)∘eb(2k+1,k) — two proofs over
@@ -154,6 +223,25 @@ object ProbSuite {
                 CAST(pr * 1000000.0 AS VARCHAR) AS est_ppm,
                 'UnsafeApproximation' AS status,
                 'diagnostic-only' AS reason FROM anc""",
+
+    "prob_negation_minmax" ->
+      """WITH up AS (SELECT o_custkey AS ck,
+                MAX(0.5 + (o_orderkey % 8) / 32.0) AS mp
+              FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+         SELECT 'customer/' || CAST(c.c_custkey AS VARCHAR) AS cust,
+           CAST(CASE WHEN up.mp IS NULL THEN 0.5 + (c.c_custkey % 4) / 16.0
+                ELSE LEAST(0.5 + (c.c_custkey % 4) / 16.0, 1.0 - up.mp) END
+             AS VARCHAR) AS pr
+         FROM customer c LEFT JOIN up ON up.ck = c.c_custkey""",
+
+    "prob_wmc_negation" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS cust,
+           CAST(CASE WHEN c_custkey % 2 = 0
+             THEN (0.5 + (c_custkey % 4) / 16.0) *
+                  (1.0 - (0.5 + (c_custkey % 8) / 32.0))
+             ELSE 0.5 + (c_custkey % 4) / 16.0 END AS VARCHAR) AS value,
+           'Exact' AS status, CAST(1 AS INTEGER) AS proof_count
+         FROM customer""",
 
     "prob_sdd_wmc" ->
       """WITH mx AS (SELECT max(c_custkey) AS m FROM customer)

@@ -36,13 +36,24 @@ final case class Semiring(
       * False for the proofs semiring: its top-k truncation makes ⊕/⊗
       * association-order-sensitive, and the reference enumerates proofs
       * in linear derivation order. */
-    doublingSafe: Boolean = false)
+    doublingSafe: Boolean = false,
+    /** ⊖ (negation-as-failure contribution of a PRESENT fact) and ⊤ (the
+      * ⊗-identity, the contribution of an ABSENT fact) — the reference's
+      * `Provenance::negate`/`one` (`provenance.rs:36-37,85,127,169`).
+      * None = the semiring has no exact negation (the proofs semiring —
+      * the reference's TopK `negate` is likewise approximate,
+      * `provenance.rs:256-262`) and NAF degrades to the anti-join. */
+    negate: Option[Column => Column] = None,
+    one: Column = lit(1.0),
+    zero: Column = lit(0.0))
 
 object Semiring {
   val minMaxProbability: Semiring =
     Semiring(cs => least(cs: _*), c => max(c), (a, b) => greatest(a, b),
-      doublingSafe = true)
-  val expiration: Semiring = minMaxProbability // same (min, max) algebra
+      doublingSafe = true, negate = Some(c => lit(1.0) - c))
+  /** Same (min, max) algebra, but over expiry timestamps — "1 − expiry"
+    * is meaningless, so no negation. */
+  val expiration: Semiring = minMaxProbability.copy(negate = None)
 }
 
 class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
@@ -130,6 +141,72 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
   def materialize(facts0: DataFrame, rules: Seq[Rule], maxRounds: Int = 100): DataFrame =
     if (semiring.idempotent) materializeSemiNaive(facts0, rules, maxRounds)
     else materializeJacobi(facts0, rules, maxRounds)
+
+  /** Stratified negation-aware materialization, the reference's
+    * provenance pipeline (`provenance_semi_naive.rs:240-266`): positive
+    * rules run to the semi-naive fixpoint (stratum 0), then every rule
+    * with negative premises runs in ONE negative pass (stratum 1) whose
+    * derivations ⊕-merge into the closure. Requires [[Semiring.negate]]
+    * when any rule carries a NOT; semirings without exact negation keep
+    * using [[materialize]]'s anti-join approximation. */
+  def materializeStratified(facts0: DataFrame, rules: Seq[Rule],
+      maxRounds: Int = 100): DataFrame = {
+    val (negRules, posRules) = rules.partition(_.negativePremise.nonEmpty)
+    val closed =
+      if (posRules.nonEmpty) materialize(facts0, posRules, maxRounds)
+      else facts0.groupBy("s", "p", "o")
+        .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+    if (negRules.isEmpty) closed
+    else {
+      val derived = negRules.map(r => negativePass(closed, r)).reduce(merge)
+      // new facts get their pass tag; already-known facts ⊕-merge
+      // (`provenance_semi_naive.rs:381` update_disjunction)
+      merge(closed, derived)
+    }
+  }
+
+  /** One rule's negative-stratum pass (`provenance_semi_naive.rs:297-385`):
+    * bind the positive premises, then for each negated atom — ground once
+    * the binding instantiates it — contribute ⊖(tag) when the fact is
+    * present and ⊤ when absent; the conclusion tag is the ⊗ of premise
+    * tags and NAF contributions, zero-tag conclusions dropped. */
+  private def negativePass(facts: DataFrame, rule: Rule): DataFrame = {
+    val negF = semiring.negate.getOrElse(throw new IllegalArgumentException(
+      "this semiring has no exact negation (Provenance::negate); " +
+        "use materialize()'s anti-join NAF instead"))
+    val scans = rule.premise.zipWithIndex.map { case (tp, i) =>
+      scan(facts, tp, s"__tag$i")
+    }
+    var b = scans.reduce(joinBindings)
+    val contribs = rule.negativePremise.zipWithIndex.map { case (ntp, j) =>
+      val negScan = scan(facts, ntp, s"__ntag$j")
+      val shared = negScan.columns.filter(c => c != s"__ntag$j").toSeq
+      // safety (`provenance_semi_naive.rs:356-359`): a variable in a
+      // negated atom must be bound by the positive premises
+      require(shared.forall(b.columns.contains),
+        s"unbound variable in negated atom of rule ${rule.name}")
+      b =
+        if (shared.isEmpty)
+          b.join(broadcast(negScan.limit(1)), lit(true), "left_outer")
+        else b.join(negScan, shared, "left_outer")
+      when(col(s"__ntag$j").isNotNull, negF(col(s"__ntag$j")))
+        .otherwise(semiring.one)
+    }
+    val tagCols = rule.premise.indices.map(i => col(s"__tag$i")) ++ contribs
+    val tagged = b.withColumn("tag",
+        if (tagCols.size == 1) tagCols.head else semiring.times(tagCols))
+      .filter(col("tag") =!= semiring.zero)
+    def termCol(t: Term): Column = t match {
+      case Var(n) => if (tagged.columns.contains(n)) col(n) else lit(null).cast(StringType)
+      case other => lit(TermLex.lexical(other))
+    }
+    rule.conclusion.map { tp =>
+      tagged.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
+          termCol(tp.o).as("o"), col("tag"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }.reduce(_ unionByName _)
+      .groupBy("s", "p", "o").agg(semiring.plusAgg(col("tag")).as("tag"))
+  }
 
   /** See [[Reasoner.broadcastDeltaMaxRows]] — localCheckpoint erases the
     * stats Catalyst needs to broadcast a small frontier on its own. */

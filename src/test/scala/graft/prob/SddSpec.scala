@@ -79,6 +79,26 @@ class SddSpec extends AnyFunSuite {
     assert(math.abs(Sdd.wmcOfDnf(Seq(Set(0L), Set(1L)), probs, groups) - 0.9) < 1e-12)
   }
 
+  test("signed DNFs: Shannon ≡ SDD, and ¬F complements F") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 30) {
+      val nVars = 2 + rnd.nextInt(5)
+      val probs = (0L until nVars.toLong).map(v => v -> (0.05 + 0.9 * rnd.nextDouble())).toMap
+      val dnf: Seq[Wmc.SignedClause] = (1 to 1 + rnd.nextInt(4)).map { _ =>
+        (1 to 1 + rnd.nextInt(3))
+          .map(_ => (rnd.nextInt(nVars).toLong, rnd.nextBoolean())).toSet
+      }
+      val viaShannon = Wmc.exactSigned(dnf, probs)
+      val viaSdd = Sdd.wmcOfSignedDnf(dnf, probs)
+      assert(math.abs(viaShannon - viaSdd) < 1e-10,
+        s"trial $trial: shannon=$viaShannon sdd=$viaSdd dnf=$dnf")
+      // De Morgan complement evaluates to 1 − P(F)
+      val comp = Wmc.exactSigned(Wmc.negate(dnf), probs)
+      assert(math.abs(viaShannon + comp - 1.0) < 1e-10,
+        s"trial $trial: P=$viaShannon P(neg)=$comp dnf=$dnf")
+    }
+  }
+
   test("node budget aborts compilation") {
     val probs = (0L until 24L).map(_ -> 0.5).toMap
     // 12 disjoint two-var clauses blow a 60-node arena
