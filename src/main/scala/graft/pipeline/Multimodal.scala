@@ -6,14 +6,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column operators for training-data pipelines: image/audio/
   * video payloads are opaque `binary` columns travelling beside typed
-  * metadata, processed batch-wise inside `mapPartitions` so a real decoder
-  * (JNI/FFI image lib) drops in without changing the Spark plumbing.
+  * metadata, processed batch-wise inside `mapPartitions` so a decoder
+  * drops in without changing the Spark plumbing.
   *
-  * The decode step is STUBBED: this container has no image/audio codecs,
-  * so [[stubDecode]] derives deterministic fake dimensions/features from
-  * the bytes. Schema, partitioning, batch shape, and the UDF signatures —
-  * the parts that matter at 100 TB (no shuffle, no driver collect, bounded
-  * per-batch memory) — are real and tested.
+  * Image decode is REAL: [[imageDecode]] uses the JDK's ImageIO
+  * (PNG/JPEG/BMP/GIF ship with the JVM — no external codecs needed).
+  * Audio/video decode is STUBBED ([[stubDecode]] derives deterministic
+  * fake dimensions/features from the bytes) because those codecs
+  * genuinely aren't in this container. Schema, partitioning, batch
+  * shape, and the UDF signatures — the parts that matter at 100 TB (no
+  * shuffle, no driver collect, bounded per-batch memory) — are real and
+  * tested either way.
   */
 object Multimodal {
 
@@ -53,8 +56,42 @@ object Multimodal {
     (w, h, 3, hist)
   }
 
-  /** Decode + feature-extract as a narrow mapPartitions stage. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  /** Real image decode via the JDK's ImageIO: dimensions, color-model
+    * channel count, and an 8-bin luminance histogram as the feature
+    * vector. Payloads ImageIO cannot read (corrupt bytes, audio/video
+    * containers) fall back to [[stubDecode]] so the pipeline never
+    * throws mid-partition. */
+  def imageDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    if (payload == null || payload.isEmpty) return stubDecode(Array.empty)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return stubDecode(payload)
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Float](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist(lum / 32) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = w * h
+    if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
+    (w, h, img.getColorModel.getNumComponents, hist)
+  }
+
+  /** Decode + feature-extract as a narrow mapPartitions stage. The
+    * decoder is pluggable; [[imageDecode]] for image payloads,
+    * [[stubDecode]] as the codec-free default. */
+  def decodeFeatures(media: DataFrame,
+      decoder: Array[Byte] => (Int, Int, Int, Array[Float]) = stubDecode): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(media.schema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -64,7 +101,7 @@ object Multimodal {
     val out = media.rdd.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val (w, h, c, f) = stubDecode(if (payload == null) Array.empty else payload)
+        val (w, h, c, f) = decoder(if (payload == null) Array.empty else payload)
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, f.toSeq))
       }
     }

@@ -98,6 +98,38 @@ class PipelineSpec extends SparkSpec {
     assert(f0.nonEmpty && f0.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("multimodal: REAL image decode via JDK ImageIO in mapPartitions") {
+    // 20×10 PNG, left half black, right half white → luminance histogram
+    // mass 0.5 in bin 0 and 0.5 in bin 7
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = spark.createDataFrame(Seq((7L, baos.toByteArray, "image/png")))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        org.apache.spark.sql.functions.struct(col("mime"),
+          org.apache.spark.sql.functions.length(col("payload")).cast("long").as("n_bytes"),
+          org.apache.spark.sql.functions.lit("test").as("source")).as("meta"))
+    val dec = Multimodal.decodeFeatures(media, Multimodal.imageDecode).collect().head
+    assert(dec.getAs[Int]("width") == 20)
+    assert(dec.getAs[Int]("height") == 10)
+    assert(dec.getAs[Int]("channels") == 3)
+    val feats = dec.getSeq[Float](dec.fieldIndex("features"))
+    assert(math.abs(feats(0) - 0.5f) < 1e-6)
+    assert(math.abs(feats(7) - 0.5f) < 1e-6)
+    // unreadable bytes fall back to the stub instead of throwing
+    val junk = spark.createDataFrame(Seq((8L, Array[Byte](1, 2, 3), "video/mp4")))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        org.apache.spark.sql.functions.struct(col("mime"),
+          org.apache.spark.sql.functions.lit(3L).as("n_bytes"),
+          org.apache.spark.sql.functions.lit("test").as("source")).as("meta"))
+    assert(Multimodal.decodeFeatures(junk, Multimodal.imageDecode).count() == 1)
+  }
+
   test("skew helpers: salted agg and salted join match unsalted results") {
     val li = spark.read.parquet(sf() + "/lineitem.parquet")
     val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
