@@ -31,8 +31,9 @@ object Bench {
     "similarity_ivf_topk", "text_langid", "text_quality",
     "text_fingerprint", "text_token_count",
     // relational direct mode
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q_above_avg_parts")
+    "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
+    "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
+    "q_above_avg_parts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

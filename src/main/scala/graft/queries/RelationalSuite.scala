@@ -73,6 +73,37 @@ object RelationalSuite {
         .filter(col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
 
+    // TPC-H Q4 shape: order-priority counts gated by an EXISTS semi-join
+    // (this lineitem has no commit/receipt dates, so the existence
+    // predicate is "some returned line item")
+    "q4_priority_count" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q10 shape: top customers by returned-item revenue
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // decorrelated-aggregate shape: parts priced above their type average
     "q_above_avg_parts" -> ((s, dir) => {
       val part = t(s, dir, "part")
@@ -125,6 +156,28 @@ object RelationalSuite {
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
          FROM lineitem
          WHERE l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""",
+
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
 
     "q_above_avg_parts" ->
       """SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice
