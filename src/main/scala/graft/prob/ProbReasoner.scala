@@ -253,7 +253,7 @@ object ProbReasoner {
     * fact's certified interval, decide against the threshold. Returns
     * `(s, p, o, status, decision, reason, value, lower, upper, k_used)`. */
   def hybridMaterialize(spark: SparkSession, seeds: DataFrame, rule: Rule,
-      ann: ProbAnnotation): DataFrame = {
+      ann: ProbAnnotation, recover: Boolean = true): DataFrame = {
     checkNonRecursive(Seq(rule))
     // retain k_max + 1 proofs so the per-row ladder can escalate k without
     // re-deriving, and a complete enumeration reaches the exact arm
@@ -262,8 +262,69 @@ object ProbReasoner {
     // non-recursive: a single rule application is the fixpoint
     val derived = r.applyRule(tagged, rule)
       .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-    derived
+    val ladder = derived
       .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
+      .select(col("s"), col("p"), col("o"),
+        col("h.status").as("status"), col("h.decision").as("decision"),
+        col("h.reason").as("reason"), col("h.value").as("value"),
+        col("h.lower").as("lower"), col("h.upper").as("upper"),
+        col("h.k_used").as("k_used"))
+    if (!recover) return ladder
+    // facts whose proof ENUMERATION truncated can be decided by
+    // re-deriving at a larger retention budget; a too-big SDD circuit
+    // (sdd-node-budget) cannot, so those stay NeedsExact
+    val needs = ladder.filter(col("status") === "NeedsExact" &&
+      col("reason").isin("sdd-budget", "exclusivity-requires-exact"))
+      .localCheckpoint()
+    if (needs.isEmpty) ladder
+    else ladder.join(needs.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .unionByName(hybridRecover(spark, seeds, rule, ann, needs))
+  }
+
+  /** Engine-level escalation for truncated proof enumerations — the
+    * reference recompiles such facts from its global lineage DAG
+    * (`hybrid.rs` SDD escalation); here the cone is re-derived at a
+    * geometrically larger proof-retention budget, restricted to the
+    * NeedsExact facts, until the enumeration is complete (then the SDD
+    * evaluates it exactly) or `maxRetain` is hit (the fact stays
+    * NeedsExact). Non-recursive rules only — the hybrid domain. At scale
+    * the semi-join on the target facts keeps the recovered cone small;
+    * the extra fixpoint-free rule application is one Spark job per
+    * escalation step. */
+  def hybridRecover(spark: SparkSession, seeds: DataFrame, rule: Rule,
+      ann: ProbAnnotation, needs: DataFrame, maxRetain: Int = 4096): DataFrame = {
+    val tagged = lineageSeeds(seeds)
+    val targets = needs.select("s", "p", "o")
+    var retain = math.max(2 * (ann.kMax + 1), 8)
+    var complete: Option[DataFrame] = None
+    while (complete.isEmpty && retain <= maxRetain) {
+      val r = new AnnotatedReasoner(spark, Lineage.semiring(retain))
+      val derived = r.applyRule(tagged, rule)
+        .join(targets, Seq("s", "p", "o"), "left_semi")
+        .localCheckpoint()
+      if (derived.filter(col("tag").getField("trunc")).isEmpty) complete = Some(derived)
+      else retain *= 4
+    }
+    val threshold = ann.threshold.getOrElse(0.5)
+    val evalF = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]],
+        trunc: Boolean) => {
+      if (trunc) HybridResult("NeedsExact", "Indeterminate", "retain-budget",
+        None, None, None, 0)
+      else sddWmcOfProofs(zipProofs(sids, sps), groupsOf(sids, grps),
+          ann.sddNodeBudget) match {
+        case Right(p) => HybridResult("Exact",
+          if (p >= threshold) "Alert" else "NoAlert", "exact-sdd-recovered",
+          Some(p), None, None, sids.size)
+        case Left(reason) => HybridResult("NeedsExact", "Indeterminate", reason,
+          None, None, None, 0)
+      }
+    })
+    val recoveredBase = complete.getOrElse(
+      new AnnotatedReasoner(spark, Lineage.semiring(maxRetain))
+        .applyRule(tagged, rule).join(targets, Seq("s", "p", "o"), "left_semi"))
+    val (sids, sps, grps) = proofParts(col("tag"))
+    recoveredBase
+      .withColumn("h", evalF(sids, sps, grps, col("tag").getField("trunc")))
       .select(col("s"), col("p"), col("o"),
         col("h.status").as("status"), col("h.decision").as("decision"),
         col("h.reason").as("reason"), col("h.value").as("value"),

@@ -275,4 +275,35 @@ class ProbSpec extends SparkSpec {
     assert(out.length == 1)
     assert(math.abs(out.head.getAs[Double]("estimate") - 0.72) < 1e-9)
   }
+
+  test("truncated enumerations recover exactly at a larger retention budget") {
+    // 12 disjoint two-hop paths x→mᵢ→z: the k_max=4 ladder retains only 5
+    // proofs (trunc), cannot certify against threshold 0.999, and lands
+    // NeedsExact — then the engine-level recovery re-derives the fact at
+    // retain 10→40, gets the complete 12-proof DNF, and the SDD answers
+    // exactly: P = 1 − (1 − 0.25)¹² (all seed probs 0.5, disjoint seeds).
+    val paths = (1 to 12).flatMap(i => Seq(
+      ("x", "e/a", s"m$i", 0.5), (s"m$i", "e/b", "z", 0.5)))
+    val sdf = seeds(paths: _*)
+    val rule = SparqlParser().parseRule(
+      """RULE <r/reach> PROB(provenance=hybrid, threshold=0.999, k_initial=2,
+         k_max=4) :-
+         CONSTRUCT { ?x <reach> ?z } WHERE { ?x <e/a> ?y . ?y <e/b> ?z }""")
+    val ann = rule.prob.get
+
+    val unrecovered = ProbReasoner.hybridMaterialize(spark, sdf, rule, ann,
+      recover = false).collect()
+    assert(unrecovered.length == 1)
+    assert(unrecovered.head.getAs[String]("status") == "NeedsExact")
+    assert(unrecovered.head.getAs[String]("reason") == "sdd-budget")
+
+    val recovered = ProbReasoner.hybridMaterialize(spark, sdf, rule, ann).collect()
+    assert(recovered.length == 1)
+    val row = recovered.head
+    assert(row.getAs[String]("status") == "Exact")
+    assert(row.getAs[String]("reason") == "exact-sdd-recovered")
+    assert(row.getAs[String]("decision") == "NoAlert") // 0.968 < 0.999
+    assert(math.abs(row.getAs[Double]("value") - (1.0 - math.pow(0.75, 12))) < 1e-12)
+    assert(row.getAs[Int]("k_used") == 12)
+  }
 }
