@@ -259,9 +259,12 @@ object ProbReasoner {
     // re-deriving, and a complete enumeration reaches the exact arm
     val r = new AnnotatedReasoner(spark, Lineage.semiring(ann.kMax + 1))
     val tagged = lineageSeeds(seeds)
-    // non-recursive: a single rule application is the fixpoint
+    // non-recursive: a single rule application is the fixpoint; the
+    // derivation is materialized once so the recoverability probe below
+    // doesn't recompute it
     val derived = r.applyRule(tagged, rule)
       .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .localCheckpoint()
     val ladder = derived
       .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
       .select(col("s"), col("p"), col("o"),
@@ -269,15 +272,17 @@ object ProbReasoner {
         col("h.reason").as("reason"), col("h.value").as("value"),
         col("h.lower").as("lower"), col("h.upper").as("upper"),
         col("h.k_used").as("k_used"))
-    if (!recover) return ladder
-    // facts whose proof ENUMERATION truncated can be decided by
-    // re-deriving at a larger retention budget; a too-big SDD circuit
-    // (sdd-node-budget) cannot, so those stay NeedsExact
-    val needs = ladder.filter(col("status") === "NeedsExact" &&
+    // a fact is recoverable iff its proof ENUMERATION truncated — a
+    // cheap flag probe on the checkpointed derivation; complete
+    // enumerations either decided in the ladder or exceeded the SDD node
+    // budget, which more retention cannot fix
+    if (!recover || derived.filter(col("tag").getField("trunc")).isEmpty)
+      return ladder
+    val done = ladder.localCheckpoint()
+    val needs = done.filter(col("status") === "NeedsExact" &&
       col("reason").isin("sdd-budget", "exclusivity-requires-exact"))
-      .localCheckpoint()
-    if (needs.isEmpty) ladder
-    else ladder.join(needs.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+    if (needs.isEmpty) done
+    else done.join(needs.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
       .unionByName(hybridRecover(spark, seeds, rule, ann, needs))
   }
 
