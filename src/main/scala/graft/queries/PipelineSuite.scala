@@ -68,6 +68,16 @@ object PipelineSuite {
         nClusters = 16, nProbe = 16)
     }),
 
+    // hot-key aggregation through the salt-and-remerge path: must be
+    // value-identical to a direct group-by (here checked against DuckDB)
+    "skew_salted_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.pipeline.Skew.saltedAgg(li, Seq("l_returnflag"),
+          col("l_orderkey"), buckets = 16,
+          partial = sum("l_quantity"), merge = sum, as = "sum_qty")
+        .select(col("l_returnflag"), round(col("sum_qty"), 4).as("sum_qty"))
+    }),
+
     "text_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
@@ -196,6 +206,10 @@ object PipelineSuite {
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
                 FROM s)
           SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
 
     "text_token_count" ->
       s"""SELECT doc_id, len($toks) AS n_tokens FROM documents""",

@@ -50,6 +50,24 @@ object ReasonerSuite {
         "SELECT ?x ?y WHERE { ?x <chain/anc> ?y }")
     }),
 
+    "datalog_backward" -> ((s, dir) => {
+      // goal-directed SLD proof of one node's ancestor set — driver-side
+      // by design like the reference's backward chainer; facts collected
+      // once (modest by contract: this is the interactive-goal path, the
+      // forward fixpoint handles bulk materialization)
+      import s.implicits._
+      val facts = chainStore(s, dir).quads
+        .select("s", "p", "o").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val chainer = new graft.reasoner.BackwardChainer(facts, ancestorRules)
+      val goal = graft.sparql.Ast.TriplePattern(
+        graft.sparql.Ast.Iri("customer/77"),
+        graft.sparql.Ast.Iri("chain/anc"),
+        graft.sparql.Ast.Var("y"))
+      // ancestors of 77: its full halving path 38→19→9→4→2→1→0
+      chainer.solve(goal).map(_("y")).toList.toDF("y")
+    }),
+
     "datalog_negation" -> ((s, dir) => {
       // Two strata, evaluated in order as the reference does (positive
       // rules to fixpoint first, then NAF rules — provenance_semi_naive.rs
@@ -84,6 +102,15 @@ object ReasonerSuite {
     Map(
       "datalog_closure_seminaive" -> closure,
       "datalog_closure_naive" -> closure,
+      "datalog_backward" ->
+        """WITH RECURSIVE anc(x, y) AS (
+             SELECT c_custkey, CAST(floor(c_custkey / 2) AS BIGINT)
+             FROM customer WHERE c_custkey >= 1
+             UNION
+             SELECT e.c_custkey, a.y FROM customer e
+             JOIN anc a ON a.x = CAST(floor(e.c_custkey / 2) AS BIGINT)
+             WHERE e.c_custkey >= 1)
+           SELECT 'customer/' || CAST(y AS VARCHAR) AS y FROM anc WHERE x = 77""",
       "datalog_negation" ->
         """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c FROM customer
            WHERE NOT EXISTS (SELECT 1 FROM orders
