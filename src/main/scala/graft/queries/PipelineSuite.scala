@@ -68,6 +68,19 @@ object PipelineSuite {
         nClusters = 16, nProbe = 16)
     }),
 
+    // end-to-end corpus selection, the composition a training-data run
+    // actually executes: language gate ∧ quality floor ∧ exact-dedup
+    // survivorship, in one narrow pass over the documents
+    "pipeline_corpus_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exactDedup(d).select(col("doc_id"))
+      d.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+    }),
+
     // hot-key aggregation through the salt-and-remerge path: must be
     // value-identical to a direct group-by (here checked against DuckDB)
     "skew_salted_agg" -> ((s, dir) => {
@@ -104,6 +117,31 @@ object PipelineSuite {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($lst, t)))"
   }
+
+  /** Shared DuckDB mirrors of langId / qualityScore, reused by the
+    * standalone text entries and the corpus-filter composition. */
+  private val langIdSql: String = {
+    val cases = TextAnalysis.langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    val scores = TextAnalysis.langProfiles.map { case (l, ws) =>
+      s"${profScore(ws)} AS s_$l"
+    }.mkString(", ")
+    val bestExpr = "greatest(" +
+      TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+    s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+        b AS (SELECT *, $bestExpr AS best FROM sc)
+        SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+  }
+
+  private val qualitySql: String =
+    s"""SELECT doc_id, ROUND((
+          least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
+          least(CAST(${profScore(TextAnalysis.langProfiles.flatMap(_._2))} AS DOUBLE)
+                / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) +
+          CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(len(text) AS DOUBLE), 1.0)
+        ) / 3.0, 6) AS quality FROM documents"""
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -214,27 +252,22 @@ object PipelineSuite {
     "text_token_count" ->
       s"""SELECT doc_id, len($toks) AS n_tokens FROM documents""",
 
-    "text_langid" -> {
-      val cases = TextAnalysis.langProfiles.map { case (l, ws) =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
-      }.mkString(" ")
-      val scores = TextAnalysis.langProfiles.map { case (l, ws) =>
-        s"${profScore(ws)} AS s_$l"
-      }.mkString(", ")
-      val bestExpr = "greatest(" + TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
-      s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
-          b AS (SELECT *, $bestExpr AS best FROM sc)
-          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
-    },
+    "text_langid" -> langIdSql,
 
-    "text_quality" ->
-      s"""SELECT doc_id, ROUND((
-            least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
-            least(CAST(${profScore(TextAnalysis.langProfiles.flatMap(_._2))} AS DOUBLE)
-                  / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) +
-            CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                  / greatest(CAST(len(text) AS DOUBLE), 1.0)
-          ) / 3.0, 6) AS quality FROM documents""",
+    "text_quality" -> qualitySql,
+
+    "pipeline_corpus_filter" ->
+      s"""WITH lang AS ($langIdSql),
+          q AS ($qualitySql),
+          f AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents),
+          surv AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp)
+          SELECT l.doc_id, l.lang_pred, q.quality
+          FROM lang l
+          JOIN q ON q.doc_id = l.doc_id
+          JOIN surv ON surv.doc_id = l.doc_id
+          WHERE l.lang_pred = 'en' AND q.quality >= 0.5""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
