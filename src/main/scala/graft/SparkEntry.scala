@@ -18,7 +18,8 @@ object SparkEntry {
       (graft.queries.StreamSuite.queries, graft.queries.StreamSuite.oracleSql),
       (graft.queries.RelationalSuite.queries, graft.queries.RelationalSuite.oracleSql),
       (graft.queries.MlSuite.queries, graft.queries.MlSuite.oracleSql),
-      (graft.queries.ProbSuite.queries, graft.queries.ProbSuite.oracleSql))
+      (graft.queries.ProbSuite.queries, graft.queries.ProbSuite.oracleSql),
+      (graft.queries.RdfIOSuite.queries, graft.queries.RdfIOSuite.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a SPARQL BGP join through the full parser→compiler→Catalyst path. */
