@@ -282,6 +282,13 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     * round count — the driver-paced part — is logarithmic. */
   private def closureByDoubling(edges: DataFrame, maxRounds: Int,
       debug: Boolean): DataFrame = {
+    // Re-materializing the full closure each round is deliberate: a
+    // delta-only variant (anti-join new pairs, closure as a lazy union of
+    // checkpointed deltas) measured no faster — the squaring self-join
+    // dominates, not the distinct — and lazy unions of checkpointed
+    // frames trip Catalyst's Union constraint rewrite on shared
+    // attribute ids. log₂(depth) rounds keeps the total re-shuffle at
+    // O(|closure| · log depth) either way.
     var t = edges.distinct().localCheckpoint()
     var n = t.count()
     var round = 0
