@@ -197,31 +197,40 @@ object Dedup {
     * `cluster_id` = the minimum doc id reachable through pairs (its own id
     * when unpaired), plus the cluster size — the step that turns pairwise
     * near-dup evidence into dedup groups with a deterministic survivor
-    * (the min id). Reachability is computed by recursive doubling on the
-    * symmetrized pair graph — O(log diameter) rounds, and near-dup
-    * components are short-diameter by construction (LSH/threshold pairs
-    * are near-cliques), so 2-3 rounds settle real corpora. */
+    * (the min id).
+    *
+    * Min-label propagation, NOT pairwise reachability: state is one label
+    * per node and each round shuffles O(|E|) — an all-pairs closure would
+    * be quadratic in component size (a k-document duplicate cluster has
+    * k² reachable pairs and its closure self-join k³ intermediates), which
+    * is exactly the blow-up a 100 TB dedup must avoid. Rounds are bounded
+    * by component diameter; near-dup components are near-cliques
+    * (LSH/threshold pairs), so real corpora settle in 2-3 rounds. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val fwd = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
     val edges = fwd.unionByName(
         fwd.select(col("u").as("v"), col("v").as("u")))
       .distinct().localCheckpoint()
-    var reach = edges
-    var n = reach.count()
+    // labels start at min(self, direct neighbors); each round pulls the
+    // smallest label visible one hop away, until no label changes
+    var labels = edges.groupBy("v")
+      .agg(least(min(col("u")), col("v")).as("lbl")).localCheckpoint()
     var round = 0
     while (round < 64) {
-      val hop = reach.as("l").join(reach.as("r"), col("l.u") === col("r.v"))
-        .select(col("l.v").as("v"), col("r.u").as("u"))
-      reach = reach.unionByName(hop).distinct().localCheckpoint()
-      val n2 = reach.count()
-      if (n2 == n) round = 64 else { n = n2; round += 1 }
+      val viaNeighbor = edges.join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy("v").agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(viaNeighbor, Seq("v"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.select(col("v"), col("lbl").as("nl"))
+        .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
+      labels = next
+      if (changed == 0) round = 64 else round += 1
     }
-    val minReach = reach.filter(col("u") < col("v"))
-      .groupBy("v").agg(min(col("u")).as("m"))
     val labeled = docs.select(col(idCol))
-      .join(minReach, col(idCol) === col("v"), "left_outer")
-      .select(col(idCol), coalesce(col("m"), col(idCol)).as("cluster_id"))
+      .join(labels, col(idCol) === col("v"), "left_outer")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
     labeled.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
