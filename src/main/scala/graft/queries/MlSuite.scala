@@ -34,7 +34,7 @@ object MlSuite {
     }),
 
     "ml_neural_relation" -> ((s, dir) => {
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val rt = new MlRuntime(s)
       fixedModel(rt)
       rt.declareNeuralRelation(NeuralRelationSpec(

@@ -74,7 +74,7 @@ object ReasonerSuite {
       // stratum note): every customer has SOME order in the synthetic
       // data, so the negation target is "no URGENT order" — a conjunctive
       // condition that needs the stratum-0 intermediate predicate.
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val hasUrgent = SparqlParser().parseRule(
         """RULE <rules/hasurgent> :- CONSTRUCT { ?c <flag/hasurgent> "true" }
            WHERE { ?o <orders#o_custkey> ?c . ?o <orders#o_orderpriority> "1-URGENT" }""")

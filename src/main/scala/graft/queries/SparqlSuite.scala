@@ -130,7 +130,7 @@ object SparqlSuite {
         ORDER BY DESC(?bal) ?name LIMIT 10 OFFSET 5""")),
 
     "sparql_udf" -> ((s, dir) => {
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       store.registerUdf("SHOUT", args => args.head.toUpperCase)
       new Compiler(store).select("""
         SELECT ?c ?up WHERE {
@@ -138,7 +138,7 @@ object SparqlSuite {
     }),
 
     "sparql_update_insert_where" -> ((s, dir) => {
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val c = new Compiler(store)
       c.execute("""
         INSERT { ?c <customer#tier> "gold" }
@@ -147,7 +147,7 @@ object SparqlSuite {
     }),
 
     "sparql_update_delete_where" -> ((s, dir) => {
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val c = new Compiler(store)
       c.execute("""
         DELETE { ?c <customer#c_mktsegment> ?seg }
@@ -158,7 +158,7 @@ object SparqlSuite {
     }),
 
     "sparql_rdfstar" -> ((s, dir) => {
-      val store = Triplizer.store(s, dir, defaultGraph = true)
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val c = new Compiler(store)
       c.execute("""
         INSERT { <<?n <nation#n_name> ?o>> <prov/source> "tpch" }

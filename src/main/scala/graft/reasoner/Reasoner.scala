@@ -307,10 +307,28 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
   }
 
   /** Materialize into a store's default graph (API parity with the
-    * reference's `infer_generic` driver). */
+    * reference's `infer_generic` driver).
+    *
+    * Relevance slicing: when every premise predicate is a constant, only
+    * facts carrying a referenced predicate (premise, negative premise, or
+    * rule head) can ever participate in the fixpoint — the rest of the
+    * store never enters the loop. This is the Spark analogue of the
+    * reference's rule-index dispatch (`shared/src/rule_index.rs`): on a
+    * wide store (every table triplized) a two-predicate rule set touches
+    * two predicate clusters, not the whole corpus — the difference
+    * between checkpointing thousands of rows and millions per round. */
   def materialize(store: QuadStore, rules: Seq[Rule],
       semiNaive: Boolean = true): QuadStore = {
-    val facts0 = store.quads.filter(col("g").isNull).select("s", "p", "o")
+    def constPred(t: Term): Option[String] = t match {
+      case Iri(v) => Some(v); case Lit(v) => Some(v); case _ => None
+    }
+    val referenced = rules.flatMap(r =>
+      (r.premise ++ r.negativePremise ++ r.conclusion).map(tp => constPred(tp.p)))
+    val allFacts = store.quads.filter(col("g").isNull).select("s", "p", "o")
+    val facts0 =
+      if (referenced.nonEmpty && referenced.forall(_.isDefined))
+        allFacts.filter(col("p").isin(referenced.flatten.distinct: _*))
+      else allFacts
     val closed =
       if (semiNaive) materializeSemiNaive(facts0, rules)
       else materializeNaive(facts0, rules)

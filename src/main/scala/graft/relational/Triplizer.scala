@@ -94,6 +94,15 @@ object Triplizer {
   def store(spark: SparkSession, sfDir: String, defaultGraph: Boolean = true): QuadStore =
     QuadStore(spark, quads(spark, sfDir, defaultGraph))
 
+  /** A FRESH mutable store over the cached predicate-clustered quad
+    * table: entries that insert/delete get isolation (mutations union in
+    * memory on the wrapper, never touching the shared cache) without
+    * paying a full re-triplization per call — at sf0.1 the uncached
+    * [[store]] costs minutes, the cached read sub-second. */
+  def isolatedStore(spark: SparkSession, sfDir: String,
+      defaultGraph: Boolean = true): QuadStore =
+    QuadStore(spark, cachedStore(spark, sfDir, defaultGraph).quads)
+
   // Materialized quad tables per (sfDir, defaultGraph): triplize once,
   // write Parquet clustered by predicate, and serve every later query from
   // that table. Clustering by `p` gives row-group min/max + dictionary
