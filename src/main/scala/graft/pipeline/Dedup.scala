@@ -216,8 +216,10 @@ object Dedup {
     // smallest label visible one hop away, until no label changes
     var labels = edges.groupBy("v")
       .agg(least(min(col("u")), col("v")).as("lbl")).localCheckpoint()
+    val maxRounds = 64
     var round = 0
-    while (round < 64) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       val viaNeighbor = edges.join(labels.select(col("v").as("u"), col("lbl")), "u")
         .groupBy("v").agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(viaNeighbor, Seq("v"), "left_outer")
@@ -226,8 +228,16 @@ object Dedup {
       val changed = next.select(col("v"), col("lbl").as("nl"))
         .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
       labels = next
-      if (changed == 0) round = 64 else round += 1
+      converged = changed == 0
+      round += 1
     }
+    // a component with graph diameter > maxRounds (a long pairwise chain)
+    // would otherwise return inconsistent cluster_ids silently, breaking
+    // the deterministic min-id survivor contract
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters: min-label propagation did not converge in $maxRounds rounds " +
+        "(a near-dup component has diameter > " + maxRounds + "); " +
+        "raise the round cap or pre-split the component")
     val labeled = docs.select(col(idCol))
       .join(labels, col(idCol) === col("v"), "left_outer")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))

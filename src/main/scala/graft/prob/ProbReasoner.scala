@@ -259,12 +259,9 @@ object ProbReasoner {
     // re-deriving, and a complete enumeration reaches the exact arm
     val r = new AnnotatedReasoner(spark, Lineage.semiring(ann.kMax + 1))
     val tagged = lineageSeeds(seeds)
-    // non-recursive: a single rule application is the fixpoint; the
-    // derivation is materialized once so the recoverability probe below
-    // doesn't recompute it
+    // non-recursive: a single rule application is the fixpoint
     val derived = r.applyRule(tagged, rule)
       .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-      .localCheckpoint()
     val ladder = derived
       .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
       .select(col("s"), col("p"), col("o"),
@@ -272,12 +269,14 @@ object ProbReasoner {
         col("h.reason").as("reason"), col("h.value").as("value"),
         col("h.lower").as("lower"), col("h.upper").as("upper"),
         col("h.k_used").as("k_used"))
-    // a fact is recoverable iff its proof ENUMERATION truncated — a
-    // cheap flag probe on the checkpointed derivation; complete
-    // enumerations either decided in the ladder or exceeded the SDD node
-    // budget, which more retention cannot fix
-    if (!recover || derived.filter(col("tag").getField("trunc")).isEmpty)
-      return ladder
+    if (!recover) return ladder
+    // a fact is recoverable iff its proof ENUMERATION truncated, and
+    // evalOne emits the recoverable reasons ("sdd-budget",
+    // "exclusivity-requires-exact") only on truncated enumerations —
+    // "sdd-node-budget" is not fixable by more retention. So the `needs`
+    // filter below subsumes a trunc probe on the derivation: one
+    // checkpoint of the compact ladder output is the whole clean-path
+    // overhead (the heavy lineage rows are never materialized twice).
     val done = ladder.localCheckpoint()
     val needs = done.filter(col("status") === "NeedsExact" &&
       col("reason").isin("sdd-budget", "exclusivity-requires-exact"))
@@ -391,11 +390,18 @@ object ProbReasoner {
         ("NeedsExact", "proof-enumeration-truncated", None: Option[Double])
       else if (negs.exists(_.exists(identity))) {
         // signed lineage from the negative stratum: SDD literals carry
-        // 1−p natively, so the signed DNF compiles without De Morgan
-        val probs = sids.flatten.zip(sps.flatten).toMap
-        val clauses = sids.lazyZip(negs).map((is, ns) => is.zip(ns.map(n => !n)).toSet)
-        try ("Exact", "sdd-wmc", Some(Sdd.wmcOfSignedDnf(clauses.toSeq, probs, nodeBudget)))
-        catch { case _: SddBudgetExceeded => ("NeedsExact", "sdd-node-budget", None) }
+        // 1−p natively, so the signed DNF compiles without De Morgan.
+        // Exclusive-group seeds cannot be treated as independent literals
+        // here (same invariant as exactOfParts): refuse rather than emit
+        // a wrong value labeled Exact.
+        if (groupsOf(sids, grps).nonEmpty)
+          ("NeedsExact", "groups-with-negation", None: Option[Double])
+        else {
+          val probs = sids.flatten.zip(sps.flatten).toMap
+          val clauses = sids.lazyZip(negs).map((is, ns) => is.zip(ns.map(n => !n)).toSet)
+          try ("Exact", "sdd-wmc", Some(Sdd.wmcOfSignedDnf(clauses.toSeq, probs, nodeBudget)))
+          catch { case _: SddBudgetExceeded => ("NeedsExact", "sdd-node-budget", None) }
+        }
       } else sddWmcOfProofs(proofs, groupsOf(sids, grps), nodeBudget) match {
         case Right(p) => ("Exact", "sdd-wmc", Some(p))
         case Left(reason) => ("NeedsExact", reason, None)

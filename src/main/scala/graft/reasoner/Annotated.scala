@@ -253,6 +253,8 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
     var delta = facts
     var deltaRows = -1L // unknown on round 0 (delta = all seeds)
     var round = 0
+    var fastPathDepth = 0
+    val fastPathCheckpointEvery = 8
     while (round < maxRounds) {
       val tRound = System.nanoTime()
       val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
@@ -282,11 +284,24 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       // insert-only fast path: when no existing fact was re-tagged (the
       // common case for set-like closures — each fact's tag is fixed by
       // its first derivation), the accumulated facts are untouched and the
-      // union needs no anti-join and no O(|closure|) re-checkpoint.
-      facts =
-        if (improved.filter(col("__retag")).isEmpty) facts.unionByName(delta)
-        else facts.join(delta, Seq("s", "p", "o"), "left_anti")
+      // union needs no anti-join and no O(|closure|) re-checkpoint. The
+      // lazy union of checkpointed deltas still deepens the plan each
+      // round (and lazy unions of checkpointed frames can trip Catalyst's
+      // Union constraint rewrite on self-joins — see closureByDoubling),
+      // so re-materialize the accumulated union every few rounds to keep
+      // plan size bounded.
+      if (improved.filter(col("__retag")).isEmpty) {
+        facts = facts.unionByName(delta)
+        fastPathDepth += 1
+        if (fastPathDepth >= fastPathCheckpointEvery) {
+          facts = facts.localCheckpoint()
+          fastPathDepth = 0
+        }
+      } else {
+        facts = facts.join(delta, Seq("s", "p", "o"), "left_anti")
           .unionByName(delta).localCheckpoint()
+        fastPathDepth = 0
+      }
       round += 1
     }
     facts

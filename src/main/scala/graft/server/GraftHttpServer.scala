@@ -50,8 +50,15 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
-  private final case class RspSession(engine: graft.streaming.RspEngine,
-      queue: java.util.concurrent.LinkedBlockingQueue[String])
+  /** `lock` serializes pushes per session: the cached-thread-pool
+    * dispatcher can run concurrent POST /rsp/push for the same session,
+    * but RspEngine's window state (fire counts, last-emitted relations)
+    * is deliberately unsynchronized single-writer state. SSE reads stay
+    * on the pool — only the parse/add/offer block contends. */
+  private final class RspSession(val engine: graft.streaming.RspEngine,
+      val queue: java.util.concurrent.LinkedBlockingQueue[String]) {
+    val lock: Object = new Object
+  }
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, RspSession]()
   private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -228,7 +235,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
               spark, optText(req, "query").get, staticStore,
               consumer = consumer, rules = rules)
             val id = sessionCounter.incrementAndGet().toString
-            sessions.put(id, RspSession(engine, queue))
+            sessions.put(id, new RspSession(engine, queue))
             evictOldSessions()
             val resp = mapper.createObjectNode()
             resp.put("session_id", id)
@@ -254,14 +261,16 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
               case Some(session) =>
                 val stream = optText(req, "stream").getOrElse("*")
                 val ts = Option(req.get("timestamp")).map(_.asLong()).getOrElse(0L)
-                optText(req, "ntriples").foreach { nt =>
-                  // engine.add fires windows as event time advances; the
-                  // session consumer enqueues each emission's rows
-                  RdfIO.parseNtDoc(nt).foreach { case (s, p, o) =>
-                    session.engine.add(stream, s, p, o, ts)
+                session.lock.synchronized {
+                  optText(req, "ntriples").foreach { nt =>
+                    // engine.add fires windows as event time advances; the
+                    // session consumer enqueues each emission's rows
+                    RdfIO.parseNtDoc(nt).foreach { case (s, p, o) =>
+                      session.engine.add(stream, s, p, o, ts)
+                    }
                   }
+                  session.queue.offer("__FIRING_END__")
                 }
-                session.queue.offer("__FIRING_END__")
                 respond(exchange, 200, """{"status":"ok"}""")
             }
         }

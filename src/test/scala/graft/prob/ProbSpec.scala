@@ -306,4 +306,35 @@ class ProbSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("value") - (1.0 - math.pow(0.75, 12))) < 1e-12)
     assert(row.getAs[Int]("k_used") == 12)
   }
+
+  test("sdd provenance refuses exclusive groups combined with negation") {
+    // safe(x) ← member(x) ∧ ¬risky(x) where risky evidence carries an
+    // exclusive group: the signed evaluator would treat group literals as
+    // independent and return a wrong value labeled Exact — it must emit
+    // NeedsExact instead (same invariant exactOfParts enforces by require)
+    import spark.implicits._
+    import graft.sparql.Ast._
+    val sd = Seq(
+      ("a", "member", "true", 0.75, -1L),
+      ("a", "risky", "true", 0.3, 7L),
+      ("a", "risky2", "true", 0.4, 7L))
+      .toDF("s", "p", "o", "prob", "grp")
+    val naf = Rule("r/safe",
+      Seq(TriplePattern(Var("x"), Iri("member"), Lit("true"))),
+      Seq(TriplePattern(Var("x"), Iri("risky"), Lit("true"))), Nil,
+      Seq(TriplePattern(Var("x"), Iri("safe"), Lit("true"))))
+    val out = ProbReasoner.sddMaterialize(spark, sd, Seq(naf))
+      .filter(col("p") === "safe").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("status") == "NeedsExact")
+    assert(out.head.getAs[String]("reason") == "groups-with-negation")
+    assert(out.head.isNullAt(out.head.fieldIndex("value")))
+
+    // sanity: ungrouped seeds through the same path stay Exact
+    val out2 = ProbReasoner.sddMaterialize(spark,
+        sd.drop("grp").filter(col("p") =!= "risky2"), Seq(naf))
+      .filter(col("p") === "safe").collect()
+    assert(out2.head.getAs[String]("status") == "Exact")
+    assert(math.abs(out2.head.getAs[Double]("value") - 0.75 * 0.7) < 1e-12)
+  }
 }
