@@ -166,14 +166,32 @@ object ProbReasoner {
 
   /** Column-level evaluator over a [[Lineage]] tag. A Scala UDF (not an
     * Expression): the escalation ladder is real control flow with
-    * recursion and memoization, and it runs distributed on the fact rows. */
-  def hybridEvalColumn(tag: Column, ann: ProbAnnotation, threshold: Double): Column = {
+    * recursion and memoization, and it runs distributed on the fact rows.
+    *
+    * `recoverable` (optional accumulator) counts rows whose NeedsExact is
+    * fixable by re-deriving at a larger retention — letting the caller
+    * learn "does anything need recovery?" from the SAME job that
+    * materializes the ladder, with no second probe action. Accumulator
+    * updates from retried tasks can only overcount, and the caller only
+    * branches on zero vs non-zero: an overcount triggers a recovery pass
+    * whose semi-join then finds its targets normally (possibly none). */
+  def hybridEvalColumn(tag: Column, ann: ProbAnnotation, threshold: Double,
+      recoverable: Option[org.apache.spark.util.LongAccumulator] = None): Column = {
     val f = udf((sids: Seq[Seq[Long]], sps: Seq[Seq[Double]], grps: Seq[Seq[Long]],
-        trunc: Boolean) =>
-      evalOne(zipProofs(sids, sps), trunc, ann, threshold, groupsOf(sids, grps)))
+        trunc: Boolean) => {
+      val r = evalOne(zipProofs(sids, sps), trunc, ann, threshold, groupsOf(sids, grps))
+      if (r.status == "NeedsExact" && RecoverableReasons.contains(r.reason))
+        recoverable.foreach(_.add(1))
+      r
+    })
     val (sids, sps, grps) = proofParts(tag)
     f(sids, sps, grps, tag.getField("trunc"))
   }
+
+  /** NeedsExact reasons fixable by re-deriving at a larger proof
+    * retention; evalOne emits them only on truncated enumerations
+    * ("sdd-node-budget" is not fixable by more retention). */
+  val RecoverableReasons: Set[String] = Set("sdd-budget", "exclusivity-requires-exact")
 
   /** Estimate column for diagnostic `topk` provenance
     * (`parser.rs:3888-3927` UnsafeApproximation). */
@@ -262,27 +280,36 @@ object ProbReasoner {
     // non-recursive: a single rule application is the fixpoint
     val derived = r.applyRule(tagged, rule)
       .join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-    val ladder = derived
-      .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
+    if (!recover)
+      return derived
+        .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5)))
+        .select(col("s"), col("p"), col("o"),
+          col("h.status").as("status"), col("h.decision").as("decision"),
+          col("h.reason").as("reason"), col("h.value").as("value"),
+          col("h.lower").as("lower"), col("h.upper").as("upper"),
+          col("h.k_used").as("k_used"))
+    // Recovery gate at zero extra cost on the clean path: the ladder UDF
+    // bumps an accumulator on recoverable NeedsExact rows while the ONE
+    // checkpoint job materializes the ladder, so "does anything need
+    // recovery?" is known driver-side without a second probe action over
+    // the heavy lineage rows (the reason filter itself would be cheap, but
+    // any separate probe re-runs the derivation or forces a second scan).
+    val acc = spark.sparkContext.longAccumulator("graft.hybrid.recoverable")
+    val done = derived
+      .withColumn("h", hybridEvalColumn(col("tag"), ann, ann.threshold.getOrElse(0.5), Some(acc)))
       .select(col("s"), col("p"), col("o"),
         col("h.status").as("status"), col("h.decision").as("decision"),
         col("h.reason").as("reason"), col("h.value").as("value"),
         col("h.lower").as("lower"), col("h.upper").as("upper"),
         col("h.k_used").as("k_used"))
-    if (!recover) return ladder
-    // a fact is recoverable iff its proof ENUMERATION truncated, and
-    // evalOne emits the recoverable reasons ("sdd-budget",
-    // "exclusivity-requires-exact") only on truncated enumerations —
-    // "sdd-node-budget" is not fixable by more retention. So the `needs`
-    // filter below subsumes a trunc probe on the derivation: one
-    // checkpoint of the compact ladder output is the whole clean-path
-    // overhead (the heavy lineage rows are never materialized twice).
-    val done = ladder.localCheckpoint()
-    val needs = done.filter(col("status") === "NeedsExact" &&
-      col("reason").isin("sdd-budget", "exclusivity-requires-exact"))
-    if (needs.isEmpty) done
-    else done.join(needs.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
-      .unionByName(hybridRecover(spark, seeds, rule, ann, needs))
+      .localCheckpoint()
+    if (acc.value == 0L) done
+    else {
+      val needs = done.filter(col("status") === "NeedsExact" &&
+        col("reason").isin(RecoverableReasons.toSeq.map(lit): _*))
+      done.join(needs.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+        .unionByName(hybridRecover(spark, seeds, rule, ann, needs))
+    }
   }
 
   /** Engine-level escalation for truncated proof enumerations — the
@@ -416,18 +443,43 @@ object ProbReasoner {
         col("e._1").as("status"), col("e._2").as("reason"), col("proof_count"))
   }
 
+  /** Default derivation-depth budget for the diagnostic topk mode: the
+    * proofs semiring runs the LINEAR fixpoint (top-k truncation is
+    * association-order-sensitive, so no doubling) and per-fact proof
+    * arrays grow with path length, so deep recursion degrades round by
+    * round. The cap turns that documented scale limit into runtime
+    * behavior instead of a SURVEY footnote. */
+  val TopkMaxDepth = 64
+
   /** Diagnostic top-k proofs provenance over the full fixpoint
     * (`parser.rs:3888-3927`): estimate = WMC of the retained proofs,
-    * flagged UnsafeApproximation. k comes from the threshold field. */
+    * flagged UnsafeApproximation. k comes from the threshold field.
+    *
+    * Depth guard: if the fixpoint is not reached within `maxDepth`
+    * rounds, the returned facts carry reason `depth-cap-reached` (instead
+    * of `diagnostic-only`) and a loud warning is logged — the supported
+    * routes for deep recursive closures are the scalar semirings
+    * (doubling strategy) or the hybrid/SDD path on non-recursive rules. */
   def topkMaterialize(spark: SparkSession, seeds: DataFrame, rules: Seq[Rule],
-      k: Int): DataFrame = {
+      k: Int, maxDepth: Int = TopkMaxDepth): DataFrame = {
     val r = new AnnotatedReasoner(spark, Lineage.semiring(k))
     val tagged = lineageSeeds(seeds)
-    val closed = r.materialize(tagged, rules)
+    val closed = r.materialize(tagged, rules, maxDepth)
+    val reason =
+      if (r.lastConverged) "diagnostic-only"
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"PROB(provenance=topk) is diagnostic-only (UnsafeApproximation) and its " +
+            s"fixpoint did not converge within maxDepth=$maxDepth rounds; returning the " +
+            "depth-capped closure. Deep recursive closures should use a scalar " +
+            "semiring (minmax/addmult — recursive-doubling strategy) or the " +
+            "hybrid/SDD path on non-recursive rules.")
+        "depth-cap-reached"
+      }
     closed.join(tagged.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
       .withColumn("estimate", topkEstimateColumn(col("tag")))
       .withColumn("status", lit("UnsafeApproximation"))
-      .withColumn("reason", lit("diagnostic-only"))
+      .withColumn("reason", lit(reason))
       .select("s", "p", "o", "estimate", "status", "reason")
   }
 

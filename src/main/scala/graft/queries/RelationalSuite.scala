@@ -104,6 +104,24 @@ object RelationalSuite {
         .limit(20)
     }),
 
+    // TPC-H Q17 shape: small-quantity-order revenue. Deliberately written
+    // as SQL with the correlated scalar subquery intact — this drives
+    // Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery
+    // plans it as an aggregate + join), which the DataFrame entries never
+    // exercise. This data's part table has no p_container, so the filter
+    // is brand-only.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g17_part")
+      s.sql(
+        """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+           FROM g17_lineitem JOIN g17_part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#23'
+             AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM g17_lineitem l2
+                               WHERE l2.l_partkey = p_partkey)""")
+    }),
+
     // decorrelated-aggregate shape: parts priced above their type average
     "q_above_avg_parts" -> ((s, dir) => {
       val part = t(s, dir, "part")
@@ -178,6 +196,14 @@ object RelationalSuite {
            AND o_orderdate < TIMESTAMP '1996-07-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = part.p_partkey)""",
 
     "q_above_avg_parts" ->
       """SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice

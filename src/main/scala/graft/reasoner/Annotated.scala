@@ -59,6 +59,14 @@ object Semiring {
 class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
     enableDoubling: Boolean = true) {
 
+  /** Whether the last [[materialize]] call reached its fixpoint within the
+    * round budget, and the rounds it consumed. Callers that cap rounds on
+    * purpose (the diagnostic topk mode's deep-recursion guard) read this
+    * to surface the truncation instead of silently returning a partial
+    * closure. */
+  @volatile var lastConverged: Boolean = true
+  @volatile var lastRounds: Int = 0
+
   private def termVars(t: Term): Seq[String] = t match {
     case Var(n) => Seq(n)
     case Quoted(s, p, o) => termVars(s) ++ termVars(p) ++ termVars(o)
@@ -255,7 +263,9 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
     var round = 0
     var fastPathDepth = 0
     val fastPathCheckpointEvery = 8
+    lastConverged = true
     while (round < maxRounds) {
+      lastRounds = round
       val tRound = System.nanoTime()
       val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
       val perPosition = rules.flatMap { r =>
@@ -304,6 +314,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       }
       round += 1
     }
+    lastConverged = false
     facts
   }
 
@@ -316,7 +327,9 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
     var t = edges.groupBy("s", "o")
       .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
     var round = 0
+    lastConverged = false
     while (round < math.min(maxRounds, 64)) {
+      lastRounds = round
       val tRound = System.nanoTime()
       val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"),
@@ -330,7 +343,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         .count()
       if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       t = next
-      if (changed == 0) return t
+      if (changed == 0) { lastConverged = true; return t }
       round += 1
     }
     t
@@ -344,6 +357,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
+      lastRounds = round
       val derived = rules.map(r => applyRule(facts, r)).reduce(merge)
       val next = merge(base, derived).localCheckpoint()
       // stability check: a monotone semiring's tags only grow, so the
@@ -355,6 +369,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       facts = next
       round += 1
     }
+    lastConverged = !changed
     facts
   }
 }

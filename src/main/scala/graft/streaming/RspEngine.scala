@@ -30,8 +30,17 @@ object RspEngine {
   sealed trait SyncPolicy
   case object Wait extends SyncPolicy
   case object Steal extends SyncPolicy
-  /** Treated as Wait in the deterministic single-driver mode, matching the
-    * reference's SingleThread behavior (`rsp_engine_test.rs:713-760`). */
+  /** `Timeout{duration, fallback}` (`shared/src/query.rs:236-246`): wait
+    * up to `ms` for the remaining windows of a cycle, then apply the
+    * fallback — Steal emits with the cached results of the non-fired
+    * windows (only once every window has fired at least once,
+    * `rsp_engine.rs:588-620` `last_materialized.len() == num_windows`),
+    * Drop discards the partial cycle (`rsp_engine.rs:623-634`). The
+    * reference's timer is wall-clock in its coordinator thread; here the
+    * deadline runs on the VIRTUAL clock of event time — a cycle opened by
+    * a firing triggered at event time t expires when a later arrival (or
+    * an explicit [[RspEngine.advanceTime]]) carries ts > t + ms — so the
+    * observable sequences stay deterministic and exactly testable. */
   final case class Timeout(ms: Long, fallbackSteal: Boolean) extends SyncPolicy
 
   /** Report strategies (`rsp/s2r.rs:27-84`): ALL configured strategies
@@ -96,6 +105,7 @@ class RspEngine(
   }
 
   def add(streamIri: String, s: String, p: String, o: String, ts: Long): Unit = {
+    advanceTime(ts)
     windows.foreach { w =>
       if (streamMatches(w.spec.streamIri, streamIri)) {
         advance(w, ts)
@@ -103,6 +113,32 @@ class RspEngine(
         if (w.firstEventTs.isEmpty) w.firstEventTs = Some(ts)
       }
     }
+  }
+
+  /** Virtual-clock tick: under a [[RspEngine.Timeout]] policy, expire a
+    * partial cycle whose deadline has passed as of event time `now` —
+    * the deterministic analogue of the reference coordinator's
+    * `recv_timeout` branch (`rsp_engine.rs:580-640`). [[add]] ticks this
+    * automatically with each arrival's ts; tests (or a driver timer
+    * mapping wall-clock to event time) may tick it explicitly. */
+  def advanceTime(now: Long): Unit = policy match {
+    case Timeout(ms, fallbackSteal) =>
+      cycleStartVt.foreach { start =>
+        if (now - start > ms) {
+          val partial = windows.exists(_.fresh) && !windows.forall(_.fresh)
+          if (partial) {
+            // Steal: emit with stale cached results — only when every
+            // window has fired at least once (`rsp_engine.rs:593`)
+            if (fallbackSteal && windows.forall(_.latest.isDefined))
+              emitJoined(cycleMaxClose)
+            // Drop: discard the cycle
+          }
+          windows.foreach(_.fresh = false)
+          cycleStartVt = None
+          cycleMaxClose = 0L
+        }
+      }
+    case _ => ()
   }
 
   /** Probabilistic stream input (`rsp_engine.rs:960-998`): a SeedId is
@@ -165,7 +201,7 @@ class RspEngine(
     val cMax = ((t - 1) / step) * step
     val eligible = w.firstEventTs.exists(f => cMax >= f) &&
       w.lastFiredClose.forall(cMax > _)
-    if (eligible) fire(w, cMax)
+    if (eligible) fire(w, cMax, t)
   }
 
   /** Flush: advance each window one step past its buffered events so the
@@ -180,7 +216,13 @@ class RspEngine(
   private var fireCount = 0
   private var lastContentHash: Option[Int] = None
 
-  private def fire(w: WindowRuntime, close: Long): Unit = {
+  /** Timeout-cycle bookkeeping (virtual clock): when the first window of
+    * a cycle fired (`cycle_start`, `rsp_engine.rs:566-568,660-663`) and
+    * the max close seen this cycle (the reference's `max_ts`). */
+  private var cycleStartVt: Option[Long] = None
+  private var cycleMaxClose: Long = 0L
+
+  private def fire(w: WindowRuntime, close: Long, triggerTs: Long): Unit = {
     w.lastFiredClose = Some(close)
     val lo = close - w.spec.rangeMs
     val content = w.events.filter { case (ts, _, _, _) => ts >= lo && ts <= close }
@@ -206,15 +248,19 @@ class RspEngine(
       new graft.reasoner.Reasoner(spark).materialize(store, rules)
     val b = new Compiler(store).compileElements(w.blockElems)
     val asStrings = b.df.select(b.df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    val wasCycleOpen = windows.exists(_.fresh)
     w.latest = Some(asStrings.collect().toSeq)
     w.latestCols = b.df.columns.toSeq
     w.fresh = true
+    if (!wasCycleOpen) cycleStartVt = Some(triggerTs)
+    cycleMaxClose = math.max(cycleMaxClose, close)
     coordinate(close)
   }
 
   /** Coordinator (`rsp_engine.rs:539-770`): latest-per-window with replace
-    * semantics; Wait needs every window fresh this cycle, Steal joins a
-    * fresh firing with cached results of the others. */
+    * semantics; Wait (and Timeout within its deadline) needs every window
+    * fresh this cycle, Steal joins a fresh firing with cached results of
+    * the others. */
   private def coordinate(close: Long): Unit = {
     val ready = policy match {
       case Steal => windows.forall(_.latest.isDefined)
@@ -222,7 +268,14 @@ class RspEngine(
     }
     if (!ready) return
     windows.foreach(_.fresh = false)
-    // data plane: join window results, then static patterns, then modifiers
+    cycleStartVt = None
+    cycleMaxClose = 0L
+    emitJoined(close)
+  }
+
+  /** Data plane of one emission: join the latest window relations, then
+    * static patterns, then solution modifiers and the R2S diff. */
+  private def emitJoined(close: Long): Unit = {
     val windowBindings = windows.map { w =>
       val schema = org.apache.spark.sql.types.StructType(w.latestCols.map(c =>
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, nullable = true)))

@@ -276,6 +276,26 @@ class ProbSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("estimate") - 0.72) < 1e-9)
   }
 
+  test("topk depth guard: non-convergent fixpoint surfaces depth-cap-reached") {
+    // a 10-deep parent chain needs ~10 linear rounds; maxDepth=3 cannot
+    // reach the fixpoint, and the guard must say so on the rows rather
+    // than silently returning the partial closure (the supported routes
+    // for deep recursion are the scalar semirings' doubling strategy)
+    val chain = (0 until 10).map(i => (s"n$i", "parent", s"n${i + 1}", 0.9))
+    val rules = Seq(
+      SparqlParser().parseRule(
+        """RULE <r/b> :- CONSTRUCT { ?x <anc> ?y } WHERE { ?x <parent> ?y }"""),
+      SparqlParser().parseRule(
+        """RULE <r/s> :- CONSTRUCT { ?x <anc> ?z }
+           WHERE { ?x <parent> ?y . ?y <anc> ?z }"""))
+    val capped = ProbReasoner.topkMaterialize(spark, seeds(chain: _*), rules,
+      k = 4, maxDepth = 3)
+    assert(capped.filter(col("reason") === "depth-cap-reached").count() == capped.count())
+    val full = ProbReasoner.topkMaterialize(spark, seeds(chain: _*), rules, k = 4)
+    assert(full.filter(col("reason") === "diagnostic-only").count() == full.count())
+    assert(full.count() > capped.count()) // the cap really truncated the closure
+  }
+
   test("truncated enumerations recover exactly at a larger retention budget") {
     // 12 disjoint two-hop paths x→mᵢ→z: the k_max=4 ladder retains only 5
     // proofs (trunc), cannot certify against threshold 0.999, and lands

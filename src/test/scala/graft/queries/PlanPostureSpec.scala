@@ -59,4 +59,48 @@ class PlanPostureSpec extends SparkSpec {
       (p.contains("EqualTo") || p.contains("IsNotNull")),
       s"no pushdown on the quads scan in:\n$p")
   }
+
+  test("reasoner doubling round: self-join is an equi hash/SMJ, never BNLJ") {
+    import spark.implicits._
+    // the hop join exactly as closureByDoubling builds it
+    // (Reasoner.scala:297-298) over a stats-erased checkpointed frame —
+    // localCheckpoint's LogicalRDD reports defaultSizeInBytes, and the
+    // property pinned here is that the equi-condition still yields a
+    // hash-based/sort-merge join, never a nested-loop or cartesian plan
+    val edges = (0 until 200).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("s", "o").localCheckpoint()
+    val hop = edges.as("l").join(edges.as("r"),
+        org.apache.spark.sql.functions.col("l.o") === org.apache.spark.sql.functions.col("r.s"))
+      .select(org.apache.spark.sql.functions.col("l.s").as("s"),
+        org.apache.spark.sql.functions.col("r.o").as("o"))
+    hop.count()
+    val p = hop.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in doubling round:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in doubling round:\n$p")
+  }
+
+  test("reasoner semi-naive round: a small delta broadcasts into the premise join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // applyRule with the delta bound to one premise position and hinted
+    // broadcast, as materializeSemiNaive does for small frontiers
+    // (Annotated.scala:270-276; checkpointing erases the stats AQE would
+    // need to choose the broadcast on its own)
+    val r = new graft.reasoner.AnnotatedReasoner(spark,
+      graft.reasoner.Semiring.minMaxProbability)
+    val facts = (0 until 5000).map(i => (s"n$i", "parent", s"n${i + 1}", 0.9))
+      .toDF("s", "p", "o", "tag").localCheckpoint()
+    val delta = Seq(("n10", "anc", "n11", 0.9), ("n20", "anc", "n21", 0.8))
+      .toDF("s", "p", "o", "tag").localCheckpoint()
+    val rule = graft.sparql.SparqlParser().parseRule(
+      """RULE <r/s> :- CONSTRUCT { ?x <anc> ?z }
+         WHERE { ?x <parent> ?y . ?y <anc> ?z }""")
+    val round = r.applyRule(facts, rule, Some((1, broadcast(delta))))
+    round.count()
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small delta did not broadcast into the premise join:\n$p")
+  }
 }

@@ -93,10 +93,60 @@ class RspEngineSpec extends SparkSpec {
     assert(e.emissions.isEmpty)
   }
 
-  test("Timeout behaves as Wait in deterministic mode (rsp_engine_test.rs:713-760)") {
+  test("Timeout within deadline behaves as Wait (rsp_engine_test.rs:713-760)") {
+    // the reference's own SingleThread tests assert exactly this sequence:
+    // only A fires, the deadline never passes → no emission
     val e = twoWindowEngine(Timeout(100, fallbackSteal = true))
     (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", i.toLong))
     assert(e.emissions.isEmpty)
+  }
+
+  test("Timeout/Steal: deadline expiry emits with cached other-window results (rsp_engine.rs:588-620)") {
+    val e = twoWindowEngine(Timeout(100, fallbackSteal = true))
+    // warm both caches with one full cycle (emits once under Wait readiness)
+    (0 until 3).foreach { i =>
+      addTyped(e, "streamA", s"a$i", "TypeA", i.toLong)
+      addTyped(e, "streamB", s"b$i", "TypeB", i.toLong)
+    }
+    val warm = e.emissions.size
+    assert(warm >= 1)
+    // next cycle: only A fires (close=10, triggered at ts=11, content
+    // includes aMid@9); B stays silent; the virtual clock passes the
+    // 100 ms deadline → Steal emits fresh A joined with B's cached relation
+    addTyped(e, "streamA", "aMid", "TypeA", 9L)
+    addTyped(e, "streamA", "aTrig", "TypeA", 11L)
+    assert(e.emissions.size == warm) // within deadline: still waiting
+    e.advanceTime(200L)
+    assert(e.emissions.size == warm + 1, s"got ${e.emissions.size} emissions")
+    val row = e.emissions.last.rows.head
+    assert(row.contains("s1") && row.contains("s2"))
+    assert(e.emissions.last.rows.exists(_("s1") == "http://test/aMid"))
+  }
+
+  test("Timeout/Steal: no emission on expiry while some window never fired (rsp_engine.rs:593)") {
+    val e = twoWindowEngine(Timeout(100, fallbackSteal = true))
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", i.toLong))
+    e.advanceTime(500L) // deadline passes, but B has no cached result
+    assert(e.emissions.isEmpty)
+  }
+
+  test("Timeout/Drop: deadline expiry discards the partial cycle (rsp_engine.rs:623-634)") {
+    val e = twoWindowEngine(Timeout(100, fallbackSteal = false))
+    (0 until 3).foreach { i =>
+      addTyped(e, "streamA", s"a$i", "TypeA", i.toLong)
+      addTyped(e, "streamB", s"b$i", "TypeB", i.toLong)
+    }
+    val warm = e.emissions.size
+    assert(warm >= 1)
+    addTyped(e, "streamA", "aLate", "TypeA", 11L)
+    e.advanceTime(200L) // expiry: Drop discards even though B is cached
+    assert(e.emissions.size == warm)
+    // a later full cycle still emits normally (close=222 covers ts 221)
+    addTyped(e, "streamA", "aNext", "TypeA", 221L)
+    addTyped(e, "streamB", "bNext", "TypeB", 221L)
+    addTyped(e, "streamA", "aFlush", "TypeA", 223L)
+    addTyped(e, "streamB", "bFlush", "TypeB", 223L)
+    assert(e.emissions.size > warm, "full cycle after a dropped cycle must emit")
   }
 
   test("live Structured Streaming feed reproduces the ISTREAM sequence") {
