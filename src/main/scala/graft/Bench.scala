@@ -20,8 +20,9 @@ object Bench {
     "sparql_subquery", "sparql_union", "sparql_distinct",
     // reasoner fixpoint
     "datalog_closure_seminaive",
-    // streaming (batch window semantics)
+    // streaming (batch window semantics + distributed RSP plane)
     "stream_tumbling_agg", "stream_sliding_agg", "stream_istream", "stream_dstream",
+    "stream_window_bgp", "stream_window_istream",
     // ml inference stage
     "ml_predict_fixed",
     // probabilistic stack

@@ -18,7 +18,17 @@ import org.apache.spark.sql.types._
   * The named-graph catalog preserves empty-graph identity
   * (`dataset_index.rs:426-459`).
   */
-class QuadStore(val spark: SparkSession, initial: DataFrame) {
+class QuadStore(val spark: SparkSession, initial: DataFrame,
+    /** Dictionary-encoded BGP evaluation (SURVEY §1.5): scans and joins
+      * run over 64-bit `xxhash64` term ids, variables decode back to
+      * lexical at the BGP boundary via [[termsTable]]. Shrinks BGP join
+      * shuffles ~4-8× (8-byte ids vs lexical strings) at the price of one
+      * decode join per projected variable — the right trade when
+      * intermediate join volume dwarfs the final result (the 100 TB
+      * posture), measurable overhead when it doesn't; hence a flag, not
+      * the default. Collision risk is 64-bit birthday (~1e-9 at 10^5
+      * distinct terms); [[dictCollisions]] is the audit job. */
+    val dictEncoded: Boolean = false) {
   import QuadStore._
 
   private var quadsDf: DataFrame = align(spark, initial)
@@ -27,6 +37,45 @@ class QuadStore(val spark: SparkSession, initial: DataFrame) {
   val udfs = scala.collection.mutable.Map.empty[String, Seq[String] => String]
 
   def quads: DataFrame = quadsDf
+
+  /** Materialized (id-table, terms-table) pair replacing the lazy encoded
+    * views — the on-disk layout a dictionary-encoded corpus would actually
+    * use at scale (encode once at ingest, not per query). */
+  private var encodedSource: Option[(DataFrame, DataFrame)] = None
+
+  /** Same store with dictionary-encoded BGP evaluation on; optionally
+    * backed by pre-materialized id/terms tables. */
+  def withDictEncoding: QuadStore = withDictEncoding(None)
+  def withDictEncoding(source: Option[(DataFrame, DataFrame)]): QuadStore = {
+    val s = new QuadStore(spark, quadsDf, dictEncoded = true)
+    s.graphCatalog = graphCatalog
+    s.encodedSource = source
+    udfs.foreach { case (n, f) => s.registerUdf(n, f) }
+    s
+  }
+
+  /** Encoded quad view `(g_id, s_id, p_id, o_id)` — ids are
+    * `xxhash64(lexical)`; g stays null for the default graph. Computed
+    * lazily from the lexical quads unless a materialized id table was
+    * injected ([[withDictEncoding]]; at scale the materialized form is
+    * the primary table and the lexical view is derived, not vice versa). */
+  def encodedQuads: DataFrame = encodedSource.map(_._1).getOrElse(
+    quadsDf.select(
+      when(col("g").isNotNull, xxhash64(col("g"))).as("g_id"),
+      xxhash64(col("s")).as("s_id"),
+      xxhash64(col("p")).as("p_id"),
+      xxhash64(col("o")).as("o_id")))
+
+  /** Dictionary `(id, lex)` of every distinct term in any position. */
+  def termsTable: DataFrame = encodedSource.map(_._2).getOrElse(
+    quadsDf.select(explode(array(col("g"), col("s"), col("p"), col("o"))).as("lex"))
+      .filter(col("lex").isNotNull)
+      .distinct()
+      .select(xxhash64(col("lex")).as("id"), col("lex")))
+
+  /** Audit job: ids mapping to more than one lexical form (must be 0). */
+  def dictCollisions: Long =
+    termsTable.groupBy("id").count().filter(col("count") > 1).count()
   def namedGraphs: Set[String] =
     graphCatalog // plus graphs present in data, resolved lazily by callers
 

@@ -103,17 +103,23 @@ object Dedup {
     * bands*rows must equal numHashes. */
   def minHashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Materialize the signature table before pair generation.
+        * Re-measured r4 (tools.ScaleProbe): on a well-partitioned corpus
+        * checkpoint wins mildly at 1× (warm 1.01 s vs 1.22 s lazy, 5k
+        * docs) and at 8× (2.78 s vs 3.17 s, 40k docs); on the raw
+        * single-file entry it is a wash (~4.1 s either way — partition
+        * count, not recompute, binds). Off by default to keep the
+        * operator lazy/composable; the driver entries and any multi-stage
+        * scale run should pass true — recompute growth is linear in
+        * corpus size while the barrier cost is fixed. */
+      checkpointSigs: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, k, numHashes, idCol, textCol)
+    val sigs0 = minHashSignatures(docs, k, numHashes, idCol, textCol)
+    val sigs = if (checkpointSigs) sigs0.localCheckpoint() else sigs0
     // Catalyst has no common-subplan reuse across self-join sides, so the
-    // signature pipeline appears twice in the physical plan. Measured at
-    // sf0.1 the duplicated lazy compute (4.9 s) beats both localCheckpoint
-    // (6.7 s, action barrier) and persist (7.5 s, columnar cache build) —
-    // recompute is cheap relative to materialization here. On a real
-    // cluster at TB scale, callers should checkpoint `sigs` themselves
-    // before pair generation; the operator keeps the lazy form.
+    // signature pipeline appears twice in the physical plan (lazy mode).
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))

@@ -86,9 +86,18 @@ object Similarity {
     * the test suite. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      /** Materialize the trained centroids before the probe joins.
+        * Re-measured r4 (tools.ScaleProbe): a wash at 1× and 8×
+        * (warm 1.99 s vs 2.06 s at 2k vectors; 3.89 s vs 3.98 s at 16k)
+        * — the tiny centroid table makes either form cheap. Off by
+        * default to keep the operator lazy/composable; pass true when
+        * the Lloyd chain deepens (iters > 2) or centroids are reused
+        * across many probe batches (the driver entry does). */
+      checkpointCentroids: Boolean = false): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
-    val centroids = trainCentroids(corpus, nClusters, iters = 2, idCol, vecCol)
+    val centroids0 = trainCentroids(corpus, nClusters, iters = 2, idCol, vecCol)
+    val centroids = if (checkpointCentroids) centroids0.localCheckpoint() else centroids0
     val corpusAssign = assign(corpus, centroids, idCol, vecCol)
     val indexed = corpus.join(corpusAssign, idCol)
       .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid"))

@@ -27,7 +27,7 @@ object PipelineSuite {
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
-        threshold = 0.5)),
+        threshold = 0.5, checkpointSigs = true)),
 
     // md5-derived 60-bit token hash so DuckDB reproduces the signatures
     // bit-for-bit; the oracle brute-forces all pairs, so it also proves
@@ -56,7 +56,7 @@ object PipelineSuite {
     "similarity_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
-        nClusters = 16, nProbe = 4)
+        nClusters = 16, nProbe = 4, checkpointCentroids = true)
     }),
 
     // full probe (nProbe = nClusters) must recover the exact top-k — this

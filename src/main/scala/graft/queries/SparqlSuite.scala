@@ -21,6 +21,12 @@ object SparqlSuite {
   private def engine(spark: SparkSession, sfDir: String): Compiler =
     new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = true))
 
+  /** Same corpus, dictionary-encoded BGP path over the MATERIALIZED
+    * id/terms tables (ids in joins, decode at the BGP boundary) — results
+    * must hash-match the direct path's oracle. */
+  private def encodedEngine(spark: SparkSession, sfDir: String): Compiler =
+    new Compiler(Triplizer.cachedEncodedStore(spark, sfDir, defaultGraph = true))
+
   /** Separate store family with per-table named graphs for GRAPH tests. */
   private def graphEngine(spark: SparkSession, sfDir: String): Compiler =
     new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = false))
@@ -40,6 +46,27 @@ object SparqlSuite {
 
     "sparql_star_join" -> ((s, dir) =>
       engine(s, dir).select("""
+        SELECT ?name ?bal ?seg WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg }""")),
+
+    // dictionary-encoded variants of the three BGP shapes: same queries,
+    // id-space joins + decode-at-output; must hash-match the same oracles
+    "sparql_scan_encoded" -> ((s, dir) =>
+      encodedEngine(s, dir).select(
+        "SELECT ?s ?o WHERE { ?s <customer#c_mktsegment> ?o }")),
+
+    "sparql_bgp_join_encoded" -> ((s, dir) =>
+      encodedEngine(s, dir).select("""
+        SELECT ?c ?nname ?rname WHERE {
+          ?c <customer#c_nationkey> ?n .
+          ?n <nation#n_name> ?nname .
+          ?n <nation#n_regionkey> ?r .
+          ?r <region#r_name> ?rname }""")),
+
+    "sparql_star_join_encoded" -> ((s, dir) =>
+      encodedEngine(s, dir).select("""
         SELECT ?name ?bal ?seg WHERE {
           ?c <customer#c_name> ?name .
           ?c <customer#c_acctbal> ?bal .
@@ -169,6 +196,16 @@ object SparqlSuite {
           FILTER(isTRIPLE(?qt))
           BIND(SUBJECT(?qt) AS ?s)
           BIND(OBJECT(?qt) AS ?name) }""")
+    }),
+
+    // RETRIEVE executor (`parser.rs:3965-4010`): per-pattern default-graph
+    // triple matcher, patterns accumulate without dedup
+    "sparql_retrieve" -> ((s, dir) => {
+      val c = engine(s, dir)
+      c.executeRetrieve(graft.sparql.SparqlParser().parseRetrieve("""
+        RETRIEVE SOME LATENT STREAM ?x FROM <http://graft/stream> WITH {
+          ?n <nation#n_name> ?name .
+          ?n <nation#n_regionkey> <region/1> . }"""))
     }))
 
   /** DuckDB mirror of Triplizer's lineitem row-fingerprint subject. */
@@ -193,6 +230,22 @@ object SparqlSuite {
          JOIN region ON r_regionkey = n_regionkey""",
 
     "sparql_star_join" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
+                c_mktsegment AS seg FROM customer""",
+
+    // encoded variants: identical semantics, identical oracles
+    "sparql_scan_encoded" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                c_mktsegment AS o FROM customer""",
+
+    "sparql_bgp_join_encoded" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                n_name AS nname, r_name AS rname
+         FROM customer
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey""",
+
+    "sparql_star_join_encoded" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
                 c_mktsegment AS seg FROM customer""",
 
@@ -267,5 +320,14 @@ object SparqlSuite {
          WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment""",
 
     "sparql_rdfstar" ->
-      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS name FROM nation""")
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS name FROM nation""",
+
+    "sparql_retrieve" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                'nation#n_name' AS p, n_name AS o
+         FROM nation
+         UNION ALL
+         SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                'nation#n_regionkey' AS p, 'region/1' AS o
+         FROM nation WHERE n_regionkey = 1""")
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamOps
+import graft.streaming.{DistributedRsp, StreamOps}
 
 /** Streaming-layer correctness queries (SURVEY §2.9) in their batch
   * formulation: Spark's `window()` assigns events to time windows with
@@ -43,7 +43,43 @@ object StreamSuite {
     "stream_dstream" -> ((s, dir) =>
       StreamOps.dstream(
         StreamOps.windowRelation(events(s, dir), "ts", "1 hour", "1 hour",
-          Seq("event_type")), "1 hour")))
+          Seq("event_type")), "1 hour")),
+
+    // Distributed RSP data plane end-to-end: events triplized, RSP-QL
+    // parsed, WINDOW-block BGP (star join on ?e + constant filter)
+    // compiled to (close, vars) equi-joins over exploded CSPARQL windows —
+    // RSTREAM relation per fired close, then the ISTREAM consecutive-
+    // fired-close diff. No driver collect anywhere in the plan.
+    "stream_window_bgp" -> ((s, dir) =>
+      new DistributedRsp(s, windowBgpQuery).emissions(eventTriples(s, dir))
+        .select("close", "e", "u")),
+
+    "stream_window_istream" -> ((s, dir) =>
+      new DistributedRsp(s, windowBgpQuery.copy(kind = graft.sparql.Ast.IStream))
+        .emissions(eventTriples(s, dir))
+        .select("close", "e", "u")))
+
+  private val windowBgpQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/windowed> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  /** Events triplized for the RSP plane: `(stream, ts: long ms, s, p, o)`.
+    * ts is exact integer ns→ms division (double division at ns-epoch
+    * magnitude loses the close boundary). */
+  private def eventTriples(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("tms", expr("ts div 1000000"))
+    val subj = concat(lit("event/"), col("event_id"))
+    e.select(lit("events").as("stream"), col("tms").as("ts"),
+        subj.as("s"), lit("ev/user").as("p"),
+        concat(lit("user/"), col("user_id")).as("o"))
+      .unionByName(e.select(lit("events").as("stream"), col("tms").as("ts"),
+        subj.as("s"), lit("ev/type").as("p"), col("event_type").as("o")))
+  }
 
   private val wstartHour =
     """strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"""
@@ -87,5 +123,42 @@ object StreamSuite {
             AND EXISTS (
               SELECT 1 FROM rel f
               WHERE strptime(f.wstart, '%Y-%m-%d %H:%M:%S') =
-                    strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR)""")
+                    strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR)""",
+
+    "stream_window_bgp" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+          WHERE ev.event_type = 'purchase'""",
+
+    "stream_window_istream" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev)),
+          rel AS (SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+                  FROM ev JOIN fired f
+                    ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+                  WHERE ev.event_type = 'purchase'),
+          seq AS (SELECT close, LAG(close) OVER (ORDER BY close) AS prev
+                  FROM fired)
+          SELECT r.close, r.e, r.u
+          FROM rel r JOIN seq s ON r.close = s.close
+          WHERE s.prev IS NULL OR NOT EXISTS (
+            SELECT 1 FROM rel p
+            WHERE p.close = s.prev AND p.e = r.e AND p.u = r.u)""")
 }

@@ -334,15 +334,25 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"),
           semiring.times(Seq(col("l.tag"), col("r.tag"))).as("tag"))
-      val next = t.unionByName(hop).groupBy("s", "o")
-        .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
-      val changed = next.select(col("s"), col("o"), col("tag").as("__ntag"))
-        .join(t.select(col("s"), col("o"), col("tag").as("__ftag")),
-          Seq("s", "o"), "left_outer")
-        .filter(col("__ftag").isNull || col("__ntag") =!= col("__ftag"))
-        .count()
+      // change detection fused into the squaring job: ⊕-aggregate the hop
+      // pairs alone, full-outer-merge with the previous closure, and flag
+      // new-or-improved rows — valid because doublingSafe ⊕ is
+      // associative/commutative, so ⊕(T ∪ hops) = ⊕(⊕hops, T). The
+      // convergence count is then a filter over the checkpointed frame,
+      // not a second O(|closure|) join action per round.
+      val hopAgg = hop.groupBy("s", "o").agg(semiring.plusAgg(col("tag")).as("__htag"))
+      val next = t.select(col("s"), col("o"), col("tag").as("__old"))
+        .join(hopAgg, Seq("s", "o"), "full_outer")
+        .withColumn("tag",
+          when(col("__old").isNull, col("__htag"))
+            .when(col("__htag").isNull, col("__old"))
+            .otherwise(semiring.plusPair(col("__htag"), col("__old"))))
+        .withColumn("__chg", col("__old").isNull || col("tag") =!= col("__old"))
+        .select("s", "o", "tag", "__chg")
+        .localCheckpoint()
+      val changed = next.filter(col("__chg")).count()
       if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-      t = next
+      t = next.select("s", "o", "tag")
       if (changed == 0) { lastConverged = true; return t }
       round += 1
     }

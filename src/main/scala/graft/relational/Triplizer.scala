@@ -126,4 +126,34 @@ object Triplizer {
         QuadStore(spark, spark.read.parquet(path))
       })
     }
+
+  /** Dictionary-encoded store over MATERIALIZED id/terms tables — the
+    * on-disk layout an encoded corpus uses at scale: encode once at
+    * ingest (ids clustered by predicate id, terms clustered by id), not
+    * per query. The lazy `withDictEncoding` views re-hash the corpus on
+    * every decode join; this is the difference between "encoded path
+    * exists" and "encoded path is usable". */
+  private val encCache = scala.collection.mutable.Map.empty[(String, Boolean), QuadStore]
+  def cachedEncodedStore(spark: SparkSession, sfDir: String,
+      defaultGraph: Boolean = true): QuadStore =
+    synchronized {
+      encCache.getOrElseUpdate((sfDir, defaultGraph), {
+        val base = cachedStore(spark, sfDir, defaultGraph)
+        val key = new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g")
+        val idsPath = s"/tmp/graft_quads/${key}_ids"
+        val termsPath = s"/tmp/graft_quads/${key}_terms"
+        if (!new java.io.File(idsPath, "_SUCCESS").exists()) {
+          base.encodedQuads
+            .repartition(col("p_id"))
+            .sortWithinPartitions("p_id", "s_id")
+            .write.mode("overwrite").parquet(idsPath)
+          base.termsTable
+            .repartitionByRange(spark.sparkContext.defaultParallelism, col("id"))
+            .sortWithinPartitions("id")
+            .write.mode("overwrite").parquet(termsPath)
+        }
+        base.withDictEncoding(Some(
+          (spark.read.parquet(idsPath), spark.read.parquet(termsPath))))
+      })
+    }
 }

@@ -175,8 +175,11 @@ object Ast {
       select: Select)
 
   /** `RETRIEVE SOME|EVERY LATENT|ACTIVE STREAM ?v FROM <iri> WITH { … }`
-    * (`parser.rs:3179-3263`). Parse-level parity: the reference defines
-    * the grammar but wires no executor for it either. */
+    * (`parser.rs:3179-3263`). Executed by
+    * [[graft.sparql.Compiler.executeRetrieve]] with the semantics of the
+    * reference's `process_retrieve_clause` (`parser.rs:3965-4010`): a
+    * per-pattern default-graph triple matcher; mode/state/variable/IRI
+    * are descriptive metadata there (printed, not consulted). */
   final case class RetrieveClause(
       mode: String,       // "SOME" | "EVERY"
       state: String,      // "LATENT" | "ACTIVE"

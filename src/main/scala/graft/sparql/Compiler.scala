@@ -201,6 +201,11 @@ class Compiler(store: QuadStore) {
   private def compileBgp(patterns: Seq[TriplePattern], scope: GraphSpec,
       view: View, input: Option[Bindings]): Option[Bindings] = {
     if (patterns.isEmpty) return input
+    if (store.dictEncoded && input.isEmpty &&
+        patterns.forall(tp => Seq(tp.s, tp.p, tp.o).forall {
+          case _: Quoted => false; case _ => true
+        }))
+      return Some(compileBgpEncoded(patterns, scope))
     var remaining = patterns.toList
     var acc = input
     var bound: Set[String] = acc.map(_.vars).getOrElse(Set.empty)
@@ -216,6 +221,68 @@ class Compiler(store: QuadStore) {
       bound = acc.get.vars
     }
     acc
+  }
+
+  /** Dictionary-encoded BGP evaluation ([[graft.model.QuadStore.dictEncoded]],
+    * SURVEY §1.5): scans filter on `xxhash64(constant)` (constant-folded),
+    * joins carry 8-byte ids instead of lexical strings, and every variable
+    * decodes back to its lexical form at the BGP boundary — one equi-join
+    * per variable against [[graft.model.QuadStore.termsTable]] — so the
+    * rest of the pipeline (filters, BIND, aggregates) is byte-identical to
+    * the direct path. Quoted-triple patterns fall back (their accessors
+    * destructure the lexical encoding). */
+  private def compileBgpEncoded(patterns: Seq[TriplePattern],
+      scope: GraphSpec): Bindings = {
+    val enc = store.encodedQuads
+    val base = scope match {
+      case DefaultGraph => enc.filter(col("g_id").isNull)
+      case GraphIri(g) => enc.filter(col("g_id") === xxhash64(lit(g)))
+      case GraphVar(_) => enc.filter(col("g_id").isNotNull)
+    }
+    def scanEnc(tp: TriplePattern): DataFrame = {
+      var filters = List.empty[Column]
+      var binds = List.empty[(String, Column)]
+      def walk(c: Column, t: Term): Unit = t match {
+        case Var(n) => binds ::= (n -> c)
+        case other => filters ::= (c === xxhash64(lit(TermLex.lexical(other))))
+      }
+      walk(col("s_id"), tp.s); walk(col("p_id"), tp.p); walk(col("o_id"), tp.o)
+      scope match { case GraphVar(v) => binds ::= (v -> col("g_id")); case _ => () }
+      val grouped = binds.reverse.groupBy(_._1)
+      val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
+      val filtered = (filters ++ eqs).foldLeft(base)((d, f) => d.filter(f))
+      val outCols = grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq
+      if (outCols.nonEmpty) filtered.select(outCols: _*)
+      else filtered.select(lit(1).as("__exists")).limit(1).select()
+    }
+    // same greedy order as the direct path
+    var remaining = patterns.toList
+    var acc: Option[DataFrame] = None
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(tp => bound.isEmpty ||
+        patternVars(tp).exists(bound) ||
+        (scope match { case GraphVar(g) => bound(g); case _ => false }))
+      val pool = if (connected.nonEmpty) connected else remaining
+      val pick = pool.maxBy(tp => score(tp, bound))
+      remaining = remaining.filterNot(_ eq pick)
+      val scan = scanEnc(pick)
+      acc = Some(acc.map { a =>
+        val shared = a.columns.filter(scan.columns.contains(_)).toSeq
+        if (shared.isEmpty) a.crossJoin(scan) else a.join(scan, shared, "inner")
+      }.getOrElse(scan))
+      bound = acc.get.columns.toSet
+    }
+    val joined = acc.get
+    val vars = joined.columns.toSeq
+    val terms = store.termsTable
+    val decoded = vars.foldLeft(joined) { (d, v) =>
+      d.join(terms.select(col("id").as(s"__tid_$v"), col("lex").as(s"__lex_$v")),
+          col(v) === col(s"__tid_$v"), "inner")
+        .drop(v, s"__tid_$v")
+        .withColumnRenamed(s"__lex_$v", v)
+    }
+    Bindings(decoded, Set.empty)
   }
 
   /** One triple-pattern scan: filter on constant positions (pushed to the
@@ -398,6 +465,28 @@ class Compiler(store: QuadStore) {
       sel.limit.foreach(n => df = df.limit(n))
       df.select(projCols.map(c => varCol(df, c).as(c)): _*)
     }
+  }
+
+  // ---- RETRIEVE (`parser.rs:3965-4010` process_retrieve_clause) ----------
+
+  /** Execute a RETRIEVE clause with the reference's semantics: for each
+    * WITH-block pattern, match against the DEFAULT graph (constants
+    * equal, variables wildcard — `matches_pattern` does not constrain
+    * repeated variables) and emit the matching triples; patterns
+    * accumulate without dedup (the reference pushes per pattern). Mode /
+    * state / variable / FROM IRI are descriptive metadata there (printed,
+    * not consulted) and are likewise ignored here. */
+  def executeRetrieve(rc: RetrieveClause): DataFrame = {
+    val base = store.quads.filter(col("g").isNull).select("s", "p", "o")
+    def matchOne(tp: TriplePattern): DataFrame = {
+      def cond(c: Column, t: Term): Option[Column] = t match {
+        case Var(_) => None
+        case other => Some(c === lit(TermLex.lexical(other)))
+      }
+      val filters = cond(col("s"), tp.s) ++ cond(col("p"), tp.p) ++ cond(col("o"), tp.o)
+      filters.foldLeft(base)((d, f) => d.filter(f))
+    }
+    rc.pattern.map(matchOne).reduceOption(_ unionByName _).getOrElse(base.limit(0))
   }
 
   // ---- updates (`execute_query.rs:523-884`) ------------------------------

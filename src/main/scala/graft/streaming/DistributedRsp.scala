@@ -1,0 +1,348 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ExpiredTimerInfo}
+import graft.model.TermLex
+import graft.sparql.Ast._
+
+/** Distributed RSP data plane (SURVEY §3.3 "Spark shape"): the
+  * full-semantics pipeline — CSPARQL window assignment, WINDOW-block BGP
+  * join, fired-close selection, R2S — expressed as DataFrame/Dataset
+  * transformations that shuffle on (close, join vars) instead of
+  * collecting each micro-batch to the driver. This is the scale path for
+  * the category [[RspEngine]] serves as the exact-sequencing control
+  * plane: the same RSP-QL query text compiles onto either.
+  *
+  * Semantics parity with [[RspEngine]] (validated in DistributedRspSpec
+  * against the engine's emission walkthroughs, themselves matched to
+  * `kolibrie/tests/rsp_engine_test.rs:10-193`):
+  *  - window content at close c = events with ts ∈ [c−RANGE, c]
+  *    (`rsp/s2r.rs:298-330` scope), via an exact integer-arithmetic
+  *    explode to covering closes — no range join;
+  *  - fired closes = { maxClose(t) = ⌊(t−1)/STEP⌋·STEP : event at t } with
+  *    c ≥ first event ts — exactly the TimeDriven max-closing-window
+  *    advance (`s2r.rs:210-330`; [[RspEngine]]'s `advance`), including
+  *    the sparse-stream skipping behavior;
+  *  - ISTREAM/DSTREAM diff against the PREVIOUS FIRED close (the engine
+  *    diffs consecutive firings, not consecutive step multiples), via a
+  *    lag over the fired-close sequence — the one narrow global-window
+  *    op, O(#closes) rows;
+  *  - empty firings are not representable as relation rows (an RSTREAM
+  *    emission with zero rows appears as no rows here).
+  *
+  * The streaming variants run the same stateless close-explode + BGP
+  * join over a watermarked stream, gate on a fired-close stream
+  * (stream-stream left-semi join), and compute R2S incrementally in
+  * `transformWithState` keyed by the binding ([[IncrementalR2S]]) with
+  * per-key state = last close seen — the CQL dense-tick formulation,
+  * identical to [[StreamOps]]'s batch step-arithmetic on feeds where
+  * every step fires.
+  *
+  * Scale posture: every join is an equi-join keyed by (close, vars) —
+  * parallel across closes AND across key ranges within a close; the only
+  * per-binding state is one (close, binding) pair in the state store.
+  */
+class DistributedRsp(spark: SparkSession, val query: RspQuery) {
+  import DistributedRsp._
+
+  /** WINDOW-block patterns per window IRI. The distributed plane compiles
+    * pure-BGP blocks; richer blocks (FILTER, UNION, subselects) stay on
+    * the driver engine. */
+  private val windowBlocks: Map[String, Seq[TriplePattern]] =
+    query.select.where.collect { case WindowBlockElem(w, elems) =>
+      w -> elems.flatMap {
+        case Bgp(ps) => ps
+        case other => throw new IllegalArgumentException(
+          s"distributed RSP plane supports pure-BGP WINDOW blocks; found $other " +
+            "— use RspEngine for full block semantics")
+      }
+    }.toMap
+
+  query.windows.foreach { w =>
+    require(windowBlocks.contains(w.iri), s"no WINDOW block for ${w.iri}")
+  }
+
+  private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
+
+  /** Events routed to window spec `w` by stream IRI (suffix-normalized,
+    * `rsp_engine.rs:773-810`; same rule as [[RspEngine]]). Input columns:
+    * `(stream, ts: long ms, s, p, o)`. */
+  private def routed(events: DataFrame, w: WindowSpec): DataFrame = {
+    if (w.streamIri == "*" || w.streamIri.startsWith("?")) return events
+    def normCol(c: Column): Column =
+      substring_index(substring_index(c, "/", -1), ":", -1)
+    val spec = w.streamIri
+    val specNorm = spec.substring(math.max(spec.lastIndexOf('/'), spec.lastIndexOf(':')) + 1)
+    events.filter(col("stream") === spec || normCol(col("stream")) === specNorm)
+  }
+
+  /** Fired closes of window `w` over a batch of events: the distinct
+    * max-closing closes of each arrival, at or after the first event. */
+  def firedCloses(events: DataFrame, w: WindowSpec): DataFrame = {
+    val st = step(w)
+    val e = routed(events, w)
+    val minTs = e.agg(min(col("ts")).as("__minTs"))
+    e.select(maxClose(col("ts"), st).as("close")).distinct()
+      .crossJoin(broadcast(minTs))
+      .filter(col("close") >= col("__minTs"))
+      .select("close")
+  }
+
+  /** `(close, s, p, o)` window content: each event exploded to the closes
+    * whose window covers it (ts ≤ c ≤ ts+RANGE, c ≡ 0 mod STEP), kept
+    * only for fired closes. Extra columns of `events` are preserved. */
+  def windowContent(events: DataFrame, w: WindowSpec): DataFrame = {
+    val exploded = explodeCloses(routed(events, w), w.rangeMs, step(w))
+    exploded.join(firedCloses(events, w), Seq("close"), "left_semi")
+  }
+
+  /** One pattern scan over `(close, s, p, o)` content: constants filter,
+    * variables project; `close` always rides along as a join key (plus
+    * `closeTs`, the streaming path's watermarked event-time twin of
+    * close, when present — keeping it in every join key set is what
+    * bounds stream-stream join state). */
+  private def scan(content: DataFrame, tp: TriplePattern): DataFrame = {
+    var filters = List.empty[Column]
+    var binds = List.empty[(String, Column)]
+    def walk(c: Column, t: Term): Unit = t match {
+      case Var(n) => binds ::= (n -> c)
+      case other => filters ::= (c === lit(TermLex.lexical(other)))
+    }
+    walk(col("s"), tp.s); walk(col("p"), tp.p); walk(col("o"), tp.o)
+    val grouped = binds.reverse.groupBy(_._1)
+    val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
+    val filtered = (filters ++ eqs).foldLeft(content)((d, f) => d.filter(f))
+    val keys = Seq(col("close")) ++
+      (if (content.columns.contains("closeTs")) Seq(col("closeTs")) else Nil)
+    filtered.select(grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq ++
+      keys: _*)
+  }
+
+  /** The compiled WINDOW-block relation of `w`: pattern scans equi-joined
+    * on shared variables + close, distinct (the R2R store has set
+    * semantics). */
+  def windowRelation(events: DataFrame, w: WindowSpec): DataFrame = {
+    val content = windowContent(events, w)
+    windowBlocks(w.iri).map(scan(content, _)).reduce(joinOnShared).distinct()
+  }
+
+  /** All windows' relations joined on (close, shared vars) — aligned-close
+    * Wait semantics. Multi-window queries with unaligned specs need the
+    * driver engine's coordinator. */
+  def relation(events: DataFrame): DataFrame =
+    query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
+
+  /** Fired-close sequence with its predecessor (lag over the ordered close
+    * set — one narrow single-partition window over O(#closes) rows; at
+    * scale #closes = timespan/step, not data volume). */
+  private def closeSeq(events: DataFrame): DataFrame = {
+    require(query.windows.size == 1,
+      "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
+    firedCloses(events, query.windows.head)
+      .withColumn("__prev", lag("close", 1).over(Window.orderBy("close")))
+  }
+
+  /** R2S over the relation sequence, diffing consecutive FIRED closes:
+    * emission rows `(close, vars…)`. */
+  def emissions(events: DataFrame): DataFrame = {
+    val rel = relation(events)
+    query.kind match {
+      case RStream => rel
+      case IStream =>
+        // rows at close c absent from the relation at the previous fired
+        // close (first firing: prev = null → nothing relabels → emit all)
+        val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
+        rel.join(prevRows, rel.columns.toSeq, "left_anti")
+      case DStream =>
+        // rows of the previous fired close absent at c, reported at c
+        val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
+        prevRows.join(rel, rel.columns.toSeq, "left_anti")
+    }
+  }
+
+  private def relabelPrevToCurrent(rel: DataFrame, seq: DataFrame): DataFrame = {
+    val vars = rel.columns.filter(_ != "close").toSeq
+    rel.join(seq.select(col("__prev"), col("close").as("__cur")),
+        col("close") === col("__prev"))
+      .select(vars.map(col) :+ col("__cur").as("close"): _*)
+  }
+
+  // ---- streaming variants --------------------------------------------------
+
+  /** Streaming `(close, vars…)` relation over a stream with columns
+    * `(stream, ts: timestamp, s, p, o)`: stateless close explode + BGP
+    * stream-stream equi-joins + fired-close gating (left-semi against the
+    * max-close stream). Defines the query's watermark internally (on
+    * `closeTs`) — callers must NOT watermark the input (Spark forbids
+    * redefinition along one lineage). */
+  def streamRelation(events: DataFrame): DataFrame = {
+    require(query.windows.size == 1,
+      "streaming plane is single-window; multi-window uses RspEngine")
+    val w = query.windows.head
+    val st = step(w)
+    // `closeTs` is close re-expressed as a timestamp and watermarked on
+    // BOTH sides — putting it in every stream-stream join key satisfies
+    // Spark's watermark-in-join-keys requirement and bounds join state.
+    // Delay = RANGE+STEP covers the skew between an arrival's ts and the
+    // earliest close it can participate in on either side.
+    val delay = s"${w.rangeMs + st} milliseconds"
+    val e = routed(events, w).withColumn("__tsms",
+      (unix_micros(col("ts")) / lit(1000L)).cast("long"))
+    val content = explodeCloses(e.drop("ts").withColumnRenamed("__tsms", "ts"),
+        w.rangeMs, st)
+      .withColumn("closeTs", timestamp_millis(col("close")))
+      .withWatermark("closeTs", delay)
+    val fired = routed(events, w)
+      .select(maxClose((unix_micros(col("ts")) / lit(1000L)).cast("long"), st).as("close"))
+      .withColumn("closeTs", timestamp_millis(col("close")))
+      .withWatermark("closeTs", delay)
+    val gated = content.join(fired, Seq("close", "closeTs"), "left_semi")
+    windowBlocks(w.iri).map(scan(gated, _)).reduce(joinOnShared)
+  }
+
+  /** Streaming emissions: RSTREAM passes the relation through; ISTREAM /
+    * DSTREAM run incrementally in transformWithState keyed by binding
+    * ([[IncrementalR2S]], state = last close per binding). */
+  def streamEmissions(events: DataFrame): Dataset[R2SRow] = {
+    val rel = streamRelation(events).drop("closeTs")
+    val vars = rel.columns.filter(_ != "close").toSeq
+    val rows = toR2SRows(rel, vars)
+    val st = step(query.windows.head)
+    query.kind match {
+      case RStream => rows
+      case IStream => IncrementalR2S.istream(rows, st)
+      case DStream => IncrementalR2S.dstream(rows, st)
+    }
+  }
+}
+
+object DistributedRsp {
+  /** `(close, binding)` — the rows flowing through incremental R2S. */
+  final case class R2SRow(close: Long, binding: Map[String, String])
+
+  /** max-closing window of an arrival at `ts`: largest STEP multiple < ts. */
+  private[streaming] def maxClose(ts: Column, step: Long): Column =
+    (ts - 1) - ((ts - 1) % step)
+
+  /** Explode each event to its covering closes: ts ≤ c ≤ ts+range,
+    * c ≡ 0 (mod step). Exact long arithmetic (no double division — at ms
+    * epoch scale doubles lose the boundary). */
+  private[streaming] def explodeCloses(e: DataFrame, range: Long, step: Long): DataFrame = {
+    val cLo = col("ts") + ((lit(step) - (col("ts") % step)) % step)
+    val cHi = (col("ts") + range) - ((col("ts") + range) % step)
+    e.withColumn("close",
+        explode(when(cLo <= cHi, sequence(cLo, cHi, lit(step)))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
+  private[streaming] def joinOnShared(l: DataFrame, r: DataFrame): DataFrame = {
+    val shared = l.columns.filter(r.columns.contains).toSeq // always has close
+    l.join(r, shared, "inner")
+  }
+
+  private[streaming] def toR2SRows(rel: DataFrame, vars: Seq[String]): Dataset[R2SRow] = {
+    import rel.sparkSession.implicits._
+    rel.select(col("close") +:
+        vars.map(v => col(v).cast("string").as(v)): _*)
+      .map { row =>
+        R2SRow(row.getLong(0),
+          vars.zipWithIndex.flatMap { case (v, i) =>
+            Option(row.getString(i + 1)).map(v -> _)
+          }.toMap)
+      }
+  }
+}
+
+/** Incremental R2S operators over a `(close, binding)` stream —
+  * `transformWithState` keyed by the binding, state = the last close at
+  * which the binding appeared (`r2s.rs:24-52` semantics in the CQL
+  * dense-tick formulation; identical to [[StreamOps]]'s batch
+  * step-arithmetic diffs, which StreamingSpec asserts):
+  *
+  *  - ISTREAM: emit (c, b) iff b was absent at c − step;
+  *  - DSTREAM: emit (c', b) at the first close c' = lastSeen + step where
+  *    b is absent — detected eagerly when b reappears after a gap, and by
+  *    an event-time timer when b never reappears.
+  *
+  * State per binding is one long (+ the binding for timer emission) —
+  * the minimal footprint for exact diffs over unbounded streams.
+  */
+object IncrementalR2S {
+  import DistributedRsp.R2SRow
+
+  private class IstreamProcessor(step: Long)
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("lastClose", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      val sorted = rows.toSeq.distinctBy(_.close).sortBy(_.close)
+      val out = Seq.newBuilder[R2SRow]
+      sorted.foreach { r =>
+        if (!last.exists()) { out += r; last.update(r.close) }
+        else if (r.close > last.get()) { // ≤ last: duplicate/late, done
+          if (last.get() != r.close - step) out += r
+          last.update(r.close)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  private class DstreamProcessor(step: Long)
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Map[String, String])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Map[String, String])]("lastSeen",
+        Encoders.product[(Long, Map[String, String])], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      val sorted = rows.toSeq.distinctBy(_.close).sortBy(_.close)
+      val out = Seq.newBuilder[R2SRow]
+      sorted.foreach { r =>
+        if (!last.exists() || r.close > last.get()._1) { // ≤ last: dup/late
+          if (last.exists() && last.get()._1 + step < r.close)
+            out += R2SRow(last.get()._1 + step, last.get()._2) // gap deletion
+          last.update((r.close, r.binding))
+          // fire a full step past the deletion close: when the watermark
+          // sits exactly ON close c, rows for c may still arrive in the
+          // next batch — a timer at c would race them and emit a spurious
+          // deletion for a binding that is in fact present at c
+          getHandle.registerTimer(r.close + 2 * step)
+        }
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[R2SRow] = {
+      if (last.exists() && info.getExpiryTimeInMs == last.get()._1 + 2 * step) {
+        val (c, b) = last.get()
+        last.clear()
+        Iterator.single(R2SRow(c + step, b))
+      } else Iterator.empty
+    }
+  }
+
+  private def keyed(rows: Dataset[R2SRow]) = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => r.binding.toSeq.sorted.map { case (k, v) => k + "\u0001" + v }
+      .mkString(""))
+  }
+
+  /** Incremental ISTREAM (requires RocksDB state store provider). */
+  def istream(rows: Dataset[R2SRow], step: Long): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    keyed(rows).transformWithState(new IstreamProcessor(step),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Incremental DSTREAM with event-time timers for final disappearance. */
+  def dstream(rows: Dataset[R2SRow], step: Long): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    keyed(rows).transformWithState(new DstreamProcessor(step),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+}

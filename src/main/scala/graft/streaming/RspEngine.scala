@@ -182,7 +182,16 @@ class RspEngine(
     * `(stream, ts: timestamp, s, p, o)`: every micro-batch drains into the
     * engine in event-time order, firing windows and emitting through the
     * consumer. Micro-batch boundaries replace the reference's window and
-    * coordinator threads (SURVEY §3.3). */
+    * coordinator threads (SURVEY §3.3).
+    *
+    * This is the CONTROL-PLANE path: exact emission sequencing, all
+    * policies/report strategies, at single-coordinator volume (each batch
+    * collects to the driver — the reference's own single-process design).
+    * High-volume WINDOW-block queries should run on
+    * [[DistributedRsp.streamEmissions]], which keeps window assignment,
+    * the BGP join, fired-close gating, and incremental R2S fully
+    * distributed (transformWithState), trading the policy/report-strategy
+    * surface for scale. */
   def runStream(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")

@@ -1,0 +1,247 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sparql.SparqlParser
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The distributed RSP data plane must reproduce the driver engine's
+  * emission walkthroughs (themselves matched to
+  * `kolibrie/tests/rsp_engine_test.rs:10-193`) — first in batch form,
+  * then through the live streaming path (MemoryStream → stateless window
+  * explode → stream-stream BGP join → fired-close gating →
+  * transformWithState incremental R2S). */
+class DistributedRspSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val itype = "http://test/IType"
+  private val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  private def istreamQuery = SparqlParser().parseRsp(s"""
+    REGISTER ISTREAM <http://out/stream> AS
+    SELECT *
+    FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+    WHERE { WINDOW :w { ?s a <$itype> . } }""")
+
+  private def dstreamQuery = SparqlParser().parseRsp(s"""
+    REGISTER DSTREAM <http://out/stream> AS
+    SELECT *
+    FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+    WHERE { WINDOW :w { ?s a <$itype> . } }""")
+
+  private def feed(names: (String, Long)*): DataFrame =
+    names.map { case (n, ts) => ("stream", ts, s"http://test/$n", rdfType, itype) }
+      .toDF("stream", "ts", "s", "p", "o")
+
+  /** Collect (close → set of ?s) from a distributed emission DF. */
+  private def byClose(df: DataFrame): Map[Long, Set[String]] =
+    df.collect().map(r => r.getAs[Long]("close") -> r.getAs[String]("s"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("batch ISTREAM walkthrough matches the engine (rsp_engine_test.rs:10-103)") {
+    val events = feed("subjectA" -> 1L, "subjectB" -> 2L, "subjectC" -> 3L,
+      "subjectD" -> 4L)
+    val got = byClose(new DistributedRsp(spark, istreamQuery).emissions(events))
+    assert(got == Map(
+      1L -> Set("http://test/subjectA"),
+      2L -> Set("http://test/subjectB"),
+      3L -> Set("http://test/subjectC")), s"got $got")
+  }
+
+  test("batch DSTREAM walkthrough matches the engine (rsp_engine_test.rs:105-193)") {
+    val events = feed("A" -> 1L, "B" -> 2L, "C" -> 3L, "D" -> 4L, "E" -> 5L,
+      "F" -> 6L)
+    val got = byClose(new DistributedRsp(spark, dstreamQuery).emissions(events))
+    assert(got == Map(5L -> Set("http://test/A")), s"got $got")
+  }
+
+  test("batch diffs run against the previous FIRED close on sparse streams") {
+    // events at ts 1,2 then a jump to 9: the engine fires closes {1, 8}
+    // (max-closing per advance skips 2..7) and ISTREAM diffs 8 against 1.
+    // B@2 is in the close-1 window? no — content(1) = ts∈[-2,1] = {A};
+    // content(8) = ts∈[5,8] = {} … use overlapping arrivals instead:
+    val events = feed("A" -> 1L, "B" -> 2L, "C" -> 9L, "D" -> 10L)
+    val e = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER ISTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""")
+    Seq(("A", 1L), ("B", 2L), ("C", 9L), ("D", 10L)).foreach { case (n, ts) =>
+      e.add("stream", s"http://test/$n", rdfType, itype, ts)
+    }
+    val engineGot = e.emissions
+      .map(em => em.windowClose -> em.rows.map(_("s")).toSet).toMap
+    val got = byClose(new DistributedRsp(spark, istreamQuery).emissions(events))
+    assert(got == engineGot, s"distributed $got vs engine $engineGot")
+  }
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def runStreamCase(queryText: String,
+      batches: Seq[Seq[(String, Long)]]): Map[Long, Set[String]] = withRocksDb {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val q = SparqlParser().parseRsp(queryText)
+    val mem = MemoryStream[(String, Long, String, String, String)]
+    // no watermark here: streamRelation defines the query watermark on
+    // closeTs internally (Spark forbids redefining along one lineage)
+    val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+      .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+    val sink = s"dist_rsp_${System.nanoTime()}"
+    val sq = new DistributedRsp(spark, q).streamEmissions(events)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map { case (n, ts) =>
+          ("stream", ts, s"http://test/$n", rdfType, itype) })
+        sq.processAllAvailable()
+      }
+      spark.table(sink).collect()
+        .map(r => r.getAs[Long]("close") -> r.getAs[Map[String, String]]("binding")("s"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    } finally sq.stop()
+  }
+
+  test("streaming ISTREAM walkthrough through transformWithState matches the engine") {
+    val got = runStreamCase(s"""
+      REGISTER ISTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""",
+      Seq(Seq("subjectA" -> 1L), Seq("subjectB" -> 2L), Seq("subjectC" -> 3L),
+        Seq("subjectD" -> 4L)))
+    assert(got == Map(
+      1L -> Set("http://test/subjectA"),
+      2L -> Set("http://test/subjectB"),
+      3L -> Set("http://test/subjectC")), s"got $got")
+  }
+
+  test("streaming DSTREAM walkthrough: timer-driven deletion matches the engine") {
+    val got = runStreamCase(s"""
+      REGISTER DSTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s a <$itype> . } }""",
+      Seq(Seq("A" -> 1L, "B" -> 2L, "C" -> 3L), Seq("D" -> 4L, "E" -> 5L),
+        Seq("F" -> 6L), Seq("G" -> 20L)))
+    // A leaves the window at close 5 (engine walkthrough); the trailing
+    // arrivals push the watermark so the disappearance timers fire. Late
+    // subjects' own deletions (B..F leaving at closes 6+) appear too —
+    // the engine walkthrough stops feeding, we assert the A deletion.
+    assert(got.getOrElse(5L, Set.empty) == Set("http://test/A"), s"got $got")
+  }
+
+  test("streaming WINDOW-block BGP join emits joined bindings") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val q = SparqlParser().parseRsp("""
+        REGISTER RSTREAM <http://out/join> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"dist_rsp_bgp_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, q).streamEmissions(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(Seq(
+          ("stream", 1L, "event/1", "ev/user", "user/7"),
+          ("stream", 1L, "event/1", "ev/type", "purchase"),
+          ("stream", 1L, "event/2", "ev/user", "user/8"),
+          ("stream", 1L, "event/2", "ev/type", "view")))
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 4L, "event/3", "ev/user", "user/9")))
+        sq.processAllAvailable()
+        val rows = spark.table(sink).collect()
+          .map(r => (r.getAs[Long]("close"),
+            r.getAs[Map[String, String]]("binding")))
+        // only event/1 satisfies both patterns; event/2 is filtered by the
+        // type constant, event/3 has no type triple
+        assert(rows.nonEmpty)
+        assert(rows.forall(_._2("e") == "event/1"))
+        assert(rows.forall(_._2("u") == "user/7"))
+      } finally sq.stop()
+    }
+  }
+
+  test("incremental R2S equals the batch step-arithmetic diff over a replayed feed") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import DistributedRsp.R2SRow
+      implicit val sqlCtx = spark.sqlContext
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val step = 3600000L
+      val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+        .withColumn("tms", expr("ts div 1000000"))
+        .select(col("tms"), col("event_type"))
+      // per-event (close, binding) rows of the tumbling-hour relation
+      val rel = ev.select((col("tms") - (col("tms") % step)).as("close"),
+        col("event_type")).distinct()
+
+      // batch formulations (StreamOps semantics, step arithmetic)
+      val batchI = rel.join(rel.withColumn("close", col("close") + step),
+        Seq("close", "event_type"), "left_anti")
+      val firings = rel.select("close").distinct()
+      val batchD = rel.withColumn("close", col("close") + step)
+        .join(rel, Seq("close", "event_type"), "left_anti")
+        .join(firings, Seq("close"), "left_semi")
+
+      // replay the same rows through the incremental operators in
+      // ts-ordered chunks so the watermark advances between batches; a
+      // trailing sentinel pushes the watermark past every deletion timer
+      // (timers fire at lastSeen + 2·step) and is excluded from compare
+      val rows = rel.orderBy("close").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val maxClose = rows.map(_._1).max
+      val chunks = rows.grouped(math.max(rows.length / 5, 1)).toSeq :+
+        Array((maxClose + 3 * step, "__sentinel"))
+      def run(mk: org.apache.spark.sql.Dataset[R2SRow] =>
+          org.apache.spark.sql.Dataset[R2SRow]): Set[(Long, String)] = {
+        val mem = MemoryStream[(Long, String)]
+        val in = mem.toDF().toDF("close", "event_type")
+          .withColumn("ts", timestamp_millis(col("close")))
+          .withWatermark("ts", "0 milliseconds")
+          .as[(Long, String, java.sql.Timestamp)]
+          .map { case (c, t, _) => R2SRow(c, Map("event_type" -> t)) }
+        val sink = s"incr_r2s_${System.nanoTime()}"
+        val sq = mk(in).writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { ch => mem.addData(ch.toSeq); sq.processAllAvailable() }
+          spark.table(sink).collect()
+            .map(r => (r.getAs[Long]("close"),
+              r.getAs[Map[String, String]]("binding")("event_type"))).toSet
+        } finally sq.stop()
+      }
+
+      val incI = run(IncrementalR2S.istream(_, step))
+        .filterNot(_._2 == "__sentinel")
+      val wantI = batchI.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(incI == wantI,
+        s"istream: extra=${incI -- wantI}, missing=${wantI -- incI}")
+
+      // incremental DSTREAM emits at the deletion instant lastSeen+step;
+      // the batch op additionally gates on closes that actually fired —
+      // apply the same gate before comparing
+      val incD = run(IncrementalR2S.dstream(_, step))
+        .filterNot(_._2 == "__sentinel")
+      val firingSet = firings.collect().map(_.getLong(0)).toSet
+      val wantD = batchD.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val incDGated = incD.filter(kv => firingSet.contains(kv._1))
+      assert(incDGated == wantD,
+        s"dstream: extra=${incDGated -- wantD}, missing=${wantD -- incDGated}")
+    }
+  }
+}
