@@ -44,8 +44,30 @@ import graft.sparql.Ast._
   * parallel across closes AND across key ranges within a close; the only
   * per-binding state is one (close, binding) pair in the state store.
   */
-class DistributedRsp(spark: SparkSession, val query: RspQuery) {
+class DistributedRsp(spark: SparkSession, val query: RspQuery,
+    /** Forward-chaining rules applied to each window's content before the
+      * WINDOW-block query — the reference's `add_sparql_rules` R2R
+      * enrichment (`rsp_engine.rs:105-212`), here as ONE fixpoint whose
+      * every round is distributed across all closes (close rides every
+      * premise join, so window isolation is free). Batch runs the full
+      * fixpoint; the streaming path unrolls [[streamEnrichRounds]] rule
+      * applications (a stream cannot loop — non-recursive rule sets need
+      * exactly 1). */
+    rules: Seq[Rule] = Nil,
+    streamEnrichRounds: Int = 1) {
   import DistributedRsp._
+
+  rules.foreach { r =>
+    val terms = (r.premise ++ r.negativePremise ++ r.conclusion)
+      .flatMap(tp => Seq(tp.s, tp.p, tp.o))
+    require(!terms.exists {
+      case q: Quoted => termVarsOf(q).nonEmpty
+      case _ => false
+    }, "distributed enrichment supports ground quoted terms only")
+  }
+
+  private lazy val condCompiler =
+    new graft.sparql.Compiler(graft.model.QuadStore.empty(spark))
 
   /** WINDOW-block patterns per window IRI. The distributed plane compiles
     * pure-BGP blocks; richer blocks (FILTER, UNION, subselects) stay on
@@ -120,11 +142,59 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery) {
       keys: _*)
   }
 
+  /** One rule application over close-keyed content `(close[, closeTs],
+    * s, p, o)`: premise scans joined on shared vars + close, close-scoped
+    * NAF anti-joins, filters, head instantiation with the close keys
+    * preserved. */
+  private def applyRuleOnce(facts: DataFrame, rule: Rule): DataFrame = {
+    val keys = Seq("close") ++
+      (if (facts.columns.contains("closeTs")) Seq("closeTs") else Nil)
+    var b = rule.premise.map(scan(facts, _)).reduce(joinOnShared)
+    rule.negativePremise.foreach { ntp =>
+      val neg = scan(facts, ntp)
+      val shared = b.columns.filter(neg.columns.contains(_)).toSeq
+      b = b.join(neg, shared, "left_anti")
+    }
+    rule.filters.foreach(f => b = b.filter(condCompiler.compileCond(b, f)))
+    def termCol(t: Term): Column = t match {
+      case Var(n) =>
+        if (b.columns.contains(n)) col(n)
+        else lit(null).cast(org.apache.spark.sql.types.StringType)
+      case other => lit(TermLex.lexical(other))
+    }
+    rule.conclusion.map { tp =>
+      b.select(keys.map(col) ++ Seq(termCol(tp.s).as("s"),
+        termCol(tp.p).as("p"), termCol(tp.o).as("o")): _*)
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Batch R2R enrichment: naive fixpoint, each round one distributed
+    * rule pass across ALL closes at once. */
+  private def enrichFixpoint(content: DataFrame): DataFrame = {
+    val keys = Seq("close") ++
+      (if (content.columns.contains("closeTs")) Seq("closeTs") else Nil)
+    var facts = content.select((keys ++ Seq("s", "p", "o")).map(col): _*)
+      .distinct().localCheckpoint()
+    var round = 0
+    while (round < 32) {
+      val derived = rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _)
+      val delta = derived.join(facts, facts.columns.toSeq, "left_anti")
+        .distinct().localCheckpoint()
+      if (delta.isEmpty) return facts
+      facts = facts.unionByName(delta).localCheckpoint()
+      round += 1
+    }
+    throw new IllegalStateException(
+      "R2R enrichment did not reach its fixpoint within 32 rounds")
+  }
+
   /** The compiled WINDOW-block relation of `w`: pattern scans equi-joined
     * on shared variables + close, distinct (the R2R store has set
-    * semantics). */
+    * semantics). Registered rules enrich the content first. */
   def windowRelation(events: DataFrame, w: WindowSpec): DataFrame = {
-    val content = windowContent(events, w)
+    val content0 = windowContent(events, w)
+    val content = if (rules.isEmpty) content0 else enrichFixpoint(content0)
     windowBlocks(w.iri).map(scan(content, _)).reduce(joinOnShared).distinct()
   }
 
@@ -199,7 +269,17 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery) {
       .withColumn("closeTs", timestamp_millis(col("close")))
       .withWatermark("closeTs", delay)
     val gated = content.join(fired, Seq("close", "closeTs"), "left_semi")
-    windowBlocks(w.iri).map(scan(gated, _)).reduce(joinOnShared)
+    // streaming enrichment: a stream cannot loop a fixpoint, so unroll a
+    // fixed number of rule passes (non-recursive rule sets need exactly 1);
+    // duplicates are merged by the downstream R2S per-key distinct
+    val enriched =
+      if (rules.isEmpty) gated
+      else (0 until streamEnrichRounds).foldLeft(
+          gated.select(col("close"), col("closeTs"), col("s"), col("p"), col("o"))) {
+        (facts, _) =>
+          facts.unionByName(rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _))
+      }
+    windowBlocks(w.iri).map(scan(enriched, _)).reduce(joinOnShared)
   }
 
   /** Streaming emissions: RSTREAM passes the relation through; ISTREAM /
@@ -221,6 +301,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery) {
 object DistributedRsp {
   /** `(close, binding)` — the rows flowing through incremental R2S. */
   final case class R2SRow(close: Long, binding: Map[String, String])
+
+  private[streaming] def termVarsOf(t: Term): Seq[String] = t match {
+    case Var(n) => Seq(n)
+    case Quoted(s, p, o) => termVarsOf(s) ++ termVarsOf(p) ++ termVarsOf(o)
+    case _ => Nil
+  }
 
   /** max-closing window of an arrival at `ts`: largest STEP multiple < ts. */
   private[streaming] def maxClose(ts: Column, step: Long): Column =

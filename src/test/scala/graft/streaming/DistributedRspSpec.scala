@@ -75,6 +75,96 @@ class DistributedRspSpec extends SparkSpec {
     assert(got == engineGot, s"distributed $got vs engine $engineGot")
   }
 
+  test("multi-window RSTREAM joins aligned closes across windows") {
+    // two same-spec windows on different streams; the distributed plane
+    // joins their relations on (close, shared vars) — aligned-close Wait
+    val q = SparqlParser().parseRsp(s"""
+      REGISTER RSTREAM <http://out/multi> AS
+      SELECT *
+      FROM NAMED WINDOW :wa ON :streamA [RANGE 3 ms STEP 1 ms]
+      FROM NAMED WINDOW :wb ON :streamB [RANGE 3 ms STEP 1 ms]
+      WHERE {
+        WINDOW :wa { ?s1 a <http://test/TypeA> . }
+        WINDOW :wb { ?s2 a <http://test/TypeB> . }
+      }""")
+    val events = Seq(
+      ("streamA", 1L, "http://test/a1", rdfType, "http://test/TypeA"),
+      ("streamB", 1L, "http://test/b1", rdfType, "http://test/TypeB"),
+      ("streamA", 2L, "http://test/a2", rdfType, "http://test/TypeA"),
+      ("streamB", 2L, "http://test/b2", rdfType, "http://test/TypeB"))
+      .toDF("stream", "ts", "s", "p", "o")
+    val rows = new DistributedRsp(spark, q).emissions(events).collect()
+      .map(r => (r.getAs[Long]("close"), r.getAs[String]("s1"), r.getAs[String]("s2")))
+    // close 1 fired on both sides (trigger ts=2): cross of {a1}×{b1}
+    assert(rows.toSet == Set((1L, "http://test/a1", "http://test/b1")), s"got ${rows.toSet}")
+  }
+
+  test("plane posture: no driver-side relation rebuild in the physical plan") {
+    // the whole point of the distributed plane: the oracle entry's plan
+    // must be scans + exchanges + joins — no LocalTableScan / parallelize
+    // artifacts of a collect-and-rebuild coordinator
+    val df = graft.SparkEntry.queries("stream_window_bgp")(spark, sf("sf0.001"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan") && !p.contains("Scan ExistingRDD"),
+      s"driver-side relation rebuild in plan:\n$p")
+    assert(p.contains("Join"), s"no join in plan:\n$p")
+  }
+
+  test("distributed R2R rule enrichment matches the engine's per-window materialization") {
+    // rule: every typed subject gets an <enriched> marker; the WINDOW
+    // block queries the DERIVED predicate, so emissions exist only if
+    // enrichment ran inside the window scope
+    val rule = SparqlParser().parseRule(s"""
+      RULE <r/mark> :- CONSTRUCT { ?x <http://test/enriched> "yes" }
+      WHERE { ?x a <$itype> }""")
+    val qText = s"""
+      REGISTER RSTREAM <http://out/enriched> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s <http://test/enriched> "yes" . } }"""
+    val engine = RspEngineBuilder.fromQuery(spark, qText, rules = Seq(rule))
+    Seq(("A", 1L), ("B", 2L), ("C", 3L)).foreach { case (n, ts) =>
+      engine.add("stream", s"http://test/$n", rdfType, itype, ts)
+    }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(_("s")).toSet).toMap
+    val events = feed("A" -> 1L, "B" -> 2L, "C" -> 3L)
+    val got = byClose(new DistributedRsp(spark,
+      SparqlParser().parseRsp(qText), rules = Seq(rule)).emissions(events))
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+  }
+
+  test("enrichment fixpoint is close-scoped: recursive closure stays inside each window") {
+    // ancestor closure over parent edges; window RANGE 2 STEP 1 — an edge
+    // outside a close's window must not contribute to that close's closure
+    val rules = Seq(
+      SparqlParser().parseRule("""RULE <r/b> :- CONSTRUCT { ?x <anc> ?y }
+        WHERE { ?x <parent> ?y }"""),
+      SparqlParser().parseRule("""RULE <r/s> :- CONSTRUCT { ?x <anc> ?z }
+        WHERE { ?x <parent> ?y . ?y <anc> ?z }"""))
+    val q = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/anc> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 2 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?a <anc> ?d . } }""")
+    // chain a→b (ts1), b→c (ts2), c→d (ts3): the RANGE-2 window at close 3
+    // holds edges ts∈[1,3] = all three → closure includes a→d there; the
+    // window at close 2 holds ts∈[0,2] = a→b, b→c only → a→c but no a→d
+    val events = Seq(
+      ("stream", 1L, "a", "parent", "b"),
+      ("stream", 2L, "b", "parent", "c"),
+      ("stream", 3L, "c", "parent", "d"),
+      ("stream", 4L, "x", "parent", "x2")) // trigger for close 3
+      .toDF("stream", "ts", "s", "p", "o")
+    val rel = new DistributedRsp(spark, q, rules = rules).emissions(events)
+      .collect().map(r => (r.getAs[Long]("close"),
+        r.getAs[String]("a"), r.getAs[String]("d"))).toSet
+    assert(rel.contains((3L, "a", "d")), s"missing full-window closure in $rel")
+    assert(!rel.contains((2L, "a", "d")), s"closure leaked across windows in $rel")
+    assert(rel.contains((2L, "a", "c")), s"missing partial closure in $rel")
+  }
+
   private def withRocksDb[T](f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(key)
