@@ -72,6 +72,16 @@ object SparqlSuite {
           ?c <customer#c_acctbal> ?bal .
           ?c <customer#c_mktsegment> ?seg }""")),
 
+    // same star join over the subject-bucketed catalog table (CLUSTERED BY
+    // s): with broadcast off the plan has ZERO exchanges (PlanPostureSpec
+    // pins that); here it must simply stay hash-identical to the oracle
+    "sparql_star_join_bucketed" -> ((s, dir) =>
+      new Compiler(Triplizer.bucketedStore(s, dir, defaultGraph = true)).select("""
+        SELECT ?name ?bal ?seg WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg }""")),
+
     "sparql_filter" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?name ?bal WHERE {
@@ -246,6 +256,10 @@ object SparqlSuite {
          JOIN region ON r_regionkey = n_regionkey""",
 
     "sparql_star_join_encoded" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
+                c_mktsegment AS seg FROM customer""",
+
+    "sparql_star_join_bucketed" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
                 c_mktsegment AS seg FROM customer""",
 

@@ -127,6 +127,42 @@ object Triplizer {
       })
     }
 
+  /** Subject-bucketed quad table: `CLUSTERED BY (s) SORTED BY (s)` into
+    * `buckets` files — repeated subject-keyed joins (star joins, rule
+    * premise joins on a shared subject) read co-located sorted buckets
+    * and plan with NO Exchange on either side, the layout that matters
+    * when the same 100 TB corpus serves many star-shaped queries. Spark
+    * bucketing needs a catalog table, so this registers
+    * `graft_quads_s_<key>` in the session catalog (files under the
+    * warehouse dir); per-session registration, same cache discipline as
+    * [[cachedStore]]. */
+  private val bucketCache = scala.collection.mutable.Map.empty[(String, Boolean), QuadStore]
+  def bucketedStore(spark: SparkSession, sfDir: String,
+      defaultGraph: Boolean = true, buckets: Int = 32): QuadStore =
+    synchronized {
+      bucketCache.getOrElseUpdate((sfDir, defaultGraph), {
+        val key = (new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g"))
+          .replace(".", "_")
+        val table = s"graft_quads_s_$key"
+        if (!spark.catalog.tableExists(table)) {
+          val loc = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+          if (loc.exists())
+            // files survive from an earlier session whose in-memory
+            // catalog is gone: re-register an external bucketed table
+            spark.sql(
+              s"""CREATE TABLE $table (g STRING, s STRING, p STRING, o STRING)
+                  USING PARQUET CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS
+                  LOCATION '${loc.getAbsolutePath}'""")
+          else
+            cachedStore(spark, sfDir, defaultGraph).quads
+              .write.bucketBy(buckets, "s").sortBy("s")
+              .mode("overwrite").saveAsTable(table)
+        }
+        QuadStore(spark, spark.table(table))
+      })
+    }
+
   /** Dictionary-encoded store over MATERIALIZED id/terms tables — the
     * on-disk layout an encoded corpus uses at scale: encode once at
     * ingest (ids clustered by predicate id, terms clustered by id), not

@@ -167,12 +167,23 @@ object Ast {
   case object IStream extends R2SKind
   case object DStream extends R2SKind
 
-  /** REGISTER R/I/DSTREAM <out> AS SELECT … (`parser.rs:2795-2846`). */
+  /** Parsed `WITH POLICY` spec on a window clause
+    * (`parser.rs:2705-2775`): `steal`, `wait`, or
+    * `(timeout=<dur>, fallback=steal|drop)`. */
+  sealed trait SyncPolicySpec
+  case object WaitPolicy extends SyncPolicySpec
+  case object StealPolicy extends SyncPolicySpec
+  final case class TimeoutPolicy(ms: Long, fallbackSteal: Boolean) extends SyncPolicySpec
+
+  /** REGISTER R/I/DSTREAM <out> AS SELECT … (`parser.rs:2795-2846`).
+    * `policy` is the last `WITH POLICY` across the window clauses (the
+    * engine coordinates with one policy, as the reference's does). */
   final case class RspQuery(
       kind: R2SKind,
       outIri: String,
       windows: Seq[WindowSpec],
-      select: Select)
+      select: Select,
+      policy: Option[SyncPolicySpec] = None)
 
   /** `RETRIEVE SOME|EVERY LATENT|ACTIVE STREAM ?v FROM <iri> WITH { … }`
     * (`parser.rs:3179-3263`). Executed by

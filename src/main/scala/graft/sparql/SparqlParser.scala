@@ -349,13 +349,35 @@ class SparqlParser extends RegexParsers {
       })
     }
 
+  /** Policy duration (`parser.rs:2677-2703`): `5s`, `5000ms`,
+    * `PT5S`/`PT5M`/`PT5H`, or a bare integer meaning seconds. */
+  def policyDuration: Parser[Long] =
+    ("PT" ~> """\d+""".r ~ ("S" | "M" | "H") ^^ { case n ~ u =>
+      n.toLong * (u match { case "S" => 1000L; case "M" => 60000L; case _ => 3600000L })
+    }) |
+    ("""\d+""".r ~ opt("ms" | "s") ^^ { case n ~ u =>
+      n.toLong * (u match { case Some("ms") => 1L; case _ => 1000L })
+    })
+
+  /** `WITH POLICY steal|wait|(timeout=<dur>, fallback=steal|drop)`
+    * (`parser.rs:2705-2775`). */
+  def policySpec: Parser[SyncPolicySpec] =
+    kw("steal") ^^ (_ => StealPolicy) |
+    kw("wait") ^^ (_ => WaitPolicy) |
+    ("(" ~> kw("timeout") ~> "=" ~> policyDuration ~
+      ("," ~> kw("fallback") ~> "=" ~> (kw("steal") ^^ (_ => true) |
+        kw("drop") ^^ (_ => false))) <~ ")") ^^ {
+      case ms ~ steal => TimeoutPolicy(ms, steal)
+    }
+
   /** `ON ?s` (stream variable = match all streams, `rsp_engine.rs:773-810`)
     * is represented as stream IRI "*". */
-  def windowClause: Parser[(String, String, Long, Long)] =
+  def windowClause: Parser[(String, String, Long, Long, Option[SyncPolicySpec])] =
     kw("FROM") ~> kw("NAMED") ~> kw("WINDOW") ~> iri ~
       (kw("ON") ~> (varName ^^ (_ => "*") | iri)) ~
-      ("[" ~> kw("RANGE") ~> duration ~ opt(kw("STEP") ~> duration) <~ "]") ^^ {
-      case w ~ s ~ (r ~ st) => (w, s, r, st.getOrElse(r))
+      ("[" ~> kw("RANGE") ~> duration ~ opt(kw("STEP") ~> duration) <~ "]") ~
+      opt(kw("WITH") ~> kw("POLICY") ~> policySpec) ^^ {
+      case w ~ s ~ (r ~ st) ~ pol => (w, s, r, st.getOrElse(r), pol)
     }
 
   def rspQuery: Parser[RspQuery] =
@@ -374,9 +396,10 @@ class SparqlParser extends RegexParsers {
              items.collect { case Right(a) => a })
         }
         RspQuery(kind, out,
-          wins.map { case (w, s, r, st) => WindowSpec(w, s, r, st) },
+          wins.map { case (w, s, r, st, _) => WindowSpec(w, s, r, st) },
           Select(dist.isDefined, vars, aggs,
-            where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil))
+            where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil),
+          policy = wins.flatMap(_._5).lastOption)
     }
 
   // ---- ML surface (`parser.rs:2219-2580`) --------------------------------

@@ -322,12 +322,26 @@ class RspEngine(
 }
 
 object RspEngineBuilder {
-  /** Builder parity with `RSPBuilder` (`rsp/builder.rs`). */
+  /** A parsed `WITH POLICY` spec lowered to the engine's policy type. */
+  def lower(p: SyncPolicySpec): RspEngine.SyncPolicy = p match {
+    case WaitPolicy => RspEngine.Wait
+    case StealPolicy => RspEngine.Steal
+    case TimeoutPolicy(ms, steal) => RspEngine.Timeout(ms, steal)
+  }
+
+  /** Builder parity with `RSPBuilder` (`rsp/builder.rs`). A `WITH POLICY`
+    * clause in the query text takes effect unless the caller passes a
+    * non-default policy explicitly (programmatic override wins, matching
+    * the reference's builder `with_sync_policy`). */
   def fromQuery(spark: SparkSession, rspQl: String,
       staticStore: Option[QuadStore] = None,
       policy: RspEngine.SyncPolicy = RspEngine.Wait,
       consumer: RspEngine.Emission => Unit = _ => (),
-      rules: Seq[Rule] = Nil): RspEngine =
-    new RspEngine(spark, SparqlParser().parseRsp(rspQl), staticStore, policy,
-      consumer, rules = rules)
+      rules: Seq[Rule] = Nil): RspEngine = {
+    val q = SparqlParser().parseRsp(rspQl)
+    val effective =
+      if (policy != RspEngine.Wait) policy
+      else q.policy.map(lower).getOrElse(policy)
+    new RspEngine(spark, q, staticStore, effective, consumer, rules = rules)
+  }
 }

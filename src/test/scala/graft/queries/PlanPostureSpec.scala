@@ -60,6 +60,32 @@ class PlanPostureSpec extends SparkSpec {
       s"no pushdown on the quads scan in:\n$p")
   }
 
+  test("bucketed quad table: star join plans with ZERO exchanges") {
+    // the at-scale posture: with broadcast off (no side is broadcastable
+    // at 100 TB), a subject-star join over the CLUSTERED BY (s) table
+    // must read co-located sorted buckets and shuffle nothing
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val store = graft.relational.Triplizer.bucketedStore(spark, sf())
+      val df = new graft.sparql.Compiler(store).select("""
+        SELECT ?name ?bal ?seg WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg }""")
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"bucketed scan not used:\n$p")
+      assert(!p.contains("Exchange"), s"star join over bucketed table shuffled:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("reasoner doubling round: self-join is an equi hash/SMJ, never BNLJ") {
     import spark.implicits._
     // the hop join exactly as closureByDoubling builds it

@@ -93,6 +93,41 @@ class RspEngineSpec extends SparkSpec {
     assert(e.emissions.isEmpty)
   }
 
+  test("WITH POLICY grammar: steal/wait/timeout with all duration forms (parser.rs:2677-2775)") {
+    import graft.sparql.{Ast, SparqlParser}
+    def policyOf(spec: String): Option[Ast.SyncPolicySpec] =
+      SparqlParser().parseRsp(s"""
+        REGISTER RSTREAM <http://out> AS SELECT *
+        FROM NAMED WINDOW :w ON :s [RANGE 10 ms STEP 2 ms] $spec
+        WHERE { WINDOW :w { ?s a <$itype> . } }""").policy
+    assert(policyOf("") == None)
+    assert(policyOf("WITH POLICY steal") == Some(Ast.StealPolicy))
+    assert(policyOf("WITH POLICY wait") == Some(Ast.WaitPolicy))
+    assert(policyOf("WITH POLICY (timeout=100ms, fallback=steal)") ==
+      Some(Ast.TimeoutPolicy(100L, fallbackSteal = true)))
+    assert(policyOf("WITH POLICY (timeout=5s, fallback=drop)") ==
+      Some(Ast.TimeoutPolicy(5000L, fallbackSteal = false)))
+    assert(policyOf("WITH POLICY (timeout=PT5M, fallback=drop)") ==
+      Some(Ast.TimeoutPolicy(300000L, fallbackSteal = false)))
+    assert(policyOf("WITH POLICY (timeout=7, fallback=steal)") ==
+      Some(Ast.TimeoutPolicy(7000L, fallbackSteal = true)))
+  }
+
+  test("parsed WITH POLICY drives the engine (steal emits with cached windows)") {
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :windA ON :streamA [RANGE 10 ms STEP 2 ms] WITH POLICY steal
+      FROM NAMED WINDOW :windB ON :streamB [RANGE 10 ms STEP 2 ms]
+      WHERE {
+        WINDOW :windA { ?s1 a <http://test/TypeA> . }
+        WINDOW :windB { ?s2 a <http://test/TypeB> . }
+      }""")
+    (0 until 3).foreach(i => addTyped(e, "streamB", s"b$i", "TypeB", i.toLong))
+    (0 until 5).foreach(i => addTyped(e, "streamA", s"a$i", "TypeA", (i + 20).toLong))
+    assert(e.emissions.nonEmpty) // Wait would stay silent; parsed Steal fires
+  }
+
   test("Timeout within deadline behaves as Wait (rsp_engine_test.rs:713-760)") {
     // the reference's own SingleThread tests assert exactly this sequence:
     // only A fires, the deadline never passes → no emission
