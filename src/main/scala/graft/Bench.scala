@@ -30,7 +30,7 @@ object Bench {
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ivf_topk", "text_langid", "text_quality",
-    "text_fingerprint", "text_token_count",
+    "text_fingerprint", "text_token_count", "text_subword_count",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

@@ -19,6 +19,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation: letter runs, single digits, single
+    * punctuation marks — the GPT-2 pre-tokenizer shape without the merge
+    * table, restricted to a regex subset Java and RE2 segment
+    * identically (so DuckDB reproduces the counts bit-for-bit). A
+    * training-data pipeline uses this as the cheap token-budget estimate
+    * before the real tokenizer runs. */
+  val SubwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit(SubwordPattern), lit(0))
+
+  def subwordCount(text: Column): Column = size(subwordTokens(text))
+
   /** Stopword-profile language ID: count profile hits per language, pick
     * the max with a fixed priority order on ties (deterministic — the
     * DuckDB oracle mirrors the same CASE order). N-gram-free heuristic

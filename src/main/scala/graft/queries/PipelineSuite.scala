@@ -95,6 +95,10 @@ object PipelineSuite {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    "text_subword_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -251,6 +255,12 @@ object PipelineSuite {
 
     "text_token_count" ->
       s"""SELECT doc_id, len($toks) AS n_tokens FROM documents""",
+
+    "text_subword_count" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                  AS n_subwords
+         FROM documents""",
 
     "text_langid" -> langIdSql,
 
