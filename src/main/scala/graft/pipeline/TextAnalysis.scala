@@ -54,6 +54,33 @@ object TextAnalysis {
     // NOTE: foldRight gives priority to earlier profiles on ties ("en" wins)
   }
 
+  /** Winnowing fingerprint set (Schleimer et al.'s MOSS rolling-hash
+    * scheme — the brief's "document fingerprinting (rolling hash)"):
+    * token k-grams hashed (DuckDB-portable md5-60bit, [[Dedup.md5Hash60]]),
+    * minimum per sliding window of `w` consecutive gram hashes, distinct
+    * minima sorted. Guarantee: two documents sharing a run of ≥ w+k-1
+    * tokens share at least one fingerprint — the candidate-generation
+    * property that makes fingerprint equi-joins a near-dup blocking key
+    * at corpus scale. Catalyst higher-order functions only: per-row,
+    * narrow, no shuffle. Documents with fewer than k tokens fingerprint
+    * to the empty set; with fewer than w grams, to the single global
+    * minimum (the standard short-document degenerate case). */
+  def winnowingFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(lower(trim(text)))
+    val nt = size(toks)
+    val hashes = transform(sequence(lit(1), nt - (k - 1)),
+      i => Dedup.md5Hash60(concat_ws(" ", slice(toks, i, lit(k)))))
+    val nh = size(hashes)
+    val fulls = transform(sequence(lit(1), nh - (w - 1)),
+      i => array_min(slice(hashes, i, lit(w))))
+    // CaseWhen branches evaluate lazily, so the sequence bounds are only
+    // computed where they are non-negative
+    val sel = when(nt < k, array().cast("array<bigint>"))
+      .when(nh < w, array(array_min(hashes)))
+      .otherwise(fulls)
+    array_sort(array_distinct(sel))
+  }
+
   /** Quality score in [0,1]: blend of length saturation, stopword ratio,
     * alpha-character ratio, mean token length sanity. Deterministic
     * arithmetic only (oracle-mirrored). */

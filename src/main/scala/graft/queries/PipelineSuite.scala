@@ -109,7 +109,13 @@ object PipelineSuite {
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))))
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // winnowing (MOSS rolling-hash) fingerprint set, exploded to
+    // (doc_id, fp) rows for the hash compare
+    "text_winnow_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -282,5 +288,25 @@ object PipelineSuite {
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-         FROM documents""")
+         FROM documents""",
+
+    "text_winnow_fp" ->
+      """WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+                    FROM documents),
+          g AS (SELECT doc_id, i,
+                  ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                      toks[i+2]), 1, 15))::BIGINT AS h
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r
+                WHERE len(toks) >= 3),
+          w AS (SELECT doc_id, h,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+                FROM g)
+          SELECT DISTINCT doc_id, m AS fp FROM w WHERE rn <= ng - 3
+          UNION
+          SELECT doc_id, MIN(h) AS fp FROM g GROUP BY doc_id
+          HAVING COUNT(*) < 4""")
 }

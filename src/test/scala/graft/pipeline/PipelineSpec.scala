@@ -210,4 +210,28 @@ class PipelineSpec extends SparkSpec {
     assert(qb.groupByPosition("p").collect().map(r => (r.getString(0), r.getLong(1))).toSet
       == Set(("knows", 2L), ("age", 2L)))
   }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: any two docs sharing >= 6 consecutive tokens must share
+    // at least one selected fingerprint (the MOSS covering property);
+    // distinct docs with no shared run share none here
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared nine ten eleven"),
+      (3L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, s"no shared fingerprint: $fps")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // short-document degenerate cases
+    val short = Seq((4L, "a b"), (5L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(short(4L).isEmpty)      // < k tokens -> empty set
+    assert(short(5L).size == 1)    // 2 grams < w -> single global minimum
+  }
 }
