@@ -29,7 +29,7 @@ object Bench {
     "prob_minmax_closure", "prob_hybrid_twohop", "prob_sdd_wmc",
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
-    "similarity_ivf_topk", "text_langid", "text_quality",
+    "similarity_ivf_topk", "similarity_lsh_topk", "text_langid", "text_quality",
     "text_fingerprint", "text_token_count", "text_subword_count",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",

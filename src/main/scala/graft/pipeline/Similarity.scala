@@ -81,6 +81,62 @@ object Similarity {
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * md5-derived (engine-portable — DuckDB reproduces it bit-for-bit)
+    * and dyadic (k/1024 is exact in binary, so the sign of the projection
+    * is reproducible across engines). */
+  private def planeComponent(p: Column, j: Column): Column =
+    (pmod(Dedup.md5Hash60(concat(lit("plane-"), p.cast(StringType),
+      lit("-"), j.cast(StringType))), lit(2049)) - lit(1024)) / 1024.0
+
+  /** Random-hyperplane LSH buckets `(id, band, bval)`: signature bit p =
+    * [plane_p · v > 0], band value = the band's `nPlanes/bands` bits as an
+    * integer. Vectors with high cosine agree on many bits, so they
+    * collide in some band with high probability — candidate generation is
+    * then a pure equi-join on (band, bval), the most cluster-friendly
+    * blocking shape (no centroids to train, no broadcast state). */
+  def lshBuckets(df: DataFrame, nPlanes: Int = 16, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val rows = nPlanes / bands
+    val v = col(vecCol)
+    val dots = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
+        (acc, j) => acc + planeComponent(p, j) * element_at(v, j + 1).cast(DoubleType)))
+    val bits = transform(dots, d => when(d > 0, lit(1L)).otherwise(lit(0L)))
+    val powers = typedLit((0 until rows).map(r => 1L << r))
+    df.select(col(idCol).as("id"), bits.as("__bits"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(sequence(lit(0), lit(rows - 1)), lit(0L), (acc, r) =>
+          acc + element_at(col("__bits"), (b * rows + r + 1).cast("int")) *
+            element_at(powers, (r + 1).cast("int"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = bucket collisions in
+    * any band (equi-join), then exact cosine ranking within candidates.
+    * The second scale path beside [[ivfTopK]]; fully deterministic, so
+    * the DuckDB oracle reproduces it end-to-end. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 16, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val cb = lshBuckets(corpus, nPlanes, bands, idCol, vecCol)
+    val qb = lshBuckets(queries, nPlanes, bands, idCol, vecCol)
+    val cand = qb.as("q").join(cb.as("c"),
+        col("q.band") === col("c.band") && col("q.bval") === col("c.bval") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("c.id").as("nid")).distinct()
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    cand.join(broadcast(qv), Seq("qid")).join(nv, Seq("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
   /** IVF top-k: probe the `nProbe` closest clusters per query, brute-force
     * within them. Approximate — recall measured against bruteForceTopK in
     * the test suite. */

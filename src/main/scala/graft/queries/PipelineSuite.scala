@@ -59,6 +59,15 @@ object PipelineSuite {
         nClusters = 16, nProbe = 4, checkpointCentroids = true)
     }),
 
+    // random-hyperplane LSH ANN: deterministic md5-derived planes, so the
+    // whole pipeline (signatures, band buckets, candidates, ranking) is
+    // reproduced by the DuckDB oracle — not just a rows-only check
+    "similarity_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nPlanes = 16, bands = 4)
+    }),
+
     // full probe (nProbe = nClusters) must recover the exact top-k — this
     // oracle-checks the whole IVF machinery (centroid training, list
     // assignment, probe join, ranking) against the brute-force SQL
@@ -228,6 +237,38 @@ object PipelineSuite {
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+
+    "similarity_lsh_topk" ->
+      """WITH planes AS (
+            SELECT p.p, j.j,
+                   ((('0x' || substr(md5('plane-' || p.p || '-' || j.j), 1, 15))::BIGINT
+                     % 2049) - 1024) / 1024.0 AS c
+            FROM (SELECT unnest(range(0, 16)) AS p) p,
+                 (SELECT unnest(range(0, 64)) AS j) j),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          dots AS (SELECT e.vec_id, pl.p, SUM(pl.c * e.v[pl.j + 1]) AS d
+                   FROM e, planes pl GROUP BY e.vec_id, pl.p),
+          bits AS (SELECT vec_id, p,
+                     CASE WHEN d > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+                   FROM dots),
+          sig AS (SELECT vec_id, p // 4 AS band,
+                    SUM(b << (p % 4)) AS bval
+                  FROM bits GROUP BY vec_id, p // 4),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+                   FROM sig q JOIN sig c
+                     ON q.band = c.band AND q.bval = c.bval
+                        AND q.vec_id <> c.vec_id
+                   WHERE q.vec_id < 10),
+          s AS (SELECT cand.qid, cand.nid,
+                  ROUND(list_dot_product(a.v, b.v) /
+                    sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                    6) AS cos
+                FROM cand JOIN e a ON a.vec_id = cand.qid
+                          JOIN e b ON b.vec_id = cand.nid),
+          r AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                FROM s)
+          SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
 
     "similarity_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

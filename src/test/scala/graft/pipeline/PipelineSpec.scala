@@ -234,4 +234,24 @@ class PipelineSpec extends SparkSpec {
     assert(short(4L).isEmpty)      // < k tokens -> empty set
     assert(short(5L).size == 1)    // 2 grams < w -> single global minimum
   }
+
+  test("hyperplane-LSH ANN: near-duplicate vectors are recalled") {
+    // hyperplane LSH's contract is HIGH-cosine recall: a perturbed copy
+    // (cosine ≈ 0.999) agrees on ~99% of signature bits, so it collides
+    // in some band essentially always. (The synthetic corpus's organic
+    // neighbors sit at cosine ≈ 0.45 where 4-bit bands are ~50/50 by
+    // design — that regime belongs to IVF, which trains on the data.)
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val base = emb.filter(col("vec_id") < 10)
+    val probes = base.select((col("vec_id") + 100000L).as("vec_id"),
+      atransform(col("embedding"), (x, i) =>
+        x + (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("double") - 50.0) / 5000.0)
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(probes)
+    val lsh = Similarity.lshTopK(corpus, probes, k = 5, nPlanes = 16, bands = 4)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val hits = (0L until 10L).count(i => lsh.getOrElse(i + 100000L, Set.empty)(i))
+    assert(hits >= 9, s"near-dup recall $hits/10: $lsh")
+  }
 }
