@@ -82,12 +82,19 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * md5-derived (engine-portable — DuckDB reproduces it bit-for-bit)
-    * and dyadic (k/1024 is exact in binary, so the sign of the projection
-    * is reproducible across engines). */
-  private def planeComponent(p: Column, j: Column): Column =
-    (pmod(Dedup.md5Hash60(concat(lit("plane-"), p.cast(StringType),
-      lit("-"), j.cast(StringType))), lit(2049)) - lit(1024)) / 1024.0
+    * md5-derived (engine-portable — DuckDB reproduces it bit-for-bit from
+    * `('0x'||substr(md5('plane-p-j'),1,15))::BIGINT % 2049`) and dyadic
+    * (k/1024 is exact in binary, so the sign of the projection is
+    * reproducible across engines). Evaluated ONCE driver-side — the
+    * planes are constants, and evaluating the md5 inside the per-row
+    * expression would redo nPlanes×dim digests per vector. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane-$p-$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(digest.substring(0, 15), 16)
+    (Math.floorMod(h, 2049L) - 1024L).toDouble / 1024.0
+  }
 
   /** Random-hyperplane LSH buckets `(id, band, bval)`: signature bit p =
     * [plane_p · v > 0], band value = the band's `nPlanes/bands` bits as an
@@ -96,13 +103,20 @@ object Similarity {
     * then a pure equi-join on (band, bval), the most cluster-friendly
     * blocking shape (no centroids to train, no broadcast state). */
   def lshBuckets(df: DataFrame, nPlanes: Int = 16, bands: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val rows = nPlanes / bands
     val v = col(vecCol)
+    // plane matrix as a plan literal: nPlanes×dim doubles, KB-sized;
+    // indexed per element inside the fold
+    val planes = typedLit((0 until nPlanes).map(p =>
+      (0 until dim).map(j => planeComponent(p, j))))
     val dots = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
       aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
-        (acc, j) => acc + planeComponent(p, j) * element_at(v, j + 1).cast(DoubleType)))
+        (acc, j) => acc +
+          element_at(element_at(planes, (p + 1).cast("int")), (j + 1).cast("int")) *
+            element_at(v, j + 1).cast(DoubleType)))
     val bits = transform(dots, d => when(d > 0, lit(1L)).otherwise(lit(0L)))
     val powers = typedLit((0 until rows).map(r => 1L << r))
     df.select(col(idCol).as("id"), bits.as("__bits"))
@@ -119,10 +133,11 @@ object Similarity {
     * the DuckDB oracle reproduces it end-to-end. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 16, bands: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
-    val cb = lshBuckets(corpus, nPlanes, bands, idCol, vecCol)
-    val qb = lshBuckets(queries, nPlanes, bands, idCol, vecCol)
+    val cb = lshBuckets(corpus, nPlanes, bands, idCol, vecCol, dim)
+    val qb = lshBuckets(queries, nPlanes, bands, idCol, vecCol, dim)
     val cand = qb.as("q").join(cb.as("c"),
         col("q.band") === col("c.band") && col("q.bval") === col("c.bval") &&
           col("q.id") =!= col("c.id"))

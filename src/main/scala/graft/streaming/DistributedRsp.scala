@@ -215,18 +215,21 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   }
 
   /** R2S over the relation sequence, diffing consecutive FIRED closes:
-    * emission rows `(close, vars…)`. */
+    * emission rows `(close, vars…)`. The diff references the relation on
+    * both join sides, so I/DSTREAM checkpoint it once instead of paying
+    * the window-explode + BGP subplan twice. */
   def emissions(events: DataFrame): DataFrame = {
-    val rel = relation(events)
     query.kind match {
-      case RStream => rel
+      case RStream => relation(events)
       case IStream =>
         // rows at close c absent from the relation at the previous fired
         // close (first firing: prev = null → nothing relabels → emit all)
+        val rel = relation(events).localCheckpoint()
         val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
         rel.join(prevRows, rel.columns.toSeq, "left_anti")
       case DStream =>
         // rows of the previous fired close absent at c, reported at c
+        val rel = relation(events).localCheckpoint()
         val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
         prevRows.join(rel, rel.columns.toSeq, "left_anti")
     }
