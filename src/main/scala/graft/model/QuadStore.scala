@@ -40,8 +40,13 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
 
   /** Materialized (id-table, terms-table) pair replacing the lazy encoded
     * views — the on-disk layout a dictionary-encoded corpus would actually
-    * use at scale (encode once at ingest, not per query). */
+    * use at scale (encode once at ingest, not per query). Invalidated on
+    * ANY quad mutation ([[invalidateEncoded]]): a stale snapshot would
+    * answer encoded-path queries from pre-mutation data while fallback
+    * paths see the mutation. */
   private var encodedSource: Option[(DataFrame, DataFrame)] = None
+
+  private def invalidateEncoded(): Unit = encodedSource = None
 
   /** Same store with dictionary-encoded BGP evaluation on; optionally
     * backed by pre-materialized id/terms tables. */
@@ -90,9 +95,12 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
   def dropGraph(g: String): Unit = {
     graphCatalog -= g
     quadsDf = quadsDf.filter(col("g").isNull || col("g") =!= lit(g))
+    invalidateEncoded()
   }
-  def clearGraph(g: String): Unit =
+  def clearGraph(g: String): Unit = {
     quadsDf = quadsDf.filter(col("g").isNull || col("g") =!= lit(g))
+    invalidateEncoded()
+  }
 
   /** Apply an update: deletes before inserts, quad-level set identity
     * (`execute_query.rs:578-592,867-884`). */
@@ -101,6 +109,7 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     if (deletes != null) df = df.exceptAll(align(spark, deletes).distinct())
     if (inserts != null) df = df.unionByName(align(spark, inserts)).distinct()
     quadsDf = df
+    invalidateEncoded()
   }
 
   def insert(inserts: DataFrame): Unit = applyUpdate(null, inserts)
@@ -111,6 +120,7 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     * and a catalog merge do the whole job. */
   def union(other: QuadStore): this.type = {
     quadsDf = quadsDf.unionByName(other.quads).distinct()
+    invalidateEncoded()
     graphCatalog ++= other.namedGraphs
     other.udfs.foreach { case (n, f) => if (!udfs.contains(n)) registerUdf(n, f) }
     this

@@ -107,7 +107,12 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val rows = nPlanes / bands
-    val v = col(vecCol)
+    // loud runtime guard: a vector longer than the plane rows would index
+    // the matrix out of range (ANSI error) or null-poison every dot into
+    // bucket 0 (non-ANSI) with no hint at the dim mismatch
+    val v = when(size(col(vecCol)) <= dim, col(vecCol)).otherwise(raise_error(
+      concat(lit(s"lshBuckets: vector length "), size(col(vecCol)),
+        lit(s" exceeds dim=$dim — pass the embedding dimension explicitly"))))
     // plane matrix as a plan literal: nPlanes×dim doubles, KB-sized;
     // indexed per element inside the fold
     val planes = typedLit((0 until nPlanes).map(p =>

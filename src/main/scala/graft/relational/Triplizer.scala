@@ -136,28 +136,45 @@ object Triplizer {
     * `graft_quads_s_<key>` in the session catalog (files under the
     * warehouse dir); per-session registration, same cache discipline as
     * [[cachedStore]]. */
-  private val bucketCache = scala.collection.mutable.Map.empty[(String, Boolean), QuadStore]
+  private val bucketCache = scala.collection.mutable.Map.empty[(String, Boolean, Int), QuadStore]
   def bucketedStore(spark: SparkSession, sfDir: String,
       defaultGraph: Boolean = true, buckets: Int = 32): QuadStore =
     synchronized {
-      bucketCache.getOrElseUpdate((sfDir, defaultGraph), {
+      bucketCache.getOrElseUpdate((sfDir, defaultGraph, buckets), {
         val key = (new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g"))
           .replace(".", "_")
         val table = s"graft_quads_s_$key"
-        if (!spark.catalog.tableExists(table)) {
-          val loc = new java.io.File(
-            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-          if (loc.exists())
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        val marker = new java.io.File(loc, "_graft_buckets")
+        def writtenBuckets: Option[Int] =
+          if (marker.exists())
+            Some(java.nio.file.Files.readString(marker.toPath).trim.toInt)
+          else None
+        // the FILES' bucket count is the source of truth: declaring a
+        // different count would make Spark plan exchange-free joins on
+        // wrong bucket assignments — silent wrong results. One table name
+        // per corpus, so a different requested count is a hard error.
+        if (spark.catalog.tableExists(table) || loc.exists()) {
+          val written = writtenBuckets.getOrElse(
+            throw new IllegalStateException(
+              s"${loc.getAbsolutePath} exists without a _graft_buckets marker; " +
+                "remove it to rebuild"))
+          require(written == buckets,
+            s"$table was written with $written buckets; requested $buckets — " +
+              s"remove ${loc.getAbsolutePath} to rebuild")
+          if (!spark.catalog.tableExists(table))
             // files survive from an earlier session whose in-memory
             // catalog is gone: re-register an external bucketed table
             spark.sql(
               s"""CREATE TABLE $table (g STRING, s STRING, p STRING, o STRING)
-                  USING PARQUET CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS
+                  USING PARQUET CLUSTERED BY (s) SORTED BY (s) INTO $written BUCKETS
                   LOCATION '${loc.getAbsolutePath}'""")
-          else
-            cachedStore(spark, sfDir, defaultGraph).quads
-              .write.bucketBy(buckets, "s").sortBy("s")
-              .mode("overwrite").saveAsTable(table)
+        } else {
+          cachedStore(spark, sfDir, defaultGraph).quads
+            .write.bucketBy(buckets, "s").sortBy("s")
+            .mode("overwrite").saveAsTable(table)
+          java.nio.file.Files.writeString(marker.toPath, buckets.toString)
         }
         QuadStore(spark, spark.table(table))
       })

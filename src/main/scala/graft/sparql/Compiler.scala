@@ -66,12 +66,17 @@ class Compiler(store: QuadStore) {
     * physical default graph + all named graphs; otherwise exactly the
     * listed graphs, with multi-graph default merged + deduplicated
     * (`dataset_index.rs:207-221`). */
-  final case class View(default: DataFrame, named: DataFrame)
+  final case class View(default: DataFrame, named: DataFrame,
+      /** No FROM/FROM NAMED clauses — the physical dataset. Encoded BGP
+        * evaluation is only valid over this view (its id-space scans read
+        * the physical store directly). */
+      physicalDataset: Boolean = false)
 
   def buildView(fromGraphs: Seq[String], fromNamed: Seq[String]): View = {
     val q = store.quads
     if (fromGraphs.isEmpty && fromNamed.isEmpty)
-      View(q.filter(col("g").isNull).select("s", "p", "o"), q.filter(col("g").isNotNull))
+      View(q.filter(col("g").isNull).select("s", "p", "o"), q.filter(col("g").isNotNull),
+        physicalDataset = true)
     else {
       val d =
         if (fromGraphs.isEmpty) q.filter(lit(false)).select("s", "p", "o")
@@ -201,7 +206,9 @@ class Compiler(store: QuadStore) {
   private def compileBgp(patterns: Seq[TriplePattern], scope: GraphSpec,
       view: View, input: Option[Bindings]): Option[Bindings] = {
     if (patterns.isEmpty) return input
-    if (store.dictEncoded && input.isEmpty &&
+    // encoded fast path only over the PHYSICAL dataset: FROM / FROM NAMED
+    // views re-scope the graphs, which the id-space scans below don't see
+    if (store.dictEncoded && input.isEmpty && view.physicalDataset &&
         patterns.forall(tp => Seq(tp.s, tp.p, tp.o).forall {
           case _: Quoted => false; case _ => true
         }))

@@ -86,6 +86,18 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     require(windowBlocks.contains(w.iri), s"no WINDOW block for ${w.iri}")
   }
 
+  // fail loudly on surface the plane does not compile, instead of
+  // silently returning different results than RspEngine would
+  require(query.select.where.forall(_.isInstanceOf[WindowBlockElem]),
+    "distributed RSP plane compiles WINDOW blocks only; static patterns / " +
+      "FILTERs outside windows need the driver engine (RspEngine)")
+  require(query.select.projection == Seq("*") && query.select.aggregates.isEmpty &&
+      query.select.groupBy.isEmpty && query.select.orderBy.isEmpty &&
+      query.select.limit.isEmpty && query.select.offset.isEmpty &&
+      !query.select.distinct,
+    "distributed RSP plane supports SELECT * without modifiers; " +
+      "projections/aggregates/modifiers need the driver engine (RspEngine)")
+
   private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
 
   /** Events routed to window spec `w` by stream IRI (suffix-normalized,
@@ -285,11 +297,20 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     windowBlocks(w.iri).map(scan(enriched, _)).reduce(joinOnShared)
   }
 
-  /** Streaming emissions: RSTREAM passes the relation through; ISTREAM /
-    * DSTREAM run incrementally in transformWithState keyed by binding
-    * ([[IncrementalR2S]], state = last close per binding). */
+  /** Streaming emissions: RSTREAM passes the relation through (deduped
+    * within the watermark — the batch relation has set semantics, and a
+    * duplicated arrival or a rule re-deriving an existing fact would
+    * otherwise emit twice); ISTREAM / DSTREAM run incrementally in
+    * transformWithState keyed by binding ([[IncrementalR2S]], state =
+    * last close per binding — their per-key close dedup subsumes the
+    * distinct). */
   def streamEmissions(events: DataFrame): Dataset[R2SRow] = {
-    val rel = streamRelation(events).drop("closeTs")
+    val relAll = streamRelation(events)
+    val deduped = query.kind match {
+      case RStream => relAll.dropDuplicatesWithinWatermark()
+      case _ => relAll
+    }
+    val rel = deduped.drop("closeTs")
     val vars = rel.columns.filter(_ != "close").toSeq
     val rows = toR2SRows(rel, vars)
     val st = step(query.windows.head)
@@ -417,8 +438,12 @@ object IncrementalR2S {
 
   private def keyed(rows: Dataset[R2SRow]) = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(r => r.binding.toSeq.sorted.map { case (k, v) => k + "\u0001" + v }
-      .mkString(""))
+    // length-prefixed encoding: separator bytes can appear INSIDE values
+    // (RDF-star lexical forms embed \u0001 via TermLex.QtSep), so plain
+    // separator joining would let two distinct bindings collide onto one
+    // transformWithState key and share lastClose state
+    rows.groupByKey(r => r.binding.toSeq.sorted
+      .map { case (k, v) => s"${k.length}:$k${v.length}:$v" }.mkString)
   }
 
   /** Incremental ISTREAM (requires RocksDB state store provider). */

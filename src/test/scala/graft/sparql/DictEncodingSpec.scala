@@ -65,16 +65,48 @@ class DictEncodingSpec extends SparkSpec {
     assert(direct == encoded && direct.nonEmpty)
   }
 
+  test("FROM / FROM NAMED dataset views bypass the encoded fast path correctly") {
+    // encoded scans read the physical store; a FROM clause re-scopes the
+    // dataset, so the encoded path must not claim those queries
+    val store = Triplizer.cachedStore(spark, sf(), defaultGraph = false)
+    val q = """SELECT ?s ?o FROM <graph/region> WHERE { ?s <region#r_name> ?o }"""
+    val direct = new Compiler(store).select(q).collect().map(_.toSeq).toSet
+    val encoded = new Compiler(store.withDictEncoding).select(q)
+      .collect().map(_.toSeq).toSet
+    assert(direct == encoded && direct.nonEmpty)
+  }
+
+  test("mutations invalidate a materialized encoded source") {
+    import spark.implicits._
+    val base = QuadStore.fromTriples(spark, Seq(("a", "p", "x")))
+    val store = base.withDictEncoding(
+      Some((base.encodedQuads, base.termsTable)))
+    store.insert(Seq((null: String, "b", "p", "y"))
+      .toDF("g", "s", "p", "o"))
+    // the stale snapshot would miss b; invalidation recomputes lazily
+    val got = new Compiler(store)
+      .select("SELECT ?s WHERE { ?s <p> ?o }")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"), s"got $got")
+  }
+
   test("dictionary is collision-free on the test corpus") {
     val store = Triplizer.cachedStore(spark, sf("sf0.01"), defaultGraph = true)
     assert(store.dictCollisions == 0L)
   }
 
   test("collision audit detects a forced collision") {
-    // same id can only arise from equal lexical forms; simulate the audit
-    // finding a duplicate id by checking its grouping logic directly
-    val store = QuadStore.fromTriples(spark,
-      Seq(("a", "p", "x"), ("b", "p", "y")))
-    assert(store.dictCollisions == 0L)
+    import spark.implicits._
+    // inject a forged terms table (two lexical forms on one id) through
+    // the materialized-source hook — the only way to produce a collision
+    // without finding a real xxhash64 one — and assert the audit fires
+    val base = QuadStore.fromTriples(spark, Seq(("a", "p", "x")))
+    val forgedTerms = Seq((1L, "lexA"), (1L, "lexB"), (2L, "lexC"))
+      .toDF("id", "lex")
+    val ids = base.encodedQuads
+    val store = base.withDictEncoding(Some((ids, forgedTerms)))
+    assert(store.dictCollisions == 1L)
+    // and the clean path still reports zero
+    assert(base.withDictEncoding.dictCollisions == 0L)
   }
 }
