@@ -97,6 +97,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       !query.select.distinct,
     "distributed RSP plane supports SELECT * without modifiers; " +
       "projections/aggregates/modifiers need the driver engine (RspEngine)")
+  // multi-window coordination here is the aligned-close join (Wait
+  // semantics); Steal/Timeout cycles are the driver engine's coordinator
+  require(query.windows.size == 1 ||
+      query.policy.forall(_ == WaitPolicy),
+    "distributed RSP plane coordinates multi-window queries with aligned-close " +
+      "Wait semantics; WITH POLICY steal/timeout needs the driver engine (RspEngine)")
 
   private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
 
@@ -286,7 +292,23 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     val gated = content.join(fired, Seq("close", "closeTs"), "left_semi")
     // streaming enrichment: a stream cannot loop a fixpoint, so unroll a
     // fixed number of rule passes (non-recursive rule sets need exactly 1);
-    // duplicates are merged by the downstream R2S per-key distinct
+    // duplicates are merged by the downstream R2S per-key distinct.
+    // A RECURSIVE rule set under the default single unroll would silently
+    // under-derive — warn loudly (the batch path runs the full fixpoint).
+    if (rules.nonEmpty && streamEnrichRounds == 1) {
+      def constPred(t: Term): Option[String] = t match {
+        case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None
+      }
+      val heads = rules.flatMap(_.conclusion).map(tp => constPred(tp.p))
+      val premises = rules.flatMap(r => r.premise ++ r.negativePremise)
+        .map(tp => constPred(tp.p))
+      if (heads.exists(h => h.isEmpty || premises.exists(p => p.isEmpty || p == h)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "recursive rule set on the streaming plane with streamEnrichRounds=1: " +
+            "derivations deeper than one rule application are NOT produced. " +
+            "Raise streamEnrichRounds to the closure depth, or use the batch " +
+            "path / RspEngine.")
+    }
     val enriched =
       if (rules.isEmpty) gated
       else (0 until streamEnrichRounds).foldLeft(
