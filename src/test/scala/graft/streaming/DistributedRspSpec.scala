@@ -266,6 +266,54 @@ class DistributedRspSpec extends SparkSpec {
     }
   }
 
+  test("streaming plane over replayed real events equals the batch emissions") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val q = SparqlParser().parseRsp("""
+        REGISTER RSTREAM <http://out/replay> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+        WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+      val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+        .withColumn("tms", expr("ts div 1000000"))
+      val subj = concat(lit("event/"), col("event_id"))
+      val triples = ev.select(lit("events").as("stream"), col("tms").as("ts"),
+          subj.as("s"), lit("ev/user").as("p"),
+          concat(lit("user/"), col("user_id")).as("o"))
+        .unionByName(ev.select(lit("events").as("stream"), col("tms").as("ts"),
+          subj.as("s"), lit("ev/type").as("p"), col("event_type").as("o")))
+
+      val want = new DistributedRsp(spark, q).emissions(
+          triples.withColumnRenamed("ts", "ts"))
+        .collect().map(r => (r.getAs[Long]("close"),
+          r.getAs[String]("e"), r.getAs[String]("u"))).toSet
+
+      val rows = triples.orderBy("ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+      val chunks = rows.grouped(math.max(rows.length / 4, 1)).toSeq
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"dist_rsp_replay_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, q).streamEmissions(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { ch => mem.addData(ch.toSeq); sq.processAllAvailable() }
+        val got = spark.table(sink).collect()
+          .map { r =>
+            val b = r.getAs[Map[String, String]]("binding")
+            (r.getAs[Long]("close"), b("e"), b("u"))
+          }.toSet
+        assert(got == want,
+          s"extra=${(got -- want).take(5)}, missing=${(want -- got).take(5)}, " +
+            s"sizes got=${got.size} want=${want.size}")
+      } finally sq.stop()
+    }
+  }
+
   test("incremental R2S equals the batch step-arithmetic diff over a replayed feed") {
     withRocksDb {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
