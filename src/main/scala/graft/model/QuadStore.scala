@@ -48,8 +48,11 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
 
   private def invalidateEncoded(): Unit = encodedSource = None
 
-  /** Same store with dictionary-encoded BGP evaluation on; optionally
-    * backed by pre-materialized id/terms tables. */
+  /** A dictionary-encoded view over a SNAPSHOT of the current quads;
+    * optionally backed by pre-materialized id/terms tables. Mutations
+    * must go THROUGH the returned store (they invalidate its encoded
+    * source); mutating this base store afterwards does not propagate —
+    * re-derive the encoded view after base mutations. */
   def withDictEncoding: QuadStore = withDictEncoding(None)
   def withDictEncoding(source: Option[(DataFrame, DataFrame)]): QuadStore = {
     val s = new QuadStore(spark, quadsDf, dictEncoded = true)

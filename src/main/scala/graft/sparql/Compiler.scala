@@ -203,6 +203,29 @@ class Compiler(store: QuadStore) {
     posScore(tp.s, 1.0) + posScore(tp.p, 1.2) + posScore(tp.o, 1.0)
   }
 
+  /** Greedy selectivity-first pattern order: one planner for BOTH the
+    * direct and encoded BGP paths, so a heuristic change cannot make the
+    * two pick different join orders. After each pick, its variables (plus
+    * the GRAPH variable, which every scan binds) become bound. */
+  private def greedyOrder(patterns: Seq[TriplePattern], scope: GraphSpec,
+      initialBound: Set[String]): Seq[TriplePattern] = {
+    var remaining = patterns.toList
+    var bound = initialBound
+    val order = Seq.newBuilder[TriplePattern]
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(tp =>
+        bound.isEmpty || patternVars(tp).exists(bound) ||
+          (scope match { case GraphVar(g) => bound(g); case _ => false }))
+      val pool = if (connected.nonEmpty) connected else remaining
+      val pick = pool.maxBy(tp => score(tp, bound))
+      remaining = remaining.filterNot(_ eq pick)
+      order += pick
+      bound = bound ++ patternVars(pick) ++
+        (scope match { case GraphVar(g) => Seq(g); case _ => Nil })
+    }
+    order.result()
+  }
+
   private def compileBgp(patterns: Seq[TriplePattern], scope: GraphSpec,
       view: View, input: Option[Bindings]): Option[Bindings] = {
     if (patterns.isEmpty) return input
@@ -213,19 +236,10 @@ class Compiler(store: QuadStore) {
           case _: Quoted => false; case _ => true
         }))
       return Some(compileBgpEncoded(patterns, scope))
-    var remaining = patterns.toList
     var acc = input
-    var bound: Set[String] = acc.map(_.vars).getOrElse(Set.empty)
-    while (remaining.nonEmpty) {
-      val connected = remaining.filter(tp =>
-        bound.isEmpty || patternVars(tp).exists(bound) ||
-          (scope match { case GraphVar(g) => bound(g); case _ => false }))
-      val pool = if (connected.nonEmpty) connected else remaining
-      val pick = pool.maxBy(tp => score(tp, bound))
-      remaining = remaining.filterNot(_ eq pick)
-      val scan = scanPattern(pick, scope, view)
+    greedyOrder(patterns, scope, acc.map(_.vars).getOrElse(Set.empty)).foreach { tp =>
+      val scan = scanPattern(tp, scope, view)
       acc = Some(acc.map(a => compatJoin(a, scan)).getOrElse(scan))
-      bound = acc.get.vars
     }
     acc
   }
@@ -262,23 +276,14 @@ class Compiler(store: QuadStore) {
       if (outCols.nonEmpty) filtered.select(outCols: _*)
       else filtered.select(lit(1).as("__exists")).limit(1).select()
     }
-    // same greedy order as the direct path
-    var remaining = patterns.toList
+    // same planner as the direct path by construction
     var acc: Option[DataFrame] = None
-    var bound = Set.empty[String]
-    while (remaining.nonEmpty) {
-      val connected = remaining.filter(tp => bound.isEmpty ||
-        patternVars(tp).exists(bound) ||
-        (scope match { case GraphVar(g) => bound(g); case _ => false }))
-      val pool = if (connected.nonEmpty) connected else remaining
-      val pick = pool.maxBy(tp => score(tp, bound))
-      remaining = remaining.filterNot(_ eq pick)
-      val scan = scanEnc(pick)
+    greedyOrder(patterns, scope, Set.empty).foreach { tp =>
+      val scan = scanEnc(tp)
       acc = Some(acc.map { a =>
         val shared = a.columns.filter(scan.columns.contains(_)).toSeq
         if (shared.isEmpty) a.crossJoin(scan) else a.join(scan, shared, "inner")
       }.getOrElse(scan))
-      bound = acc.get.columns.toSet
     }
     val joined = acc.get
     val vars = joined.columns.toSeq

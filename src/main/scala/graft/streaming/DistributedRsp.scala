@@ -86,6 +86,13 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     require(windowBlocks.contains(w.iri), s"no WINDOW block for ${w.iri}")
   }
 
+  // 'close' / 'closeTs' are the plane's reserved join-key columns; a query
+  // variable with either name would collide with them in every scan
+  require(!windowBlocks.values.flatten
+      .flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case Var(n) => n }
+      .exists(n => n == "close" || n == "closeTs"),
+    "?close and ?closeTs are reserved column names on the distributed RSP plane")
+
   // fail loudly on surface the plane does not compile, instead of
   // silently returning different results than RspEngine would
   require(query.select.where.forall(_.isInstanceOf[WindowBlockElem]),
@@ -133,9 +140,13 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** `(close, s, p, o)` window content: each event exploded to the closes
     * whose window covers it (ts ≤ c ≤ ts+RANGE, c ≡ 0 mod STEP), kept
     * only for fired closes. Extra columns of `events` are preserved. */
-  def windowContent(events: DataFrame, w: WindowSpec): DataFrame = {
+  def windowContent(events: DataFrame, w: WindowSpec): DataFrame =
+    windowContent(events, w, firedCloses(events, w))
+
+  private def windowContent(events: DataFrame, w: WindowSpec,
+      fired: DataFrame): DataFrame = {
     val exploded = explodeCloses(routed(events, w), w.rangeMs, step(w))
-    exploded.join(firedCloses(events, w), Seq("close"), "left_semi")
+    exploded.join(fired, Seq("close"), "left_semi")
   }
 
   /** One pattern scan over `(close, s, p, o)` content: constants filter,
@@ -210,8 +221,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** The compiled WINDOW-block relation of `w`: pattern scans equi-joined
     * on shared variables + close, distinct (the R2R store has set
     * semantics). Registered rules enrich the content first. */
-  def windowRelation(events: DataFrame, w: WindowSpec): DataFrame = {
-    val content0 = windowContent(events, w)
+  def windowRelation(events: DataFrame, w: WindowSpec): DataFrame =
+    windowRelation(events, w, firedCloses(events, w))
+
+  private def windowRelation(events: DataFrame, w: WindowSpec,
+      fired: DataFrame): DataFrame = {
+    val content0 = windowContent(events, w, fired)
     val content = if (rules.isEmpty) content0 else enrichFixpoint(content0)
     windowBlocks(w.iri).map(scan(content, _)).reduce(joinOnShared).distinct()
   }
@@ -225,32 +240,37 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** Fired-close sequence with its predecessor (lag over the ordered close
     * set — one narrow single-partition window over O(#closes) rows; at
     * scale #closes = timespan/step, not data volume). */
-  private def closeSeq(events: DataFrame): DataFrame = {
-    require(query.windows.size == 1,
-      "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
-    firedCloses(events, query.windows.head)
-      .withColumn("__prev", lag("close", 1).over(Window.orderBy("close")))
-  }
+  private def closeSeq(fired: DataFrame): DataFrame =
+    fired.withColumn("__prev", lag("close", 1).over(Window.orderBy("close")))
 
   /** R2S over the relation sequence, diffing consecutive FIRED closes:
     * emission rows `(close, vars…)`. The diff references the relation on
-    * both join sides, so I/DSTREAM checkpoint it once instead of paying
-    * the window-explode + BGP subplan twice. */
+    * both join sides and the fired set three times (content gating, rel,
+    * lag sequence), so I/DSTREAM checkpoint both once instead of paying
+    * the subplans repeatedly. */
   def emissions(events: DataFrame): DataFrame = {
     query.kind match {
       case RStream => relation(events)
       case IStream =>
         // rows at close c absent from the relation at the previous fired
         // close (first firing: prev = null → nothing relabels → emit all)
-        val rel = relation(events).localCheckpoint()
-        val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
+        val (rel, fired) = checkpointedRelAndFired(events)
+        val prevRows = relabelPrevToCurrent(rel, closeSeq(fired))
         rel.join(prevRows, rel.columns.toSeq, "left_anti")
       case DStream =>
         // rows of the previous fired close absent at c, reported at c
-        val rel = relation(events).localCheckpoint()
-        val prevRows = relabelPrevToCurrent(rel, closeSeq(events))
+        val (rel, fired) = checkpointedRelAndFired(events)
+        val prevRows = relabelPrevToCurrent(rel, closeSeq(fired))
         prevRows.join(rel, rel.columns.toSeq, "left_anti")
     }
+  }
+
+  private def checkpointedRelAndFired(events: DataFrame): (DataFrame, DataFrame) = {
+    require(query.windows.size == 1,
+      "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
+    val w = query.windows.head
+    val fired = firedCloses(events, w).localCheckpoint()
+    (windowRelation(events, w, fired).localCheckpoint(), fired)
   }
 
   private def relabelPrevToCurrent(rel: DataFrame, seq: DataFrame): DataFrame = {
@@ -354,8 +374,14 @@ object DistributedRsp {
     case _ => Nil
   }
 
-  /** max-closing window of an arrival at `ts`: largest STEP multiple < ts. */
+  /** max-closing window of an arrival at `ts`: largest STEP multiple < ts.
+    * [[maxCloseLong]] is the scalar twin [[RspEngine]] advances with —
+    * the batch/control-plane parity suite rests on the two staying
+    * identical, so both live here. */
   private[streaming] def maxClose(ts: Column, step: Long): Column =
+    (ts - 1) - ((ts - 1) % step)
+
+  private[streaming] def maxCloseLong(ts: Long, step: Long): Long =
     (ts - 1) - ((ts - 1) % step)
 
   /** Explode each event to its covering closes: ts ≤ c ≤ ts+range,
@@ -391,7 +417,18 @@ object DistributedRsp {
   * `transformWithState` keyed by the binding, state = the last close at
   * which the binding appeared (`r2s.rs:24-52` semantics in the CQL
   * dense-tick formulation; identical to [[StreamOps]]'s batch
-  * step-arithmetic diffs, which StreamingSpec asserts):
+  * step-arithmetic diffs, which StreamingSpec asserts).
+  *
+  * Delivery contract: per key, closes must arrive non-decreasing across
+  * micro-batches (rows with close ≤ the key's last seen close are treated
+  * as duplicates and dropped). An out-of-order delivery that a wide
+  * lateness allowance admits — a late event joining an old retained close
+  * AFTER a newer close for the same binding was processed — would be
+  * mis-diffed; feeds replayed in event-time order (every spec here) and
+  * watermark-ordered pipelines satisfy the contract, and the batch
+  * formulations remain the reorder-tolerant route. A watermark-buffered
+  * variant (ListState + timers, emit in close order once the watermark
+  * passes) is the known upgrade if reordered feeds become a requirement:
   *
   *  - ISTREAM: emit (c, b) iff b was absent at c − step;
   *  - DSTREAM: emit (c', b) at the first close c' = lastSeen + step where

@@ -206,8 +206,10 @@ class RspEngine(
 
   private def advance(w: WindowRuntime, t: Long): Unit = {
     val step = math.max(w.spec.stepMs, 1L)
-    // max close c (multiple of step) with c < t, c > lastFired, c ≥ first event
-    val cMax = ((t - 1) / step) * step
+    // max close c (multiple of step) with c < t, c > lastFired, c ≥ first
+    // event — shared with the distributed plane so the parity holds by
+    // construction, not by parallel maintenance
+    val cMax = DistributedRsp.maxCloseLong(t, step)
     val eligible = w.firstEventTs.exists(f => cMax >= f) &&
       w.lastFiredClose.forall(cMax > _)
     if (eligible) fire(w, cMax, t)
@@ -216,10 +218,17 @@ class RspEngine(
   /** Flush: advance each window one step past its buffered events so the
     * close covering the final arrivals fires without a new event (the
     * reference's `engine.stop()` drain before answering `/rsp-query`,
-    * `kolibrie-http-server/src/main.rs:1228`). */
-  def flush(): Unit = windows.foreach { w =>
-    val lastTs = if (w.events.nonEmpty) Some(w.events.map(_._1).max) else w.firstEventTs
-    lastTs.foreach(t => advance(w, t + math.max(w.spec.stepMs, 1L)))
+    * `kolibrie-http-server/src/main.rs:1228`). Ticks the virtual clock
+    * first: a Timeout deadline that has passed by drain time must expire
+    * (Drop discards / Steal emits the pending partial cycle) BEFORE the
+    * drain firings complete a cycle the policy already gave up on. */
+  def flush(): Unit = {
+    val drainTimes = windows.flatMap { w =>
+      val lastTs = if (w.events.nonEmpty) Some(w.events.map(_._1).max) else w.firstEventTs
+      lastTs.map(t => w -> (t + math.max(w.spec.stepMs, 1L)))
+    }
+    drainTimes.map(_._2).maxOption.foreach(advanceTime)
+    drainTimes.foreach { case (w, t) => advance(w, t) }
   }
 
   private var fireCount = 0
