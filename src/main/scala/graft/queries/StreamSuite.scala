@@ -57,7 +57,21 @@ object StreamSuite {
     "stream_window_istream" -> ((s, dir) =>
       new DistributedRsp(s, windowBgpQuery.copy(kind = graft.sparql.Ast.IStream))
         .emissions(eventTriples(s, dir))
-        .select("close", "e", "u")))
+        .select("close", "e", "u")),
+
+    // FILTER inside the WINDOW block, compiled on the distributed plane
+    // (numeric-if-both-parse comparison over the triplized value)
+    "stream_window_filter" -> ((s, dir) =>
+      new DistributedRsp(s, windowFilterQuery)
+        .emissions(eventTriplesWithValue(s, dir))
+        .select("close", "e", "u", "v")),
+
+    // per-close aggregate: COUNT grouped by (close, ?u) as ONE distributed
+    // aggregation across all closes — the CityBench-style per-window agg
+    "stream_window_agg" -> ((s, dir) =>
+      new DistributedRsp(s, windowAggQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "u", "n")))
 
   private val windowBgpQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -65,6 +79,21 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val windowFilterQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/filtered> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/value> ?v . FILTER(?v >= 150) } }""")
+
+  private val windowAggQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/agg> AS
+      SELECT ?u (COUNT(?e) AS ?n)
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }
+      GROUP BY ?u""")
 
   /** Events triplized for the RSP plane: `(stream, ts: long ms, s, p, o)`.
     * ts is exact integer ns→ms division (double division at ns-epoch
@@ -79,6 +108,21 @@ object StreamSuite {
         concat(lit("user/"), col("user_id")).as("o"))
       .unionByName(e.select(lit("events").as("stream"), col("tms").as("ts"),
         subj.as("s"), lit("ev/type").as("p"), col("event_type").as("o")))
+  }
+
+  /** [[eventTriples]] plus an `ev/value` triple per event. The lexical
+    * form is floor(value) as an integer string — exact and formatted
+    * identically by Spark and DuckDB, so the FILTER entry stays
+    * hash-comparable (double→string formatting is not portable). */
+  private def eventTriplesWithValue(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("tms", expr("ts div 1000000"))
+    val subj = concat(lit("event/"), col("event_id"))
+    eventTriples(s, dir).unionByName(
+      e.select(lit("events").as("stream"), col("tms").as("ts"),
+        subj.as("s"), lit("ev/value").as("p"),
+        floor(col("value")).cast("long").cast("string").as("o")))
   }
 
   private val wstartHour =
@@ -160,5 +204,37 @@ object StreamSuite {
           FROM rel r JOIN seq s ON r.close = s.close
           WHERE s.prev IS NULL OR NOT EXISTS (
             SELECT 1 FROM rel p
-            WHERE p.close = s.prev AND p.e = r.e AND p.u = r.u)""")
+            WHERE p.close = s.prev AND p.e = r.e AND p.u = r.u)""",
+
+    "stream_window_filter" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             CAST(FLOOR(value) AS BIGINT) AS vint,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u,
+                 CAST(ev.vint AS VARCHAR) AS v
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+          WHERE ev.vint >= 150""",
+
+    "stream_window_agg" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev)),
+          rel AS (SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+                  FROM ev JOIN fired f
+                    ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+                  WHERE ev.event_type = 'purchase')
+          SELECT close, u, COUNT(e) AS n FROM rel GROUP BY close, u""")
 }

@@ -111,11 +111,23 @@ object Triplizer {
   // same layout that scales to a 100 TB quad corpus (predicate-clustered
   // columnar files; the in-memory columnar cache measured 10× slower to
   // build and no faster to scan for this string-heavy schema).
+  /** Cache key for a corpus directory: basename (human-readable) + a hash
+    * of the CANONICAL path — two corpora with equal basenames under
+    * different parents (`/a/sf0.1` vs `/b/sf0.1`) must not share one
+    * materialized layout; the basename alone silently served one corpus's
+    * files for the other. */
+  private def corpusKey(sfDir: String, defaultGraph: Boolean): String = {
+    val f = new java.io.File(sfDir)
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(f.getCanonicalPath))
+    f.getName + "_" + h + (if (defaultGraph) "_d" else "_g")
+  }
+
   private val cache = scala.collection.mutable.Map.empty[(String, Boolean), QuadStore]
   def cachedStore(spark: SparkSession, sfDir: String, defaultGraph: Boolean = true): QuadStore =
     synchronized {
       cache.getOrElseUpdate((sfDir, defaultGraph), {
-        val key = new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g")
+        val key = corpusKey(sfDir, defaultGraph)
         val path = s"/tmp/graft_quads/$key"
         if (!new java.io.File(path, "_SUCCESS").exists()) {
           quads(spark, sfDir, defaultGraph)
@@ -141,16 +153,24 @@ object Triplizer {
       defaultGraph: Boolean = true, buckets: Int = 32): QuadStore =
     synchronized {
       bucketCache.getOrElseUpdate((sfDir, defaultGraph, buckets), {
-        val key = (new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g"))
-          .replace(".", "_")
+        val key = corpusKey(sfDir, defaultGraph).replace(".", "_")
         val table = s"graft_quads_s_$key"
+        val srcPath = new java.io.File(sfDir).getCanonicalPath
         val loc = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
         val marker = new java.io.File(loc, "_graft_buckets")
+        // marker line 1: bucket count; line 2: canonical source path —
+        // belt-and-braces with the path hash in the table name, so a
+        // surviving warehouse dir is never reused for a different corpus
         def writtenBuckets: Option[Int] =
-          if (marker.exists())
-            Some(java.nio.file.Files.readString(marker.toPath).trim.toInt)
-          else None
+          if (marker.exists()) {
+            val lines = java.nio.file.Files.readString(marker.toPath).trim
+              .split("\n").toSeq
+            lines.drop(1).headOption.foreach(p => require(p == srcPath,
+              s"$table was built from $p; requested corpus $srcPath — " +
+                s"remove ${loc.getAbsolutePath} to rebuild"))
+            Some(lines.head.trim.toInt)
+          } else None
         // the FILES' bucket count is the source of truth: declaring a
         // different count would make Spark plan exchange-free joins on
         // wrong bucket assignments — silent wrong results. One table name
@@ -174,7 +194,7 @@ object Triplizer {
           cachedStore(spark, sfDir, defaultGraph).quads
             .write.bucketBy(buckets, "s").sortBy("s")
             .mode("overwrite").saveAsTable(table)
-          java.nio.file.Files.writeString(marker.toPath, buckets.toString)
+          java.nio.file.Files.writeString(marker.toPath, s"$buckets\n$srcPath")
         }
         QuadStore(spark, spark.table(table))
       })
@@ -192,18 +212,24 @@ object Triplizer {
     synchronized {
       encCache.getOrElseUpdate((sfDir, defaultGraph), {
         val base = cachedStore(spark, sfDir, defaultGraph)
-        val key = new java.io.File(sfDir).getName + (if (defaultGraph) "_d" else "_g")
+        val key = corpusKey(sfDir, defaultGraph)
         val idsPath = s"/tmp/graft_quads/${key}_ids"
         val termsPath = s"/tmp/graft_quads/${key}_terms"
-        if (!new java.io.File(idsPath, "_SUCCESS").exists()) {
-          base.encodedQuads
-            .repartition(col("p_id"))
-            .sortWithinPartitions("p_id", "s_id")
-            .write.mode("overwrite").parquet(idsPath)
+        // both tables must be complete before either is trusted: terms is
+        // written FIRST and ids LAST, so the ids _SUCCESS marker (the one
+        // that gates the skip) is the final step of the pair — a crash
+        // between the two writes leaves no accepted half-snapshot. The
+        // terms marker is still checked for the pre-fix layout.
+        if (!new java.io.File(idsPath, "_SUCCESS").exists() ||
+            !new java.io.File(termsPath, "_SUCCESS").exists()) {
           base.termsTable
             .repartitionByRange(spark.sparkContext.defaultParallelism, col("id"))
             .sortWithinPartitions("id")
             .write.mode("overwrite").parquet(termsPath)
+          base.encodedQuads
+            .repartition(col("p_id"))
+            .sortWithinPartitions("p_id", "s_id")
+            .write.mode("overwrite").parquet(idsPath)
         }
         base.withDictEncoding(Some(
           (spark.read.parquet(idsPath), spark.read.parquet(termsPath))))

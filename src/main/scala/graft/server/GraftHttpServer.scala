@@ -50,12 +50,82 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
+  /** One registered RSP session's execution plane. */
+  private sealed trait RspBackend {
+    def query: graft.sparql.Ast.RspQuery
+    def push(stream: String, ts: Long, triples: Seq[(String, String, String)]): Unit
+    def stop(): Unit
+    /** "engine" (driver RspEngine) or "distributed" (DistributedRsp). */
+    def plane: String
+  }
+
+  /** Driver-side control plane: exact sequencing, full policy surface. */
+  private final class EngineBackend(val engine: graft.streaming.RspEngine)
+      extends RspBackend {
+    def query = engine.query
+    def push(stream: String, ts: Long, triples: Seq[(String, String, String)]): Unit =
+      triples.foreach { case (s, p, o) => engine.add(stream, s, p, o, ts) }
+    def stop(): Unit = ()
+    def plane = "engine"
+  }
+
+  /** Distributed data plane: the session's pushes feed a MemoryStream
+    * into [[graft.streaming.DistributedRsp.streamEmissions]] (stateless
+    * window explode → stream-stream BGP join → fired-close gating →
+    * incremental R2S), and each micro-batch's EMITTED rows — not window
+    * content — are forwarded to the SSE queue. Registration routes here
+    * automatically for the surface the plane compiles (single window,
+    * BGP+FILTER blocks, no Steal/Timeout policy, no static store);
+    * anything else falls back to [[EngineBackend]]. */
+  private final class DistributedBackend(q: graft.sparql.Ast.RspQuery,
+      rules: Seq[graft.sparql.Ast.Rule],
+      queue: java.util.concurrent.LinkedBlockingQueue[String])
+      extends RspBackend {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    private val mem = MemoryStream[(String, Long, String, String, String)]
+    private val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+      .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+    private val rsp = new graft.streaming.DistributedRsp(spark, q, rules)
+    // compiles the whole streaming pipeline EAGERLY: unsupported surface
+    // throws here, and registration falls back to the engine
+    private val emissions = rsp.streamEmissions(events)
+    private val sq = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try emissions.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.DistributedRsp.R2SRow], _: Long) =>
+          b.collect().foreach { r =>
+            val node = mapper.createObjectNode()
+            r.binding.foreach { case (k, v) => node.put(k, v) }
+            queue.offer(node.toString)
+          }
+        }.start()
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def query = q
+    def push(stream: String, ts: Long, triples: Seq[(String, String, String)]): Unit = {
+      mem.addData(triples.map { case (s, p, o) => (stream, ts, s, p, o) })
+      sq.processAllAvailable()
+    }
+    def stop(): Unit = try sq.stop() catch { case _: Exception => () }
+    def plane = "distributed"
+  }
+
   /** `lock` serializes pushes per session: the cached-thread-pool
     * dispatcher can run concurrent POST /rsp/push for the same session,
     * but RspEngine's window state (fire counts, last-emitted relations)
-    * is deliberately unsynchronized single-writer state. SSE reads stay
-    * on the pool — only the parse/add/offer block contends. */
-  private final class RspSession(val engine: graft.streaming.RspEngine,
+    * is deliberately unsynchronized single-writer state — and the
+    * distributed backend's MemoryStream feed wants one writer too. SSE
+    * reads stay on the pool — only the parse/add/offer block contends. */
+  private final class RspSession(val backend: RspBackend,
       val queue: java.util.concurrent.LinkedBlockingQueue[String]) {
     val lock: Object = new Object
   }
@@ -70,7 +140,9 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
   private def evictOldSessions(): Unit =
     while (sessions.size() > maxSessions) {
       val oldest = sessions.keys.asIterator().asScala.map(_.toLong).minOption
-      oldest.foreach(id => sessions.remove(id.toString))
+      oldest.foreach { id =>
+        Option(sessions.remove(id.toString)).foreach(_.backend.stop())
+      }
     }
 
   def port: Int = server.getAddress.getPort
@@ -89,7 +161,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     this
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    sessions.values().asScala.foreach(s => try s.backend.stop() catch { case _: Exception => () })
+    sessions.clear()
+    if (server != null) server.stop(0)
+  }
 
   private def queryHandler: HttpHandler = (exchange: HttpExchange) =>
     try {
@@ -231,16 +307,33 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
                 r.foreach { case (k, v) => node.put(k, v) }
                 queue.offer(node.toString)
               }
-            val engine = graft.streaming.RspEngineBuilder.fromQuery(
-              spark, optText(req, "query").get, staticStore,
-              consumer = consumer, rules = rules)
+            val qText = optText(req, "query").get
+            val parsed = SparqlParser().parseRsp(qText)
+            // route to the distributed data plane when the query fits its
+            // surface (single window, BGP+FILTER blocks, no Steal/Timeout,
+            // no static store); otherwise the driver engine. The
+            // DistributedBackend constructor compiles the full streaming
+            // pipeline, so ANY unsupported surface lands in the fallback.
+            val backend: RspBackend =
+              if (staticStore.isDefined ||
+                  parsed.policy.exists(_ != graft.sparql.Ast.WaitPolicy))
+                new EngineBackend(graft.streaming.RspEngineBuilder.fromQuery(
+                  spark, qText, staticStore, consumer = consumer, rules = rules))
+              else
+                try new DistributedBackend(parsed, rules, queue)
+                catch {
+                  case _: IllegalArgumentException | _: UnsupportedOperationException =>
+                    new EngineBackend(graft.streaming.RspEngineBuilder.fromQuery(
+                      spark, qText, staticStore, consumer = consumer, rules = rules))
+                }
             val id = sessionCounter.incrementAndGet().toString
-            sessions.put(id, new RspSession(engine, queue))
+            sessions.put(id, new RspSession(backend, queue))
             evictOldSessions()
             val resp = mapper.createObjectNode()
             resp.put("session_id", id)
+            resp.put("plane", backend.plane)
             val streams = resp.putArray("streams")
-            engine.query.windows.map(_.streamIri).distinct.foreach(streams.add)
+            backend.query.windows.map(_.streamIri).distinct.foreach(streams.add)
             respond(exchange, 200, resp.toString)
         }
         case _ => respond(exchange, 404, error("Not Found"))
@@ -263,11 +356,10 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
                 val ts = Option(req.get("timestamp")).map(_.asLong()).getOrElse(0L)
                 session.lock.synchronized {
                   optText(req, "ntriples").foreach { nt =>
-                    // engine.add fires windows as event time advances; the
-                    // session consumer enqueues each emission's rows
-                    RdfIO.parseNtDoc(nt).foreach { case (s, p, o) =>
-                      session.engine.add(stream, s, p, o, ts)
-                    }
+                    // the backend fires windows as event time advances and
+                    // enqueues each emission's rows (engine: consumer;
+                    // distributed: per-micro-batch forwarder)
+                    session.backend.push(stream, ts, RdfIO.parseNtDoc(nt))
                   }
                   session.queue.offer("__FIRING_END__")
                 }

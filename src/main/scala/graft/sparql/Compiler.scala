@@ -435,7 +435,10 @@ class Compiler(store: QuadStore) {
     if (k.asc) key.asc else key.desc
   }
 
-  def applyAggregates(df: DataFrame, sel: Select): DataFrame = {
+  /** `extraKeys` prepends grouping columns that are not query variables —
+    * the RSP data plane groups every aggregate by its window-close keys so
+    * one distributed aggregation covers all closes at once. */
+  def applyAggregates(df: DataFrame, sel: Select, extraKeys: Seq[String] = Nil): DataFrame = {
     val aggCols = sel.aggregates.map { a =>
       def in = numC(varCol(df, a.v.get).cast(StringType))
       (a.func match {
@@ -446,8 +449,9 @@ class Compiler(store: QuadStore) {
         case "AVG" => avg(in)
       }).as(a.alias)
     }
-    if (sel.groupBy.nonEmpty)
-      df.groupBy(sel.groupBy.map(v => varCol(df, v).as(v)): _*)
+    val keys = extraKeys ++ sel.groupBy
+    if (keys.nonEmpty)
+      df.groupBy(keys.map(v => varCol(df, v).as(v)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     else df.agg(aggCols.head, aggCols.tail: _*)
   }

@@ -1,0 +1,106 @@
+package graft.sparql
+
+import Ast._
+
+/** SPARQL text renderer for the supported SELECT fragment — the inverse
+  * of [[SparqlParser]] up to whitespace and adjacent-BGP merging.
+  * `parse(print(parse(text)))` is a fixpoint (ParserRoundTripSpec
+  * property-checks it over generated ASTs); the reference has no
+  * equivalent surface (its AST is internal to nom), so this is free
+  * functionality the Spark port gets from keeping the algebra first-class.
+  *
+  * Printing conventions chosen to stay inside the parser's grammar:
+  *  - literals always quoted (the parser's bare-number forms reparse to
+  *    the same [[Lit]]);
+  *  - conditions fully parenthesized (`(a) && (b)`), expressions
+  *    parenthesized at each Arith node;
+  *  - VALUES always in the multi-variable form.
+  */
+object SparqlPrinter {
+
+  def printTerm(t: Term): String = t match {
+    case Var(n) => s"?$n"
+    case Iri(v) => s"<$v>"
+    case Lit(v) => "\"" + escape(v) + "\""
+    case BNode(l) => s"_:$l"
+    case Quoted(s, p, o) => s"<< ${printTerm(s)} ${printTerm(p)} ${printTerm(o)} >>"
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  def printExpr(e: Expr): String = e match {
+    case ETerm(t) => printTerm(t)
+    case Arith(op, l, r) => s"(${printExpr(l)} $op ${printExpr(r)})"
+    case Func(name, args) => s"$name(${args.map(printExpr).mkString(", ")})"
+  }
+
+  def printCond(c: Condition): String = c match {
+    case Cmp(op, l, r) => s"${printExpr(l)} $op ${printExpr(r)}"
+    case And(l, r) => s"(${printCond(l)}) && (${printCond(r)})"
+    case Or(l, r) => s"(${printCond(l)}) || (${printCond(r)})"
+    case Not(x) => s"!(${printCond(x)})"
+    case CondFunc(name, args) => s"$name(${args.map(printExpr).mkString(", ")})"
+  }
+
+  private def printPattern(tp: TriplePattern): String =
+    s"${printTerm(tp.s)} ${printTerm(tp.p)} ${printTerm(tp.o)} ."
+
+  def printElement(e: Element): String = e match {
+    case Bgp(ps) => ps.map(printPattern).mkString(" ")
+    case FilterElem(c) => s"FILTER(${printCond(c)})"
+    case BindElem(expr, v) => s"BIND(${printExpr(expr)} AS ?$v)"
+    case GraphBlock(g, els) =>
+      val gs = g match {
+        case GraphIri(i) => s"<$i>"
+        case GraphVar(v) => s"?$v"
+        case DefaultGraph => throw new IllegalArgumentException(
+          "GRAPH block over the default graph is not printable")
+      }
+      s"GRAPH $gs { ${els.map(printElement).mkString(" ")} }"
+    case UnionBlock(branches) =>
+      branches.map(b => s"{ ${b.map(printElement).mkString(" ")} }").mkString(" UNION ")
+    case ValuesElem(vars, rows) =>
+      val head = vars.map("?" + _).mkString("(", " ", ")")
+      val body = rows.map(_.map {
+        case Some(t) => printTerm(t)
+        case None => "UNDEF"
+      }.mkString("(", " ", ")")).mkString(" ")
+      s"VALUES $head { $body }"
+    case SubSelect(q) => s"{ ${printSelect(q)} }"
+    case WindowBlockElem(w, els) =>
+      s"WINDOW <$w> { ${els.map(printElement).mkString(" ")} }"
+  }
+
+  def printSelect(sel: Select): String = {
+    val sb = new StringBuilder("SELECT ")
+    if (sel.distinct) sb.append("DISTINCT ")
+    if (sel.projection == Seq("*")) sb.append("* ")
+    else {
+      sel.projection.foreach(v => sb.append(s"?$v "))
+      sel.aggregates.foreach { a =>
+        val arg = a.v.map("?" + _).getOrElse("*")
+        sb.append(s"(${a.func}($arg) AS ?${a.alias}) ")
+      }
+    }
+    sel.fromGraphs.foreach(g => sb.append(s"FROM <$g> "))
+    sel.fromNamed.foreach(g => sb.append(s"FROM NAMED <$g> "))
+    sb.append(s"WHERE { ${sel.where.map(printElement).mkString(" ")} }")
+    if (sel.groupBy.nonEmpty)
+      sb.append(sel.groupBy.map("?" + _).mkString(" GROUP BY ", " ", ""))
+    if (sel.orderBy.nonEmpty)
+      sb.append(sel.orderBy.map(k =>
+        if (k.asc) s"ASC(?${k.v})" else s"DESC(?${k.v})")
+        .mkString(" ORDER BY ", " ", ""))
+    sel.limit.foreach(n => sb.append(s" LIMIT $n"))
+    sel.offset.foreach(n => sb.append(s" OFFSET $n"))
+    sb.toString
+  }
+}

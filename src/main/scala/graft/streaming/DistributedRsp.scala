@@ -50,11 +50,15 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       * enrichment (`rsp_engine.rs:105-212`), here as ONE fixpoint whose
       * every round is distributed across all closes (close rides every
       * premise join, so window isolation is free). Batch runs the full
-      * fixpoint; the streaming path unrolls [[streamEnrichRounds]] rule
-      * applications (a stream cannot loop — non-recursive rule sets need
-      * exactly 1). */
+      * fixpoint; the streaming path unrolls a fixed number of rule
+      * applications (a stream cannot loop). */
     rules: Seq[Rule] = Nil,
-    streamEnrichRounds: Int = 1) {
+    /** Rule applications unrolled on the STREAMING path. `None` (default)
+      * computes the exact requirement — the longest rule-dependency chain
+      * ([[DistributedRsp.ruleChainDepth]]) — and REFUSES genuinely
+      * recursive sets (a bounded unroll would silently under-derive;
+      * `Some(n)` is the caller's explicit opt-in to n rounds). */
+    streamEnrichRounds: Option[Int] = None) {
   import DistributedRsp._
 
   rules.foreach { r =>
@@ -69,41 +73,45 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   private lazy val condCompiler =
     new graft.sparql.Compiler(graft.model.QuadStore.empty(spark))
 
-  /** WINDOW-block patterns per window IRI. The distributed plane compiles
-    * pure-BGP blocks; richer blocks (FILTER, UNION, subselects) stay on
-    * the driver engine. */
-  private val windowBlocks: Map[String, Seq[TriplePattern]] =
+  /** WINDOW-block patterns + FILTERs per window IRI. The distributed
+    * plane compiles BGP + FILTER blocks (filters scoped to the end of the
+    * block, as in [[graft.sparql.Compiler.compileGroup]]); richer blocks
+    * (UNION, subselects) stay on the driver engine. */
+  private val windowBlocks: Map[String, (Seq[TriplePattern], Seq[Condition])] =
     query.select.where.collect { case WindowBlockElem(w, elems) =>
-      w -> elems.flatMap {
-        case Bgp(ps) => ps
+      val pats = Seq.newBuilder[TriplePattern]
+      val conds = Seq.newBuilder[Condition]
+      elems.foreach {
+        case Bgp(ps) => pats ++= ps
+        case FilterElem(c) => conds += c
         case other => throw new IllegalArgumentException(
-          s"distributed RSP plane supports pure-BGP WINDOW blocks; found $other " +
+          s"distributed RSP plane supports BGP + FILTER WINDOW blocks; found $other " +
             "— use RspEngine for full block semantics")
       }
+      w -> ((pats.result(), conds.result()))
     }.toMap
 
   query.windows.foreach { w =>
     require(windowBlocks.contains(w.iri), s"no WINDOW block for ${w.iri}")
   }
 
-  // 'close' / 'closeTs' are the plane's reserved join-key columns; a query
-  // variable with either name would collide with them in every scan
-  require(!windowBlocks.values.flatten
+  // 'close' / 'closeTs' are the plane's reserved join-key columns and
+  // '__fired__' its sparse-tick sentinel; a query variable with any of
+  // these names would collide with them in every scan
+  require(!windowBlocks.values.flatMap(_._1)
       .flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case Var(n) => n }
-      .exists(n => n == "close" || n == "closeTs"),
-    "?close and ?closeTs are reserved column names on the distributed RSP plane")
+      .exists(n => n == "close" || n == "closeTs" || n == IncrementalR2S.FiredMarker),
+    "?close, ?closeTs and ?__fired__ are reserved column names on the distributed RSP plane")
 
   // fail loudly on surface the plane does not compile, instead of
   // silently returning different results than RspEngine would
   require(query.select.where.forall(_.isInstanceOf[WindowBlockElem]),
     "distributed RSP plane compiles WINDOW blocks only; static patterns / " +
       "FILTERs outside windows need the driver engine (RspEngine)")
-  require(query.select.projection == Seq("*") && query.select.aggregates.isEmpty &&
-      query.select.groupBy.isEmpty && query.select.orderBy.isEmpty &&
-      query.select.limit.isEmpty && query.select.offset.isEmpty &&
-      !query.select.distinct,
-    "distributed RSP plane supports SELECT * without modifiers; " +
-      "projections/aggregates/modifiers need the driver engine (RspEngine)")
+  require(query.select.orderBy.isEmpty && query.select.limit.isEmpty &&
+      query.select.offset.isEmpty,
+    "distributed RSP plane supports projection/aggregates/DISTINCT; " +
+      "ORDER BY / LIMIT / OFFSET need the driver engine (RspEngine)")
   // multi-window coordination here is the aligned-close join (Wait
   // semantics); Steal/Timeout cycles are the driver engine's coordinator
   require(query.windows.size == 1 ||
@@ -228,7 +236,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       fired: DataFrame): DataFrame = {
     val content0 = windowContent(events, w, fired)
     val content = if (rules.isEmpty) content0 else enrichFixpoint(content0)
-    windowBlocks(w.iri).map(scan(content, _)).reduce(joinOnShared).distinct()
+    val (pats, conds) = windowBlocks(w.iri)
+    val joined = pats.map(scan(content, _)).reduce(joinOnShared)
+    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+      .distinct()
   }
 
   /** All windows' relations joined on (close, shared vars) — aligned-close
@@ -236,6 +247,29 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * driver engine's coordinator. */
   def relation(events: DataFrame): DataFrame =
     query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
+
+  /** Per-close solution modifiers, mirroring [[RspEngine.emitJoined]]'s
+    * `finalizeSelect` on each emission: aggregates group by (close keys ×
+    * GROUP BY vars) — one distributed aggregation across ALL closes —
+    * then projection, then DISTINCT. The one non-representable case
+    * stays: a fired close with EMPTY content yields no row here, so a
+    * global aggregate over an empty firing (engine: one zero-count row)
+    * does not appear (class Scaladoc, "empty firings"). */
+  private def finalizePerClose(rel: DataFrame): DataFrame = {
+    val sel = query.select
+    val keys = Seq("close") ++
+      (if (rel.columns.contains("closeTs")) Seq("closeTs") else Nil)
+    var df = rel
+    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
+      df = condCompiler.applyAggregates(df, sel, keys)
+    val projCols: Seq[String] =
+      if (sel.projection == Seq("*")) df.columns.toSeq.filterNot(keys.contains)
+      else sel.projection ++ sel.aggregates.map(_.alias)
+    df = df.select((keys ++ projCols).map(c =>
+      (if (df.columns.contains(c)) col(c)
+       else lit(null).cast(org.apache.spark.sql.types.StringType)).as(c)): _*)
+    if (sel.distinct) df.dropDuplicates() else df
+  }
 
   /** Fired-close sequence with its predecessor (lag over the ordered close
     * set — one narrow single-partition window over O(#closes) rows; at
@@ -250,7 +284,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * the subplans repeatedly. */
   def emissions(events: DataFrame): DataFrame = {
     query.kind match {
-      case RStream => relation(events)
+      case RStream => finalizePerClose(relation(events))
       case IStream =>
         // rows at close c absent from the relation at the previous fired
         // close (first firing: prev = null → nothing relabels → emit all)
@@ -270,7 +304,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
     val w = query.windows.head
     val fired = firedCloses(events, w).localCheckpoint()
-    (windowRelation(events, w, fired).localCheckpoint(), fired)
+    // the diff runs over the FINALIZED relation — the engine also diffs
+    // emission rows after modifiers, not raw bindings
+    (finalizePerClose(windowRelation(events, w, fired)).localCheckpoint(), fired)
   }
 
   private def relabelPrevToCurrent(rel: DataFrame, seq: DataFrame): DataFrame = {
@@ -293,73 +329,135 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       "streaming plane is single-window; multi-window uses RspEngine")
     val w = query.windows.head
     val st = step(w)
-    // `closeTs` is close re-expressed as a timestamp and watermarked on
-    // BOTH sides — putting it in every stream-stream join key satisfies
-    // Spark's watermark-in-join-keys requirement and bounds join state.
-    // Delay = RANGE+STEP covers the skew between an arrival's ts and the
-    // earliest close it can participate in on either side.
-    val delay = s"${w.rangeMs + st} milliseconds"
     val e = routed(events, w).withColumn("__tsms",
       (unix_micros(col("ts")) / lit(1000L)).cast("long"))
     val content = explodeCloses(e.drop("ts").withColumnRenamed("__tsms", "ts"),
         w.rangeMs, st)
       .withColumn("closeTs", timestamp_millis(col("close")))
-      .withWatermark("closeTs", delay)
-    val fired = routed(events, w)
-      .select(maxClose((unix_micros(col("ts")) / lit(1000L)).cast("long"), st).as("close"))
-      .withColumn("closeTs", timestamp_millis(col("close")))
-      .withWatermark("closeTs", delay)
-    val gated = content.join(fired, Seq("close", "closeTs"), "left_semi")
+      .withWatermark("closeTs", watermarkDelay(w))
+    val gated = content.join(streamFired(events, w), Seq("close", "closeTs"), "left_semi")
     // streaming enrichment: a stream cannot loop a fixpoint, so unroll a
-    // fixed number of rule passes (non-recursive rule sets need exactly 1);
-    // duplicates are merged by the downstream R2S per-key distinct.
-    // A RECURSIVE rule set under the default single unroll would silently
-    // under-derive — warn loudly (the batch path runs the full fixpoint).
-    if (rules.nonEmpty && streamEnrichRounds == 1) {
-      def constPred(t: Term): Option[String] = t match {
-        case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None
+    // fixed number of rule passes; duplicates are merged by the
+    // downstream R2S per-key distinct. The default computes the EXACT
+    // requirement (longest rule-dependency chain) and refuses recursive
+    // sets; an explicit streamEnrichRounds is the caller's opt-in to a
+    // bounded unroll (under-derivation warned below).
+    val rounds =
+      if (rules.isEmpty) 0
+      else streamEnrichRounds match {
+        case Some(n) =>
+          if (ruleChainDepth(rules).forall(_ > n))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"streamEnrichRounds=$n is below the rule set's derivation depth: " +
+                "deeper derivations are NOT produced on the streaming plane. " +
+                "The batch path / RspEngine run the full fixpoint.")
+          n
+        case None => ruleChainDepth(rules).getOrElse(throw new IllegalArgumentException(
+          "recursive rule set on the streaming plane: a micro-batch pipeline cannot " +
+            "run a fixpoint — pass streamEnrichRounds explicitly for a bounded " +
+            "unroll, or use the batch emissions / RspEngine"))
       }
-      val heads = rules.flatMap(_.conclusion).map(tp => constPred(tp.p))
-      val premises = rules.flatMap(r => r.premise ++ r.negativePremise)
-        .map(tp => constPred(tp.p))
-      if (heads.exists(h => h.isEmpty || premises.exists(p => p.isEmpty || p == h)))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "recursive rule set on the streaming plane with streamEnrichRounds=1: " +
-            "derivations deeper than one rule application are NOT produced. " +
-            "Raise streamEnrichRounds to the closure depth, or use the batch " +
-            "path / RspEngine.")
-    }
     val enriched =
       if (rules.isEmpty) gated
-      else (0 until streamEnrichRounds).foldLeft(
+      else (0 until rounds).foldLeft(
           gated.select(col("close"), col("closeTs"), col("s"), col("p"), col("o"))) {
         (facts, _) =>
           facts.unionByName(rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _))
       }
-    windowBlocks(w.iri).map(scan(enriched, _)).reduce(joinOnShared)
+    val (pats, conds) = windowBlocks(w.iri)
+    val joined = pats.map(scan(enriched, _)).reduce(joinOnShared)
+    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
   }
 
-  /** Streaming emissions: RSTREAM passes the relation through (deduped
-    * within the watermark — the batch relation has set semantics, and a
-    * duplicated arrival or a rule re-deriving an existing fact would
-    * otherwise emit twice); ISTREAM / DSTREAM run incrementally in
-    * transformWithState keyed by binding ([[IncrementalR2S]], state =
-    * last close per binding — their per-key close dedup subsumes the
-    * distinct). */
-  def streamEmissions(events: DataFrame): Dataset[R2SRow] = {
+  /** Watermark delay: RANGE+STEP covers the skew between an arrival's ts
+    * and the earliest close it can participate in on either side of the
+    * content/fired stream-stream join. */
+  private def watermarkDelay(w: WindowSpec): String =
+    s"${w.rangeMs + step(w)} milliseconds"
+
+  /** The fired-close stream: max-closing close per arrival, `closeTs` its
+    * watermarked event-time twin — keeping closeTs in every join key set
+    * is what bounds stream-stream join state. */
+  private def streamFired(events: DataFrame, w: WindowSpec): DataFrame =
+    routed(events, w)
+      .select(maxClose((unix_micros(col("ts")) / lit(1000L)).cast("long"), step(w)).as("close"))
+      .withColumn("closeTs", timestamp_millis(col("close")))
+      .withWatermark("closeTs", watermarkDelay(w))
+
+  /** Counts fired closes that skipped step multiples (sparse ticks) —
+    * the one condition under which the incremental R2S diff (close-step
+    * granularity) disagrees with the batch/engine previous-FIRED-close
+    * diff. Fed by a sentinel key through the R2S processors; non-zero
+    * after a run means the stream was sparse and the batch formulations
+    * are the authoritative route. */
+  lazy val sparseTickCounter: org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.rsp.sparse-fired-closes")
+
+  /** Streaming emissions: the relation gets its per-close modifiers —
+    * aggregates as ONE distributed aggregation grouped by (close, closeTs,
+    * GROUP BY vars) in append mode (the watermarked closeTs key is what
+    * lets Spark finalize each group), projection, DISTINCT-within-
+    * watermark — then RSTREAM passes rows through while ISTREAM / DSTREAM
+    * run incrementally in `transformWithState` keyed by the binding
+    * ([[IncrementalR2S]]). A fired-close sentinel rides along to DETECT
+    * sparse fired-close sequences at runtime ([[sparseTickCounter]] +
+    * executor-side warning) — the documented divergence of the
+    * close-step-granularity diff from the batch previous-fired-close diff
+    * is now observable instead of silent.
+    *
+    * `buffered = true` opts into the watermark-buffered R2S processors
+    * ([[IncrementalR2S.istreamBuffered]]): per-key ListState + event-time
+    * timers process closes in close order once the watermark passes, so
+    * feeds reordered within the lateness allowance are diffed correctly
+    * (the eager default requires per-key non-decreasing closes across
+    * micro-batches and emits with one less micro-batch of latency). */
+  def streamEmissions(events: DataFrame, buffered: Boolean = false): Dataset[R2SRow] = {
     val relAll = streamRelation(events)
-    val deduped = query.kind match {
-      case RStream => relAll.dropDuplicatesWithinWatermark()
-      case _ => relAll
-    }
-    val rel = deduped.drop("closeTs")
+    val sel = query.select
+    val keys = Seq("close", "closeTs")
+    val finalized =
+      if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
+        condCompiler.applyAggregates(relAll, sel, keys)
+      else {
+        val deduped = query.kind match {
+          // batch relations have set semantics: a duplicated arrival or a
+          // rule re-deriving an existing fact must not emit twice
+          case RStream => relAll.dropDuplicatesWithinWatermark()
+          case _ => relAll
+        }
+        val projCols: Seq[String] =
+          if (sel.projection == Seq("*"))
+            deduped.columns.toSeq.filterNot(keys.contains)
+          else sel.projection
+        val projected = deduped.select((keys ++ projCols).map(col): _*)
+        if (sel.distinct && query.kind == RStream)
+          projected.dropDuplicatesWithinWatermark()
+        else projected
+      }
+    val rel = finalized.drop("closeTs")
     val vars = rel.columns.filter(_ != "close").toSeq
     val rows = toR2SRows(rel, vars)
     val st = step(query.windows.head)
     query.kind match {
       case RStream => rows
-      case IStream => IncrementalR2S.istream(rows, st)
-      case DStream => IncrementalR2S.dstream(rows, st)
+      case _ =>
+        // sentinel: one row per fired close through a reserved key, so the
+        // processors can check the dense-tick assumption the diff rests on
+        val w = query.windows.head
+        import rel.sparkSession.implicits._
+        val sentinel = streamFired(events, w).dropDuplicatesWithinWatermark()
+          .select(col("close")).as[Long]
+          .map(c => R2SRow(c, Map(IncrementalR2S.FiredMarker -> "")))
+        val withSentinel = rows.unionByName(sentinel)
+        query.kind match {
+          case IStream =>
+            if (buffered) IncrementalR2S.istreamBuffered(withSentinel, st, Some(sparseTickCounter))
+            else IncrementalR2S.istream(withSentinel, st, Some(sparseTickCounter))
+          case DStream =>
+            if (buffered) IncrementalR2S.dstreamBuffered(withSentinel, st, Some(sparseTickCounter))
+            else IncrementalR2S.dstream(withSentinel, st, Some(sparseTickCounter))
+          case RStream => rows // unreachable
+        }
     }
   }
 }
@@ -372,6 +470,48 @@ object DistributedRsp {
     case Var(n) => Seq(n)
     case Quoted(s, p, o) => termVarsOf(s) ++ termVarsOf(p) ++ termVarsOf(o)
     case _ => Nil
+  }
+
+  /** Exact unroll requirement of a rule set on the streaming plane: the
+    * longest chain of rule applications (rule A feeds rule B when one of
+    * A's conclusion predicates appears among B's premise predicates).
+    * `None` when the dependency graph has a cycle — a genuinely recursive
+    * set with no finite unroll — or when a head/premise predicate is a
+    * variable (dependencies unknowable, treated as recursive). A
+    * dependency-free set needs exactly 1 round; a 2-chain needs 2. */
+  private[streaming] def ruleChainDepth(rules: Seq[Rule]): Option[Int] = {
+    def constPred(t: Term): Option[String] = t match {
+      case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None
+    }
+    val headPreds = rules.map(_.conclusion.map(tp => constPred(tp.p)))
+    val premPreds = rules.map(r =>
+      (r.premise ++ r.negativePremise).map(tp => constPred(tp.p)))
+    if ((headPreds ++ premPreds).exists(_.exists(_.isEmpty))) return None
+    val h = headPreds.map(_.flatten.toSet)
+    val p = premPreds.map(_.flatten.toSet)
+    val n = rules.size
+    val adj = (0 until n).map(a => (0 until n).filter(b => h(a).intersect(p(b)).nonEmpty))
+    // longest path in the rule DAG (depth in rules); cycle → None
+    val memo = Array.fill(n)(-1)
+    val onStack = Array.fill(n)(false)
+    def dfs(i: Int): Option[Int] = {
+      if (onStack(i)) return None
+      if (memo(i) >= 0) return Some(memo(i))
+      onStack(i) = true
+      var best = 1
+      adj(i).foreach { j =>
+        dfs(j) match {
+          case None => onStack(i) = false; return None
+          case Some(d) => best = math.max(best, 1 + d)
+        }
+      }
+      onStack(i) = false
+      memo(i) = best
+      Some(best)
+    }
+    (0 until n).foldLeft(Option(0)) { (acc, i) =>
+      for { a <- acc; d <- dfs(i) } yield math.max(a, d)
+    }
   }
 
   /** max-closing window of an arrival at `ts`: largest STEP multiple < ts.
@@ -413,35 +553,94 @@ object DistributedRsp {
   }
 }
 
+
 /** Incremental R2S operators over a `(close, binding)` stream —
   * `transformWithState` keyed by the binding, state = the last close at
   * which the binding appeared (`r2s.rs:24-52` semantics in the CQL
   * dense-tick formulation; identical to [[StreamOps]]'s batch
   * step-arithmetic diffs, which StreamingSpec asserts).
   *
-  * Delivery contract: per key, closes must arrive non-decreasing across
-  * micro-batches (rows with close ≤ the key's last seen close are treated
-  * as duplicates and dropped). An out-of-order delivery that a wide
-  * lateness allowance admits — a late event joining an old retained close
-  * AFTER a newer close for the same binding was processed — would be
-  * mis-diffed; feeds replayed in event-time order (every spec here) and
-  * watermark-ordered pipelines satisfy the contract, and the batch
-  * formulations remain the reorder-tolerant route. A watermark-buffered
-  * variant (ListState + timers, emit in close order once the watermark
-  * passes) is the known upgrade if reordered feeds become a requirement:
-  *
   *  - ISTREAM: emit (c, b) iff b was absent at c − step;
   *  - DSTREAM: emit (c', b) at the first close c' = lastSeen + step where
-  *    b is absent — detected eagerly when b reappears after a gap, and by
-  *    an event-time timer when b never reappears.
+  *    b is absent — detected when b reappears after a gap, and by an
+  *    event-time timer when b never reappears.
   *
-  * State per binding is one long (+ the binding for timer emission) —
+  * Two processor families share these semantics:
+  *
+  * EAGER ([[istream]]/[[dstream]], the default): rows are diffed the
+  * micro-batch they arrive. Delivery contract: per key, closes must
+  * arrive non-decreasing across micro-batches (rows with close ≤ the
+  * key's last seen close are treated as duplicates and dropped). Feeds
+  * replayed in event-time order and watermark-ordered pipelines satisfy
+  * the contract.
+  *
+  * BUFFERED ([[istreamBuffered]]/[[dstreamBuffered]]): per-key ListState
+  * buffers arrivals and event-time timers drain them IN CLOSE ORDER once
+  * the watermark guarantees a close's rows are complete (timer at close +
+  * step — a timer at the close itself would race same-close rows when the
+  * watermark sits exactly ON it). Anything the watermark admits is diffed
+  * correctly regardless of arrival order, at the cost of one lateness
+  * allowance of emission latency and a small per-key buffer. This lifts
+  * the eager family's close-monotone delivery contract.
+  *
+  * Both families watch the [[FiredMarker]] sentinel key (one row per
+  * FIRED close, fed by [[DistributedRsp.streamEmissions]]): the
+  * incremental diff runs at close-STEP granularity while batch/engine
+  * diff against the previous FIRED close, so a fired-close sequence that
+  * skips step multiples makes the two planes disagree — the sentinel
+  * detects exactly that condition at runtime, counts it on the passed
+  * accumulator, and logs a warning, instead of leaving the divergence
+  * silent.
+  *
+  * State per binding is one long (+ the binding for timer emission; + the
+  * buffered rows within one lateness allowance for the buffered family) —
   * the minimal footprint for exact diffs over unbounded streams.
   */
 object IncrementalR2S {
   import DistributedRsp.R2SRow
 
-  private class IstreamProcessor(step: Long)
+  /** Reserved sentinel variable name marking fired-close rows (reserved
+    * on the plane alongside close/closeTs). */
+  private[streaming] val FiredMarker = "__fired__"
+
+  /** Length-prefixed binding encoding: separator bytes can appear INSIDE
+    * values (RDF-star lexical forms embed control chars via
+    * TermLex.QtSep), so plain separator joining would let two distinct
+    * bindings collide onto one transformWithState key and share state. */
+  private[streaming] def encodeKey(b: Map[String, String]): String =
+    b.toSeq.sorted.map { case (k, v) => s"${k.length}:$k${v.length}:$v" }.mkString
+
+  private val FiredKey = encodeKey(Map(FiredMarker -> ""))
+
+  /** Dense-tick check over the sentinel key's fired-close sequence
+    * (caller passes closes in the order they are processed): a fired
+    * close that is not lastFired + step is a sparse tick — counted and
+    * warned, because the incremental diff then diverges from the batch
+    * previous-fired-close diff. Returns the new last fired close. */
+  private def trackFired(closes: Seq[Long], last: Option[Long], step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator]): Option[Long] = {
+    var l = last
+    closes.foreach { c =>
+      l match {
+        case Some(prev) if c <= prev => () // duplicate/late
+        case Some(prev) =>
+          if (c != prev + step) {
+            sparse.foreach(_.add(1L))
+            org.slf4j.LoggerFactory.getLogger("graft.streaming.IncrementalR2S").warn(
+              s"sparse fired-close sequence: close $c follows $prev with step $step " +
+                "— incremental R2S diffs at close-step granularity and diverges " +
+                "from the batch previous-fired-close diff here; use the batch " +
+                "emissions for authoritative results on sparse streams")
+          }
+          l = Some(c)
+        case None => l = Some(c)
+      }
+    }
+    l
+  }
+
+  private class IstreamProcessor(step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator])
       extends StatefulProcessor[String, R2SRow, R2SRow] {
     @transient private var last: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -449,6 +648,11 @@ object IncrementalR2S {
     override def handleInputRows(key: String, rows: Iterator[R2SRow],
         tv: TimerValues): Iterator[R2SRow] = {
       val sorted = rows.toSeq.distinctBy(_.close).sortBy(_.close)
+      if (key == FiredKey) {
+        val l0 = if (last.exists()) Some(last.get()) else None
+        trackFired(sorted.map(_.close), l0, step, sparse).foreach(last.update)
+        return Iterator.empty
+      }
       val out = Seq.newBuilder[R2SRow]
       sorted.foreach { r =>
         if (!last.exists()) { out += r; last.update(r.close) }
@@ -461,7 +665,8 @@ object IncrementalR2S {
     }
   }
 
-  private class DstreamProcessor(step: Long)
+  private class DstreamProcessor(step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator])
       extends StatefulProcessor[String, R2SRow, R2SRow] {
     @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Map[String, String])] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -470,6 +675,12 @@ object IncrementalR2S {
     override def handleInputRows(key: String, rows: Iterator[R2SRow],
         tv: TimerValues): Iterator[R2SRow] = {
       val sorted = rows.toSeq.distinctBy(_.close).sortBy(_.close)
+      if (key == FiredKey) { // sentinel: dense-tick check only, no timers
+        val l0 = if (last.exists()) Some(last.get()._1) else None
+        trackFired(sorted.map(_.close), l0, step, sparse)
+          .foreach(c => last.update((c, Map.empty)))
+        return Iterator.empty
+      }
       val out = Seq.newBuilder[R2SRow]
       sorted.foreach { r =>
         if (!last.exists() || r.close > last.get()._1) { // ≤ last: dup/late
@@ -495,27 +706,156 @@ object IncrementalR2S {
     }
   }
 
+  /** Watermark-buffered ISTREAM: buffer arrivals, drain in close order
+    * once the watermark passes close + step. */
+  private class BufferedIstreamProcessor(step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator])
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[R2SRow] = _
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[R2SRow]("pending",
+        Encoders.product[R2SRow], TTLConfig.NONE)
+      last = getHandle.getValueState[Long]("lastClose", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      rows.foreach { r =>
+        if (!last.exists() || r.close > last.get()) {
+          pending.appendValue(r)
+          getHandle.registerTimer(r.close + step)
+        }
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[R2SRow] = {
+      // drain everything the CURRENT watermark has completed (see the
+      // DSTREAM drain comment — one timer may stand for many)
+      val cutoff = math.max(info.getExpiryTimeInMs, tv.getCurrentWatermarkInMs()) - step
+      val (ready, rest) = pending.get().toSeq.partition(_.close <= cutoff)
+      pending.clear()
+      if (rest.nonEmpty) pending.put(rest.toArray)
+      val ordered = ready.distinctBy(_.close).sortBy(_.close)
+      if (key == FiredKey) {
+        val l0 = if (last.exists()) Some(last.get()) else None
+        trackFired(ordered.map(_.close), l0, step, sparse).foreach(last.update)
+        return Iterator.empty
+      }
+      val out = Seq.newBuilder[R2SRow]
+      ordered.foreach { r =>
+        if (!last.exists()) { out += r; last.update(r.close) }
+        else if (r.close > last.get()) {
+          if (last.get() != r.close - step) out += r
+          last.update(r.close)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Watermark-buffered DSTREAM: drain in close order; gap deletions at
+    * drain time, final disappearance via the lastSeen + 2·step timer. */
+  private class BufferedDstreamProcessor(step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator])
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[R2SRow] = _
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[(Long, Map[String, String])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[R2SRow]("pending",
+        Encoders.product[R2SRow], TTLConfig.NONE)
+      last = getHandle.getValueState[(Long, Map[String, String])]("lastSeen",
+        Encoders.product[(Long, Map[String, String])], TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      rows.foreach { r =>
+        if (!last.exists() || r.close > last.get()._1) {
+          pending.appendValue(r)
+          getHandle.registerTimer(r.close + step)
+        }
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[R2SRow] = {
+      // drain everything the CURRENT watermark has completed, not just
+      // this timer's close — a watermark jump expires many timers in one
+      // batch, and draining per-timer would interleave the final-deletion
+      // check with closes still pending
+      val cutoff = math.max(info.getExpiryTimeInMs, tv.getCurrentWatermarkInMs()) - step
+      val (ready, rest) = pending.get().toSeq.partition(_.close <= cutoff)
+      pending.clear()
+      if (rest.nonEmpty) pending.put(rest.toArray)
+      val ordered = ready.distinctBy(_.close).sortBy(_.close)
+      if (key == FiredKey) {
+        val l0 = if (last.exists()) Some(last.get()._1) else None
+        trackFired(ordered.map(_.close), l0, step, sparse)
+          .foreach(c => last.update((c, Map.empty)))
+        return Iterator.empty
+      }
+      val out = Seq.newBuilder[R2SRow]
+      ordered.foreach { r =>
+        if (!last.exists()) last.update((r.close, r.binding))
+        else if (r.close > last.get()._1) {
+          if (last.get()._1 + step < r.close)
+            out += R2SRow(last.get()._1 + step, last.get()._2) // gap deletion
+          last.update((r.close, r.binding))
+        }
+      }
+      if (last.exists() && rest.isEmpty) {
+        // only an EMPTY buffer can mean disappearance — pending closes
+        // beyond the cutoff keep the binding alive
+        val (c, b) = last.get()
+        // decide on the CURRENT watermark, not this timer's expiry: a
+        // watermark jump can pass c + 2·step in the same batch that
+        // drained c, and a timer registered now would never fire again
+        // on a stream with no further data
+        if (tv.getCurrentWatermarkInMs() >= c + 2 * step) {
+          // a full step past c is complete with no arrival: the binding
+          // disappeared at c + step
+          out += R2SRow(c + step, b)
+          last.clear()
+        } else getHandle.registerTimer(c + 2 * step)
+      }
+      out.result().iterator
+    }
+  }
+
   private def keyed(rows: Dataset[R2SRow]) = {
     import rows.sparkSession.implicits._
-    // length-prefixed encoding: separator bytes can appear INSIDE values
-    // (RDF-star lexical forms embed \u0001 via TermLex.QtSep), so plain
-    // separator joining would let two distinct bindings collide onto one
-    // transformWithState key and share lastClose state
-    rows.groupByKey(r => r.binding.toSeq.sorted
-      .map { case (k, v) => s"${k.length}:$k${v.length}:$v" }.mkString)
+    rows.groupByKey(r => encodeKey(r.binding))
   }
 
   /** Incremental ISTREAM (requires RocksDB state store provider). */
-  def istream(rows: Dataset[R2SRow], step: Long): Dataset[R2SRow] = {
+  def istream(rows: Dataset[R2SRow], step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[R2SRow] = {
     import rows.sparkSession.implicits._
-    keyed(rows).transformWithState(new IstreamProcessor(step),
+    keyed(rows).transformWithState(new IstreamProcessor(step, sparse),
       TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Incremental DSTREAM with event-time timers for final disappearance. */
-  def dstream(rows: Dataset[R2SRow], step: Long): Dataset[R2SRow] = {
+  def dstream(rows: Dataset[R2SRow], step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[R2SRow] = {
     import rows.sparkSession.implicits._
-    keyed(rows).transformWithState(new DstreamProcessor(step),
+    keyed(rows).transformWithState(new DstreamProcessor(step, sparse),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Reorder-tolerant ISTREAM: correct for any feed the watermark admits. */
+  def istreamBuffered(rows: Dataset[R2SRow], step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    keyed(rows).transformWithState(new BufferedIstreamProcessor(step, sparse),
+      TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Reorder-tolerant DSTREAM: correct for any feed the watermark admits. */
+  def dstreamBuffered(rows: Dataset[R2SRow], step: Long,
+      sparse: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    keyed(rows).transformWithState(new BufferedDstreamProcessor(step, sparse),
       TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -340,17 +340,17 @@ object RspEngineBuilder {
 
   /** Builder parity with `RSPBuilder` (`rsp/builder.rs`). A `WITH POLICY`
     * clause in the query text takes effect unless the caller passes a
-    * non-default policy explicitly (programmatic override wins, matching
-    * the reference's builder `with_sync_policy`). */
+    * policy explicitly (programmatic override wins, matching the
+    * reference's builder `with_sync_policy`). `policy` is an Option so an
+    * explicit `Some(Wait)` also wins — a sentinel default could not tell
+    * "caller wants Wait" from "caller said nothing". */
   def fromQuery(spark: SparkSession, rspQl: String,
       staticStore: Option[QuadStore] = None,
-      policy: RspEngine.SyncPolicy = RspEngine.Wait,
+      policy: Option[RspEngine.SyncPolicy] = None,
       consumer: RspEngine.Emission => Unit = _ => (),
       rules: Seq[Rule] = Nil): RspEngine = {
     val q = SparqlParser().parseRsp(rspQl)
-    val effective =
-      if (policy != RspEngine.Wait) policy
-      else q.policy.map(lower).getOrElse(policy)
+    val effective = policy.getOrElse(q.policy.map(lower).getOrElse(RspEngine.Wait))
     new RspEngine(spark, q, staticStore, effective, consumer, rules = rules)
   }
 }

@@ -193,6 +193,73 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("policy-free pure-BGP RSP sessions route to the distributed plane with identical SSE emissions") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val qText =
+        """REGISTER RSTREAM <http://out> AS
+          |SELECT *
+          |FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms]
+          |WHERE { WINDOW :w { ?e <http://ex.org/by> ?u . } }""".stripMargin
+      val reg = mapper.createObjectNode()
+      reg.put("query", qText)
+      val regResp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/register"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(reg.toString)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(regResp.statusCode() == 200)
+      val regJson = mapper.readTree(regResp.body())
+      // the routing decision itself: this surface compiles on the plane
+      assert(regJson.get("plane").asText() == "distributed", regResp.body())
+      val sid = regJson.get("session_id").asText()
+
+      val feed = Seq(
+        (2L, "<http://ex.org/e1> <http://ex.org/by> \"alice\" ."),
+        (5L, "<http://ex.org/e2> <http://ex.org/by> \"bob\" ."),
+        (12L, "<http://ex.org/e3> <http://ex.org/by> \"carol\" ."))
+      feed.foreach { case (ts, nt) =>
+        val p = mapper.createObjectNode()
+        p.put("session_id", sid); p.put("stream", "sensors")
+        p.put("timestamp", ts); p.put("ntriples", nt)
+        val r = client.send(
+          HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/push"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(p.toString)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200, r.body())
+      }
+
+      // reference emissions: the driver engine on the same feed
+      val engine = graft.streaming.RspEngineBuilder.fromQuery(spark, qText)
+      feed.foreach { case (ts, nt) =>
+        graft.rdfio.RdfIO.parseNtDoc(nt).foreach { case (s, p, o) =>
+          engine.add("sensors", s, p, o, ts)
+        }
+      }
+      val want = engine.emissions.flatMap(_.rows).map(r => (r("e"), r("u"))).toSet
+      assert(want.nonEmpty)
+
+      val conn = new java.net.URI(
+        s"http://localhost:${srv.port}/rsp/events/$sid").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      var firings = 0
+      while (firings < 3 && { val l = reader.readLine(); lines += l; l != null }) {
+        if (lines.last == "event: firing") firings += 1
+      }
+      conn.disconnect()
+      val got = lines.filter(l => l != null && l.startsWith("data: {") && l != "data: {}")
+        .map(l => mapper.readTree(l.stripPrefix("data: ")))
+        .map(n => (n.get("e").asText(), n.get("u").asText())).toSet
+      assert(got == want, s"SSE $got vs engine $want")
+    } finally srv.stop()
+  }
+
   test("multi-query POST returns indexed results") {
     val store = QuadStore.fromTriples(spark, Seq(("s1", "p", "o1")))
     val srv = new GraftHttpServer(spark, Some(store)).start()

@@ -1,0 +1,158 @@
+package graft.sparql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import Ast._
+
+/** Property-based parser↔printer round trip over the supported SELECT
+  * fragment (SURVEY §5 strategy item (c)): for generated ASTs `a`,
+  * `parse(print(a))` must succeed, and `parse ∘ print` must be a FIXPOINT
+  * from there on — `parse(print(parse(print(a)))) == parse(print(a))`.
+  * The single normalization the grammar performs (adjacent BGPs merge
+  * into one `triplesBlock`) happens in the first parse, so the fixpoint
+  * formulation checks printer/parser agreement without demanding
+  * print∘parse be the identity on arbitrary ASTs.
+  *
+  * Pure parser test — no SparkSession — so 1000 cases stay cheap. */
+class ParserRoundTripSpec extends AnyFunSuite {
+
+  private val nameGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val iriGen: Gen[String] = for {
+    host <- nameGen
+    path <- nameGen
+  } yield s"http://$host.org/$path"
+
+  // lexical forms incl. the characters the escaper must handle
+  private val litGen: Gen[String] = Gen.oneOf(
+    nameGen,
+    Gen.numStr.map(_.take(6)),
+    nameGen.map(n => s"$n \"quoted\""),
+    nameGen.map(n => s"back\\slash $n"),
+    nameGen.map(n => s"multi\nline\t$n"),
+    Gen.const("42"), Gen.const("3.14"), Gen.const("true"))
+
+  private val termGen: Gen[Term] = Gen.frequency(
+    4 -> nameGen.map(Var(_)),
+    3 -> iriGen.map(Iri(_)),
+    3 -> litGen.map(Lit(_)),
+    1 -> nameGen.map(BNode(_)),
+    1 -> (for { s <- nameGen; p <- iriGen; o <- litGen }
+      yield Quoted(Var(s), Iri(p), Lit(o))))
+
+  private val patternGen: Gen[TriplePattern] = for {
+    s <- termGen; p <- Gen.oneOf(nameGen.map(Var(_): Term), iriGen.map(Iri(_): Term))
+    o <- termGen
+  } yield TriplePattern(s, p, o)
+
+  private val bgpGen: Gen[Element] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, patternGen)).map(Bgp(_))
+
+  private val exprGen: Gen[Expr] = {
+    val leaf = Gen.oneOf(nameGen.map(v => ETerm(Var(v)): Expr),
+      litGen.map(l => ETerm(Lit(l)): Expr))
+    Gen.frequency(
+      5 -> leaf,
+      2 -> (for { op <- Gen.oneOf("+", "-", "*", "/"); l <- leaf; r <- leaf }
+        yield Arith(op, l, r)),
+      1 -> Gen.listOfN(2, leaf).map(as => Func("CONCAT", as)))
+  }
+
+  private val condGen: Gen[Condition] = {
+    val cmp = for {
+      op <- Gen.oneOf("=", "!=", ">", ">=", "<", "<=")
+      l <- exprGen; r <- exprGen
+    } yield Cmp(op, l, r): Condition
+    Gen.frequency(
+      5 -> cmp,
+      1 -> (for { a <- cmp; b <- cmp } yield And(a, b): Condition),
+      1 -> (for { a <- cmp; b <- cmp } yield Or(a, b): Condition),
+      1 -> cmp.map(Not(_): Condition),
+      1 -> nameGen.map(v => CondFunc("ISTRIPLE", Seq(ETerm(Var(v)))): Condition))
+  }
+
+  private val valuesGen: Gen[Element] = for {
+    nVars <- Gen.choose(1, 2)
+    vars <- Gen.listOfN(nVars, nameGen)
+    nRows <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(nRows, Gen.listOfN(nVars, Gen.frequency(
+      3 -> termGen.map(Some(_): Option[Term]),
+      1 -> Gen.const(None: Option[Term]))))
+  } yield ValuesElem(vars, rows)
+
+  private val simpleElemGen: Gen[Element] = Gen.frequency(
+    5 -> bgpGen,
+    2 -> condGen.map(FilterElem(_)),
+    2 -> (for { e <- exprGen; v <- nameGen } yield BindElem(e, v)),
+    1 -> valuesGen,
+    1 -> (for {
+      g <- Gen.oneOf(iriGen.map(GraphIri(_): GraphSpec), nameGen.map(GraphVar(_): GraphSpec))
+      inner <- bgpGen
+    } yield GraphBlock(g, Seq(inner))),
+    1 -> (for {
+      b1 <- bgpGen; b2 <- bgpGen
+    } yield UnionBlock(Seq(Seq(b1), Seq(b2)))))
+
+  private def selectGen(depth: Int): Gen[Select] = for {
+    distinct <- Gen.oneOf(true, false)
+    star <- Gen.frequency(1 -> true, 2 -> false)
+    nProj <- Gen.choose(1, 3)
+    proj <- Gen.listOfN(nProj, nameGen)
+    nAggs <- Gen.frequency(3 -> 0, 1 -> 1)
+    aggs <- Gen.listOfN(nAggs, for {
+      f <- Gen.oneOf("SUM", "MIN", "MAX", "AVG", "COUNT")
+      v <- if (f == "COUNT") Gen.frequency(1 -> Gen.const(None), 2 -> nameGen.map(Some(_)))
+           else nameGen.map(Some(_))
+      a <- nameGen
+    } yield Aggregate(f, v, a))
+    nElems <- Gen.choose(1, 3)
+    elems <- Gen.listOfN(nElems, simpleElemGen)
+    sub <- if (depth > 0) Gen.frequency(3 -> Gen.const(Nil),
+      1 -> selectGen(depth - 1).map(s => Seq(SubSelect(s): Element)))
+      else Gen.const(Nil)
+    groupBy <- if (aggs.nonEmpty) Gen.listOfN(1, nameGen) else Gen.const(Nil)
+    orderBy <- Gen.frequency(2 -> Gen.const(Nil),
+      1 -> (for { v <- nameGen; asc <- Gen.oneOf(true, false) }
+        yield Seq(OrderKey(v, asc))))
+    limit <- Gen.frequency(2 -> Gen.const(None), 1 -> Gen.choose(0, 99).map(Some(_)))
+    offset <- Gen.frequency(3 -> Gen.const(None), 1 -> Gen.choose(0, 9).map(Some(_)))
+    froms <- Gen.frequency(3 -> Gen.const(Nil), 1 -> Gen.listOfN(1, iriGen))
+    fromNamed <- Gen.frequency(3 -> Gen.const(Nil), 1 -> Gen.listOfN(1, iriGen))
+  } yield Select(
+    distinct = distinct,
+    projection = if (star && aggs.isEmpty) Seq("*") else proj,
+    aggregates = if (star) Nil else aggs,
+    where = elems ++ sub,
+    groupBy = if (star) Nil else groupBy,
+    orderBy = orderBy, limit = limit, offset = offset,
+    fromGraphs = froms, fromNamed = fromNamed)
+
+  test("parse ∘ print ∘ parse fixpoint holds for 1000 generated queries") {
+    val gen = selectGen(1)
+    var checked = 0
+    val seedLong = 0x5EED5L // deterministic base seed
+    while (checked < 1000) {
+      val seed = Seed(seedLong + checked)
+      gen(Gen.Parameters.default, seed) match {
+        case Some(ast) =>
+          val text1 = SparqlPrinter.printSelect(ast)
+          val p1 = try SparqlParser.select(text1) catch {
+            case e: Exception => fail(s"print of generated AST failed to parse: " +
+              s"${e.getMessage}\nAST: $ast\nTEXT: $text1")
+          }
+          val text2 = SparqlPrinter.printSelect(p1)
+          val p2 = try SparqlParser.select(text2) catch {
+            case e: Exception => fail(s"fixpoint reparse failed: ${e.getMessage}\nTEXT: $text2")
+          }
+          assert(p2 == p1,
+            s"parse∘print not a fixpoint:\nfirst:  $p1\nsecond: $p2\ntext: $text2")
+          checked += 1
+        case None => checked += 1 // generator discard (rare) — skip
+      }
+    }
+  }
+}

@@ -165,6 +165,211 @@ class DistributedRspSpec extends SparkSpec {
     assert(rel.contains((2L, "a", "c")), s"missing partial closure in $rel")
   }
 
+  test("FILTER in WINDOW block matches the engine (batch)") {
+    val qText = """
+      REGISTER RSTREAM <http://out/f> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?s <val> ?v . FILTER(?v > 10) } }"""
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    val data = Seq(("a", "5", 1L), ("b", "15", 2L), ("c", "25", 3L), ("d", "7", 4L))
+    data.foreach { case (n, v, ts) => engine.add("stream", n, "val", v, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("s"), r("v"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (n, v, ts) => ("stream", ts, n, "val", v) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> ((r.getAs[String]("s"), r.getAs[String]("v"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+  }
+
+  test("aggregate WINDOW block groups per close and matches the engine (batch)") {
+    val qText = """
+      REGISTER RSTREAM <http://out/agg> AS
+      SELECT ?u (COUNT(?e) AS ?n)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . } }
+      GROUP BY ?u"""
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    val data = Seq(("e1", "alice", 1L), ("e2", "alice", 2L), ("e3", "bob", 2L),
+      ("e4", "alice", 4L))
+    data.foreach { case (e, u, ts) => engine.add("stream", e, "by", u, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("n"))).toSet).toMap
+    val events = data.map { case (e, u, ts) => ("stream", ts, e, "by", u) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("u"), r.getAs[Long]("n").toString)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+  }
+
+  test("FILTER and per-close aggregate run on the live streaming plane") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      def runTriples(qText: String,
+          batches: Seq[Seq[(Long, String, String, String)]]): Seq[Map[String, String]] = {
+        val mem = MemoryStream[(String, Long, String, String, String)]
+        val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+          .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+        val sink = s"dist_rsp_fx_${System.nanoTime()}"
+        val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+          .streamEmissions(events)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          batches.foreach { b =>
+            mem.addData(b.map { case (ts, s, p, o) => ("stream", ts, s, p, o) })
+            sq.processAllAvailable()
+          }
+          spark.table(sink).collect().map { r =>
+            r.getAs[Map[String, String]]("binding") +
+              ("close" -> r.getAs[Long]("close").toString)
+          }.toSeq
+        } finally sq.stop()
+      }
+
+      // FILTER: only values > 10 pass; close 1 and 2 fire
+      val fGot = runTriples("""
+        REGISTER RSTREAM <http://out/f> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?s <val> ?v . FILTER(?v > 10) } }""",
+        Seq(Seq((1L, "a", "val", "5"), (2L, "b", "val", "15")),
+          Seq((4L, "c", "val", "25"))))
+      assert(fGot.forall(b => b("v").toDouble > 10), s"filter leaked: $fGot")
+      assert(fGot.exists(_("s") == "b"), s"missing passing binding: $fGot")
+      assert(!fGot.exists(_("s") == "a"), s"failing binding emitted: $fGot")
+
+      // aggregate: COUNT per (close, user) — append-mode agg on the
+      // watermarked closeTs key; a far-future event flushes the watermark
+      val aGot = runTriples("""
+        REGISTER RSTREAM <http://out/agg> AS
+        SELECT ?u (COUNT(?e) AS ?n)
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?e <by> ?u . } }
+        GROUP BY ?u""",
+        Seq(Seq((1L, "e1", "by", "alice"), (2L, "e2", "by", "alice"),
+            (2L, "e3", "by", "bob")),
+          // ts 3 fires close 2 (maxClose(3) = 2); ts 100 flushes the
+          // watermark so the append-mode aggregation finalizes
+          Seq((3L, "e4", "by", "carol"), (100L, "eZ", "by", "zz"))))
+      // close 2 window [-1, 2] holds e1+e2 (alice) and e3 (bob)
+      val atClose2 = aGot.filter(_("close") == "2").map(b => b("u") -> b("n")).toMap
+      assert(atClose2 == Map("alice" -> "2", "bob" -> "1"), s"got $aGot")
+    }
+  }
+
+  test("projection + DISTINCT on the plane matches the engine (batch)") {
+    // two events share a user in one window: SELECT DISTINCT ?u collapses them
+    val qText = """
+      REGISTER RSTREAM <http://out/proj> AS
+      SELECT DISTINCT ?u
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . } }"""
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    val data = Seq(("e1", "alice", 1L), ("e2", "alice", 2L), ("e3", "bob", 2L),
+      ("e4", "bob", 4L))
+    data.foreach { case (e, u, ts) => engine.add("stream", e, "by", u, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(_("u")).toSet).toMap
+    val events = data.map { case (e, u, ts) => ("stream", ts, e, "by", u) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> r.getAs[String]("u"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+  }
+
+  test("rule-chain depth: 2-chain auto-unrolls, cyclic set is refused on the stream path") {
+    val chain = Seq(
+      SparqlParser().parseRule("""RULE <r/1> :- CONSTRUCT { ?x <q> ?y }
+        WHERE { ?x <p> ?y }"""),
+      SparqlParser().parseRule("""RULE <r/2> :- CONSTRUCT { ?x <r> ?y }
+        WHERE { ?x <q> ?y }"""))
+    assert(DistributedRsp.ruleChainDepth(chain) == Some(2))
+    val cyclic = Seq(
+      SparqlParser().parseRule("""RULE <r/c> :- CONSTRUCT { ?x <anc> ?z }
+        WHERE { ?x <anc> ?y . ?y <anc> ?z }"""))
+    assert(DistributedRsp.ruleChainDepth(cyclic).isEmpty)
+
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val qText = """
+        REGISTER RSTREAM <http://out/chain> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?a <r> ?b . } }"""
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      // 2-chain: default (auto) derives through BOTH rules — <p> feeds <q>
+      // feeds the queried <r>
+      val sink = s"chain_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText),
+          rules = chain).streamEmissions(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(Seq(("stream", 1L, "x", "p", "y")))
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 4L, "z", "p", "w")))
+        sq.processAllAvailable()
+        val rows = spark.table(sink).collect()
+          .map(r => r.getAs[Map[String, String]]("binding"))
+        assert(rows.exists(b => b.get("a").contains("x") && b.get("b").contains("y")),
+          s"2-chain derivation missing: ${rows.toSeq}")
+      } finally sq.stop()
+
+      // cyclic: the plane must refuse instead of silently under-deriving
+      val cyclicQ = """
+        REGISTER RSTREAM <http://out/cyc> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { ?a <anc> ?b . } }"""
+      val ex = intercept[IllegalArgumentException] {
+        new DistributedRsp(spark, SparqlParser().parseRsp(cyclicQ),
+          rules = cyclic).streamRelation(events)
+      }
+      assert(ex.getMessage.contains("recursive"))
+      // explicit opt-in to a bounded unroll still compiles
+      new DistributedRsp(spark, SparqlParser().parseRsp(cyclicQ),
+        rules = cyclic, streamEnrichRounds = Some(3)).streamRelation(events)
+    }
+  }
+
+  test("sparse fired-close sequences are detected and counted, not silent") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val rsp = new DistributedRsp(spark, istreamQuery)
+      val sink = s"sparse_${System.nanoTime()}"
+      val sq = rsp.streamEmissions(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        // closes 1, 2 fire densely; the jump to ts 9/10 fires close 8, 9 —
+        // skipping 3..7 (the sparse condition the diff planes disagree on)
+        mem.addData(Seq(("stream", 1L, "http://test/A", rdfType, itype),
+          ("stream", 2L, "http://test/B", rdfType, itype)))
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 9L, "http://test/C", rdfType, itype),
+          ("stream", 10L, "http://test/D", rdfType, itype)))
+        sq.processAllAvailable()
+        assert(rsp.sparseTickCounter.value >= 1L,
+          s"sparse tick not detected (counter=${rsp.sparseTickCounter.value})")
+      } finally sq.stop()
+    }
+  }
+
   private def withRocksDb[T](f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(key)

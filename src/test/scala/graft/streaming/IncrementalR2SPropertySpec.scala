@@ -36,20 +36,34 @@ class IncrementalR2SPropertySpec extends SparkSpec {
   }
 
   private def runIncremental(rows: Seq[(Long, String)], chunkSize: Int,
-      dstream: Boolean): Set[(Long, String)] = withRocksDb {
+      dstream: Boolean, buffered: Boolean = false,
+      shuffleSeed: Option[Long] = None): Set[(Long, String)] = withRocksDb {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val maxClose = rows.map(_._1).max
-    val chunks = rows.sortBy(_._1).grouped(chunkSize).toSeq :+
-      Seq((maxClose + 3 * step, "__sentinel"))
+    // the buffered family tolerates any order the watermark admits: feed
+    // SHUFFLED with a lateness allowance covering the whole span, and push
+    // the final watermark far enough that every buffered close + deletion
+    // timer drains
+    val delayMs = if (shuffleSeed.isDefined) maxClose + step else 0L
+    val ordered = shuffleSeed match {
+      case Some(sd) => new scala.util.Random(sd).shuffle(rows.toVector).toSeq
+      case None => rows.sortBy(_._1)
+    }
+    val chunks = ordered.grouped(chunkSize).toSeq :+
+      Seq((maxClose + delayMs + 3 * step, "__sentinel"))
     val mem = MemoryStream[(Long, String)]
     val in = mem.toDF().toDF("close", "k")
       .withColumn("ts", timestamp_millis(col("close")))
-      .withWatermark("ts", "0 milliseconds")
+      .withWatermark("ts", s"$delayMs milliseconds")
       .as[(Long, String, java.sql.Timestamp)]
       .map { case (c, k, _) => R2SRow(c, Map("k" -> k)) }
-    val out = if (dstream) IncrementalR2S.dstream(in, step)
-              else IncrementalR2S.istream(in, step)
+    val out = (dstream, buffered) match {
+      case (true, false) => IncrementalR2S.dstream(in, step)
+      case (false, false) => IncrementalR2S.istream(in, step)
+      case (true, true) => IncrementalR2S.dstreamBuffered(in, step)
+      case (false, true) => IncrementalR2S.istreamBuffered(in, step)
+    }
     val sink = s"r2s_prop_${System.nanoTime()}"
     val sq = out.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
@@ -84,6 +98,23 @@ class IncrementalR2SPropertySpec extends SparkSpec {
           .filter(kv => firings.contains(kv._1))
         assert(incD == batchD,
           s"seed=$sd chunk=$chunk dstream: extra=${incD -- batchD}, missing=${batchD -- incD}, rows=$rows")
+      }
+      // the BUFFERED family must produce the same diffs from a feed
+      // SHUFFLED across micro-batches (the eager family's close-monotone
+      // delivery contract, lifted): ListState + event-time timers drain
+      // each key's closes in close order once the watermark passes
+      Seq(2, 7).foreach { chunk =>
+        val incI = runIncremental(rows, chunk, dstream = false,
+          buffered = true, shuffleSeed = Some(sd * 31 + chunk))
+        assert(incI == batchI,
+          s"seed=$sd chunk=$chunk buffered istream (shuffled): " +
+            s"extra=${incI -- batchI}, missing=${batchI -- incI}, rows=$rows")
+        val incD = runIncremental(rows, chunk, dstream = true,
+          buffered = true, shuffleSeed = Some(sd * 37 + chunk))
+          .filter(kv => firings.contains(kv._1))
+        assert(incD == batchD,
+          s"seed=$sd chunk=$chunk buffered dstream (shuffled): " +
+            s"extra=${incD -- batchD}, missing=${batchD -- incD}, rows=$rows")
       }
     }
   }

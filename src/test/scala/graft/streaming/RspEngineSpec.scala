@@ -65,7 +65,7 @@ class RspEngineSpec extends SparkSpec {
       WHERE {
         WINDOW :windA { ?s1 a <http://test/TypeA> . }
         WINDOW :windB { ?s2 a <http://test/TypeB> . }
-      }""", policy = policy)
+      }""", policy = Some(policy))
 
   private def addTyped(e: RspEngine, stream: String, n: String, tpe: String, ts: Long): Unit =
     e.add(stream, s"http://test/$n",
