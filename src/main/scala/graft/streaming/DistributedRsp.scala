@@ -58,7 +58,14 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       * ([[DistributedRsp.ruleChainDepth]]) — and REFUSES genuinely
       * recursive sets (a bounded unroll would silently under-derive;
       * `Some(n)` is the caller's explicit opt-in to n rounds). */
-    streamEnrichRounds: Option[Int] = None) {
+    streamEnrichRounds: Option[Int] = None,
+    /** Static store for patterns OUTSIDE window blocks — the reference's
+      * static-plan natural join (`rsp_engine.rs:1012-1110`): static
+      * elements compile once against this store and BROADCAST-join the
+      * windowed relation (small dimension side by design, like the
+      * engine's per-emission compat join). Absent store + static
+      * patterns = empty static relation, matching [[RspEngine]]. */
+    staticStore: Option[graft.model.QuadStore] = None) {
   import DistributedRsp._
 
   rules.foreach { r =>
@@ -103,21 +110,18 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       .exists(n => n == "close" || n == "closeTs" || n == IncrementalR2S.FiredMarker),
     "?close, ?closeTs and ?__fired__ are reserved column names on the distributed RSP plane")
 
+  /** Elements outside every WINDOW block: the static-plan part of the
+    * query, compiled against [[staticStore]] (or an empty store, matching
+    * the engine's `staticStore.getOrElse(empty)`). */
+  private val staticElems: Seq[Element] =
+    query.select.where.filterNot(_.isInstanceOf[WindowBlockElem])
+
   // fail loudly on surface the plane does not compile, instead of
   // silently returning different results than RspEngine would
-  require(query.select.where.forall(_.isInstanceOf[WindowBlockElem]),
-    "distributed RSP plane compiles WINDOW blocks only; static patterns / " +
-      "FILTERs outside windows need the driver engine (RspEngine)")
   require(query.select.orderBy.isEmpty && query.select.limit.isEmpty &&
       query.select.offset.isEmpty,
     "distributed RSP plane supports projection/aggregates/DISTINCT; " +
       "ORDER BY / LIMIT / OFFSET need the driver engine (RspEngine)")
-  // multi-window coordination here is the aligned-close join (Wait
-  // semantics); Steal/Timeout cycles are the driver engine's coordinator
-  require(query.windows.size == 1 ||
-      query.policy.forall(_ == WaitPolicy),
-    "distributed RSP plane coordinates multi-window queries with aligned-close " +
-      "Wait semantics; WITH POLICY steal/timeout needs the driver engine (RspEngine)")
 
   private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
 
@@ -242,11 +246,116 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       .distinct()
   }
 
-  /** All windows' relations joined on (close, shared vars) — aligned-close
-    * Wait semantics. Multi-window queries with unaligned specs need the
-    * driver engine's coordinator. */
-  def relation(events: DataFrame): DataFrame =
-    query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
+  /** Static-plan bindings (`rsp_engine.rs:1012-1110` `emit_results`'s
+    * natural join): the non-window elements compiled ONCE against the
+    * static store. Computed lazily — queries without static elements pay
+    * nothing. */
+  private lazy val staticBindings: Option[DataFrame] =
+    if (staticElems.isEmpty) None
+    else {
+      val c = new graft.sparql.Compiler(
+        staticStore.getOrElse(graft.model.QuadStore.empty(spark)))
+      val df = c.compileElements(staticElems).df
+      require(!df.columns.exists(n =>
+          n == "close" || n == "closeTs" || n == IncrementalR2S.FiredMarker),
+        "?close, ?closeTs and ?__fired__ are reserved column names on the distributed RSP plane")
+      Some(df)
+    }
+
+  /** Join the windowed relation with the broadcast static plan on shared
+    * variables (cross join when none are shared — the engine's compat
+    * join does the same). */
+  private def applyStatic(rel: DataFrame): DataFrame = staticBindings match {
+    case None => rel
+    case Some(sdf) =>
+      val shared = rel.columns.filter(sdf.columns.contains(_)).toSeq
+      if (shared.isEmpty) rel.crossJoin(broadcast(sdf))
+      else rel.join(broadcast(sdf), shared, "inner")
+  }
+
+  /** Fired closes of `w` with each close's TRIGGER — the min arrival ts
+    * whose max-closing window is that close (the event whose advance
+    * fired it in the engine, `s2r.rs:210-330`). Columns `(close, __trig)`. */
+  private def firedWithTrigger(events: DataFrame, w: WindowSpec): DataFrame = {
+    val st = step(w)
+    val e = routed(events, w)
+    val minTs = e.agg(min(col("ts")).as("__minTs"))
+    e.select(maxClose(col("ts"), st).as("close"), col("ts"))
+      .groupBy("close").agg(min(col("ts")).as("__trig"))
+      .crossJoin(broadcast(minTs))
+      .filter(col("close") >= col("__minTs"))
+      .select("close", "__trig")
+  }
+
+  /** Aligned-close STEAL (`rsp_engine.rs:539-620` latest-per-window with
+    * replace semantics, event-time formulation): for every close fired by
+    * ANY window, each window contributes its relation at its own greatest
+    * fired close ≤ that close (its "cached latest"); the inner as-of join
+    * is the warm gate — a window that has never fired by close c
+    * contributes nothing, so c does not emit (`rsp_engine.rs:593`). The
+    * as-of map is O(#closes²) worst-case over the close sequence only —
+    * the same #closes = timespan/step scale class as the close-sequence
+    * lag, never data volume. */
+  private def stealRelation(events: DataFrame): DataFrame = {
+    val perWindow = query.windows.map { w =>
+      val fired = firedCloses(events, w).localCheckpoint()
+      (windowRelation(events, w, fired).localCheckpoint(), fired)
+    }
+    val allCloses = perWindow.map(_._2).reduce(_ union _)
+      .distinct().select(col("close").as("__c"))
+    perWindow.map { case (rel, fired) =>
+      val asof = allCloses.join(fired, fired("close") <= allCloses("__c"), "inner")
+        .groupBy("__c").agg(max("close").as("__src"))
+      asof.join(rel.withColumnRenamed("close", "__src"), Seq("__src"), "inner")
+        .drop("__src").withColumnRenamed("__c", "close")
+    }.reduce(joinOnShared)
+  }
+
+  /** Aligned-close TIMEOUT (`rsp_engine.rs:566-640`, virtual clock =
+    * event time as in [[RspEngine]]): complete cycles (every window fired
+    * the close) emit as Wait; a PARTIAL close whose deadline has passed —
+    * clock exceeds the cycle's first trigger by more than `ms`, where
+    * clock = max(event time seen, `advanceTo`) — emits the Steal join of
+    * cached windows when `fallbackSteal` (warm gate included), or is
+    * dropped. */
+  private def timeoutRelation(events: DataFrame, ms: Long, fallbackSteal: Boolean,
+      advanceTo: Option[Long]): DataFrame = {
+    val waitRel = query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
+    if (!fallbackSteal) return waitRel
+    val n = query.windows.size
+    val withTrig = query.windows.map(firedWithTrigger(events, _))
+    val perClose = withTrig.reduce(_ unionByName _)
+      .groupBy("close")
+      .agg(count(lit(1)).as("__nFired"), min(col("__trig")).as("__start"))
+    val maxTs = events.agg(max(col("ts")).as("__maxTs"))
+    val clock = advanceTo match {
+      case Some(t) => greatest(col("__maxTs"), lit(t))
+      case None => col("__maxTs")
+    }
+    val expired = perClose.crossJoin(broadcast(maxTs))
+      .filter(col("__nFired") < n && clock - col("__start") > ms)
+      .select("close")
+    waitRel.unionByName(
+      stealRelation(events).join(expired, Seq("close"), "left_semi"))
+  }
+
+  /** All windows' relations coordinated per the query's `WITH POLICY` —
+    * aligned-close Wait (inner join on close, the default), Steal, or
+    * Timeout — then the broadcast static join. Policies here are the
+    * EVENT-TIME formulations of the engine's arrival-order coordinator;
+    * feeds replayed in event-time order reproduce its emission sequences
+    * exactly (DistributedRspSpec parity walkthroughs). */
+  def relation(events: DataFrame): DataFrame = relation(events, None)
+
+  def relation(events: DataFrame, advanceTo: Option[Long]): DataFrame = {
+    val win = query.policy match {
+      case Some(StealPolicy) if query.windows.size > 1 => stealRelation(events)
+      case Some(TimeoutPolicy(ms, steal)) if query.windows.size > 1 =>
+        timeoutRelation(events, ms, steal, advanceTo)
+      case _ => query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
+    }
+    applyStatic(win)
+  }
 
   /** Per-close solution modifiers, mirroring [[RspEngine.emitJoined]]'s
     * `finalizeSelect` on each emission: aggregates group by (close keys ×
@@ -282,9 +391,13 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * both join sides and the fired set three times (content gating, rel,
     * lag sequence), so I/DSTREAM checkpoint both once instead of paying
     * the subplans repeatedly. */
-  def emissions(events: DataFrame): DataFrame = {
+  def emissions(events: DataFrame): DataFrame = emissions(events, None)
+
+  /** `advanceTo`: an explicit virtual-clock tick past the last event (the
+    * engine's [[RspEngine.advanceTime]]) — only Timeout deadlines read it. */
+  def emissions(events: DataFrame, advanceTo: Option[Long]): DataFrame = {
     query.kind match {
-      case RStream => finalizePerClose(relation(events))
+      case RStream => finalizePerClose(relation(events, advanceTo))
       case IStream =>
         // rows at close c absent from the relation at the previous fired
         // close (first firing: prev = null → nothing relabels → emit all)
@@ -304,9 +417,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
     val w = query.windows.head
     val fired = firedCloses(events, w).localCheckpoint()
-    // the diff runs over the FINALIZED relation — the engine also diffs
-    // emission rows after modifiers, not raw bindings
-    (finalizePerClose(windowRelation(events, w, fired)).localCheckpoint(), fired)
+    // the diff runs over the FINALIZED relation (incl. the static join) —
+    // the engine also diffs emission rows after modifiers, not raw bindings
+    (finalizePerClose(applyStatic(windowRelation(events, w, fired)))
+      .localCheckpoint(), fired)
   }
 
   private def relabelPrevToCurrent(rel: DataFrame, seq: DataFrame): DataFrame = {
@@ -366,7 +480,11 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       }
     val (pats, conds) = windowBlocks(w.iri)
     val joined = pats.map(scan(enriched, _)).reduce(joinOnShared)
-    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+    val filtered =
+      conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+    // static plan: stream × broadcast-batch inner join, same semantics as
+    // the batch applyStatic
+    applyStatic(filtered)
   }
 
   /** Watermark delay: RANGE+STEP covers the skew between an arrival's ts

@@ -287,6 +287,144 @@ class DistributedRspSpec extends SparkSpec {
     assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
   }
 
+  // ---- Steal / Timeout / static join: the engine walkthroughs through
+  // the distributed path (VERDICT r4 item 2) -------------------------------
+
+  private def twoWindowQuery(policyClause: String) = SparqlParser().parseRsp(s"""
+    REGISTER RSTREAM <http://out/stream> AS
+    SELECT *
+    FROM NAMED WINDOW :windA ON :streamA [RANGE 10 ms STEP 2 ms] $policyClause
+    FROM NAMED WINDOW :windB ON :streamB [RANGE 10 ms STEP 2 ms]
+    WHERE {
+      WINDOW :windA { ?s1 a <http://test/TypeA> . }
+      WINDOW :windB { ?s2 a <http://test/TypeB> . }
+    }""")
+
+  private def typedEvents(rows: (String, String, String, Long)*): DataFrame =
+    rows.map { case (stream, n, tpe, ts) =>
+      (stream, ts, s"http://test/$n", rdfType, s"http://test/$tpe")
+    }.toDF("stream", "ts", "s", "p", "o")
+
+  private def pairs(df: DataFrame): Set[(Long, String, String)] =
+    df.collect().map(r => (r.getAs[Long]("close"),
+      r.getAs[String]("s1"), r.getAs[String]("s2"))).toSet
+
+  test("Steal: no emission when the other window never fired (rsp_engine_test.rs:648-664)") {
+    val events = typedEvents((0 until 5).map(i => ("streamA", s"a$i", "TypeA", i.toLong)): _*)
+    val got = new DistributedRsp(spark, twoWindowQuery("WITH POLICY steal")).emissions(events)
+    assert(got.isEmpty)
+  }
+
+  test("Steal: stale B joined with fresh A matches the engine (rsp_engine_test.rs:666-692)") {
+    val feed = (0 until 3).map(i => ("streamB", s"b$i", "TypeB", i.toLong)) ++
+      (0 until 5).map(i => ("streamA", s"a$i", "TypeA", (i + 20).toLong))
+    val engine = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out/stream> AS
+      SELECT *
+      FROM NAMED WINDOW :windA ON :streamA [RANGE 10 ms STEP 2 ms] WITH POLICY steal
+      FROM NAMED WINDOW :windB ON :streamB [RANGE 10 ms STEP 2 ms]
+      WHERE {
+        WINDOW :windA { ?s1 a <http://test/TypeA> . }
+        WINDOW :windB { ?s2 a <http://test/TypeB> . }
+      }""")
+    feed.foreach { case (stream, n, tpe, ts) =>
+      engine.add(stream, s"http://test/$n", rdfType, s"http://test/$tpe", ts)
+    }
+    val want = engine.emissions.flatMap(em =>
+      em.rows.map(r => (em.windowClose, r("s1"), r("s2")))).toSet
+    assert(want.nonEmpty)
+    val got = pairs(new DistributedRsp(spark, twoWindowQuery("WITH POLICY steal"))
+      .emissions(typedEvents(feed: _*)))
+    assert(got == want, s"distributed $got vs engine $want")
+  }
+
+  test("Timeout within deadline behaves as Wait (rsp_engine_test.rs:713-760)") {
+    val events = typedEvents((0 until 5).map(i => ("streamA", s"a$i", "TypeA", i.toLong)): _*)
+    val q = twoWindowQuery("WITH POLICY (timeout=100ms, fallback=steal)")
+    assert(new DistributedRsp(spark, q).emissions(events).isEmpty)
+    // even an explicit clock tick past every deadline: B never fired →
+    // the warm gate keeps the partial cycles silent (rsp_engine.rs:593)
+    assert(new DistributedRsp(spark, q).emissions(events, Some(500L)).isEmpty)
+  }
+
+  test("Timeout/Steal: deadline expiry emits with cached other-window results (rsp_engine.rs:588-620)") {
+    val q = twoWindowQuery("WITH POLICY (timeout=100ms, fallback=steal)")
+    val warm = (0 until 3).flatMap(i => Seq(
+      ("streamA", s"a$i", "TypeA", i.toLong), ("streamB", s"b$i", "TypeB", i.toLong)))
+    val feed = warm ++ Seq(("streamA", "aMid", "TypeA", 9L), ("streamA", "aTrig", "TypeA", 11L))
+    // within the deadline (no advance): only the warm cycle's emissions
+    val within = pairs(new DistributedRsp(spark, q).emissions(typedEvents(feed: _*)))
+    assert(!within.exists(_._2 == "http://test/aMid"), s"early emission: $within")
+    // clock advanced past trigger(11) + 100: the partial close-10 cycle
+    // expires and Steal joins fresh A (incl. aMid@9) with B's cached rows
+    val after = pairs(new DistributedRsp(spark, q).emissions(typedEvents(feed: _*), Some(200L)))
+    assert((after -- within).nonEmpty, "expiry added no emission")
+    assert(after.exists(p => p._2 == "http://test/aMid" && p._3.startsWith("http://test/b")),
+      s"missing aMid steal join: $after")
+  }
+
+  test("Timeout/Drop: expiry discards the partial cycle; later full cycles emit (rsp_engine.rs:623-634)") {
+    val q = twoWindowQuery("WITH POLICY (timeout=100ms, fallback=drop)")
+    val warm = (0 until 3).flatMap(i => Seq(
+      ("streamA", s"a$i", "TypeA", i.toLong), ("streamB", s"b$i", "TypeB", i.toLong)))
+    val feed = warm ++ Seq(("streamA", "aLate", "TypeA", 11L),
+      ("streamA", "aNext", "TypeA", 221L), ("streamB", "bNext", "TypeB", 221L),
+      ("streamA", "aFlush", "TypeA", 223L), ("streamB", "bFlush", "TypeB", 223L))
+    val got = pairs(new DistributedRsp(spark, q).emissions(typedEvents(feed: _*), Some(10000L)))
+    // the partial close-10 cycle was dropped (no aLate-only join) …
+    assert(!got.exists(p => p._2 == "http://test/aLate" && p._1 == 10L), s"dropped cycle leaked: $got")
+    // … while the later complete cycle emits normally
+    assert(got.exists(p => p._2 == "http://test/aNext" && p._3 == "http://test/bNext"),
+      s"full cycle after drop missing: $got")
+  }
+
+  test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646)") {
+    val static = graft.model.QuadStore.fromTriples(spark, Seq(
+      ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
+      ("http://test/sensor2", "http://test/inRoom", "http://test/room13")))
+    val q = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :stream [RANGE 5 ms STEP 1 ms]
+      WHERE {
+        WINDOW :w { ?sensor a <http://test/Reading> . }
+        ?sensor <http://test/inRoom> ?room
+      }""")
+    val events = Seq(
+      ("stream", 1L, "http://test/sensor1", rdfType, "http://test/Reading"),
+      ("stream", 2L, "http://test/other", rdfType, "http://test/Reading"))
+      .toDF("stream", "ts", "s", "p", "o")
+    val rows = new DistributedRsp(spark, q, staticStore = Some(static))
+      .emissions(events).collect()
+      .map(r => (r.getAs[String]("sensor"), r.getAs[String]("room"))).toSet
+    // sensor1 joins to room42; 'other' has no static row → filtered out;
+    // sensor2's static triple alone never satisfies the WINDOW block
+    assert(rows == Set(("http://test/sensor1", "http://test/room42")), s"got $rows")
+
+    // streaming path: the same static join as a stream × broadcast join
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"static_join_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, q, staticStore = Some(static))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(Seq(
+          ("stream", 1L, "http://test/sensor1", rdfType, "http://test/Reading"),
+          ("stream", 2L, "http://test/other", rdfType, "http://test/Reading")))
+        sq.processAllAvailable()
+        val sRows = spark.table(sink).collect()
+          .map(r => r.getAs[Map[String, String]]("binding"))
+          .map(b => (b("sensor"), b("room"))).toSet
+        assert(sRows == Set(("http://test/sensor1", "http://test/room42")), s"got $sRows")
+      } finally sq.stop()
+    }
+  }
+
   test("rule-chain depth: 2-chain auto-unrolls, cyclic set is refused on the stream path") {
     val chain = Seq(
       SparqlParser().parseRule("""RULE <r/1> :- CONSTRUCT { ?x <q> ?y }
