@@ -71,7 +71,33 @@ object StreamSuite {
     "stream_window_agg" -> ((s, dir) =>
       new DistributedRsp(s, windowAggQuery)
         .emissions(eventTriples(s, dir))
-        .select("close", "u", "n")))
+        .select("close", "u", "n")),
+
+    // cross-window SDS+ on the distributed plane: every hourly step's
+    // expiry-annotated materialization in ONE step-keyed fixpoint — a
+    // user is flagged at a step while BOTH a purchase and a view support
+    // live there (α = 2 h), tag = the weakest support's expiry
+    // (⊗ = min across premises, ⊕ = max across derivations)
+    "stream_cross_window_sds" -> ((s, dir) => {
+      val H = 3600000L
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("tms", expr("ts div 1000000"))
+      val content = ev.select(
+        (col("tms") - (col("tms") % H)).as("step"),
+        concat(lit("user/"), col("user_id")).as("s"),
+        lit("did").as("p"), col("event_type").as("o"),
+        col("tms").as("event_time"))
+      val steps = content.select("step").distinct()
+        .withColumn("now", col("step") + H)
+      val rule = graft.sparql.SparqlParser().parseRule(
+        """RULE <r/both> :- CONSTRUCT { ?u <flag> "both" }
+           WHERE { ?u <did> "purchase" . ?u <did> "view" }""")
+      graft.reasoner.CrossWindowDistributed
+        .materializeSteps(steps, content, Seq(rule), alphaMs = 2 * H)
+        .filter(col("p") === "flag")
+        .select(col("step").as("close"), col("s").as("u"), col("tag"))
+    }))
 
   private val windowBgpQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -236,5 +262,27 @@ object StreamSuite {
                   FROM ev JOIN fired f
                     ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
                   WHERE ev.event_type = 'purchase')
-          SELECT close, u, COUNT(e) AS n FROM rel GROUP BY close, u""")
+          SELECT close, u, COUNT(e) AS n FROM rel GROUP BY close, u""",
+
+    // derived tag = max over (purchase, view) pairs of min(expiries)
+    // = LEAST(MAX purchase expiry, MAX view expiry) — the min-max
+    // semiring's distributive identity makes the oracle closed-form
+    "stream_cross_window_sds" ->
+      s"""WITH ev AS (SELECT 'user/' || CAST(user_id AS VARCHAR) AS u,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms,
+                             CAST(epoch_ms(ts) AS BIGINT)
+                               - (CAST(epoch_ms(ts) AS BIGINT) % 3600000) AS bucket
+                      FROM events),
+          steps AS (SELECT DISTINCT bucket AS step, bucket + 3600000 AS now FROM ev),
+          vis AS (SELECT st.step, ev.u, ev.event_type, ev.tms + 7200000 AS tag
+                  FROM steps st JOIN ev
+                    ON ev.bucket <= st.step AND ev.tms + 7200000 > st.now),
+          p AS (SELECT step, u, MAX(tag) AS ptag FROM vis
+                WHERE event_type = 'purchase' GROUP BY 1, 2),
+          v AS (SELECT step, u, MAX(tag) AS vtag FROM vis
+                WHERE event_type = 'view' GROUP BY 1, 2)
+          SELECT p.step AS close, p.u,
+                 CAST(LEAST(p.ptag, v.vtag) AS DOUBLE) AS tag
+          FROM p JOIN v ON p.step = v.step AND p.u = v.u""")
 }
