@@ -72,6 +72,29 @@ object SparqlSuite {
           ?c <customer#c_acctbal> ?bal .
           ?c <customer#c_mktsegment> ?seg }""")),
 
+    // phase-2 deferred decode through FILTER: only the FILTER inputs
+    // (?bal, ?seg) decode pre-filter; ?name reaches projection as an id
+    // and decodes at output
+    "sparql_filter_encoded" -> ((s, dir) =>
+      encodedEngine(s, dir).select("""
+        SELECT ?name ?bal WHERE {
+          ?c <customer#c_name> ?name .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg .
+          FILTER(?bal > 5000.0 && ?seg = "BUILDING") }""")),
+
+    // phase-2 deferred decode through GROUP BY: the aggregate input ?bal
+    // decodes pre-aggregation, the grouping key ?seg stays an 8-byte id
+    // through the shuffle and decodes on the 5-row aggregated result
+    "sparql_groupby_agg_encoded" -> ((s, dir) =>
+      encodedEngine(s, dir).select("""
+        SELECT ?seg (COUNT(*) AS ?n) (SUM(?bal) AS ?total) (AVG(?bal) AS ?avgbal)
+               (MIN(?bal) AS ?minbal) (MAX(?bal) AS ?maxbal)
+        WHERE { ?c <customer#c_mktsegment> ?seg . ?c <customer#c_acctbal> ?bal }
+        GROUP BY ?seg""")
+        .withColumn("total", round(col("total"), 4))
+        .withColumn("avgbal", round(col("avgbal"), 4))),
+
     // same star join over the subject-bucketed catalog table (CLUSTERED BY
     // s): with broadcast off the plan has ZERO exchanges (PlanPostureSpec
     // pins that); here it must simply stay hash-identical to the oracle
@@ -258,6 +281,17 @@ object SparqlSuite {
     "sparql_star_join_encoded" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,
                 c_mktsegment AS seg FROM customer""",
+
+    "sparql_filter_encoded" ->
+      """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'""",
+
+    "sparql_groupby_agg_encoded" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+                ROUND(SUM(c_acctbal), 4) AS total,
+                ROUND(AVG(c_acctbal), 4) AS avgbal,
+                MIN(c_acctbal) AS minbal, MAX(c_acctbal) AS maxbal
+         FROM customer GROUP BY c_mktsegment""",
 
     "sparql_star_join_bucketed" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal,

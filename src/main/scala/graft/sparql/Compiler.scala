@@ -34,8 +34,14 @@ import Ast._
   */
 object Compiler {
   /** A solution sequence: one column per bound variable. `maybeNull` marks
-    * vars that can be UNDEF (from UNION padding / VALUES UNDEF). */
-  final case class Bindings(df: DataFrame, maybeNull: Set[String]) {
+    * vars that can be UNDEF (from UNION padding / VALUES UNDEF).
+    * `encoded` marks vars still carried as 64-bit dictionary ids (the
+    * encoded BGP path defers decode past the BGP boundary — SURVEY §1.5
+    * phase 2): joins/grouping/DISTINCT run on ids, and [[Compiler]]
+    * decodes exactly where lexical semantics are needed (FILTER/BIND
+    * inputs, aggregate inputs, ORDER keys) or at output. */
+  final case class Bindings(df: DataFrame, maybeNull: Set[String],
+      encoded: Set[String] = Set.empty) {
     def vars: Set[String] = df.columns.toSet
   }
 
@@ -67,10 +73,14 @@ class Compiler(store: QuadStore) {
     * listed graphs, with multi-graph default merged + deduplicated
     * (`dataset_index.rs:207-221`). */
   final case class View(default: DataFrame, named: DataFrame,
-      /** No FROM/FROM NAMED clauses — the physical dataset. Encoded BGP
-        * evaluation is only valid over this view (its id-space scans read
-        * the physical store directly). */
-      physicalDataset: Boolean = false)
+      /** No FROM/FROM NAMED clauses — the physical dataset. */
+      physicalDataset: Boolean = false,
+      /** The FROM / FROM NAMED graph lists, kept so the encoded BGP path
+        * can re-scope its id-space scans (`g_id` equality against
+        * constant-folded `xxhash64` literals) without round-tripping
+        * through the lexical view. */
+      fromGraphs: Seq[String] = Nil,
+      fromNamed: Seq[String] = Nil)
 
   def buildView(fromGraphs: Seq[String], fromNamed: Seq[String]): View = {
     val q = store.quads
@@ -87,12 +97,47 @@ class Compiler(store: QuadStore) {
       val n =
         if (fromNamed.isEmpty) q.filter(lit(false))
         else q.filter(col("g").isin(fromNamed: _*))
-      View(d, n)
+      View(d, n, physicalDataset = false, fromGraphs = fromGraphs, fromNamed = fromNamed)
     }
   }
 
   private def unitBindings: Bindings =
     Bindings(spark.range(1).select(), Set.empty)
+
+  /** Decode the given id-carrying columns back to lexical form — one
+    * equi-join per column against [[graft.model.QuadStore.termsTable]].
+    * No-op for columns not (or no longer) encoded. Called exactly where
+    * lexical semantics are needed, so grouping/DISTINCT/joins upstream
+    * keep running on 8-byte ids. */
+  private def decode(b: Bindings, cols: Set[String]): Bindings = {
+    val todo = b.encoded.intersect(cols)
+    if (todo.isEmpty) return b
+    val terms = store.termsTable
+    val df = todo.foldLeft(b.df) { (d, v) =>
+      d.join(terms.select(col("id").as(s"__tid_$v"), col("lex").as(s"__lex_$v")),
+          col(v) === col(s"__tid_$v"), "inner")
+        .drop(v, s"__tid_$v")
+        .withColumnRenamed(s"__lex_$v", v)
+    }
+    Bindings(df, b.maybeNull, b.encoded -- todo)
+  }
+
+  private def decodeAll(b: Bindings): Bindings = decode(b, b.encoded)
+
+  private def exprVars(e: Expr): Set[String] = e match {
+    case ETerm(Var(n)) => Set(n)
+    case ETerm(_) => Set.empty
+    case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
+    case Func(_, args) => args.flatMap(exprVars).toSet
+  }
+
+  private def condVars(c: Condition): Set[String] = c match {
+    case Cmp(_, l, r) => exprVars(l) ++ exprVars(r)
+    case And(l, r) => condVars(l) ++ condVars(r)
+    case Or(l, r) => condVars(l) ++ condVars(r)
+    case Not(x) => condVars(x)
+    case CondFunc(_, args) => args.flatMap(exprVars).toSet
+  }
 
   private def varCol(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name) else lit(null).cast(StringType)
@@ -110,7 +155,8 @@ class Compiler(store: QuadStore) {
     * default view (used by the RSP engine to evaluate window blocks over
     * per-window content stores). */
   def compileElements(elems: Seq[Element]): Bindings =
-    compileGroup(elems, DefaultGraph, buildView(Nil, Nil), None).getOrElse(unitBindings)
+    decodeAll(
+      compileGroup(elems, DefaultGraph, buildView(Nil, Nil), None).getOrElse(unitBindings))
 
   def compileSelect(sel: Select): DataFrame = {
     val view = buildView(sel.fromGraphs, sel.fromNamed)
@@ -131,7 +177,10 @@ class Compiler(store: QuadStore) {
       case GraphBlock(g, inner) =>
         acc = compileGroup(inner, g, view, acc)
       case UnionBlock(branches) =>
+        // branches decode before merging: a column encoded in one branch
+        // and lexical in another must not union ids with strings
         val compiled = branches.flatMap(b => compileGroup(b, scope, view, acc))
+          .map(decodeAll)
         if (compiled.nonEmpty) {
           val allVars = compiled.flatMap(_.vars).distinct
           val merged = compiled
@@ -142,10 +191,10 @@ class Compiler(store: QuadStore) {
           acc = Some(Bindings(merged, nullable))
         }
       case BindElem(expr, v) =>
-        val b = acc.getOrElse(unitBindings)
+        val b = decode(acc.getOrElse(unitBindings), exprVars(expr))
         acc = Some(Bindings(
           b.df.withColumn(v, compileExpr(b.df, expr).cast(StringType)),
-          b.maybeNull + v)) // BIND may evaluate to error/unbound → null
+          b.maybeNull + v, b.encoded)) // BIND may evaluate to error/unbound → null
       case ValuesElem(vars, rows) =>
         val schema = StructType(vars.map(v => StructField(v, StringType, nullable = true)))
         val data = rows.map(r => Row(r.map(_.map(TermLex.lexical).orNull): _*))
@@ -166,8 +215,9 @@ class Compiler(store: QuadStore) {
       case FilterElem(_) => // handled below
     }
     filters.foreach { case FilterElem(cond) =>
-      val b = acc.getOrElse(unitBindings)
-      acc = Some(Bindings(b.df.filter(compileCond(b.df, cond)), b.maybeNull))
+      // FILTER semantics are lexical/numeric — decode exactly its inputs
+      val b = decode(acc.getOrElse(unitBindings), condVars(cond))
+      acc = Some(Bindings(b.df.filter(compileCond(b.df, cond)), b.maybeNull, b.encoded))
     }
     acc
   }
@@ -229,13 +279,13 @@ class Compiler(store: QuadStore) {
   private def compileBgp(patterns: Seq[TriplePattern], scope: GraphSpec,
       view: View, input: Option[Bindings]): Option[Bindings] = {
     if (patterns.isEmpty) return input
-    // encoded fast path only over the PHYSICAL dataset: FROM / FROM NAMED
-    // views re-scope the graphs, which the id-space scans below don't see
-    if (store.dictEncoded && input.isEmpty && view.physicalDataset &&
+    // encoded fast path: id-space scans re-scope FROM / FROM NAMED views
+    // directly on g_id (constant-folded xxhash64 literals)
+    if (store.dictEncoded && input.isEmpty &&
         patterns.forall(tp => Seq(tp.s, tp.p, tp.o).forall {
           case _: Quoted => false; case _ => true
         }))
-      return Some(compileBgpEncoded(patterns, scope))
+      return Some(compileBgpEncoded(patterns, scope, view))
     var acc = input
     greedyOrder(patterns, scope, acc.map(_.vars).getOrElse(Set.empty)).foreach { tp =>
       val scan = scanPattern(tp, scope, view)
@@ -245,20 +295,39 @@ class Compiler(store: QuadStore) {
   }
 
   /** Dictionary-encoded BGP evaluation ([[graft.model.QuadStore.dictEncoded]],
-    * SURVEY §1.5): scans filter on `xxhash64(constant)` (constant-folded),
-    * joins carry 8-byte ids instead of lexical strings, and every variable
-    * decodes back to its lexical form at the BGP boundary — one equi-join
-    * per variable against [[graft.model.QuadStore.termsTable]] — so the
-    * rest of the pipeline (filters, BIND, aggregates) is byte-identical to
-    * the direct path. Quoted-triple patterns fall back (their accessors
-    * destructure the lexical encoding). */
+    * SURVEY §1.5, phase 2): scans filter on `xxhash64(constant)`
+    * (constant-folded), joins carry 8-byte ids instead of lexical
+    * strings, and variables stay ENCODED past the BGP boundary — the
+    * returned [[Bindings]] marks them, and decode joins run only where
+    * lexical semantics are required (FILTER/BIND/aggregate inputs, ORDER
+    * keys) or on the final — often aggregated, much smaller — output.
+    * FROM / FROM NAMED views re-scope in id space via `g_id` equality.
+    * Quoted-triple patterns fall back (their accessors destructure the
+    * lexical encoding). */
   private def compileBgpEncoded(patterns: Seq[TriplePattern],
-      scope: GraphSpec): Bindings = {
+      scope: GraphSpec, view: View): Bindings = {
     val enc = store.encodedQuads
-    val base = scope match {
-      case DefaultGraph => enc.filter(col("g_id").isNull)
-      case GraphIri(g) => enc.filter(col("g_id") === xxhash64(lit(g)))
-      case GraphVar(_) => enc.filter(col("g_id").isNotNull)
+    def anyGraph(graphs: Seq[String]): Column =
+      graphs.map(g => col("g_id") === xxhash64(lit(g))).reduce(_ || _)
+    val base = (scope, view.physicalDataset) match {
+      case (DefaultGraph, true) => enc.filter(col("g_id").isNull)
+      case (GraphIri(g), true) => enc.filter(col("g_id") === xxhash64(lit(g)))
+      case (GraphVar(_), true) => enc.filter(col("g_id").isNotNull)
+      // FROM graphs form the merged default graph (multi-graph merges
+      // deduplicate triples, `dataset_index.rs:207-221`)
+      case (DefaultGraph, false) =>
+        if (view.fromGraphs.isEmpty) enc.filter(lit(false))
+        else {
+          val sel = enc.filter(anyGraph(view.fromGraphs))
+          if (view.fromGraphs.size > 1) sel.dropDuplicates("s_id", "p_id", "o_id")
+          else sel
+        }
+      case (GraphIri(g), false) =>
+        if (view.fromNamed.contains(g)) enc.filter(col("g_id") === xxhash64(lit(g)))
+        else enc.filter(lit(false))
+      case (GraphVar(_), false) =>
+        if (view.fromNamed.isEmpty) enc.filter(lit(false))
+        else enc.filter(anyGraph(view.fromNamed))
     }
     def scanEnc(tp: TriplePattern): DataFrame = {
       var filters = List.empty[Column]
@@ -286,15 +355,8 @@ class Compiler(store: QuadStore) {
       }.getOrElse(scan))
     }
     val joined = acc.get
-    val vars = joined.columns.toSeq
-    val terms = store.termsTable
-    val decoded = vars.foldLeft(joined) { (d, v) =>
-      d.join(terms.select(col("id").as(s"__tid_$v"), col("lex").as(s"__lex_$v")),
-          col(v) === col(s"__tid_$v"), "inner")
-        .drop(v, s"__tid_$v")
-        .withColumnRenamed(s"__lex_$v", v)
-    }
-    Bindings(decoded, Set.empty)
+    // phase 2: no decode here — ids flow on, marked encoded
+    Bindings(joined, Set.empty, joined.columns.toSet)
   }
 
   /** One triple-pattern scan: filter on constant positions (pushed to the
@@ -335,15 +397,22 @@ class Compiler(store: QuadStore) {
 
   /** Solution-sequence join (`engine.rs:1137-1160`): equi-join on shared
     * vars; cross join when none shared; null-tolerant (UNDEF-compatible)
-    * conditions only for vars that can actually be null. */
-  def compatJoin(l: Bindings, r: Bindings): Bindings = {
+    * conditions only for vars that can actually be null. Shared vars
+    * encoded on BOTH sides join on their ids (the co-encoded fast path);
+    * a var encoded on only one side decodes first. */
+  def compatJoin(l0: Bindings, r0: Bindings): Bindings = {
+    val shared0 = l0.df.columns.filter(r0.df.columns.contains(_)).toSet
+    // decode where the other side carries lexical values
+    val l = decode(l0, shared0.filterNot(r0.encoded))
+    val r = decode(r0, shared0.filterNot(l0.encoded))
+    val stillEncoded = l.encoded ++ r.encoded
     val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
     if (shared.isEmpty)
-      return Bindings(l.df.crossJoin(r.df), l.maybeNull ++ r.maybeNull)
+      return Bindings(l.df.crossJoin(r.df), l.maybeNull ++ r.maybeNull, stillEncoded)
     val nullableShared = shared.filter(c => l.maybeNull(c) || r.maybeNull(c))
     if (nullableShared.isEmpty) {
       val joined = l.df.join(r.df, shared, "inner")
-      Bindings(joined, l.maybeNull ++ r.maybeNull -- shared)
+      Bindings(joined, l.maybeNull ++ r.maybeNull -- shared, stillEncoded)
     } else {
       val pre = "__graft_r_"
       val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
@@ -363,7 +432,7 @@ class Compiler(store: QuadStore) {
         if (shared.contains(v)) l.maybeNull(v) && r.maybeNull(v)
         else true
       }
-      Bindings(out, stillNullable)
+      Bindings(out, stillNullable, stillEncoded)
     }
   }
 
@@ -461,9 +530,17 @@ class Compiler(store: QuadStore) {
     * aggregate → ORDER → project → DISTINCT → LIMIT (`engine.rs:685-719`).
     * DISTINCT is applied before the sort in the physical plan (dedup then
     * top-k) — visible results match because DISTINCT keys ⊆ output rows. */
-  def finalizeSelect(b: Bindings, sel: Select, subquery: Boolean): DataFrame = {
+  def finalizeSelect(b0: Bindings, sel: Select, subquery: Boolean): DataFrame = {
+    // deferred-decode discipline: aggregate INPUTS need lexical values
+    // (numeric parse), so they decode pre-aggregation; GROUP BY keys stay
+    // encoded through the shuffle and decode on the aggregated — usually
+    // far smaller — result, together with whatever else reaches output
+    var b = decode(b0, sel.aggregates.flatMap(_.v).toSet)
+    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
+      b = Bindings(applyAggregates(b.df, sel), Set.empty,
+        b.encoded.intersect(sel.groupBy.toSet))
+    b = decodeAll(b) // ORDER/DISTINCT/projection below see lexical values
     var df = b.df
-    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty) df = applyAggregates(df, sel)
     val projCols: Seq[String] =
       if (sel.projection == Seq("*")) df.columns.toSeq
       else sel.projection ++ sel.aggregates.map(_.alias)
@@ -512,7 +589,9 @@ class Compiler(store: QuadStore) {
     case DeleteData(qs) => store.delete(constQuads(qs))
     case Modify(del, ins, where) =>
       val view = buildView(Nil, Nil)
-      val b = compileGroup(where, DefaultGraph, view, None).getOrElse(unitBindings)
+      // templates instantiate from LEXICAL bindings
+      val b = decodeAll(
+        compileGroup(where, DefaultGraph, view, None).getOrElse(unitBindings))
       // WHERE evaluated once pre-mutation: both templates share one binding
       // snapshot — guaranteed here by lineage (templates reference the
       // pre-mutation quads DataFrame) (`execute_query.rs:578-592`)

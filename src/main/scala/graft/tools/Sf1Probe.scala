@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10×-scale spot-bench of the five most expensive headline entries
+  * (VERDICT r4 item 7): the 2× driver gate at sf0.1 is nearly saturated
+  * by the JVM job floor, so a 10× point is what separates real scaling
+  * trends from fixed overhead. No sf1 testdata exists (and /root/testdata
+  * is read-only), so the probe SYNTHESIZES a structurally-faithful 10×
+  * corpus under /tmp/graft_sf1 from sf0.1:
+  *  - customer: custkey 1..10·N — the halving-chain entries depend only
+  *    on the key range (chain depth grows log₂ 10 ≈ 3.3 levels);
+  *  - documents: 10 word-shuffled copies (ScaleProbe's replication — same
+  *    shingle cardinality, no cross-copy near-dup explosion);
+  *  - events: 10 copies at 10× density in the same time span (ids
+  *    shifted, ts jittered per copy — more rows per window, same #closes,
+  *    which is how event volume actually scales against a fixed window).
+  * Prints per-entry seconds at sf0.1 and 10×, and the scaling exponent
+  * log₁₀(t₁₀ₓ/t₁ₓ) — 1.0 = linear, <1 sublinear (fixed floor), >1
+  * super-linear. Results recorded in SURVEY §6.
+  */
+object Sf1Probe {
+  val entries = Seq("datalog_closure_seminaive", "prob_minmax_closure",
+    "dedup_minhash_lsh", "prob_sdd_wmc", "stream_window_istream")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bigDir = "/tmp/graft_sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (!new java.io.File(s"$bigDir/events.parquet/_SUCCESS").exists()) {
+      println("[sf1-probe] synthesizing 10x corpus …")
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      val maxKey = c.agg(max(col("c_custkey"))).first().getLong(0)
+      spark.range(1, maxKey * 10 + 1).select(col("id").as("c_custkey"))
+        .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
+
+      val shuffleWords = udf((text: String, seed: Long) => {
+        val words = text.split(" ").toSeq
+        new scala.util.Random(seed).shuffle(words).mkString(" ")
+      })
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { cp =>
+        docs.select((col("doc_id") + lit(cp.toLong * 10000000L)).as("doc_id"),
+          shuffleWords(col("text"), col("doc_id") + lit(cp * 7919)).as("text"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 10).map { cp =>
+        ev.select((col("event_id") + lit(cp.toLong * 10000000L)).as("event_id"),
+          (col("ts") + lit(cp.toLong * 1000000L * 13L)).as("ts"), // 13 ms jitter/copy
+          (col("user_id") + lit(cp.toLong * 1000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+    }
+
+    val all = graft.SparkEntry.queries
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      all(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    entries.foreach { name =>
+      run(name, sfDir) // warm (quad caches, codegen)
+      val t1 = run(name, sfDir)
+      val t10 = run(name, bigDir)
+      val exp = math.log10(t10 / t1)
+      println(f"[sf1-probe] $name%-28s sf0.1=$t1%7.2f s  10x=$t10%8.2f s  exponent=$exp%5.2f")
+    }
+    spark.stop()
+  }
+}
