@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and split assignment for
+  * training-data pipelines (beyond-reference surface, SURVEY §7.1.8):
+  * the standard way to carve a 100 TB corpus into reproducible samples
+  * and train/validation/test splits WITHOUT a global shuffle or a
+  * random() that changes between runs — every decision is a pure
+  * function of the row's key, so reruns, backfills, and incremental
+  * appends land each document in the same bucket forever.
+  *
+  * Hashing is [[Dedup.md5Hash60]] (md5 → 60-bit int) rather than
+  * xxhash64 so the assignment is engine-portable — DuckDB reproduces it
+  * closed-form, which keeps these operators hash-checkable end-to-end.
+  * Narrow transformations only: no shuffle, no driver state.
+  */
+object Sampling {
+
+  /** Stable per-key bucket in [0, buckets). A salt namespaces
+    * independent decisions (sampling vs splitting) off one key. */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    pmod(Dedup.md5Hash60(concat(lit(salt), key.cast("string"))), lit(buckets.toLong))
+
+  /** Keep a deterministic `percent`% of rows by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, percent: Int,
+      salt: String = "sample"): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    df.filter(hashBucket(col(keyCol), 100, salt) < percent)
+  }
+
+  /** Assign train/validation/test splits by key hash: bucket < trainPct →
+    * train, < trainPct+valPct → validation, else test. */
+  def splitAssign(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val b = hashBucket(col(keyCol), 100, salt)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("validation"))
+        .otherwise(lit("test")))
+  }
+}

@@ -81,6 +81,29 @@ object TextAnalysis {
     array_sort(array_distinct(sel))
   }
 
+  /** Word n-grams as space-joined strings; empty array below n tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(trim(text))
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate word-n-gram fraction — the MassiveText/Gopher repetition
+    * filter (Rae et al. 2021 §A1.1: documents whose duplicate 2-gram /
+    * 3-gram fraction exceeds a threshold are boilerplate or degenerate
+    * repetition and get dropped before training). 0.0 for documents with
+    * fewer than n tokens. Pure Catalyst HOFs — per-row, narrow, no
+    * shuffle — and exactly reproducible in DuckDB (list comprehension +
+    * list_distinct), so the driver hash-checks it end-to-end. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast(DoubleType) /
+        size(g).cast(DoubleType))
+  }
+
   /** Quality score in [0,1]: blend of length saturation, stopword ratio,
     * alpha-character ratio, mean token length sanity. Deterministic
     * arithmetic only (oracle-mirrored). */

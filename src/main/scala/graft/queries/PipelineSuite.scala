@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries over documents/embeddings, each with
   * a DuckDB oracle where the computation is SQL-expressible on both
@@ -107,6 +107,22 @@ object PipelineSuite {
     "text_subword_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
+    // Gopher/MassiveText repetition filter: duplicate 2-gram and 3-gram
+    // fractions per document (degenerate repetition / boilerplate signal)
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.dupNgramRatio(col("text"), 2), 6).as("dup2"),
+        round(TextAnalysis.dupNgramRatio(col("text"), 3), 6).as("dup3"))),
+
+    // deterministic hash sampling + train/val/test split assignment —
+    // reproducible corpus carving with NO shuffle and NO random(): a 20%
+    // keyed sample, each kept document assigned its stable split
+    "pipeline_sample_split" -> ((s, dir) =>
+      Sampling.splitAssign(
+          Sampling.deterministicSample(docs(s, dir), "doc_id", percent = 20),
+          "doc_id")
+        .select("doc_id", "split")),
 
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -308,6 +324,36 @@ object PipelineSuite {
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
                   AS n_subwords
          FROM documents""",
+
+    "pipeline_sample_split" ->
+      """WITH b AS (SELECT doc_id,
+                ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 AS sb,
+                ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 AS pb
+              FROM documents)
+         SELECT doc_id,
+                CASE WHEN pb < 80 THEN 'train'
+                     WHEN pb < 90 THEN 'validation'
+                     ELSE 'test' END AS split
+         FROM b WHERE sb < 20""",
+
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS words FROM documents),
+          g AS (SELECT doc_id,
+                  CASE WHEN len(words) >= 2
+                    THEN [array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))]
+                    ELSE [] END AS g2,
+                  CASE WHEN len(words) >= 3
+                    THEN [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words)-1)]
+                    ELSE [] END AS g3
+                FROM w)
+          SELECT doc_id,
+            ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) END, 6) AS dup2,
+            ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) AS dup3
+          FROM g""",
 
     "text_langid" -> langIdSql,
 

@@ -52,6 +52,24 @@ object RdfIOSuite {
       val path = "/tmp/graft_rdfio_nq/" + new java.io.File(dir).getName
       RdfIO.writeNQuads(quads, path)
       RdfIO.readNQuads(s, path).select("g", "s", "p", "o")
+    }),
+    // DISTRIBUTED RDF/XML: a directory of per-partition documents written
+    // with no driver collect, read back file-parallel. Exercises both
+    // property forms (rdf:resource for IRI-like supplier subjects via the
+    // customer→supplier pairing, text elements for names) and XML
+    // escaping of supplier names containing '&' etc.
+    "rdfio_rdfxml_roundtrip" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val triples = sup.select(
+        concat(lit("supplier/"), col("s_suppkey")).as("s"),
+        lit("supplier#s_name").as("p"), col("s_name").as("o"))
+        .unionByName(sup.select(
+          concat(lit("supplier/"), col("s_suppkey")).as("s"),
+          lit("supplier#s_nation").as("p"),
+          concat(lit("nation/"), col("s_nationkey")).as("o")))
+      val path = "/tmp/graft_rdfio_xml/" + new java.io.File(dir).getName
+      RdfIO.writeRdfXmlDir(triples, path, numDocs = Some(4))
+      RdfIO.readRdfXml(s, path).select("s", "p", "o")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -72,5 +90,14 @@ object RdfIOSuite {
                 'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
                 'nation#n_regionkey' AS p,
                 CAST(n_regionkey AS VARCHAR) AS o
-         FROM nation""")
+         FROM nation""",
+    "rdfio_rdfxml_roundtrip" ->
+      """SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS s,
+                'supplier#s_name' AS p, s_name AS o
+         FROM supplier
+         UNION ALL
+         SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS s,
+                'supplier#s_nation' AS p,
+                'nation/' || CAST(s_nationkey AS VARCHAR) AS o
+         FROM supplier""")
 }

@@ -234,9 +234,15 @@ object RdfIO {
     out.toSeq
   }
 
+  /** RDF/XML reader: one XML document per FILE, parsed in the executor
+    * that reads it — a directory of documents (e.g. [[writeRdfXmlDir]]
+    * output) scales horizontally; a single multi-GB document is the
+    * format's own serial limit (matching the reference's scope). Blank
+    * files (empty partitions of a distributed write) are skipped. */
   def readRdfXml(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.option("wholetext", "true").textFile(path)
+      .filter(length(trim(col("value"))) > 0)
       .flatMap(parseRdfXmlDoc).toDF("s", "p", "o")
   }
 
@@ -274,12 +280,15 @@ object RdfIO {
       }.write.mode("overwrite").text(path)
   }
 
-  /** RDF/XML sink: one rdf:Description per subject, property elements
-    * namespaced by splitting the predicate IRI at its last `#`/`/` — the
-    * reader's ns+label expansion reproduces the original predicate, so
-    * write→read round-trips. Single-document output (collected), matching
-    * the reference's serializer scope (`sparql_database.rs:457-628`). */
-  def writeRdfXml(df: DataFrame, path: String): Unit = {
+  private val RdfXmlHeader = "<?xml version=\"1.0\"?>\n" +
+    "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">"
+  private val RdfXmlFooter = "\n</rdf:RDF>"
+
+  /** Per-subject `rdf:Description` elements, property elements namespaced
+    * by splitting the predicate IRI at its last `#`/`/` — the reader's
+    * ns+label expansion reproduces the original predicate, so write→read
+    * round-trips. */
+  private def rdfXmlDescriptions(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
     import df.sparkSession.implicits._
     def esc(v: String) = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
@@ -288,7 +297,7 @@ object RdfIO {
       if (i > 0 && i < p.length - 1) (p.substring(0, i + 1), p.substring(i + 1))
       else ("urn:graft:", p)
     }
-    val body = df.select("s", "p", "o").groupBy("s")
+    df.select("s", "p", "o").groupBy("s")
       .agg(collect_list(struct(col("p"), col("o"))).as("po"))
       .map { r =>
         val props = r.getSeq[Row](1).map { po =>
@@ -300,12 +309,37 @@ object RdfIO {
         }
         s"""  <rdf:Description rdf:about="${esc(r.getString(0))}">\n${props.mkString("\n")}\n  </rdf:Description>"""
       }
-    val rows = body.collect()
-    val doc = ("""<?xml version="1.0"?>""" + "\n" +
-      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">""" +
-      "\n" + rows.mkString("\n") + "\n</rdf:RDF>")
+  }
+
+  /** RDF/XML sink, single document (collected) — the reference's
+    * serializer scope (`sparql_database.rs:457-628`). For corpora that
+    * exceed one document, use [[writeRdfXmlDir]]. */
+  def writeRdfXml(df: DataFrame, path: String): Unit = {
+    val rows = rdfXmlDescriptions(df).collect()
+    val doc = RdfXmlHeader + "\n" + rows.mkString("\n") + RdfXmlFooter
     val p = new java.io.PrintWriter(path)
     try p.write(doc) finally p.close()
+  }
+
+  /** DISTRIBUTED RDF/XML sink: one complete, valid RDF/XML document per
+    * partition, written as a directory of part files — no driver
+    * collect, scales with the corpus. Subjects are grouped (all of a
+    * subject's properties land in one document); [[readRdfXml]] over the
+    * directory reads every part in parallel. This is the Spark-native
+    * answer to the format's one-document-one-parser constraint: shard
+    * into many documents, not one giant one. */
+  def writeRdfXmlDir(df: DataFrame, path: String,
+      /** Force a document count (default: one per post-aggregation
+        * partition — AQE may coalesce small corpora to one). */
+      numDocs: Option[Int] = None): Unit = {
+    import df.sparkSession.implicits._
+    val descs = rdfXmlDescriptions(df)
+    numDocs.fold(descs)(n => descs.repartition(n))
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(RdfXmlHeader + "\n" + it.mkString("\n") + RdfXmlFooter)
+      }
+      .write.mode("overwrite").text(path)
   }
 
   // ---- store builders ----------------------------------------------------

@@ -435,13 +435,23 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** Streaming `(close, vars…)` relation over a stream with columns
     * `(stream, ts: timestamp, s, p, o)`: stateless close explode + BGP
     * stream-stream equi-joins + fired-close gating (left-semi against the
-    * max-close stream). Defines the query's watermark internally (on
-    * `closeTs`) — callers must NOT watermark the input (Spark forbids
-    * redefinition along one lineage). */
+    * max-close stream). Multi-window queries join the per-window relation
+    * streams on (close, closeTs, shared vars) — aligned-close Wait
+    * semantics as a stream-stream equi-join whose watermarked closeTs key
+    * bounds the cross-window join state; Steal/Timeout cycles stay on the
+    * driver engine (batch emissions carry their event-time formulations).
+    * Defines the query's watermark internally (on `closeTs`) — callers
+    * must NOT watermark the input (Spark forbids redefinition along one
+    * lineage). */
   def streamRelation(events: DataFrame): DataFrame = {
-    require(query.windows.size == 1,
-      "streaming plane is single-window; multi-window uses RspEngine")
-    val w = query.windows.head
+    require(query.windows.size == 1 ||
+        query.policy.forall(_ == WaitPolicy),
+      "streaming plane coordinates multi-window queries with aligned-close Wait " +
+        "semantics; WITH POLICY steal/timeout needs RspEngine or batch emissions")
+    applyStatic(query.windows.map(streamWindowRelation(events, _)).reduce(joinOnShared))
+  }
+
+  private def streamWindowRelation(events: DataFrame, w: WindowSpec): DataFrame = {
     val st = step(w)
     val e = routed(events, w).withColumn("__tsms",
       (unix_micros(col("ts")) / lit(1000L)).cast("long"))
@@ -480,11 +490,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       }
     val (pats, conds) = windowBlocks(w.iri)
     val joined = pats.map(scan(enriched, _)).reduce(joinOnShared)
-    val filtered =
-      conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
-    // static plan: stream × broadcast-batch inner join, same semantics as
-    // the batch applyStatic
-    applyStatic(filtered)
+    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
   }
 
   /** Watermark delay: RANGE+STEP covers the skew between an arrival's ts
@@ -559,6 +565,11 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     query.kind match {
       case RStream => rows
       case _ =>
+        // incremental diffs run at close-step granularity: multi-window
+        // queries need one shared step for the joined relation's sequence
+        require(query.windows.map(step).distinct.size == 1,
+          "I/DSTREAM on the streaming plane needs equal window steps; " +
+            "mixed-step multi-window R2S uses RspEngine")
         // sentinel: one row per fired close through a reserved key, so the
         // processors can check the dense-tick assumption the diff rests on
         val w = query.windows.head

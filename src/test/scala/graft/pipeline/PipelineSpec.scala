@@ -211,6 +211,28 @@ class PipelineSpec extends SparkSpec {
       == Set(("knows", 2L), ("age", 2L)))
   }
 
+  test("hash sampling/splitting: deterministic, complete, key-stable") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sampling must be a pure function of the key")
+    assert(math.abs(s1.size - 200) < 60, s"~20% expected, got ${s1.size}")
+    // widening the rate only ADDS documents (nested samples — the property
+    // that lets a pipeline grow a sample without reshuffling past work)
+    val s30 = Sampling.deterministicSample(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s30), "samples must nest as the rate grows")
+    val split = Sampling.splitAssign(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.keySet == Set("train", "validation", "test"), s"got $split")
+    assert(split.values.sum == 1000)
+    assert(split("train") > split("validation") && split("train") > split("test"))
+  }
+
   test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
     // k=3, w=4: any two docs sharing >= 6 consecutive tokens must share
     // at least one selected fingerprint (the MOSS covering property);

@@ -118,6 +118,23 @@ class RdfIOSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("distributed rdf/xml dir writer shards into multiple valid documents, no collect") {
+    val df = RdfIO.readRdfXml(spark, res("employees.rdf"))
+    val out = java.nio.file.Files.createTempDirectory("xmldir").toString + "/docs"
+    RdfIO.writeRdfXmlDir(df, out, numDocs = Some(3))
+    // genuinely sharded: more than one non-empty document part
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(parts.length > 1, s"expected multiple document shards, got ${parts.length}")
+    // each shard is a COMPLETE well-formed RDF/XML document on its own
+    parts.foreach { f =>
+      val doc = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(RdfIO.parseRdfXmlDoc(doc).nonEmpty, s"${f.getName} not parseable alone")
+    }
+    val back = RdfIO.readRdfXml(spark, out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
   test("loaded store is queryable end-to-end (employee dataset shape)") {
     val store = RdfIO.storeFromRdfXml(spark, res("employees.rdf"))
     val r = new Compiler(store).select("""
