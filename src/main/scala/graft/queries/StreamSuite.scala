@@ -73,6 +73,13 @@ object StreamSuite {
         .emissions(eventTriples(s, dir))
         .select("close", "u", "n")),
 
+    // same-variable UNION inside the WINDOW block (alternative event
+    // types), compiled as a per-close union of branch relations
+    "stream_window_union" -> ((s, dir) =>
+      new DistributedRsp(s, windowUnionQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "e", "u")),
+
     // cross-window SDS+ on the distributed plane: every hourly step's
     // expiry-annotated materialization in ONE step-keyed fixpoint — a
     // user is flagged at a step while BOTH a purchase and a view support
@@ -112,6 +119,17 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/value> ?v . FILTER(?v >= 150) } }""")
+
+  private val windowUnionQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/unioned> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w {
+        { ?e <ev/user> ?u . ?e <ev/type> "purchase" . }
+        UNION
+        { ?e <ev/user> ?u . ?e <ev/type> "error" . }
+      } }""")
 
   private val windowAggQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -263,6 +281,21 @@ object StreamSuite {
                     ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
                   WHERE ev.event_type = 'purchase')
           SELECT close, u, COUNT(e) AS n FROM rel GROUP BY close, u""",
+
+    "stream_window_union" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+          WHERE ev.event_type IN ('purchase', 'error')""",
 
     // derived tag = max over (purchase, view) pairs of min(expiries)
     // = LEAST(MAX purchase expiry, MAX view expiry) — the min-max

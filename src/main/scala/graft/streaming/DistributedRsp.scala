@@ -30,7 +30,10 @@ import graft.sparql.Ast._
   *    lag over the fired-close sequence — the one narrow global-window
   *    op, O(#closes) rows;
   *  - empty firings are not representable as relation rows (an RSTREAM
-  *    emission with zero rows appears as no rows here).
+  *    emission with zero rows appears as no rows here);
+  *  - relations are SETS (the reference's R2R store semantics): a UNION
+  *    whose branches match the same binding yields it once, where the
+  *    engine's multiset emission would carry a duplicate row.
   *
   * The streaming variants run the same stateless close-explode + BGP
   * join over a watermarked stream, gate on a fired-close stream
@@ -80,33 +83,41 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   private lazy val condCompiler =
     new graft.sparql.Compiler(graft.model.QuadStore.empty(spark))
 
-  /** WINDOW-block patterns + FILTERs per window IRI. The distributed
-    * plane compiles BGP + FILTER blocks (filters scoped to the end of the
-    * block, as in [[graft.sparql.Compiler.compileGroup]]); richer blocks
-    * (UNION, subselects) stay on the driver engine. */
-  private val windowBlocks: Map[String, (Seq[TriplePattern], Seq[Condition])] =
+  /** WINDOW-block elements per window IRI, validated against the surface
+    * the plane compiles: BGP, FILTER (scoped to the end of the enclosing
+    * group, as in [[graft.sparql.Compiler.compileGroup]]), and UNION of
+    * such groups whose branches bind IDENTICAL variable sets (the
+    * alternative-predicates shape; mixed-variable branches introduce
+    * UNDEF-tolerant join semantics and stay on the driver engine, as do
+    * subselects). */
+  private val windowBlocks: Map[String, Seq[Element]] = {
+    def validate(elems: Seq[Element]): Unit = elems.foreach {
+      case Bgp(_) | FilterElem(_) => ()
+      case UnionBlock(branches) => branches.foreach(validate)
+      case other => throw new IllegalArgumentException(
+        s"distributed RSP plane supports BGP + FILTER + same-variable UNION WINDOW " +
+          s"blocks; found $other — use RspEngine for full block semantics")
+    }
     query.select.where.collect { case WindowBlockElem(w, elems) =>
-      val pats = Seq.newBuilder[TriplePattern]
-      val conds = Seq.newBuilder[Condition]
-      elems.foreach {
-        case Bgp(ps) => pats ++= ps
-        case FilterElem(c) => conds += c
-        case other => throw new IllegalArgumentException(
-          s"distributed RSP plane supports BGP + FILTER WINDOW blocks; found $other " +
-            "— use RspEngine for full block semantics")
-      }
-      w -> ((pats.result(), conds.result()))
+      validate(elems)
+      w -> elems
     }.toMap
+  }
 
   query.windows.foreach { w =>
     require(windowBlocks.contains(w.iri), s"no WINDOW block for ${w.iri}")
   }
 
+  private def blockVars(elems: Seq[Element]): Seq[String] = elems.flatMap {
+    case Bgp(ps) => ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).flatMap(termVarsOf)
+    case UnionBlock(branches) => branches.flatMap(blockVars)
+    case _ => Nil
+  }
+
   // 'close' / 'closeTs' are the plane's reserved join-key columns and
   // '__fired__' its sparse-tick sentinel; a query variable with any of
   // these names would collide with them in every scan
-  require(!windowBlocks.values.flatMap(_._1)
-      .flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case Var(n) => n }
+  require(!windowBlocks.values.flatMap(blockVars)
       .exists(n => n == "close" || n == "closeTs" || n == IncrementalR2S.FiredMarker),
     "?close, ?closeTs and ?__fired__ are reserved column names on the distributed RSP plane")
 
@@ -236,14 +247,32 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   def windowRelation(events: DataFrame, w: WindowSpec): DataFrame =
     windowRelation(events, w, firedCloses(events, w))
 
+  /** Compile one group of block elements over close-keyed content:
+    * BGPs scan+join, UNION branches (same variable set) union per close,
+    * FILTERs defer to the end of the group. Recursion covers nested
+    * unions/filters inside branches. */
+  private def compileBlock(content: DataFrame, elems: Seq[Element]): DataFrame = {
+    val (filterElems, others) = elems.partition(_.isInstanceOf[FilterElem])
+    val parts = others.map {
+      case Bgp(ps) => ps.map(scan(content, _)).reduce(joinOnShared)
+      case UnionBlock(branches) =>
+        val rels = branches.map(compileBlock(content, _))
+        require(rels.map(_.columns.toSet).distinct.size == 1,
+          "distributed RSP plane supports UNION branches binding identical variable " +
+            "sets; mixed-variable branches need the driver engine (RspEngine)")
+        rels.reduce(_ unionByName _)
+      case other => throw new IllegalArgumentException(s"unsupported block element $other")
+    }
+    val joined = parts.reduce(joinOnShared)
+    filterElems.collect { case FilterElem(c) => c }
+      .foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+  }
+
   private def windowRelation(events: DataFrame, w: WindowSpec,
       fired: DataFrame): DataFrame = {
     val content0 = windowContent(events, w, fired)
     val content = if (rules.isEmpty) content0 else enrichFixpoint(content0)
-    val (pats, conds) = windowBlocks(w.iri)
-    val joined = pats.map(scan(content, _)).reduce(joinOnShared)
-    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
-      .distinct()
+    compileBlock(content, windowBlocks(w.iri)).distinct()
   }
 
   /** Static-plan bindings (`rsp_engine.rs:1012-1110` `emit_results`'s
@@ -488,9 +517,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         (facts, _) =>
           facts.unionByName(rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _))
       }
-    val (pats, conds) = windowBlocks(w.iri)
-    val joined = pats.map(scan(enriched, _)).reduce(joinOnShared)
-    conds.foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+    compileBlock(enriched, windowBlocks(w.iri))
   }
 
   /** Watermark delay: RANGE+STEP covers the skew between an arrival's ts

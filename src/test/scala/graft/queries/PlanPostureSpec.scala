@@ -51,6 +51,32 @@ class PlanPostureSpec extends SparkSpec {
   test("text analysis stays narrow: no exchange in the plan") {
     val p = plan("text_token_count")
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    // repetition ratios and sampling/splitting are per-row too: HOFs and
+    // hash arithmetic must not introduce a shuffle (100 TB = scan only)
+    val rep = plan("text_repetition")
+    assert(!rep.contains("Exchange"), s"unexpected shuffle in:\n$rep")
+    val smp = plan("pipeline_sample_split")
+    assert(!smp.contains("Exchange"), s"unexpected shuffle in:\n$smp")
+  }
+
+  test("deferred decode: encoded GROUP BY aggregates before any terms-table decode join") {
+    // phase-2 posture: the aggregation must consume id columns directly —
+    // the decode join happens on the aggregated result, so in the plan the
+    // terms-table join sits ABOVE the HashAggregate pair, never below
+    val df = SparkEntry.queries("sparql_groupby_agg_encoded")(spark, sf())
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"no aggregate in:\n$p")
+    // the decode join consumes the aggregate's output: walking the plan
+    // string, the FIRST HashAggregate (top of plan = output side) must
+    // appear BELOW the last join-with-terms only if decode ran pre-agg;
+    // assert instead on the aggregate's grouping key being an id (xxhash
+    // ids are bigint; lexical would be string)
+    // a bigint attribute prints with an L suffix (seg#123L); the lexical
+    // (string) column would print without it
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(l => "keys=\\[seg#\\d+L".r.findFirstIn(l).isDefined),
+      s"aggregate does not group on the encoded (bigint id) key:\n${aggLines.mkString("\n")}")
   }
 
   test("sparql scan pushes the predicate filter to the quad store scan") {

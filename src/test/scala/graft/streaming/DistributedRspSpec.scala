@@ -265,6 +265,66 @@ class DistributedRspSpec extends SparkSpec {
     }
   }
 
+  test("same-variable UNION in WINDOW block matches the engine (batch + streaming)") {
+    // alternative predicates binding the same vars — the UNION shape the
+    // plane compiles; a purchase OR a refund event both produce (?e, ?u)
+    val qText = """
+      REGISTER RSTREAM <http://out/u> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        { ?e <purchase/by> ?u . } UNION { ?e <refund/by> ?u . }
+      } }"""
+    val data = Seq(("e1", "purchase/by", "alice", 1L), ("e2", "refund/by", "bob", 2L),
+      ("e3", "view/by", "carol", 2L), ("e4", "purchase/by", "dave", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (e, p, u, ts) => engine.add("stream", e, p, u, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("e"), r("u"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (e, p, u, ts) => ("stream", ts, e, p, u) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> ((r.getAs[String]("e"), r.getAs[String]("u"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+
+    // mixed-variable branches are refused loudly, not silently mis-joined
+    val bad = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/u2> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { { ?e <purchase/by> ?u . } UNION { ?e <view/of> ?item . } } }""")
+    val ex = intercept[IllegalArgumentException] {
+      new DistributedRsp(spark, bad).emissions(events).collect()
+    }
+    assert(ex.getMessage.contains("identical variable"))
+
+    // the same union through the live streaming plane
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"union_win_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (e, p, u, ts) => ("stream", ts, e, p, u) })
+        sq.processAllAvailable()
+        val sGot = spark.table(sink).collect()
+          .map { r =>
+            val b = r.getAs[Map[String, String]]("binding")
+            r.getAs[Long]("close") -> ((b("e"), b("u")))
+          }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(sGot == engineGot, s"streaming $sGot vs engine $engineGot")
+      } finally sq.stop()
+    }
+  }
+
   test("projection + DISTINCT on the plane matches the engine (batch)") {
     // two events share a user in one window: SELECT DISTINCT ?u collapses them
     val qText = """
