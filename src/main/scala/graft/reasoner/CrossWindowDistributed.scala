@@ -112,6 +112,19 @@ object CrossWindowDistributed {
     var facts = static.fold(visible)(visible.unionByName(_))
       .groupBy("step", "s", "p", "o").agg(semiring.plusAgg(col("tag")).as("tag"))
       .localCheckpoint()
+    // a NON-recursive rule set needs exactly ruleChainDepth rounds — run
+    // them without the per-round convergence action (each action is a
+    // whole Spark job; on the common non-recursive case this halves the
+    // job count: no improvement-check round, no final empty round)
+    graft.streaming.DistributedRsp.ruleChainDepth(rules) match {
+      case Some(depth) =>
+        (0 until depth).foreach { _ =>
+          facts = mergeK(facts, rules.map(applyRuleK(facts, _)).reduce(mergeK))
+            .localCheckpoint()
+        }
+        return facts
+      case None => () // recursive: fall through to the checked fixpoint
+    }
     var round = 0
     while (round < maxRounds) {
       val derived = rules.map(applyRuleK(facts, _)).reduce(mergeK)

@@ -635,7 +635,7 @@ object DistributedRsp {
     * set with no finite unroll — or when a head/premise predicate is a
     * variable (dependencies unknowable, treated as recursive). A
     * dependency-free set needs exactly 1 round; a 2-chain needs 2. */
-  private[streaming] def ruleChainDepth(rules: Seq[Rule]): Option[Int] = {
+  private[graft] def ruleChainDepth(rules: Seq[Rule]): Option[Int] = {
     def constPred(t: Term): Option[String] = t match {
       case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None
     }

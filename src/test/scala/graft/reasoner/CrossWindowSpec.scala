@@ -107,6 +107,26 @@ class CrossWindowSpec extends SparkSpec {
     assert(distSeq(1).contains(("r1", "state", "congested")))
   }
 
+  test("distributed SDS+ recursive rule set converges via the checked fixpoint") {
+    // a 3-cycle forces the tag-improvement loop (ruleChainDepth = None):
+    // full reachability closure with min-across-path, max-across-paths tags
+    val rules = Seq(
+      parse("""RULE <r/b> :- CONSTRUCT { ?x <r> ?y } WHERE { ?x <e> ?y }"""),
+      parse("""RULE <r/s> :- CONSTRUCT { ?x <r> ?z } WHERE { ?x <e> ?y . ?y <r> ?z }"""))
+    val steps = Seq((0L, 50L)).toDF("step", "now")
+    val contentDf = Seq(
+      (0L, "a", "e", "b", 30L), (0L, "b", "e", "c", 20L), (0L, "c", "e", "a", 10L))
+      .toDF("step", "s", "p", "o", "event_time")
+    val out = CrossWindowDistributed.materializeSteps(steps, contentDf, rules,
+      alphaMs = 100)
+    val reach = out.filter(col("p") === "r").collect()
+      .map(r => (r.getString(1), r.getString(3)) -> r.getDouble(4)).toMap
+    assert(reach.size == 9, s"expected the full 3-cycle closure, got ${reach.keySet}")
+    // a→c: min(expiry(a→b)=130, expiry(b→c)=120) = 120; longer cycle paths
+    // only weaken, so ⊕ max keeps 120
+    assert(math.abs(reach(("a", "c")) - 120.0) < 1e-9, s"got ${reach(("a", "c"))}")
+  }
+
   test("expired support no longer derives (rsp_engine_test.rs:977)") {
     val cw = new CrossWindowReasoner(spark, Seq(congestion), alphaMs = 50)
     val f1 = liveFacts(cw.onWindow(content(
