@@ -118,6 +118,48 @@ object Multimodal {
       .withColumn("target_height", ceil(col("height") * scale).cast(IntegerType))
   }
 
+  /** REAL image resize: ImageIO decode → Graphics2D bilinear scale
+    * preserving aspect ratio (longest side ≤ `maxSide`, never upscaled)
+    * → PNG re-encode, all JDK built-ins. Payloads ImageIO cannot read
+    * pass through unchanged with `resized = false` — a mixed-modality
+    * column never throws mid-partition. Narrow mapPartitions stage:
+    * per-row work, no shuffle, bounded memory per batch. */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("resized", BooleanType),
+      StructField("out_width", IntegerType), StructField("out_height", IntegerType)))
+    val pIdx = media.schema.fieldIndex("payload")
+    val out = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val img =
+          if (payload == null || payload.isEmpty) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(false, -1, -1))
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val target = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = target.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(target, "png", bos)
+          val seq = r.toSeq.updated(pIdx, bos.toByteArray: Any)
+          Row.fromSeq(seq ++ Seq(true, tw, th))
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Frame sampling for video-ish payloads: split the byte stream into
     * `frameBytes` chunks, keep every `stride`-th chunk. Demonstrates the
     * batch-explode shape without a codec. */

@@ -130,6 +130,33 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(junk, Multimodal.imageDecode).count() == 1)
   }
 
+  test("multimodal: REAL image resize (Graphics2D) halves dims, passes junk through") {
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) img.setRGB(x, y, 0x336699)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = spark.createDataFrame(
+        Seq((1L, baos.toByteArray), (2L, Array[Byte](9, 9, 9))))
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(media, maxSide = 16).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // 64×32 → longest side 16 preserving aspect → 16×8, re-encoded PNG
+    assert(out(1L).getAs[Boolean]("resized"))
+    assert(out(1L).getAs[Int]("out_width") == 16 && out(1L).getAs[Int]("out_height") == 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]]("payload")))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    assert((back.getRGB(8, 4) & 0xFFFFFF) == 0x336699) // solid color survives
+    // junk passes through untouched
+    assert(!out(2L).getAs[Boolean]("resized"))
+    assert(out(2L).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](9, 9, 9))
+    // small images never upscale
+    val same = Multimodal.resizeImages(media.filter(col("media_id") === 1L),
+      maxSide = 1000).collect().head
+    assert(same.getAs[Int]("out_width") == 64 && same.getAs[Int]("out_height") == 32)
+  }
+
   test("skew helpers: salted agg and salted join match unsalted results") {
     val li = spark.read.parquet(sf() + "/lineitem.parquet")
     val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
