@@ -79,6 +79,43 @@ object SparqlPrinter {
       s"WINDOW <$w> { ${els.map(printElement).mkString(" ")} }"
   }
 
+  /** RSP-QL REGISTER query: kind, window clauses (with policies), the
+    * grammar's SELECT/WHERE/GROUP BY order (window clauses sit between
+    * the projection and WHERE — [[SparqlParser.rspQuery]]). */
+  def printRsp(q: RspQuery): String = {
+    val kind = q.kind match {
+      case RStream => "RSTREAM"; case IStream => "ISTREAM"; case DStream => "DSTREAM"
+    }
+    val sel = q.select
+    val sb = new StringBuilder(s"REGISTER $kind <${q.outIri}> AS SELECT ")
+    if (sel.distinct) sb.append("DISTINCT ")
+    if (sel.projection == Seq("*")) sb.append("* ")
+    else {
+      sel.projection.foreach(v => sb.append(s"?$v "))
+      sel.aggregates.foreach { a =>
+        val arg = a.v.map("?" + _).getOrElse("*")
+        sb.append(s"(${a.func}($arg) AS ?${a.alias}) ")
+      }
+    }
+    q.windows.zipWithIndex.foreach { case (w, i) =>
+      val on = if (w.streamIri == "*") "?s" else s"<${w.streamIri}>"
+      sb.append(s"FROM NAMED WINDOW <${w.iri}> ON $on " +
+        s"[RANGE ${w.rangeMs} ms STEP ${w.stepMs} ms] ")
+      // the parser attaches the LAST policy clause to the query; print it
+      // on the final window so parse∘print is stable
+      if (i == q.windows.size - 1) q.policy.foreach {
+        case WaitPolicy => sb.append("WITH POLICY wait ")
+        case StealPolicy => sb.append("WITH POLICY steal ")
+        case TimeoutPolicy(ms, steal) =>
+          sb.append(s"WITH POLICY (timeout=${ms}ms, fallback=${if (steal) "steal" else "drop"}) ")
+      }
+    }
+    sb.append(s"WHERE { ${sel.where.map(printElement).mkString(" ")} }")
+    if (sel.groupBy.nonEmpty)
+      sb.append(sel.groupBy.map("?" + _).mkString(" GROUP BY ", " ", ""))
+    sb.toString
+  }
+
   def printSelect(sel: Select): String = {
     val sb = new StringBuilder("SELECT ")
     if (sel.distinct) sb.append("DISTINCT ")

@@ -131,6 +131,56 @@ class ParserRoundTripSpec extends AnyFunSuite {
     orderBy = orderBy, limit = limit, offset = offset,
     fromGraphs = froms, fromNamed = fromNamed)
 
+  private val windowGen: Gen[WindowSpec] = for {
+    iri <- iriGen
+    stream <- Gen.frequency(2 -> iriGen, 1 -> Gen.const("*"))
+    range <- Gen.choose(1L, 10000L)
+    step <- Gen.choose(1L, 10000L)
+  } yield WindowSpec(iri, stream, range, step)
+
+  private val rspGen: Gen[RspQuery] = for {
+    kind <- Gen.oneOf(RStream, IStream, DStream)
+    out <- iriGen
+    nWin <- Gen.choose(1, 2)
+    windows <- Gen.listOfN(nWin, windowGen)
+    blocks <- Gen.sequence[Seq[Element], Element](windows.map(w =>
+      Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, Gen.frequency(
+          4 -> bgpGen, 1 -> condGen.map(FilterElem(_)))))
+        .map(els => WindowBlockElem(w.iri, els): Element)))
+    policy <- Gen.frequency(3 -> Gen.const(None),
+      1 -> Gen.oneOf(WaitPolicy, StealPolicy, TimeoutPolicy(500L, fallbackSteal = true),
+        TimeoutPolicy(250L, fallbackSteal = false)).map(Some(_)))
+    star <- Gen.oneOf(true, false)
+    proj <- Gen.listOfN(2, nameGen)
+  } yield RspQuery(kind, out, windows,
+    Select(distinct = false,
+      projection = if (star) Seq("*") else proj,
+      aggregates = Nil, where = blocks, groupBy = Nil,
+      orderBy = Nil, limit = None, offset = None, fromGraphs = Nil, fromNamed = Nil),
+    policy = policy)
+
+  test("RSP-QL REGISTER parse ∘ print ∘ parse fixpoint holds for 300 generated queries") {
+    val parser = SparqlParser()
+    var checked = 0
+    val seedLong = 0xCAFE5L
+    while (checked < 300) {
+      rspGen(Gen.Parameters.default, Seed(seedLong + checked)) match {
+        case Some(ast) =>
+          val text1 = SparqlPrinter.printRsp(ast)
+          val p1 = try parser.parseRsp(text1) catch {
+            case e: Exception => fail(s"print of generated RSP AST failed to parse: " +
+              s"${e.getMessage}\nAST: $ast\nTEXT: $text1")
+          }
+          val text2 = SparqlPrinter.printRsp(p1)
+          val p2 = parser.parseRsp(text2)
+          assert(p2 == p1,
+            s"RSP parse∘print not a fixpoint:\nfirst:  $p1\nsecond: $p2\ntext: $text2")
+          checked += 1
+        case None => checked += 1
+      }
+    }
+  }
+
   test("parse ∘ print ∘ parse fixpoint holds for 1000 generated queries") {
     val gen = selectGen(1)
     var checked = 0
