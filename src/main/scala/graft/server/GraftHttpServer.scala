@@ -92,7 +92,10 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     // compiles the whole streaming pipeline EAGERLY: unsupported surface
     // throws here, and registration falls back to the engine
     private val emissions = rsp.streamEmissions(events)
-    private val sq = {
+    // the provider-class set/restore around start() is NOT thread-safe
+    // against a concurrent registration doing the same dance (the pooled
+    // dispatcher runs handlers concurrently) — serialize it
+    private val sq = GraftHttpServer.streamStartLock.synchronized {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val old = spark.conf.getOption(key)
       spark.conf.set(key,
@@ -322,7 +325,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
               else
                 try new DistributedBackend(parsed, rules, queue)
                 catch {
-                  case _: IllegalArgumentException | _: UnsupportedOperationException =>
+                  // IllegalArgument/Unsupported: the plane's own guards;
+                  // AnalysisException: Spark refusing the streaming plan
+                  // (e.g. an unsupported stateful-operator chain) at start
+                  case _: IllegalArgumentException | _: UnsupportedOperationException |
+                       _: org.apache.spark.sql.AnalysisException =>
                     new EngineBackend(graft.streaming.RspEngineBuilder.fromQuery(
                       spark, qText, staticStore, consumer = consumer, rules = rules))
                 }
@@ -470,4 +477,10 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     }
     exchange.close()
   }
+}
+
+object GraftHttpServer {
+  /** Serializes the state-store-provider conf set/start/restore across
+    * concurrent session registrations. */
+  private val streamStartLock = new Object
 }

@@ -325,6 +325,48 @@ class DistributedRspSpec extends SparkSpec {
     }
   }
 
+  test("ISTREAM over a streaming aggregate chains two stateful operators and matches the engine") {
+    // append-mode aggregation (grouped on the watermarked closeTs key)
+    // feeding transformWithState — Spark 4 multi-stateful chaining; the
+    // incremental diff then runs on aggregated rows, like the engine's
+    // R2S over finalized emissions
+    val qText = """
+      REGISTER ISTREAM <http://out/aggi> AS
+      SELECT ?u (COUNT(?e) AS ?n)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . } }
+      GROUP BY ?u"""
+    val data = Seq(("e1", "alice", 1L), ("e2", "alice", 2L), ("e3", "bob", 2L),
+      ("e4", "carol", 3L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (e, u, ts) => engine.add("stream", e, "by", u, ts) }
+    val engineGot = engine.emissions
+      .flatMap(em => em.rows.map(r => (em.windowClose, r("u"), r("n")))).toSet
+    assert(engineGot.nonEmpty)
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val events = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"agg_istream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(events)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (e, u, ts) => ("stream", ts, e, "by", u) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 100L, "eZ", "by", "zz"))) // flush watermark
+        sq.processAllAvailable()
+        val got = spark.table(sink).collect().map { r =>
+          val b = r.getAs[Map[String, String]]("binding")
+          (r.getAs[Long]("close"), b("u"), b("n"))
+        }.toSet.filterNot(_._2 == "zz")
+        assert(got == engineGot, s"streaming $got vs engine $engineGot")
+      } finally sq.stop()
+    }
+  }
+
   test("projection + DISTINCT on the plane matches the engine (batch)") {
     // two events share a user in one window: SELECT DISTINCT ?u collapses them
     val qText = """
