@@ -411,9 +411,14 @@ class CrossWindowReasoner(
 
   /** Feed one window firing's content `(s, p, o, event_time)`; returns the
     * live materialized facts as of `nowMs`. */
-  def onWindow(content: DataFrame, nowMs: Long): DataFrame = {
-    val tagged = content.select(col("s"), col("p"), col("o"),
-      (col("event_time") + lit(alphaMs.toDouble)).cast("double").as("tag"))
+  def onWindow(content: DataFrame, nowMs: Long): DataFrame =
+    onTagged(content.select(col("s"), col("p"), col("o"),
+      (col("event_time") + lit(alphaMs.toDouble)).cast("double").as("tag")), nowMs)
+
+  /** Same step with the expiry tags ALREADY computed — the entry point
+    * for callers whose facts carry per-source α (the RSP engine's
+    * cross-window mode tags each window's content with its own width). */
+  def onTagged(tagged: DataFrame, nowMs: Long): DataFrame = {
     val live: DataFrame =
       if (!incremental) {
         contents += tagged.localCheckpoint()

@@ -51,6 +51,14 @@ object RspEngine {
   case object OnContentChange extends ReportStrategy
   final case class Periodic(n: Int) extends ReportStrategy
 
+  /** Cross-window SDS+ mode (`rsp_engine.rs:293-295,1213-1268`): N3-logic
+    * rules over the UNION of all windows' latest raw contents, each fact
+    * expiry-tagged with ITS window's width as α; the window blocks then
+    * re-evaluate over the materialized live facts at emission time.
+    * `incremental = false` is the reference's Naive mode (rebuild from
+    * all retained contents each emission). */
+  final case class CrossWindow(rulesN3: String, incremental: Boolean = true)
+
   final case class Emission(windowClose: Long, rows: Seq[Map[String, String]])
 }
 
@@ -64,7 +72,15 @@ class RspEngine(
     /** Forward-chaining rules applied to each window's content store
       * before the R2R query runs — the reference's `add_sparql_rules`
       * R2R enrichment (`rsp/builder.rs`, `main.rs:689-700`). */
-    rules: Seq[Rule] = Nil) {
+    rules: Seq[Rule] = Nil,
+    /** Cross-window SDS+ reasoning over N3-logic rules
+      * ([[RspEngine.CrossWindow]]): window firings deliver RAW contents;
+      * at each coordinated emission the expiry-annotated closure
+      * materializes across ALL windows (α per window = its RANGE) and
+      * every window block re-evaluates over the live facts — the
+      * reference's `cross_window_rules` path (`rsp_engine.rs:104-147`
+      * raw-content send, `:1213-1268` emit_cross_window_results). */
+    crossWindow: Option[RspEngine.CrossWindow] = None) {
 
   import RspEngine._
 
@@ -77,6 +93,9 @@ class RspEngine(
       var lastFiredClose: Option[Long] = None,
       var latest: Option[Seq[Row]] = None,
       var latestCols: Seq[String] = Nil,
+      /** Cross-window mode: the latest firing's raw `(ts, s, p, o)`
+        * content (replace semantics, `rsp_engine.rs:655-658`). */
+      var latestRaw: Option[Seq[(Long, String, String, String)]] = None,
       var fresh: Boolean = false)
 
   private val windowBlocks: Map[String, Seq[Element]] =
@@ -88,6 +107,27 @@ class RspEngine(
     WindowRuntime(spec, windowBlocks.getOrElse(spec.iri,
       throw new IllegalArgumentException(s"no WINDOW block for ${spec.iri}")))
   }
+
+  /** Cross-window N3 rules, parsed against the query's own window specs
+    * (window IRI → RANGE as α — `rsp_engine.rs:337-343` derives
+    * window_widths from the query config the same way). */
+  private val crossWindowRules: Seq[Rule] = crossWindow.map { cw =>
+    graft.sparql.N3RuleParser.parseForSds(cw.rulesN3,
+      query.windows.map(w => w.iri -> w.rangeMs).toMap)._1
+  }.getOrElse(Nil)
+
+  /** The SDS+ state carrier across emissions (incremental keeps the
+    * previous materialization, naive retains contents — the reference's
+    * CrossWindowReasoningMode). alphaMs is unused: facts arrive
+    * pre-tagged with their own window's width via onTagged. */
+  private val crossReasoner: Option[graft.reasoner.CrossWindowReasoner] =
+    crossWindow.map { cw =>
+      new graft.reasoner.CrossWindowReasoner(spark, crossWindowRules, alphaMs = 0L,
+        staticFacts = staticStore.map(_.quads
+          .filter(org.apache.spark.sql.functions.col("g").isNull)
+          .select("s", "p", "o")),
+        incremental = cw.incremental)
+    }
 
   /** R2S state: previous emitted relation per the single output stream. */
   private var lastEmitted: Option[Set[Map[String, String]]] = None
@@ -243,8 +283,11 @@ class RspEngine(
   private def fire(w: WindowRuntime, close: Long, triggerTs: Long): Unit = {
     w.lastFiredClose = Some(close)
     val lo = close - w.spec.rangeMs
-    val content = w.events.filter { case (ts, _, _, _) => ts >= lo && ts <= close }
-      .map { case (_, s, p, o) => (s, p, o) }.toSeq
+    // timestamped content captured BEFORE eviction (the cross-window
+    // branch needs the ts for expiry tagging)
+    val contentTs = w.events.filter { case (ts, _, _, _) => ts >= lo && ts <= close }
+      .toSeq
+    val content = contentTs.map { case (_, s, p, o) => (s, p, o) }
     // evict events that can never appear in a future window
     val evictBefore = close + w.spec.stepMs - w.spec.rangeMs
     w.events.filterInPlace(_._1 >= evictBefore)
@@ -259,16 +302,23 @@ class RspEngine(
     }
     lastContentHash = Some(contentHash)
     if (!passes) return
-    // R2R: run this window's compiled block over the content store,
-    // enriched by the registered rules' forward chaining
-    val store = QuadStore.fromTriples(spark, content)
-    if (rules.nonEmpty)
-      new graft.reasoner.Reasoner(spark).materialize(store, rules)
-    val b = new Compiler(store).compileElements(w.blockElems)
-    val asStrings = b.df.select(b.df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
     val wasCycleOpen = windows.exists(_.fresh)
-    w.latest = Some(asStrings.collect().toSeq)
-    w.latestCols = b.df.columns.toSeq
+    if (crossWindow.isDefined) {
+      // cross-window mode: the firing delivers RAW timestamped content
+      // (`rsp_engine.rs:124-147`); window plans run at emission time over
+      // the SDS+-materialized live facts, not here
+      w.latestRaw = Some(contentTs)
+    } else {
+      // R2R: run this window's compiled block over the content store,
+      // enriched by the registered rules' forward chaining
+      val store = QuadStore.fromTriples(spark, content)
+      if (rules.nonEmpty)
+        new graft.reasoner.Reasoner(spark).materialize(store, rules)
+      val b = new Compiler(store).compileElements(w.blockElems)
+      val asStrings = b.df.select(b.df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+      w.latest = Some(asStrings.collect().toSeq)
+      w.latestCols = b.df.columns.toSeq
+    }
     w.fresh = true
     if (!wasCycleOpen) cycleStartVt = Some(triggerTs)
     cycleMaxClose = math.max(cycleMaxClose, close)
@@ -280,9 +330,11 @@ class RspEngine(
     * fresh this cycle, Steal joins a fresh firing with cached results of
     * the others. */
   private def coordinate(close: Long): Unit = {
+    def hasResult(w: WindowRuntime) =
+      if (crossWindow.isDefined) w.latestRaw.isDefined else w.latest.isDefined
     val ready = policy match {
-      case Steal => windows.forall(_.latest.isDefined)
-      case _ => windows.forall(w => w.latest.isDefined && w.fresh)
+      case Steal => windows.forall(hasResult)
+      case _ => windows.forall(w => hasResult(w) && w.fresh)
     }
     if (!ready) return
     windows.foreach(_.fresh = false)
@@ -291,15 +343,35 @@ class RspEngine(
     emitJoined(close)
   }
 
+  /** Cross-window emission inputs (`rsp_engine.rs:1213-1268`
+    * emit_cross_window_results): union every window's latest raw content
+    * tagged with ITS width as α, materialize the live SDS+ closure as of
+    * `close`, and re-evaluate each window's block over the live facts. */
+  private def crossWindowBindings(close: Long): Seq[Compiler.Bindings] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tagged = windows.flatMap { w =>
+      w.latestRaw.getOrElse(Nil).map { case (ts, s, p, o) =>
+        (s, p, o, (ts + w.spec.rangeMs).toDouble)
+      }
+    }.toDF("s", "p", "o", "tag")
+    val live = crossReasoner.get.onTagged(tagged, close)
+    val store = QuadStore(spark, live.select(lit(null).cast("string").as("g"),
+      col("s"), col("p"), col("o")))
+    windows.map(w => new Compiler(store).compileElements(w.blockElems))
+  }
+
   /** Data plane of one emission: join the latest window relations, then
     * static patterns, then solution modifiers and the R2S diff. */
   private def emitJoined(close: Long): Unit = {
-    val windowBindings = windows.map { w =>
-      val schema = org.apache.spark.sql.types.StructType(w.latestCols.map(c =>
-        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, nullable = true)))
-      Compiler.Bindings(spark.createDataFrame(
-        spark.sparkContext.parallelize(w.latest.get, 1), schema), Set.empty)
-    }
+    val windowBindings =
+      if (crossWindow.isDefined) crossWindowBindings(close)
+      else windows.map { w =>
+        val schema = org.apache.spark.sql.types.StructType(w.latestCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, nullable = true)))
+        Compiler.Bindings(spark.createDataFrame(
+          spark.sparkContext.parallelize(w.latest.get, 1), schema), Set.empty)
+      }
     val anyStore = staticStore.getOrElse(QuadStore.empty(spark))
     val c = new Compiler(anyStore)
     var joined = windowBindings.reduce(c.compatJoin)
@@ -348,9 +420,13 @@ object RspEngineBuilder {
       staticStore: Option[QuadStore] = None,
       policy: Option[RspEngine.SyncPolicy] = None,
       consumer: RspEngine.Emission => Unit = _ => (),
-      rules: Seq[Rule] = Nil): RspEngine = {
+      rules: Seq[Rule] = Nil,
+      /** N3-logic cross-window rules (the reference builder's
+        * `add_cross_window_rules`, `rsp_engine.rs:293`). */
+      crossWindow: Option[RspEngine.CrossWindow] = None): RspEngine = {
     val q = SparqlParser().parseRsp(rspQl)
     val effective = policy.getOrElse(q.policy.map(lower).getOrElse(RspEngine.Wait))
-    new RspEngine(spark, q, staticStore, effective, consumer, rules = rules)
+    new RspEngine(spark, q, staticStore, effective, consumer, rules = rules,
+      crossWindow = crossWindow)
   }
 }

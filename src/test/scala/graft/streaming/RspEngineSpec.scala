@@ -287,6 +287,45 @@ class RspEngineSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("value") - 0.9 * 0.7) < 1e-9)
   }
 
+  test("cross-window SDS+ mode: N3 rules across two windows with per-window expiry (CityBench shape)") {
+    // the reference's cross_window_rules path (rsp_engine.rs:1213-1268 +
+    // benches/citybench_cross_window_compare.rs): traffic (α = RANGE 120)
+    // and parking (α = 180) windows, congestion derived only while BOTH
+    // supports live; window blocks re-evaluate over the materialized facts
+    val rulesN3 = """
+      @prefix traffic: <http://cb/traffic/> .
+      @prefix parking: <http://cb/parking/> .
+      @prefix result: <http://cb/result/> .
+      { ?road traffic:avgSpeed ?speed . ?lot parking:nearRoad ?road . ?lot parking:occupancy ?occupancy } => { ?road result:congested <true> }
+    """
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/cb> AS
+      SELECT *
+      FROM NAMED WINDOW <http://cb/traffic/> ON :traffic [RANGE 120 ms STEP 60 ms]
+      FROM NAMED WINDOW <http://cb/parking/> ON :parking [RANGE 180 ms STEP 60 ms]
+      WHERE {
+        WINDOW <http://cb/traffic/> { ?road <http://cb/result/congested> <true> . }
+        WINDOW <http://cb/parking/> { ?lot <http://cb/parking/nearRoad> ?road . }
+      }""", crossWindow = Some(RspEngine.CrossWindow(rulesN3)))
+    e.add("traffic", "road1", "http://cb/traffic/avgSpeed", "12", 10L)
+    e.add("parking", "lotA", "http://cb/parking/nearRoad", "road1", 20L)
+    e.add("parking", "lotA", "http://cb/parking/occupancy", "0.9", 30L)
+    // ts 70 fires close 60 on both windows → cycle completes → emission
+    e.add("traffic", "road1", "http://cb/traffic/tick", "x", 70L)
+    e.add("parking", "lotA", "http://cb/parking/tick", "x", 70L)
+    assert(e.emissions.size == 1, s"got ${e.emissions}")
+    val rows = e.emissions.head.rows
+    assert(rows == Seq(Map("road" -> "road1", "lot" -> "lotA")), s"got $rows")
+
+    // ts 190 fires close 180: the traffic support (expiry 10+120=130) is
+    // dead, parking (20+180=200) lives → congested NO LONGER derivable
+    e.add("traffic", "road1", "http://cb/traffic/tick", "y", 190L)
+    e.add("parking", "lotA", "http://cb/parking/tick", "y", 190L)
+    assert(e.emissions.size == 2, s"got ${e.emissions}")
+    assert(e.emissions.last.rows.isEmpty,
+      s"expired support still derives: ${e.emissions.last.rows}")
+  }
+
   test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646,1018)") {
     val static = QuadStore.fromTriples(spark, Seq(
       ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
