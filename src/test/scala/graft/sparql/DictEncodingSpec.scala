@@ -65,15 +65,48 @@ class DictEncodingSpec extends SparkSpec {
     assert(direct == encoded && direct.nonEmpty)
   }
 
-  test("FROM / FROM NAMED dataset views bypass the encoded fast path correctly") {
-    // encoded scans read the physical store; a FROM clause re-scopes the
-    // dataset, so the encoded path must not claim those queries
+  test("FROM / FROM NAMED dataset views re-scope in id space (phase 2)") {
+    // since phase 2 the encoded path claims FROM views too: g_id equality
+    // against constant-folded xxhash64 literals replaces the lexical
+    // re-scoping; results must stay identical
     val store = Triplizer.cachedStore(spark, sf(), defaultGraph = false)
     val q = """SELECT ?s ?o FROM <graph/region> WHERE { ?s <region#r_name> ?o }"""
     val direct = new Compiler(store).select(q).collect().map(_.toSeq).toSet
     val encoded = new Compiler(store.withDictEncoding).select(q)
       .collect().map(_.toSeq).toSet
     assert(direct == encoded && direct.nonEmpty)
+    // multi-graph merged default (dedup on id triples) + FROM NAMED
+    val q2 = """SELECT ?g ?s FROM NAMED <graph/region> FROM NAMED <graph/nation>
+                WHERE { GRAPH ?g { ?s <region#r_name> ?o } }"""
+    val d2 = new Compiler(store).select(q2).collect().map(_.toSeq).toSet
+    val e2 = new Compiler(store.withDictEncoding).select(q2).collect().map(_.toSeq).toSet
+    assert(d2 == e2 && d2.nonEmpty)
+  }
+
+  test("deferred decode composes with BIND, VALUES, UNION, subqueries, aggregates") {
+    // every place the phase-2 Bindings.encoded set must decode on demand:
+    // BIND inputs, VALUES compat joins, UNION branch merging, subquery
+    // materialization, aggregate inputs + encoded grouping keys + ORDER
+    val bindValues = both("""
+      SELECT ?c ?tag ?seg WHERE {
+        ?c <customer#c_name> ?n .
+        ?c <customer#c_mktsegment> ?seg .
+        VALUES ?seg { "BUILDING" "MACHINERY" }
+        BIND(CONCAT(?n, "/", ?seg) AS ?tag) }""")
+    assert(bindValues._1 == bindValues._2 && bindValues._1.nonEmpty)
+    val union = both("""
+      SELECT ?s ?cname ?sname WHERE {
+        { ?s <customer#c_name> ?cname } UNION { ?s <supplier#s_name> ?sname } }""")
+    assert(union._1 == union._2 && union._1.nonEmpty)
+    val sub = both("""
+      SELECT ?seg WHERE {
+        { SELECT ?seg WHERE { ?c <customer#c_mktsegment> ?seg } } }""")
+    assert(sub._1 == sub._2 && sub._1.nonEmpty)
+    val agg = both("""
+      SELECT ?seg (AVG(?bal) AS ?a) (COUNT(*) AS ?n) WHERE {
+        ?c <customer#c_mktsegment> ?seg . ?c <customer#c_acctbal> ?bal }
+      GROUP BY ?seg ORDER BY DESC(?seg) LIMIT 3""")
+    assert(agg._1 == agg._2 && agg._1.nonEmpty)
   }
 
   test("mutations invalidate a materialized encoded source") {
