@@ -168,9 +168,11 @@ class RspEngine(
           val partial = windows.exists(_.fresh) && !windows.forall(_.fresh)
           if (partial) {
             // Steal: emit with stale cached results — only when every
-            // window has fired at least once (`rsp_engine.rs:593`)
-            if (fallbackSteal && windows.forall(_.latest.isDefined))
-              emitJoined(cycleMaxClose)
+            // window has fired at least once (`rsp_engine.rs:593`); in
+            // cross-window mode the cache is the raw content
+            val warm = windows.forall(w =>
+              if (crossWindow.isDefined) w.latestRaw.isDefined else w.latest.isDefined)
+            if (fallbackSteal && warm) emitJoined(cycleMaxClose)
             // Drop: discard the cycle
           }
           windows.foreach(_.fresh = false)

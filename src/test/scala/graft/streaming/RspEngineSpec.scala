@@ -326,6 +326,39 @@ class RspEngineSpec extends SparkSpec {
       s"expired support still derives: ${e.emissions.last.rows}")
   }
 
+  test("cross-window mode under Steal: a lone firing joins the other window's cached raw content") {
+    val rulesN3 = """
+      @prefix traffic: <http://cb/traffic/> .
+      @prefix parking: <http://cb/parking/> .
+      @prefix result: <http://cb/result/> .
+      { ?road traffic:avgSpeed ?speed . ?lot parking:nearRoad ?road . ?lot parking:occupancy ?occupancy } => { ?road result:congested <true> }
+    """
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/cbsteal> AS
+      SELECT *
+      FROM NAMED WINDOW <http://cb/traffic/> ON :traffic [RANGE 120 ms STEP 60 ms]
+      FROM NAMED WINDOW <http://cb/parking/> ON :parking [RANGE 180 ms STEP 60 ms]
+      WHERE {
+        WINDOW <http://cb/traffic/> { ?road <http://cb/result/congested> <true> . }
+        WINDOW <http://cb/parking/> { ?lot <http://cb/parking/nearRoad> ?road . }
+      }""", policy = Some(Steal), crossWindow = Some(RspEngine.CrossWindow(rulesN3)))
+    e.add("traffic", "road1", "http://cb/traffic/avgSpeed", "12", 10L)
+    e.add("parking", "lotA", "http://cb/parking/nearRoad", "road1", 20L)
+    e.add("parking", "lotA", "http://cb/parking/occupancy", "0.9", 30L)
+    e.add("traffic", "road1", "http://cb/traffic/tick", "x", 70L)
+    e.add("parking", "lotA", "http://cb/parking/tick", "x", 70L)
+    val warm = e.emissions.size
+    assert(warm >= 1)
+    // only traffic fires close 120 (ts 121): Steal joins parking's CACHED
+    // raw content; all supports still live at 120 → congestion holds
+    e.add("traffic", "road1", "http://cb/traffic/avgSpeed", "11", 115L)
+    e.add("traffic", "road1", "http://cb/traffic/tick", "y", 121L)
+    assert(e.emissions.size > warm, s"Steal emission missing: ${e.emissions}")
+    assert(e.emissions.last.rows.exists(r =>
+      r.get("road").contains("road1") && r.get("lot").contains("lotA")),
+      s"got ${e.emissions.last.rows}")
+  }
+
   test("static join: static patterns visible outside window blocks only (rsp_engine_test.rs:576-646,1018)") {
     val static = QuadStore.fromTriples(spark, Seq(
       ("http://test/sensor1", "http://test/inRoom", "http://test/room42"),
