@@ -125,6 +125,33 @@ object SparqlSuite {
         SELECT ?s ?cname ?sname WHERE {
           { ?s <customer#c_name> ?cname } UNION { ?s <supplier#s_name> ?sname } }""")),
 
+    // OPTIONAL / MINUS / EXISTS extensions (Ast.OptionalBlock etc.):
+    // customer vs 'P'-status orders is non-vacuous on all three shapes at
+    // sf0.01 (56 customers have no such order, 1444 do)
+    "sparql_optional" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?name ?o WHERE {
+          ?c <customer#c_name> ?name .
+          OPTIONAL { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
+
+    "sparql_minus" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?name WHERE {
+          ?c <customer#c_name> ?name .
+          MINUS { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
+
+    "sparql_exists" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?name WHERE {
+          ?c <customer#c_name> ?name .
+          FILTER EXISTS { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
+
+    "sparql_not_exists" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?name WHERE {
+          ?c <customer#c_name> ?name .
+          FILTER NOT EXISTS { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
+
     "sparql_values" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?c ?seg WHERE {
@@ -317,6 +344,29 @@ object SparqlSuite {
     "sparql_values" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
          FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+
+    "sparql_optional" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name,
+                CASE WHEN o_orderkey IS NULL THEN NULL
+                     ELSE 'orders/' || CAST(o_orderkey AS VARCHAR) END AS o
+         FROM customer
+         LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') p
+           ON p.o_custkey = c_custkey""",
+
+    "sparql_minus" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name
+         FROM customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
+
+    "sparql_exists" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name
+         FROM customer WHERE EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+
+    "sparql_not_exists" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
 
     "sparql_bind_concat" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,

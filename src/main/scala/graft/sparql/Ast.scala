@@ -57,6 +57,12 @@ object Ast {
   /** Boolean function in FILTER position; reference supports isTRIPLE only
     * (`types.rs:444-456`). */
   final case class CondFunc(name: String, args: Seq[Expr]) extends Condition
+  /** `FILTER [NOT] EXISTS { … }` — a Spark-side EXTENSION (the reference
+    * fragment has none — SURVEY §7.5); compiles to a compatibility
+    * semi/anti join, the natural Spark shape (`left_semi`/`left_anti`).
+    * Supported only as the entire FILTER condition (not nested under
+    * `&&`/`||`/`!`), which keeps it a join instead of a per-row subquery. */
+  final case class ExistsCond(elems: Seq[Element], negated: Boolean) extends Condition
 
   // ---- group graph pattern elements --------------------------------------
   sealed trait Element
@@ -72,6 +78,15 @@ object Ast {
   /** VALUES with UNDEF → None (`engine.rs:155-167`). */
   final case class ValuesElem(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Element
   final case class SubSelect(query: Select) extends Element
+  /** `OPTIONAL { … }` — EXTENSION beyond the reference fragment (it has no
+    * OPTIONAL — verified r1, SURVEY §7.5): SPARQL left join, compiled to a
+    * left-preserving compatibility join. FILTERs inside the block scope
+    * over the optional group only. */
+  final case class OptionalBlock(elems: Seq[Element]) extends Element
+  /** `MINUS { … }` — EXTENSION: removes solutions compatible with some
+    * right solution sharing at least one both-bound variable (disjoint
+    * domains keep the row, per SPARQL 1.1 §8.3); a `left_anti` join. */
+  final case class MinusBlock(elems: Seq[Element]) extends Element
   /** RSP-QL `WINDOW :w { … }` block (`parser.rs:249-282`). */
   final case class WindowBlockElem(windowIri: String, elems: Seq[Element]) extends Element
 

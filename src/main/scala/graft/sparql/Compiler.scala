@@ -114,8 +114,11 @@ class Compiler(store: QuadStore) {
     if (todo.isEmpty) return b
     val terms = store.termsTable
     val df = todo.foldLeft(b.df) { (d, v) =>
+      // a nullable (UNDEF-able) id must survive decoding as a null lexical
+      // value — inner would silently drop the row (OPTIONAL/UNION padding)
+      val joinType = if (b.maybeNull(v)) "left_outer" else "inner"
       d.join(terms.select(col("id").as(s"__tid_$v"), col("lex").as(s"__lex_$v")),
-          col(v) === col(s"__tid_$v"), "inner")
+          col(v) === col(s"__tid_$v"), joinType)
         .drop(v, s"__tid_$v")
         .withColumnRenamed(s"__lex_$v", v)
     }
@@ -137,6 +140,7 @@ class Compiler(store: QuadStore) {
     case Or(l, r) => condVars(l) ++ condVars(r)
     case Not(x) => condVars(x)
     case CondFunc(_, args) => args.flatMap(exprVars).toSet
+    case _: ExistsCond => Set.empty // handled as a join, not a predicate
   }
 
   private def varCol(df: DataFrame, name: String): Column =
@@ -168,8 +172,14 @@ class Compiler(store: QuadStore) {
 
   private def compileGroup(elems: Seq[Element], scope: GraphSpec, view: View,
       input: Option[Bindings]): Option[Bindings] = {
-    // FILTERs deferred to the end of the enclosing group (`utils.rs:443-482`)
-    val (filters, others) = elems.partition(_.isInstanceOf[FilterElem])
+    // FILTERs deferred to the end of the enclosing group (`utils.rs:443-482`);
+    // FILTER [NOT] EXISTS separates out — it compiles to a semi/anti JOIN,
+    // not a row predicate (extension, Ast.ExistsCond)
+    val (filters0, others) = elems.partition(_.isInstanceOf[FilterElem])
+    val (existsFilters, filters) = filters0.partition {
+      case FilterElem(_: ExistsCond) => true
+      case _ => false
+    }
     var acc = input
     others.foreach {
       case Bgp(patterns) =>
@@ -212,12 +222,27 @@ class Compiler(store: QuadStore) {
         // batch view of an RSP window block: scoped like a group; the
         // streaming path re-scopes it per window (graft.streaming)
         acc = compileGroup(inner, scope, view, acc)
+      case OptionalBlock(inner) =>
+        // SPARQL left join (extension): left rows always survive, optional
+        // vars pad with UNDEF/null on no match
+        compileGroup(inner, scope, view, None).foreach { r =>
+          acc = Some(compatLeftJoin(acc.getOrElse(unitBindings), r))
+        }
+      case MinusBlock(inner) =>
+        compileGroup(inner, scope, view, None).foreach { r =>
+          acc.foreach(l => acc = Some(compatMinus(l, r)))
+        }
       case FilterElem(_) => // handled below
     }
     filters.foreach { case FilterElem(cond) =>
       // FILTER semantics are lexical/numeric — decode exactly its inputs
       val b = decode(acc.getOrElse(unitBindings), condVars(cond))
       acc = Some(Bindings(b.df.filter(compileCond(b.df, cond)), b.maybeNull, b.encoded))
+    }
+    existsFilters.foreach { case FilterElem(ExistsCond(inner, negated)) =>
+      val left = acc.getOrElse(unitBindings)
+      val right = compileGroup(inner, scope, view, None).getOrElse(unitBindings)
+      acc = Some(compatSemiJoin(left, right, anti = negated))
     }
     acc
   }
@@ -436,6 +461,88 @@ class Compiler(store: QuadStore) {
     }
   }
 
+  /** OPTIONAL (extension): left-preserving compatibility join. Same
+    * shared-var/UNDEF discipline as [[compatJoin]], but `left_outer`, so
+    * unmatched left rows keep their values and right-only vars pad with
+    * null. Optional vars are maybeNull downstream by construction. */
+  def compatLeftJoin(l0: Bindings, r0: Bindings): Bindings = {
+    val shared0 = l0.df.columns.filter(r0.df.columns.contains(_)).toSet
+    val l = decode(l0, shared0.filterNot(r0.encoded))
+    val r = decode(r0, shared0.filterNot(l0.encoded))
+    val stillEncoded = l.encoded ++ r.encoded
+    val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
+    val rightOnly = r.df.columns.filterNot(shared.contains).toSeq
+    if (shared.isEmpty)
+      return Bindings(l.df.join(r.df, lit(true), "left_outer"),
+        l.maybeNull ++ r.maybeNull ++ rightOnly, stillEncoded)
+    val pre = "__graft_r_"
+    val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+    val nullableShared = shared.filter(c => l.maybeNull(c) || r.maybeNull(c))
+    val cond = shared.map { c =>
+      if (nullableShared.contains(c))
+        col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+      else col(c) === col(pre + c)
+    }.reduce(_ && _)
+    var out = l.df.join(rr, cond, "left_outer")
+    shared.foreach { c =>
+      out = out.withColumn(c, coalesce(col(c), col(pre + c))).drop(pre + c)
+    }
+    rightOnly.foreach { c => out = out.withColumnRenamed(pre + c, c) }
+    // a shared var stays nullable only if the LEFT side could be UNDEF
+    // (unmatched rows keep the left value); right-only vars always can
+    Bindings(out, l.maybeNull ++ rightOnly, stillEncoded)
+  }
+
+  /** FILTER [NOT] EXISTS (extension): set-based compatibility semi/anti
+    * join on the shared variables — exact for the supported fragment
+    * (binding-substitution and the semi join coincide when the inner group
+    * is itself built from compatibility joins). */
+  def compatSemiJoin(l0: Bindings, r0: Bindings, anti: Boolean): Bindings = {
+    val shared0 = l0.df.columns.filter(r0.df.columns.contains(_)).toSet
+    val l = decode(l0, shared0.filterNot(r0.encoded))
+    val r = decode(r0, shared0.filterNot(l0.encoded))
+    val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
+    val joinType = if (anti) "left_anti" else "left_semi"
+    if (shared.isEmpty)
+      // uncorrelated EXISTS: keep all rows iff the inner group is non-empty
+      return Bindings(l.df.join(r.df.limit(1), lit(true), joinType),
+        l.maybeNull, l.encoded)
+    val pre = "__graft_r_"
+    val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+    val nullableShared = shared.filter(c => l.maybeNull(c) || r.maybeNull(c))
+    val cond = shared.map { c =>
+      if (nullableShared.contains(c))
+        col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+      else col(c) === col(pre + c)
+    }.reduce(_ && _)
+    Bindings(l.df.join(rr, cond, joinType), l.maybeNull, l.encoded)
+  }
+
+  /** MINUS (extension, SPARQL 1.1 §8.3): drop left solutions compatible
+    * with some right solution whose domain intersects the left's — i.e.
+    * at least one shared var bound on BOTH sides; disjoint domains keep
+    * the row. A `left_anti` join; no shared vars at all = no-op. */
+  def compatMinus(l0: Bindings, r0: Bindings): Bindings = {
+    val shared0 = l0.df.columns.filter(r0.df.columns.contains(_)).toSet
+    if (shared0.isEmpty) return l0
+    val l = decode(l0, shared0.filterNot(r0.encoded))
+    val r = decode(r0, shared0.filterNot(l0.encoded))
+    val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
+    val pre = "__graft_r_"
+    val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+    val nullableShared = shared.filter(c => l.maybeNull(c) || r.maybeNull(c))
+    val compatible = shared.map { c =>
+      if (nullableShared.contains(c))
+        col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+      else col(c) === col(pre + c)
+    }.reduce(_ && _)
+    val domainsIntersect = shared.map { c =>
+      col(c).isNotNull && col(pre + c).isNotNull
+    }.reduce(_ || _)
+    Bindings(l.df.join(rr, compatible && domainsIntersect, "left_anti"),
+      l.maybeNull, l.encoded)
+  }
+
   // ---- expressions -------------------------------------------------------
 
   private def numC(c: Column): Column = c.try_cast(DoubleType)
@@ -470,6 +577,9 @@ class Compiler(store: QuadStore) {
   }
 
   def compileCond(df: DataFrame, c: Condition): Column = c match {
+    case _: ExistsCond => throw new IllegalArgumentException(
+      "EXISTS is supported only as the entire FILTER condition " +
+        "(FILTER EXISTS { … } / FILTER NOT EXISTS { … }), not nested in an expression")
     case And(a, b) => compileCond(df, a) && compileCond(df, b)
     case Or(a, b) => compileCond(df, a) || compileCond(df, b)
     case Not(x) => !compileCond(df, x)

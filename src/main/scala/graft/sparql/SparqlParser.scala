@@ -138,10 +138,20 @@ class SparqlParser extends RegexParsers {
     unionBlock |
     graphBlock |
     windowBlock |
+    optionalBlock |
+    minusBlock |
     filterElem |
     bindElem |
     valuesElem |
     triplesBlock ^^ (Bgp(_))
+
+  // OPTIONAL / MINUS: extensions beyond the reference fragment (SURVEY
+  // §7.5 records them absent there); standard SPARQL 1.1 syntax
+  def optionalBlock: Parser[Element] =
+    kw("OPTIONAL") ~> groupGraphPattern ^^ (OptionalBlock(_))
+
+  def minusBlock: Parser[Element] =
+    kw("MINUS") ~> groupGraphPattern ^^ (MinusBlock(_))
 
   def graphBlock: Parser[Element] =
     kw("GRAPH") ~> (varName ^^ (GraphVar(_)) | iri ^^ (GraphIri(_))) ~ groupGraphPattern ^^ {
@@ -156,7 +166,12 @@ class SparqlParser extends RegexParsers {
       case h ~ t => UnionBlock(h +: t)
     }
 
-  def filterElem: Parser[Element] = kw("FILTER") ~> "(" ~> condition <~ ")" ^^ (FilterElem(_))
+  def filterElem: Parser[Element] =
+    kw("FILTER") ~> kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (g =>
+      FilterElem(ExistsCond(g, negated = true))) |
+    kw("FILTER") ~> kw("EXISTS") ~> groupGraphPattern ^^ (g =>
+      FilterElem(ExistsCond(g, negated = false))) |
+    kw("FILTER") ~> "(" ~> condition <~ ")" ^^ (FilterElem(_))
 
   def bindElem: Parser[Element] =
     kw("BIND") ~> "(" ~> expr ~ (kw("AS") ~> varName) <~ ")" ^^ { case e ~ v => BindElem(e, v) }

@@ -48,6 +48,8 @@ object SparqlPrinter {
     case Or(l, r) => s"(${printCond(l)}) || (${printCond(r)})"
     case Not(x) => s"!(${printCond(x)})"
     case CondFunc(name, args) => s"$name(${args.map(printExpr).mkString(", ")})"
+    case _: ExistsCond => throw new IllegalArgumentException(
+      "EXISTS prints as a whole FILTER element, not inside a condition")
   }
 
   private def printPattern(tp: TriplePattern): String =
@@ -55,7 +57,11 @@ object SparqlPrinter {
 
   def printElement(e: Element): String = e match {
     case Bgp(ps) => ps.map(printPattern).mkString(" ")
+    case FilterElem(ExistsCond(els, neg)) =>
+      s"FILTER ${if (neg) "NOT " else ""}EXISTS { ${els.map(printElement).mkString(" ")} }"
     case FilterElem(c) => s"FILTER(${printCond(c)})"
+    case OptionalBlock(els) => s"OPTIONAL { ${els.map(printElement).mkString(" ")} }"
+    case MinusBlock(els) => s"MINUS { ${els.map(printElement).mkString(" ")} }"
     case BindElem(expr, v) => s"BIND(${printExpr(expr)} AS ?$v)"
     case GraphBlock(g, els) =>
       val gs = g match {

@@ -216,4 +216,67 @@ class CompilerSpec extends SparkSpec {
       ?s <first> ?f . ?s <last> ?l . BIND(CONCAT(?f, " ", ?l) AS ?full) }""")
     assert(r == Seq(Seq("ada lovelace")))
   }
+
+  // ---- OPTIONAL / MINUS / EXISTS extensions ------------------------------
+
+  test("OPTIONAL pads unmatched rows with null and keeps matches") {
+    val st = store(("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("bob", "age", "30"))
+    val r = rows(st, """SELECT ?a ?b ?age WHERE {
+      ?a <knows> ?b . OPTIONAL { ?b <age> ?age } }""").toSet
+    assert(r == Set(Seq("alice", "bob", "30"), Seq("carol", "dave", null)))
+  }
+
+  test("OPTIONAL result vars are UNDEF-compatible in later joins") {
+    // after OPTIONAL, ?age may be null; a following pattern binding ?age
+    // must use the UNDEF-tolerant compat join (engine.rs:1137-1160 shape)
+    val st = store(("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("bob", "age", "30"), ("lim", "value", "30"))
+    val r = rows(st, """SELECT ?a ?age WHERE {
+      ?a <knows> ?b . OPTIONAL { ?b <age> ?age } ?l <value> ?age }""").toSet
+    // carol's null ?age is compatible with 30 and coalesces to it
+    assert(r == Set(Seq("alice", "30"), Seq("carol", "30")))
+  }
+
+  test("OPTIONAL filter scopes over the optional group only") {
+    val st = store(("alice", "knows", "bob"), ("bob", "age", "5"),
+      ("carol", "knows", "dave"), ("dave", "age", "50"))
+    val r = rows(st, """SELECT ?a ?age WHERE {
+      ?a <knows> ?b . OPTIONAL { ?b <age> ?age . FILTER(?age > 10) } }""").toSet
+    assert(r == Set(Seq("alice", null), Seq("carol", "50")))
+  }
+
+  test("MINUS removes compatible solutions; disjoint domains keep the row (SPARQL 1.1 §8.3)") {
+    val st = store(("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("bob", "banned", "true"), ("x", "unrelated", "y"))
+    val r = rows(st, """SELECT ?a ?b WHERE {
+      ?a <knows> ?b . MINUS { ?b <banned> "true" } }""")
+    assert(r == Seq(Seq("carol", "dave")))
+    // no shared variables → nothing removed
+    val r2 = rows(st, """SELECT ?a ?b WHERE {
+      ?a <knows> ?b . MINUS { ?z <unrelated> ?w } }""").toSet
+    assert(r2 == Set(Seq("alice", "bob"), Seq("carol", "dave")))
+  }
+
+  test("FILTER EXISTS / NOT EXISTS semi/anti join; uncorrelated checks emptiness") {
+    val st = store(("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("bob", "age", "30"))
+    assert(rows(st, """SELECT ?a WHERE {
+      ?a <knows> ?b . FILTER EXISTS { ?b <age> ?x } }""") == Seq(Seq("alice")))
+    assert(rows(st, """SELECT ?a WHERE {
+      ?a <knows> ?b . FILTER NOT EXISTS { ?b <age> ?x } }""") == Seq(Seq("carol")))
+    // uncorrelated: inner non-empty → all rows survive EXISTS
+    assert(rows(st, """SELECT ?a WHERE {
+      ?a <knows> ?b . FILTER EXISTS { ?z <age> ?x } }""").size == 2)
+    assert(rows(st, """SELECT ?a WHERE {
+      ?a <knows> ?b . FILTER NOT EXISTS { ?z <missing> ?x } }""").size == 2)
+  }
+
+  test("EXISTS nested inside a boolean condition is rejected loudly") {
+    val st = store(("a", "p", "1"))
+    // grammar: EXISTS only as the whole FILTER — a nested form fails parse
+    intercept[IllegalArgumentException] {
+      rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?v > 0 && EXISTS { ?s <q> ?x }) }""")
+    }
+  }
 }

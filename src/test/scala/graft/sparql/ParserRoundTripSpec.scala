@@ -95,7 +95,12 @@ class ParserRoundTripSpec extends AnyFunSuite {
     } yield GraphBlock(g, Seq(inner))),
     1 -> (for {
       b1 <- bgpGen; b2 <- bgpGen
-    } yield UnionBlock(Seq(Seq(b1), Seq(b2)))))
+    } yield UnionBlock(Seq(Seq(b1), Seq(b2)))),
+    // extensions: OPTIONAL / MINUS / FILTER [NOT] EXISTS
+    1 -> bgpGen.map(b => OptionalBlock(Seq(b)): Element),
+    1 -> bgpGen.map(b => MinusBlock(Seq(b)): Element),
+    1 -> (for { b <- bgpGen; neg <- Gen.oneOf(true, false) }
+      yield FilterElem(ExistsCond(Seq(b), neg)): Element))
 
   private def selectGen(depth: Int): Gen[Select] = for {
     distinct <- Gen.oneOf(true, false)
