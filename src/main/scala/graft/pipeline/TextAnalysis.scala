@@ -118,6 +118,29 @@ object TextAnalysis {
     round((lenSat + stopRatio + alphaRatio) / 3.0, 6)
   }
 
+  /** PII detection + redaction patterns, restricted to regex constructs
+    * Java and RE2 match identically (so DuckDB reproduces spans
+    * bit-for-bit): emails, NANP-style phone suffixes, IPv4 addresses.
+    * A production pipeline swaps in stricter patterns / an NER pass; the
+    * Spark shape — narrow per-row regexp, no shuffle — is the part that
+    * has to scale. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Per-category PII match counts over the raw text. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)),
+    "n_phones" -> regexp_count(text, lit(PhonePattern)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Pattern)))
+
+  /** Redact PII with typed placeholders. Replacement order is fixed
+    * (email → phone → IPv4) and mirrored by the oracle — order matters
+    * once a replacement rewrites the string the next pattern scans. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "[EMAIL]"), PhonePattern, "[PHONE]"), Ipv4Pattern, "[IP]")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * (The shingle rolling-hash near-dup fingerprint lives in Dedup.) */
   def fingerprint(text: Column): Column =

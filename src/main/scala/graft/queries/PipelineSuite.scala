@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries over documents/embeddings, each with
   * a DuckDB oracle where the computation is SQL-expressible on both
@@ -140,7 +140,31 @@ object PipelineSuite {
     // (doc_id, fp) rows for the hash compare
     "text_winnow_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))))
+        explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))),
+
+    // benchmark-contamination sweep: benchmark set = every 50th document,
+    // 3-gram overlap (n=3 keeps the synthetic corpus non-vacuous; corpus
+    // scale uses 13), hot grams capped at df<=20
+    "text_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.contaminatedPairs(
+        d, d.filter(col("doc_id") % 50 === 0),
+        n = 3, minShared = 2, maxDf = Some(20))
+    }),
+
+    // PII detect + redact over deterministically seeded text (the corpus
+    // itself carries no PII; the seed makes every row non-vacuous and is
+    // reproduced verbatim by the oracle)
+    "text_pii_scrub" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("seeded"))
+      val countCols = TextAnalysis.piiCounts(col("seeded")).map { case (n, c) => c.as(n) }
+      seeded.select(col("doc_id") +: countCols :+
+        TextAnalysis.piiScrub(col("seeded")).as("scrubbed"): _*)
+    }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -395,5 +419,39 @@ object PipelineSuite {
           SELECT DISTINCT doc_id, m AS fp FROM w WHERE rn <= ng - 3
           UNION
           SELECT doc_id, MIN(h) AS fp FROM g GROUP BY doc_id
-          HAVING COUNT(*) < 4""")
+          HAVING COUNT(*) < 4""",
+
+    "text_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                    FROM documents),
+          g AS (SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
+                  THEN [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+                  ELSE [] END) AS grams FROM w),
+          e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          f AS (SELECT gram, count(*) AS c FROM e GROUP BY gram),
+          k AS (SELECT e.doc_id, e.gram FROM e JOIN f USING (gram) WHERE f.c <= 20),
+          b AS (SELECT doc_id AS bench_id, gram FROM k WHERE doc_id % 50 = 0)
+          SELECT k.doc_id AS doc_id, b.bench_id AS bench_id, count(*) AS shared
+          FROM k JOIN b USING (gram)
+          WHERE k.doc_id != b.bench_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "text_pii_scrub" ->
+      """WITH s AS (SELECT doc_id,
+                      text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        AS seeded
+                    FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(seeded,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+            len(regexp_extract_all(seeded, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+            len(regexp_extract_all(seeded, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(seeded,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+              '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS scrubbed
+          FROM s""")
 }

@@ -303,4 +303,41 @@ class PipelineSpec extends SparkSpec {
     val hits = (0L until 10L).count(i => lsh.getOrElse(i + 100000L, Set.empty)(i))
     assert(hits >= 9, s"near-dup recall $hits/10: $lsh")
   }
+
+  test("contamination: shared-gram counting, self-pair exclusion, maxDf cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // shares 3-gram run with 10
+      (1L, "alpha beta gamma zeta eta"),           // shares exactly one 3-gram with 10
+      (2L, "hot hot hot hot hot hot"),             // only the hot gram
+      (10L, "alpha beta gamma delta epsilon zeta") // the benchmark item
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 10L)
+    val pairs = Contamination.contaminatedPairs(docs, bench, n = 3,
+        minShared = 2, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 0 shares "alpha beta gamma", "beta gamma delta", "gamma delta epsilon"
+    assert(pairs == Set((0L, 10L, 3L)))
+    // benchmark item never flags itself even though it trivially matches
+    assert(!pairs.exists(p => p._1 == p._2))
+    // a df cap of 1 kills every gram that appears in two documents
+    val capped = Contamination.contaminatedPairs(docs, bench, n = 3,
+      minShared = 1, maxDf = Some(1))
+    assert(capped.count() == 0)
+  }
+
+  test("pii scrub: counts and typed redaction, fixed replacement order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-co.org then 555-1234 or 555-9999 from 192.168.0.1 done"),
+      (2L, "nothing sensitive here")).toDF("id", "text")
+    val countCols = TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }
+    val r = df.select($"id" +: countCols :+
+        TextAnalysis.piiScrub($"text").as("scrubbed"): _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 1 && r(1L).getInt(2) == 2 && r(1L).getInt(3) == 1)
+    assert(r(1L).getString(4) ==
+      "mail [EMAIL] then [PHONE] or [PHONE] from [IP] done")
+    assert(r(2L).getInt(1) == 0 && r(2L).getString(4) == "nothing sensitive here")
+  }
 }
