@@ -33,6 +33,7 @@ object Bench {
     "similarity_ivf_topk", "similarity_lsh_topk", "text_langid", "text_quality",
     "text_fingerprint", "text_token_count", "text_subword_count",
     "text_repetition", // new r5: Gopher-style duplicate-ngram fractions
+    "text_contamination", "text_pii_scrub", // new r5: decontam sweep + PII redaction
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

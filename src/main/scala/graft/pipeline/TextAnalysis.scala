@@ -146,6 +146,33 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Corpus vocabulary: top-`k` whitespace tokens by occurrence count,
+    * ranked with the deterministic (count desc, token asc) tiebreak.
+    * One narrow explode + one count shuffle; the ranking window runs over
+    * the AGGREGATED vocabulary (bounded by distinct-token count, not
+    * corpus size), which is the standard tokenizer-training shape: 100 TB
+    * of text reduces to a vocab table that fits anywhere. */
+  def vocabulary(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-document out-of-vocabulary rate: the fraction of token
+    * OCCURRENCES not in `vocab` (a `(token, …)` DataFrame, typically
+    * [[vocabulary]]'s output — broadcast, it is small by construction).
+    * Rounded to 6 decimals for engine-portable comparison. */
+  def oovRate(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
+        Seq("token"), "left_outer")
+      .groupBy(idCol)
+      .agg(round(avg(when(col("__in").isNull, 1.0).otherwise(0.0)), 6).as("oov"))
+
   /** All-in-one annotation: adds lang_pred / quality / n_tokens / fp. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

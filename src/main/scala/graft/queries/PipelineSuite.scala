@@ -152,6 +152,16 @@ object PipelineSuite {
         n = 3, minShared = 2, maxDf = Some(20))
     }),
 
+    // tokenizer-pipeline pair: corpus vocabulary (top-K tokens, ranked
+    // deterministically) and per-document OOV occurrence rate against it
+    "text_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), k = 20)),
+
+    "text_oov_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.oovRate(d, TextAnalysis.vocabulary(d, k = 10))
+    }),
+
     // PII detect + redact over deterministically seeded text (the corpus
     // itself carries no PII; the seed makes every row non-vacuous and is
     // reproduced verbatim by the oracle)
@@ -435,6 +445,24 @@ object PipelineSuite {
           FROM k JOIN b USING (gram)
           WHERE k.doc_id != b.bench_id
           GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "text_vocab_topk" ->
+      s"""WITH e AS (SELECT unnest($toks) AS token FROM documents),
+          v AS (SELECT token, count(*) AS cnt,
+                  row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+                FROM e GROUP BY token)
+          SELECT token, cnt, rank FROM v WHERE rank <= 20""",
+
+    "text_oov_rate" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+          v AS (SELECT token FROM (
+                  SELECT token, row_number() OVER
+                    (ORDER BY count(*) DESC, token ASC) AS rank
+                  FROM e GROUP BY token) WHERE rank <= 10)
+          SELECT doc_id,
+            ROUND(AVG(CASE WHEN token IN (SELECT token FROM v)
+                           THEN 0.0 ELSE 1.0 END), 6) AS oov
+          FROM e GROUP BY doc_id""",
 
     "text_pii_scrub" ->
       """WITH s AS (SELECT doc_id,

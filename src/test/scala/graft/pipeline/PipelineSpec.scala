@@ -326,6 +326,21 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("vocabulary ranking is deterministic; oov rate counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "b c d d")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // counts: a=3 b=3 c=2 d=2 — ties break token-ascending
+    assert(v.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+    val oov = TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, k = 3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(oov(1L) == 0.0)           // all of doc 1 in vocab
+    assert(oov(2L) == 0.5)           // d d out of b c d d
+  }
+
   test("pii scrub: counts and typed redaction, fixed replacement order") {
     import spark.implicits._
     val df = Seq(
