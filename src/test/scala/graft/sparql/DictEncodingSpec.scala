@@ -109,6 +109,28 @@ class DictEncodingSpec extends SparkSpec {
     assert(agg._1 == agg._2 && agg._1.nonEmpty)
   }
 
+  test("OPTIONAL / MINUS / EXISTS compose with the encoded path (left_outer decode)") {
+    // OPTIONAL over encoded bindings makes an encoded var UNDEF-able —
+    // its decode join must go left_outer or padded rows vanish
+    val opt = both("""
+      SELECT ?n ?name ?cname WHERE {
+        ?n <nation#n_name> ?name .
+        OPTIONAL { ?c <customer#c_nationkey> ?n .
+                   ?c <customer#c_name> ?cname .
+                   ?c <customer#c_mktsegment> "FURNITURE" } }""")
+    assert(opt._1 == opt._2 && opt._1.nonEmpty)
+    val minus = both("""
+      SELECT ?s ?sname WHERE {
+        ?s <supplier#s_name> ?sname .
+        MINUS { ?li <lineitem#l_suppkey> ?s . ?li <lineitem#l_returnflag> "R" } }""")
+    assert(minus._1 == minus._2)
+    val ex = both("""
+      SELECT ?s ?sname WHERE {
+        ?s <supplier#s_name> ?sname .
+        FILTER EXISTS { ?li <lineitem#l_suppkey> ?s } }""")
+    assert(ex._1 == ex._2 && ex._1.nonEmpty)
+  }
+
   test("mutations invalidate a materialized encoded source") {
     import spark.implicits._
     val base = QuadStore.fromTriples(spark, Seq(("a", "p", "x")))
