@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct word n-grams per row, exploded to (id, gram). */
+  /** Distinct word n-grams per row, exploded to (id, gram). The token
+    * array is pre-projected into its own column so the gram lambda reads
+    * an attribute instead of re-evaluating the tokenizing `split()` per
+    * element ([[TextAnalysis.ngramsOfTokens]]). */
   private def gramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), explode(array_distinct(
-      TextAnalysis.wordNgrams(col(textCol), n))).as("gram"))
+    df.select(col(idCol),
+        TextAnalysis.tokens(trim(col(textCol))).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.ngramsOfTokens(col("__toks"), n))).as("gram"))
 
   /** Pairs `(docId, benchId, shared)` where a training document shares at
     * least `minShared` DISTINCT word n-grams with a benchmark item.
@@ -31,11 +36,19 @@ object Contamination {
     * itself must not flag its own source rows). The `maxDf` cap is
     * computed over the TRAINING side; benchmark grams only ever join
     * against surviving training grams, so capping one side caps the join. */
+  /** `checkpointGrams`: the df-cap references the training gram table
+    * twice (keep-list aggregation + the capped join); by default both
+    * subplans re-run the explode — lazy for composability, like
+    * `Dedup.checkpointSigs`. True materializes the gram table once.
+    * Measured at sf0.1 (Bench harness, n=3 median): 8.2 s single-split
+    * lazy → 2.6 s with entry-side repartition + checkpoint + the
+    * pre-tokenized gram lambda; the driver entry passes true. */
   def contaminatedPairs(docs: DataFrame, bench: DataFrame, n: Int = 13,
       minShared: Int = 1, maxDf: Option[Int] = Some(1000),
       idCol: String = "doc_id", textCol: String = "text",
-      benchIdCol: String = "bench_id"): DataFrame = {
-    val d0 = gramRows(docs, idCol, textCol, n)
+      benchIdCol: String = "bench_id", checkpointGrams: Boolean = false): DataFrame = {
+    val d00 = gramRows(docs, idCol, textCol, n)
+    val d0 = if (checkpointGrams && maxDf.isDefined) d00.localCheckpoint() else d00
     val d = maxDf match {
       case Some(cap) =>
         val keep = d0.groupBy("gram").agg(count(lit(1)).as("__df"))

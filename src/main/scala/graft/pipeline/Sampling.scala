@@ -41,4 +41,21 @@ object Sampling {
         .when(b < trainPct + valPct, lit("validation"))
         .otherwise(lit("test")))
   }
+
+  /** Domain-mixing sampler: keep a different deterministic percentage per
+    * group (the per-source mixture weights every corpus recipe specifies —
+    * e.g. C4 at 20%, code at 100%). Groups absent from `percents` get
+    * `defaultPercent`. Still one narrow filter — the per-group rate just
+    * selects the threshold the row's hash bucket is compared against; no
+    * shuffle, no per-group pass. */
+  def weightedSample(df: DataFrame, keyCol: String, groupCol: String,
+      percents: Map[String, Int], defaultPercent: Int = 100,
+      salt: String = "mix"): DataFrame = {
+    require((defaultPercent +: percents.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "percents must be in [0, 100]")
+    val threshold = percents.foldLeft(lit(defaultPercent)) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100, salt) < threshold)
+  }
 }

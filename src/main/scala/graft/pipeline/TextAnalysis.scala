@@ -81,14 +81,20 @@ object TextAnalysis {
     array_sort(array_distinct(sel))
   }
 
-  /** Word n-grams as space-joined strings; empty array below n tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(trim(text))
+  /** Word n-grams over an ALREADY-TOKENIZED array column. Call sites that
+    * explode large gram sets should pre-project the token array into its
+    * own column first: a lambda that captures the `split()` expression
+    * re-evaluates it per element, while a captured attribute is a plain
+    * array read ([[graft.pipeline.Contamination]] does this). */
+  def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-grams as space-joined strings; empty array below n tokens. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(tokens(trim(text)), n)
 
   /** Duplicate word-n-gram fraction — the MassiveText/Gopher repetition
     * filter (Rae et al. 2021 §A1.1: documents whose duplicate 2-gram /

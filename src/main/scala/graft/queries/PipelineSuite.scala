@@ -146,11 +146,22 @@ object PipelineSuite {
     // 3-gram overlap (n=3 keeps the synthetic corpus non-vacuous; corpus
     // scale uses 13), hot grams capped at df<=20
     "text_contamination" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // the driver parquet is one small file → one input split; without a
+      // repartition the gram HOF runs on a single core (Triplizer does the
+      // same for the quad projection — on a real cluster the reader splits
+      // by row group and this shuffle of raw rows is cheap)
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
       Contamination.contaminatedPairs(
         d, d.filter(col("doc_id") % 50 === 0),
-        n = 3, minShared = 2, maxDf = Some(20))
+        n = 3, minShared = 2, maxDf = Some(20), checkpointGrams = true)
     }),
+
+    // domain-mixing weighted sampler: per-source keep rates (including a
+    // zero weight), deterministic by doc_id hash — corpus mixture recipes
+    "pipeline_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 10, "src1" -> 50, "src2" -> 0), defaultPercent = 80)
+        .select("doc_id", "source")),
 
     // tokenizer-pipeline pair: corpus vocabulary (top-K tokens, ranked
     // deterministically) and per-document OOV occurrence rate against it
@@ -445,6 +456,15 @@ object PipelineSuite {
           FROM k JOIN b USING (gram)
           WHERE k.doc_id != b.bench_id
           GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "pipeline_weighted_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+                ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 AS mb
+              FROM documents)
+         SELECT doc_id, source FROM b
+         WHERE mb < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50
+                                WHEN 'src2' THEN 0 ELSE 80 END""",
 
     "text_vocab_topk" ->
       s"""WITH e AS (SELECT unnest($toks) AS token FROM documents),

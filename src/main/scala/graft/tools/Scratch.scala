@@ -2,11 +2,16 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.model.QuadStore
-import graft.reasoner.Reasoner
-import graft.sparql.SparqlParser
+import graft.pipeline.{Contamination, TextAnalysis}
 
-/** Ad-hoc profiling entry (not part of the driver contract). */
+/** Ad-hoc profiling entry (not part of the driver contract). Currently:
+  * stage timing of the contamination sweep at sf0.1 — the probe that
+  * located the single-input-split gram HOF cost (fixed by entry-side
+  * repartition + pre-tokenized lambda + checkpointGrams; numbers in
+  * [[Contamination.contaminatedPairs]]'s Scaladoc). NOTE: single-shot
+  * timings here run without the Bench harness's status-store caps and
+  * inter-query GC — treat them as direction, not measurement; confirm
+  * with `SPARK_GRAFT_BENCH_ONLY=<entry> graft.Bench`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,40 +24,32 @@ object Scratch {
       .config("spark.ui.retainedJobs", "20")
       .config("spark.ui.retainedStages", "50")
       .config("spark.ui.retainedTasks", "500")
-      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.gc()
       r
     }
-    val c = spark.read.parquet(s"$sfDir/customer.parquet")
-    val edges = c.filter(col("c_custkey") >= 1).select(
-      concat(lit("customer/"), col("c_custkey")).as("s"),
-      lit("chain/parent").as("p"),
-      concat(lit("customer/"), (col("c_custkey") / 2).cast("long")).as("o"))
-    val rules = Seq(
-      SparqlParser().parseRule(
-        "RULE <rules/anc_base> :- CONSTRUCT { ?x <chain/anc> ?y } WHERE { ?x <chain/parent> ?y }"),
-      SparqlParser().parseRule(
-        "RULE <rules/anc_step> :- CONSTRUCT { ?x <chain/anc> ?z } WHERE { ?x <chain/parent> ?y . ?y <chain/anc> ?z }"))
-    time("edge count") { println(edges.count()) }
-    // simulate the bench's prior session state: several SPARQL queries
-    // against the materialized quad table
-    val all = graft.SparkEntry.queries
-    Seq("sparql_scan", "sparql_bgp_join", "sparql_star_join", "sparql_filter_arith",
-        "sparql_groupby_agg", "sparql_orderby_limit", "sparql_subquery",
-        "sparql_union", "sparql_distinct").foreach { n =>
-      time(n) { all(n)(spark, sfDir).count() }
-      System.gc()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pre = docs.select(col("doc_id"), TextAnalysis.tokens(trim(col("text"))).as("__toks"))
+    val grams = pre.select(col("doc_id"), explode(array_distinct(
+      TextAnalysis.ngramsOfTokens(col("__toks"), 3))).as("gram"))
+    time("gram rows") { println(grams.count()) }
+    time("keep list") {
+      println(grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 20).count())
     }
-    val r = new Reasoner(spark)
-    val closed = time("semi-naive closure AFTER sparql queries") {
-      r.materializeSemiNaive(edges.select("s", "p", "o"), rules)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    (1 to 3).foreach { i =>
+      time(s"full entry rep $i") {
+        println(Contamination.contaminatedPairs(docs, bench, n = 3,
+          minShared = 2, maxDf = Some(20), checkpointGrams = true).count())
+      }
     }
-    time("closure count") { println(closed.count()) }
     spark.stop()
   }
 }

@@ -326,6 +326,25 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("weighted sampling: per-group rates, zero weight, default; subset of unweighted") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "grp")
+    val kept = Sampling.weightedSample(df, "id", "grp",
+      Map("src0" -> 100, "src1" -> 0), defaultPercent = 50)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.getOrElse("src0", 0L) == 100L)      // 100% kept
+    assert(!byGrp.contains("src1"))                   // zero weight
+    val d = byGrp.getOrElse("src2", 0L)
+    assert(d > 25 && d < 75, s"default 50% kept $d of 100")
+    // determinism + monotone nesting: a lower rate keeps a subset
+    val lower = Sampling.weightedSample(df, "id", "grp",
+      Map("src0" -> 40), defaultPercent = 0).select("id").collect().map(_.getLong(0)).toSet
+    val higher = Sampling.weightedSample(df, "id", "grp",
+      Map("src0" -> 80), defaultPercent = 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(lower.subsetOf(higher) && lower.nonEmpty)
+  }
+
   test("vocabulary ranking is deterministic; oov rate counts occurrences") {
     import spark.implicits._
     val docs = Seq(
