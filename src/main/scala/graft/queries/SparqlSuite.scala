@@ -152,6 +152,16 @@ object SparqlSuite {
           ?c <customer#c_name> ?name .
           FILTER NOT EXISTS { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
 
+    // ASK / CONSTRUCT query forms (extensions, Ast.AskOp/ConstructOp)
+    "sparql_ask" -> ((s, dir) =>
+      engine(s, dir).execute(
+        """ASK { ?c <customer#c_mktsegment> "BUILDING" }""")),
+
+    "sparql_construct" -> ((s, dir) =>
+      engine(s, dir).execute("""
+        CONSTRUCT { ?c <tag/segment> ?seg . ?c <tag/kind> "customer" }
+        WHERE { ?c <customer#c_mktsegment> ?seg }""")),
+
     "sparql_values" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?c ?seg WHERE {
@@ -344,6 +354,16 @@ object SparqlSuite {
     "sparql_values" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
          FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+
+    "sparql_ask" ->
+      """SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask""",
+
+    "sparql_construct" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s,
+                'tag/segment' AS p, c_mktsegment AS o FROM customer
+         UNION
+         SELECT 'customer/' || CAST(c_custkey AS VARCHAR), 'tag/kind', 'customer'
+         FROM customer""",
 
     "sparql_optional" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name,

@@ -124,6 +124,15 @@ object Ast {
   sealed trait Operation
   final case class SelectOp(q: Select) extends Operation
   final case class UpdateOp(u: Update) extends Operation
+  /** `ASK [FROM …] { … }` — EXTENSION beyond the reference fragment (no
+    * ASK there, SURVEY §7.5): boolean solution-existence test. Wraps a
+    * Select whose WHERE is the probed group. */
+  final case class AskOp(q: Select) extends Operation
+  /** `CONSTRUCT { template } [FROM …] WHERE { … }` — EXTENSION: instantiate
+    * the template once per solution, drop rows with unbound positions,
+    * set semantics (SPARQL 1.1 §16.2). Template blank nodes allocate fresh
+    * per solution, as update templates do (`execute_query.rs:610-627`). */
+  final case class ConstructOp(template: Seq[TriplePattern], q: Select) extends Operation
 
   /** `PROB(provenance=…, threshold=…, …)` rule annotation
     * (`kolibrie/src/parser.rs:2846-3100`). `thresholdPolicy` is

@@ -153,6 +153,29 @@ class Compiler(store: QuadStore) {
   def execute(q: String): DataFrame = SparqlParser.operation(q) match {
     case SelectOp(s) => compileSelect(s)
     case UpdateOp(u) => executeUpdate(u); spark.emptyDataFrame
+    case AskOp(s) => compileAsk(s)
+    case ConstructOp(tmpl, s) => compileConstruct(tmpl, s)
+  }
+
+  /** ASK (extension): one row, one boolean column — solution existence.
+    * Declarative: LIMIT 1 bounds the probe, the aggregate answers. */
+  def compileAsk(sel: Select): DataFrame = {
+    val view = buildView(sel.fromGraphs, sel.fromNamed)
+    val b = compileGroup(sel.where, DefaultGraph, view, None).getOrElse(unitBindings)
+    b.df.limit(1).agg((count(lit(1)) > 0).as("ask"))
+  }
+
+  /** CONSTRUCT (extension): template instantiated once per solution —
+    * reuses the update-template machinery (per-solution blank nodes,
+    * RDF-star legality drops, unbound-position drops) — then SPARQL
+    * set semantics via dropDuplicates. */
+  def compileConstruct(tmpl: Seq[TriplePattern], sel: Select): DataFrame = {
+    if (tmpl.isEmpty) return spark.emptyDataFrame
+    val view = buildView(sel.fromGraphs, sel.fromNamed)
+    val b = decodeAll(
+      compileGroup(sel.where, DefaultGraph, view, None).getOrElse(unitBindings))
+    instantiate(b.df, tmpl.map(tp => (tp, DefaultGraph: GraphSpec)), forInsert = true)
+      .select("s", "p", "o").dropDuplicates()
   }
 
   /** Public hook: compile a group of elements against this store's

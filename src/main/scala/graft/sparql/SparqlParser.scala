@@ -521,9 +521,32 @@ class SparqlParser extends RegexParsers {
         savePath = kv.get("save").map(_.asInstanceOf[String]))
     }
 
+  /** `ASK [FROM …] [WHERE] { … }` (extension). */
+  def askQuery: Parser[Select] =
+    kw("ASK") ~> rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
+      (opt(kw("WHERE")) ~> groupGraphPattern) ^^ { case froms ~ where =>
+      Select(distinct = false, projection = Seq("*"), aggregates = Nil,
+        where = where, groupBy = Nil, orderBy = Nil, limit = None, offset = None,
+        fromGraphs = froms.collect { case Left(g) => g },
+        fromNamed = froms.collect { case Right(g) => g })
+    }
+
+  /** `CONSTRUCT { template } [FROM …] WHERE { … }` (extension). */
+  def constructQuery: Parser[ConstructOp] =
+    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~
+      rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
+      (kw("WHERE") ~> groupGraphPattern) ^^ { case tmpl ~ froms ~ where =>
+      ConstructOp(tmpl.getOrElse(Nil),
+        Select(distinct = false, projection = Seq("*"), aggregates = Nil,
+          where = where, groupBy = Nil, orderBy = Nil, limit = None, offset = None,
+          fromGraphs = froms.collect { case Left(g) => g },
+          fromNamed = froms.collect { case Right(g) => g }))
+    }
+
   // ---- entry points ------------------------------------------------------
   def operation: Parser[Operation] =
-    rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | update ^^ (UpdateOp(_)))
+    rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | askQuery ^^ (AskOp(_)) |
+      constructQuery | update ^^ (UpdateOp(_)))
 
   private def run[T](p: Parser[T], input: String): T = {
     prefixes = Map.empty

@@ -217,6 +217,40 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq("ada lovelace")))
   }
 
+  // ---- ASK / CONSTRUCT extensions ----------------------------------------
+
+  test("ASK answers solution existence; FROM views respected") {
+    val st = qstore(("g1", "s", "p", "o"), (null, "x", "q", "y"))
+    def ask(q: String): Boolean =
+      new Compiler(st).execute(q).collect().head.getBoolean(0)
+    assert(ask("ASK { ?s <q> ?o }"))
+    assert(!ask("ASK { ?s <missing> ?o }"))
+    // the named graph's triple is invisible to the bare default graph
+    assert(!ask("ASK { <s> <p> <o> }"))
+    assert(ask("ASK FROM <g1> { <s> <p> <o> }"))
+  }
+
+  test("CONSTRUCT instantiates per solution with set semantics; unbound rows drop") {
+    val st = store(("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("bob", "age", "30"))
+    val r = new Compiler(st).execute("""
+      CONSTRUCT { ?b <tag/knownBy> ?a . ?b <tag/aged> ?age }
+      WHERE { ?a <knows> ?b . OPTIONAL { ?b <age> ?age } }""")
+      .collect().map(_.toSeq).toSet
+    // dave has no age → the second template drops only HIS row
+    assert(r == Set(
+      Seq("bob", "tag/knownBy", "alice"),
+      Seq("dave", "tag/knownBy", "carol"),
+      Seq("bob", "tag/aged", "30")))
+    // blank-node templates allocate per solution
+    val bn = new Compiler(st).execute("""
+      CONSTRUCT { ?a <tag/via> _:hop . _:hop <tag/to> ?b }
+      WHERE { ?a <knows> ?b }""").collect().map(_.toSeq)
+    assert(bn.size == 4)
+    val hops = bn.filter(_(1) == "tag/via").map(_(2)).toSet
+    assert(hops.size == 2, s"fresh bnode per solution: $hops")
+  }
+
   // ---- OPTIONAL / MINUS / EXISTS extensions ------------------------------
 
   test("OPTIONAL pads unmatched rows with null and keeps matches") {
