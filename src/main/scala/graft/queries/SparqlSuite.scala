@@ -152,6 +152,25 @@ object SparqlSuite {
           ?c <customer#c_name> ?name .
           FILTER NOT EXISTS { ?o <orders#o_custkey> ?c . ?o <orders#o_orderstatus> "P" } }""")),
 
+    // property-path extensions: a 3-step sequence over the FK chain, and
+    // transitive + over a halving-chain store derived from customer keys
+    // (the TPC-H triplization has no recursive predicate of its own)
+    "sparql_path_seq" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?rname WHERE {
+          ?c <customer#c_nationkey>/<nation#n_regionkey>/<region#r_name> ?rname }""")),
+
+    "sparql_path_plus" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val quads = c.filter(col("c_custkey") >= 2).select(
+        lit(null).cast("string").as("g"),
+        concat(lit("k/"), col("c_custkey").cast("string")).as("s"),
+        lit("chain/parent").as("p"),
+        concat(lit("k/"), (col("c_custkey") / 2).cast("long").cast("string")).as("o"))
+      new Compiler(QuadStore(s, quads))
+        .select("SELECT ?x ?y WHERE { ?x <chain/parent>+ ?y }")
+    }),
+
     // ASK / CONSTRUCT query forms (extensions, Ast.AskOp/ConstructOp)
     "sparql_ask" -> ((s, dir) =>
       engine(s, dir).execute(
@@ -354,6 +373,23 @@ object SparqlSuite {
     "sparql_values" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
          FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+
+    "sparql_path_seq" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, r_name AS rname
+         FROM customer
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey""",
+
+    "sparql_path_plus" ->
+      """WITH RECURSIVE e AS (
+           SELECT 'k/' || CAST(c_custkey AS VARCHAR) AS x,
+                  'k/' || CAST(c_custkey // 2 AS VARCHAR) AS y
+           FROM customer WHERE c_custkey >= 2),
+         anc AS (
+           SELECT x, y FROM e
+           UNION
+           SELECT a.x, e.y FROM anc a JOIN e ON a.y = e.x)
+         SELECT x, y FROM anc""",
 
     "sparql_ask" ->
       """SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask""",

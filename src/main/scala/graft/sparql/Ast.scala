@@ -32,6 +32,17 @@ object Ast {
 
   final case class TriplePattern(s: Term, p: Term, o: Term)
 
+  // ---- property paths (EXTENSION — the reference has none, SURVEY §7.5;
+  // SPARQL 1.1 §9 syntax: iri, ^inverse, seq/seq, alt|alt, +, *, ?) ------
+  sealed trait Path
+  final case class PLink(iri: String) extends Path
+  final case class PInv(p: Path) extends Path
+  final case class PSeq(l: Path, r: Path) extends Path
+  final case class PAlt(l: Path, r: Path) extends Path
+  final case class POneOrMore(p: Path) extends Path
+  final case class PZeroOrMore(p: Path) extends Path
+  final case class PZeroOrOne(p: Path) extends Path
+
   // ---- graph scope (`shared/src/dataset_index.rs:41-54`) -----------------
   sealed trait GraphSpec
   case object DefaultGraph extends GraphSpec
@@ -87,6 +98,10 @@ object Ast {
     * right solution sharing at least one both-bound variable (disjoint
     * domains keep the row, per SPARQL 1.1 §8.3); a `left_anti` join. */
   final case class MinusBlock(elems: Seq[Element]) extends Element
+  /** Triple pattern whose predicate is a property [[Path]] (EXTENSION):
+    * `?s <p>/<q>+ ?o`. Transitive forms compile to the recursive-doubling
+    * closure the reasoner uses (O(log diameter) join rounds). */
+  final case class PathPattern(s: Term, path: Path, o: Term) extends Element
   /** RSP-QL `WINDOW :w { … }` block (`parser.rs:249-282`). */
   final case class WindowBlockElem(windowIri: String, elems: Seq[Element]) extends Element
 

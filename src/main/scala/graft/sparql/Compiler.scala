@@ -255,6 +255,9 @@ class Compiler(store: QuadStore) {
         compileGroup(inner, scope, view, None).foreach { r =>
           acc.foreach(l => acc = Some(compatMinus(l, r)))
         }
+      case PathPattern(s, path, o) =>
+        val pb = compilePathPattern(s, path, o, scope, view)
+        acc = Some(acc.map(a => compatJoin(a, pb)).getOrElse(pb))
       case FilterElem(_) => // handled below
     }
     filters.foreach { case FilterElem(cond) =>
@@ -405,6 +408,90 @@ class Compiler(store: QuadStore) {
     val joined = acc.get
     // phase 2: no decode here — ids flow on, marked encoded
     Bindings(joined, Set.empty, joined.columns.toSet)
+  }
+
+  // ---- property paths (extension) ----------------------------------------
+
+  /** Path → edge relation with columns (__ps, __po). Sequence/alternative
+    * keep bag semantics (plain join/union — SPARQL 1.1 §9.3); the
+    * arbitrary-length forms are set-based by spec and compile to the
+    * recursive-doubling closure strategy the reasoner uses
+    * ([[graft.reasoner.Reasoner]]): O(log diameter) self-join rounds,
+    * each `localCheckpoint`ed to truncate plan lineage. */
+  private def pathEdges(p: Path, scope: GraphSpec, view: View): DataFrame = p match {
+    case PLink(i) =>
+      scanPattern(TriplePattern(Var("__ps"), Iri(i), Var("__po")), scope, view).df
+    case PInv(x) =>
+      pathEdges(x, scope, view)
+        .select(col("__po").as("__ps"), col("__ps").as("__po"))
+    case PSeq(l, r) =>
+      pathEdges(l, scope, view).select(col("__ps"), col("__po").as("__m"))
+        .join(pathEdges(r, scope, view)
+          .select(col("__ps").as("__m"), col("__po")), Seq("__m"), "inner")
+        .select("__ps", "__po")
+    case PAlt(l, r) =>
+      pathEdges(l, scope, view).unionByName(pathEdges(r, scope, view))
+    case POneOrMore(x) => pathClosure(pathEdges(x, scope, view))
+    case PZeroOrMore(x) =>
+      pathClosure(pathEdges(x, scope, view))
+        .unionByName(pathIdentity(scope, view)).distinct()
+    case PZeroOrOne(x) =>
+      pathEdges(x, scope, view)
+        .unionByName(pathIdentity(scope, view)).distinct()
+  }
+
+  /** Zero-length path endpoints: every node (subject or object) of the
+    * scoped graph relates to itself (SPARQL 1.1 §9.3 ZeroLengthPath over
+    * graph terms). */
+  private def pathIdentity(scope: GraphSpec, view: View): DataFrame = {
+    val all = scanPattern(
+      TriplePattern(Var("__ns"), Var("__np"), Var("__no")), scope, view).df
+    all.select(col("__ns").as("__n"))
+      .unionByName(all.select(col("__no").as("__n"))).distinct()
+      .select(col("__n").as("__ps"), col("__n").as("__po"))
+  }
+
+  /** Transitive closure by recursive doubling: R ← R ∪ R∘R until the
+    * count fixes. log₂(diameter) driver-paced rounds — a 10K-deep chain
+    * closes in 14 rounds (same scaling argument as DoublingSpec). */
+  private def pathClosure(edges: DataFrame): DataFrame = {
+    var r = edges.distinct().localCheckpoint()
+    var n = r.count()
+    var done = false
+    while (!done) {
+      val next = r.unionByName(
+          r.select(col("__ps"), col("__po").as("__m"))
+            .join(r.select(col("__ps").as("__m"), col("__po")), Seq("__m"), "inner")
+            .select("__ps", "__po"))
+        .distinct().localCheckpoint()
+      val m = next.count()
+      done = m == n
+      n = m
+      r = next
+    }
+    r
+  }
+
+  private def compilePathPattern(s: Term, path: Path, o: Term,
+      scope: GraphSpec, view: View): Bindings = {
+    val e = pathEdges(path, scope, view)
+    var filters = List.empty[Column]
+    var binds = List.empty[(String, Column)]
+    def walkEnd(c: Column, t: Term): Unit = t match {
+      case Var(n) => binds ::= (n -> c)
+      case other =>
+        require(termVars(other).isEmpty,
+          "path endpoints must be variables or ground terms")
+        filters ::= (c === lit(TermLex.lexical(other)))
+    }
+    walkEnd(col("__ps"), s); walkEnd(col("__po"), o)
+    val grouped = binds.reverse.groupBy(_._1)
+    val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
+    val filtered = (filters ++ eqs).foldLeft(e)((d, f) => d.filter(f))
+    val outCols = grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq
+    val df = if (outCols.nonEmpty) filtered.select(outCols: _*)
+             else filtered.select(lit(1).as("__exists")).limit(1).select()
+    Bindings(df, Set.empty)
   }
 
   /** One triple-pattern scan: filter on constant positions (pushed to the

@@ -90,6 +90,51 @@ class SparqlParser extends RegexParsers {
   def triplesBlock: Parser[Seq[TriplePattern]] =
     rep1sep(triplesSame, ".") <~ opt(".") ^^ (_.flatten)
 
+  // ---- property paths (extension, SPARQL 1.1 §9) --------------------------
+  /** Postfix path modifier that must follow its operand IMMEDIATELY (no
+    * whitespace): `<p>+` is one-or-more, but `<p> ?o` keeps `?o` a
+    * variable — the standard grammar's token adjacency, which the default
+    * whitespace-skipping parser would destroy. */
+  private def pathMod: Parser[String] = new Parser[String] {
+    def apply(in: Input): ParseResult[String] =
+      if (in.atEnd) Failure("eof", in)
+      else in.source.charAt(in.offset) match {
+        case c @ ('+' | '*' | '?') => Success(c.toString, in.drop(1))
+        case _ => Failure("no path modifier", in)
+      }
+  }
+
+  def pathPrimary: Parser[Path] =
+    iri ^^ (PLink(_)) |
+    "a" ^^ (_ => PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) |
+    "(" ~> pathExpr <~ ")"
+
+  def pathElt: Parser[Path] = pathPrimary ~ opt(pathMod) ^^ {
+    case p ~ Some("+") => POneOrMore(p)
+    case p ~ Some("*") => PZeroOrMore(p)
+    case p ~ Some("?") => PZeroOrOne(p)
+    case p ~ _ => p
+  }
+
+  def pathEltOrInverse: Parser[Path] = "^" ~> pathElt ^^ (PInv(_)) | pathElt
+
+  def pathSequence: Parser[Path] =
+    rep1sep(pathEltOrInverse, "/") ^^ (_.reduceLeft(PSeq(_, _)))
+
+  def pathExpr: Parser[Path] =
+    rep1sep(pathSequence, "|") ^^ (_.reduceLeft(PAlt(_, _)))
+
+  /** Predicate position inside a SELECT group: a path when path syntax
+    * appears, else a plain term. A path that reduces to one bare IRI
+    * stays a TriplePattern (identical plans to the pre-path grammar). */
+  private def predicatePos: Parser[Either[Term, Path]] =
+    pathExpr ^^ { p =>
+      p match {
+        case PLink(i) => Left(Iri(i)): Either[Term, Path]
+        case other => Right(other): Either[Term, Path]
+      }
+    } | term ^^ (t => Left(t): Either[Term, Path])
+
   // ---- expressions -------------------------------------------------------
   def funcName: Parser[String] = """[A-Za-z_][A-Za-z0-9_.]*""".r
   def funcCall: Parser[Func] = funcName ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
@@ -127,11 +172,39 @@ class SparqlParser extends RegexParsers {
     "(" ~> condition <~ ")"
 
   // ---- group graph pattern ----------------------------------------------
-  def groupGraphPattern: Parser[Seq[Element]] = "{" ~> rep(element) <~ "}" ^^ { els =>
-    // fold adjacent raw pattern groups; keep FILTER placement (compiler
-    // defers filters to group end anyway, `utils.rs:443-482`)
-    els
-  }
+  def groupGraphPattern: Parser[Seq[Element]] =
+    "{" ~> rep(elementSeq) <~ "}" ^^ (_.flatten)
+
+  /** Triples with path predicates split into Bgp runs + PathPattern
+    * elements; adjacent plain patterns coalesce into one Bgp so the
+    * greedy join-order pre-pass sees the whole conjunction. */
+  def elemTriples: Parser[Seq[Element]] =
+    rep1sep(elemTriplesSame, ".") <~ opt(".") ^^ { groups =>
+      val out = Seq.newBuilder[Element]
+      val run = Seq.newBuilder[TriplePattern]
+      var runNonEmpty = false
+      groups.flatten.foreach {
+        case Left(tp) => run += tp; runNonEmpty = true
+        case Right(pp) =>
+          if (runNonEmpty) { out += Bgp(run.result()); run.clear(); runNonEmpty = false }
+          out += pp
+      }
+      if (runNonEmpty) out += Bgp(run.result())
+      out.result()
+    }
+
+  private def elemTriplesSame: Parser[Seq[Either[TriplePattern, PathPattern]]] =
+    term ~ rep1sep(predicatePos ~ rep1sep(term, ","), ";") ^^ { case s ~ pol =>
+      pol.flatMap { case p ~ os => os.map { o =>
+        p match {
+          case Left(t) => Left(TriplePattern(s, t, o))
+          case Right(path) => Right(PathPattern(s, path, o))
+        }
+      }}
+    }
+
+  def elementSeq: Parser[Seq[Element]] =
+    element ^^ (Seq(_)) | elemTriples
 
   def element: Parser[Element] =
     subSelect |
@@ -142,8 +215,7 @@ class SparqlParser extends RegexParsers {
     minusBlock |
     filterElem |
     bindElem |
-    valuesElem |
-    triplesBlock ^^ (Bgp(_))
+    valuesElem
 
   // OPTIONAL / MINUS: extensions beyond the reference fragment (SURVEY
   // §7.5 records them absent there); standard SPARQL 1.1 syntax

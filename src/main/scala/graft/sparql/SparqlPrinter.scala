@@ -55,6 +55,18 @@ object SparqlPrinter {
   private def printPattern(tp: TriplePattern): String =
     s"${printTerm(tp.s)} ${printTerm(tp.p)} ${printTerm(tp.o)} ."
 
+  /** Property path, fully parenthesized; postfix modifiers print with no
+    * separating space (the parser requires token adjacency). */
+  def printPath(p: Path): String = p match {
+    case PLink(i) => s"<$i>"
+    case PInv(x) => s"^(${printPath(x)})"
+    case PSeq(l, r) => s"(${printPath(l)})/(${printPath(r)})"
+    case PAlt(l, r) => s"(${printPath(l)})|(${printPath(r)})"
+    case POneOrMore(x) => s"(${printPath(x)})+"
+    case PZeroOrMore(x) => s"(${printPath(x)})*"
+    case PZeroOrOne(x) => s"(${printPath(x)})?"
+  }
+
   def printElement(e: Element): String = e match {
     case Bgp(ps) => ps.map(printPattern).mkString(" ")
     case FilterElem(ExistsCond(els, neg)) =>
@@ -62,6 +74,8 @@ object SparqlPrinter {
     case FilterElem(c) => s"FILTER(${printCond(c)})"
     case OptionalBlock(els) => s"OPTIONAL { ${els.map(printElement).mkString(" ")} }"
     case MinusBlock(els) => s"MINUS { ${els.map(printElement).mkString(" ")} }"
+    case PathPattern(s, p, o) =>
+      s"${printTerm(s)} ${printPath(p)} ${printTerm(o)} ."
     case BindElem(expr, v) => s"BIND(${printExpr(expr)} AS ?$v)"
     case GraphBlock(g, els) =>
       val gs = g match {

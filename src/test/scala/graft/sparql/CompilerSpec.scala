@@ -217,6 +217,44 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq("ada lovelace")))
   }
 
+  // ---- property-path extensions ------------------------------------------
+
+  test("path sequence, alternative, inverse") {
+    val st = store(("a", "p", "b"), ("b", "q", "c"), ("x", "r", "a"))
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s <p>/<q> ?o }") == Seq(Seq("a", "c")))
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s (<p>|<r>) ?o }").toSet ==
+      Set(Seq("a", "b"), Seq("x", "a")))
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s ^<p> ?o }") == Seq(Seq("b", "a")))
+    // two-step sequence over distinct predicates, and inverses composed:
+    // x -r-> a -p-> b, so r/p : (x,b) and ^p/^r : (b,x)
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s <r>/<p> ?o }") == Seq(Seq("x", "b")))
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s ^<p>/^<r> ?o }") == Seq(Seq("b", "x")))
+  }
+
+  test("path + closure; * adds identity; ? is zero-or-one") {
+    val st = store(("n1", "next", "n2"), ("n2", "next", "n3"), ("n3", "next", "n4"))
+    val plus = rows(st, "SELECT ?s ?o WHERE { ?s <next>+ ?o }").toSet
+    assert(plus == Set(
+      Seq("n1", "n2"), Seq("n1", "n3"), Seq("n1", "n4"),
+      Seq("n2", "n3"), Seq("n2", "n4"), Seq("n3", "n4")))
+    val star = rows(st, "SELECT ?s ?o WHERE { ?s <next>* ?o }").toSet
+    assert(star == plus ++ Seq("n1", "n2", "n3", "n4").map(n => Seq(n, n)))
+    val opt = rows(st, "SELECT ?o WHERE { <n1> <next>? ?o }").map(_.head).toSet
+    assert(opt == Set("n1", "n2"))
+    // bound endpoints filter the closure
+    assert(rows(st, "SELECT ?o WHERE { <n2> <next>+ ?o }").map(_.head).toSet ==
+      Set("n3", "n4"))
+  }
+
+  test("path modifier requires token adjacency: '<p> ?o' keeps the variable") {
+    val st = store(("a", "p", "b"))
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s <p> ?o }") == Seq(Seq("a", "b")))
+    // and a path pattern composes with plain patterns around it
+    val st2 = store(("a", "p", "b"), ("b", "p", "c"), ("c", "tag", "t"))
+    assert(rows(st2, "SELECT ?s ?t WHERE { ?s <p>+ ?c . ?c <tag> ?t }").toSet ==
+      Set(Seq("a", "t"), Seq("b", "t")))
+  }
+
   // ---- ASK / CONSTRUCT extensions ----------------------------------------
 
   test("ASK answers solution existence; FROM views respected") {

@@ -96,11 +96,25 @@ class ParserRoundTripSpec extends AnyFunSuite {
     1 -> (for {
       b1 <- bgpGen; b2 <- bgpGen
     } yield UnionBlock(Seq(Seq(b1), Seq(b2)))),
-    // extensions: OPTIONAL / MINUS / FILTER [NOT] EXISTS
+    // extensions: OPTIONAL / MINUS / FILTER [NOT] EXISTS / property paths
     1 -> bgpGen.map(b => OptionalBlock(Seq(b)): Element),
     1 -> bgpGen.map(b => MinusBlock(Seq(b)): Element),
     1 -> (for { b <- bgpGen; neg <- Gen.oneOf(true, false) }
-      yield FilterElem(ExistsCond(Seq(b), neg)): Element))
+      yield FilterElem(ExistsCond(Seq(b), neg)): Element),
+    1 -> (for { s <- nameGen; p <- pathGen; o <- nameGen }
+      yield PathPattern(Var(s), p, Var(o)): Element))
+
+  private lazy val pathGen: Gen[Path] = {
+    val link = iriGen.map(PLink(_): Path)
+    Gen.frequency(
+      3 -> link,
+      1 -> link.map(PInv(_): Path),
+      1 -> (for { a <- link; b <- link } yield PSeq(a, b): Path),
+      1 -> (for { a <- link; b <- link } yield PAlt(a, b): Path),
+      1 -> link.map(POneOrMore(_): Path),
+      1 -> link.map(PZeroOrMore(_): Path),
+      1 -> link.map(PZeroOrOne(_): Path))
+  }
 
   private def selectGen(depth: Int): Gen[Select] = for {
     distinct <- Gen.oneOf(true, false)
