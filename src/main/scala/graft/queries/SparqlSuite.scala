@@ -181,6 +181,14 @@ object SparqlSuite {
         CONSTRUCT { ?c <tag/segment> ?seg . ?c <tag/kind> "customer" }
         WHERE { ?c <customer#c_mktsegment> ?seg }""")),
 
+    // DESCRIBE (extension, Ast.DescribeOp): all triples of the matched
+    // subjects — subject-restriction left_semi join, no collect
+    "sparql_describe" -> ((s, dir) =>
+      engine(s, dir).execute("""
+        DESCRIBE ?c WHERE {
+          ?c <customer#c_mktsegment> "BUILDING" .
+          ?c <customer#c_acctbal> ?b . FILTER(?b > 9000.0) }""")),
+
     "sparql_values" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?c ?seg WHERE {
@@ -193,6 +201,39 @@ object SparqlSuite {
           ?c <customer#c_name> ?n .
           ?c <customer#c_mktsegment> ?s .
           BIND(CONCAT(?n, "/", ?s) AS ?tag) }""")),
+
+    // SPARQL 1.1 built-in library (EXTENSIONS, Ast.Func/IfExpr): string
+    // builtins + REGEX/STRSTARTS in FILTER; numeric builtins incl. the
+    // xsd-style ROUND; nested IF; sorted GROUP_CONCAT + SAMPLE
+    "sparql_builtin_str" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?u ?len ?tail ?scrub WHERE {
+          ?c <customer#c_name> ?n .
+          BIND(UCASE(?n) AS ?u)
+          BIND(STRLEN(?n) AS ?len)
+          BIND(STRAFTER(?n, "#") AS ?tail)
+          BIND(REPLACE(?n, "0+", "0") AS ?scrub)
+          FILTER(REGEX(?n, "[17]$") && STRSTARTS(?n, "Customer")) }""")),
+
+    "sparql_builtin_numeric" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?f ?cl ?r ?a WHERE {
+          ?c <customer#c_acctbal> ?bal .
+          BIND(FLOOR(?bal) AS ?f) BIND(CEIL(?bal) AS ?cl)
+          BIND(ROUND(?bal) AS ?r) BIND(ABS(?bal) AS ?a)
+          FILTER(?bal < 1000.0) }""")),
+
+    "sparql_builtin_if" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?bucket WHERE {
+          ?c <customer#c_acctbal> ?bal .
+          BIND(IF(?bal >= 5000.0, "high", IF(?bal >= 0.0, "mid", "neg")) AS ?bucket) }""")),
+
+    "sparql_group_concat" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?seg (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) (SAMPLE(?name) AS ?first)
+        WHERE { ?c <customer#c_mktsegment> ?seg . ?c <customer#c_name> ?name }
+        GROUP BY ?seg""")),
 
     "sparql_groupby_agg" -> ((s, dir) =>
       engine(s, dir).select("""
@@ -427,6 +468,47 @@ object SparqlSuite {
     "sparql_bind_concat" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
                 c_name || '/' || c_mktsegment AS tag FROM customer""",
+
+    "sparql_describe" ->
+      """WITH cust AS (SELECT * FROM customer
+                       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0),
+            subj AS (SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS s, * FROM cust)
+         SELECT s, 'customer#c_custkey' AS p, CAST(c_custkey AS VARCHAR) AS o FROM subj
+         UNION ALL SELECT s, 'customer#c_name', c_name FROM subj
+         UNION ALL SELECT s, 'customer#c_nationkey',
+                          'nation/' || CAST(c_nationkey AS VARCHAR) FROM subj
+         UNION ALL SELECT s, 'customer#c_acctbal', CAST(c_acctbal AS VARCHAR) FROM subj
+         UNION ALL SELECT s, 'customer#c_mktsegment', c_mktsegment FROM subj""",
+
+    "sparql_builtin_str" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                UPPER(c_name) AS u,
+                CAST(LENGTH(c_name) AS VARCHAR) AS len,
+                SUBSTR(c_name, INSTR(c_name, '#') + 1) AS tail,
+                REGEXP_REPLACE(c_name, '0+', '0', 'g') AS scrub
+         FROM customer
+         WHERE REGEXP_MATCHES(c_name, '[17]$') AND c_name LIKE 'Customer%'""",
+
+    "sparql_builtin_numeric" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) AS f,
+                CAST(CAST(CEIL(c_acctbal) AS BIGINT) AS VARCHAR) AS cl,
+                CAST(CAST(FLOOR(c_acctbal + 0.5) AS BIGINT) AS VARCHAR) AS r,
+                CAST(ABS(c_acctbal) AS VARCHAR) AS a
+         FROM customer WHERE c_acctbal < 1000.0""",
+
+    "sparql_builtin_if" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                CASE WHEN c_acctbal >= 5000.0 THEN 'high'
+                     WHEN c_acctbal >= 0.0 THEN 'mid'
+                     ELSE 'neg' END AS bucket
+         FROM customer""",
+
+    "sparql_group_concat" ->
+      """SELECT c_mktsegment AS seg,
+                STRING_AGG(c_name, '|' ORDER BY c_name) AS names,
+                MIN(c_name) AS first
+         FROM customer GROUP BY c_mktsegment""",
 
     "sparql_groupby_agg" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS n,

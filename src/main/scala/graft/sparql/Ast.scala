@@ -55,8 +55,16 @@ object Ast {
   /** `+ - * /` over numeric-parsed operands (`shared/src/query.rs:24-58`). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   /** CONCAT / TRIPLE / SUBJECT / PREDICATE / OBJECT / isTRIPLE / registered
-    * UDFs (`engine.rs:437-573`). */
+    * UDFs (`engine.rs:437-573`). EXTENSION: the SPARQL 1.1 built-in
+    * library (STR/STRLEN/UCASE/LCASE/SUBSTR/STRBEFORE/STRAFTER/REPLACE/
+    * CONTAINS/STRSTARTS/STRENDS/ABS/CEIL/FLOOR/ROUND/COALESCE) — absent
+    * from the reference fragment, compiled to codegen'd Catalyst
+    * functions. */
   final case class Func(name: String, args: Seq[Expr]) extends Expr
+  /** `IF(cond, then, else)` — EXTENSION (SPARQL 1.1 §17.4.1.2); the
+    * condition reuses FILTER's numeric-else-lexical comparison
+    * semantics. */
+  final case class IfExpr(c: Condition, t: Expr, e: Expr) extends Expr
 
   sealed trait Condition
   /** op ∈ = != > >= < <= ; numeric-if-both-parse else lexical
@@ -108,8 +116,11 @@ object Ast {
   // ---- solution modifiers -------------------------------------------------
   /** func ∈ SUM MIN MAX AVG COUNT; COUNT(*) → v=None. The reference parser
     * misses COUNT (`parser.rs:1629-1661`) but the executor and README
-    * support it — we support it (SURVEY §7.5). */
-  final case class Aggregate(func: String, v: Option[String], alias: String)
+    * support it — we support it (SURVEY §7.5). EXTENSIONS: GROUP_CONCAT
+    * (with `sep`, deterministic sorted order) and SAMPLE (deterministic
+    * min — SPARQL allows any value, we pick a reproducible one). */
+  final case class Aggregate(func: String, v: Option[String], alias: String,
+      sep: Option[String] = None)
   final case class OrderKey(v: String, asc: Boolean)
 
   final case class Select(
@@ -148,6 +159,13 @@ object Ast {
     * set semantics (SPARQL 1.1 §16.2). Template blank nodes allocate fresh
     * per solution, as update templates do (`execute_query.rs:610-627`). */
   final case class ConstructOp(template: Seq[TriplePattern], q: Select) extends Operation
+  /** `DESCRIBE ?v… <iri>… [WHERE { … }]` — EXTENSION (SPARQL 1.1 §16.4
+    * leaves the result form implementation-defined): we emit every
+    * default-graph triple whose SUBJECT is a described resource —
+    * resources = the listed IRIs plus the distinct bindings of the listed
+    * variables. The WHERE-less form describes the IRIs directly. */
+  final case class DescribeOp(vars: Seq[String], iris: Seq[String], q: Select)
+      extends Operation
 
   /** `PROB(provenance=…, threshold=…, …)` rule annotation
     * (`kolibrie/src/parser.rs:2846-3100`). `thresholdPolicy` is

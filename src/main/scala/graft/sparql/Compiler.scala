@@ -132,6 +132,7 @@ class Compiler(store: QuadStore) {
     case ETerm(_) => Set.empty
     case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
     case Func(_, args) => args.flatMap(exprVars).toSet
+    case IfExpr(c, t, el) => condVars(c) ++ exprVars(t) ++ exprVars(el)
   }
 
   private def condVars(c: Condition): Set[String] = c match {
@@ -155,6 +156,7 @@ class Compiler(store: QuadStore) {
     case UpdateOp(u) => executeUpdate(u); spark.emptyDataFrame
     case AskOp(s) => compileAsk(s)
     case ConstructOp(tmpl, s) => compileConstruct(tmpl, s)
+    case DescribeOp(vars, iris, s) => compileDescribe(vars, iris, s)
   }
 
   /** ASK (extension): one row, one boolean column — solution existence.
@@ -176,6 +178,34 @@ class Compiler(store: QuadStore) {
       compileGroup(sel.where, DefaultGraph, view, None).getOrElse(unitBindings))
     instantiate(b.df, tmpl.map(tp => (tp, DefaultGraph: GraphSpec)), forInsert = true)
       .select("s", "p", "o").dropDuplicates()
+  }
+
+  /** DESCRIBE (extension): every default-graph triple whose subject is a
+    * described resource. The subject restriction is a `left_semi` join —
+    * one scan of the quads, no driver collect; the resource set is
+    * unbounded (a variable may bind to most subjects), so no broadcast
+    * hint — AQE broadcasts when the built side turns out small. */
+  def compileDescribe(vars: Seq[String], iris: Seq[String], sel: Select): DataFrame = {
+    val view = buildView(sel.fromGraphs, sel.fromNamed)
+    val base = view.default.select("s", "p", "o")
+    val varResources: Option[DataFrame] =
+      if (vars.isEmpty || sel.where.isEmpty) None
+      else {
+        val b = decodeAll(
+          compileGroup(sel.where, DefaultGraph, view, None).getOrElse(unitBindings))
+        Some(vars.map(v => b.df.select(varCol(b.df, v).cast(StringType).as("res")))
+          .reduce(_ union _).na.drop().distinct())
+      }
+    val iriResources: Option[DataFrame] =
+      if (iris.isEmpty) None
+      else Some(spark.createDataFrame(iris.map(Tuple1(_))).toDF("res").distinct())
+    val resources = (varResources, iriResources) match {
+      case (Some(a), Some(b)) => a.union(b).distinct()
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return spark.emptyDataFrame
+    }
+    base.join(resources, base("s") === resources("res"), "left_semi")
   }
 
   /** Public hook: compile a group of elements against this store's
@@ -671,15 +701,52 @@ class Compiler(store: QuadStore) {
         // reference's row-drop semantics (`shared/src/query.rs:24-58`)
         case "/" => when(rn === 0.0, lit(null).cast(DoubleType)).otherwise(ln / rn)
       }
+    case IfExpr(c, t, e) =>
+      when(compileCond(df, c), compileExpr(df, t).cast(StringType))
+        .otherwise(compileExpr(df, e).cast(StringType))
     case Func(name, args) =>
       lazy val cs = args.map(a => compileExpr(df, a))
+      def s0 = cs.head.cast(StringType)
+      def s1 = cs(1).cast(StringType)
       name match {
         case "CONCAT" => concat(cs.map(_.cast(StringType)): _*)
         case "TRIPLE" => qtMake(cs(0).cast(StringType), cs(1).cast(StringType), cs(2).cast(StringType))
-        case "SUBJECT" => qtS(cs.head.cast(StringType))
-        case "PREDICATE" => qtP(cs.head.cast(StringType))
-        case "OBJECT" => qtO(cs.head.cast(StringType))
-        case "ISTRIPLE" => when(qtIs(cs.head.cast(StringType)), lit("true")).otherwise(lit("false"))
+        case "SUBJECT" => qtS(s0)
+        case "PREDICATE" => qtP(s0)
+        case "OBJECT" => qtO(s0)
+        case "ISTRIPLE" => when(qtIs(s0), lit("true")).otherwise(lit("false"))
+        // SPARQL 1.1 built-in library (EXTENSION; all codegen'd Catalyst
+        // functions — no UDFs). Storage is lexical strings, so STR is the
+        // identity and numeric builtins parse via try_cast like FILTER.
+        case "STR" => s0
+        case "STRLEN" => length(s0)
+        case "UCASE" => upper(s0)
+        case "LCASE" => lower(s0)
+        case "SUBSTR" => // 1-based like SPARQL; 2-arg form runs to the end
+          val start = numC(s1).cast(IntegerType)
+          val len = if (cs.size > 2) numC(cs(2).cast(StringType)).cast(IntegerType)
+                    else length(s0)
+          s0.substr(start, len)
+        // empty needle: instr = 1, so STRBEFORE → "" and STRAFTER → the
+        // whole string, matching SPARQL §17.4.3.4-5
+        case "STRBEFORE" =>
+          val pos = call_function("instr", s0, s1)
+          when(pos > 0, s0.substr(lit(1), pos - 1)).otherwise(lit(""))
+        case "STRAFTER" =>
+          val pos = call_function("instr", s0, s1)
+          when(pos > 0, s0.substr(pos + length(s1), length(s0))).otherwise(lit(""))
+        case "REPLACE" => // regex-based per SPARQL (fn:replace)
+          regexp_replace(s0, s1, cs(2).cast(StringType))
+        case "CONTAINS" => when(s0.contains(s1), lit("true")).otherwise(lit("false"))
+        case "STRSTARTS" => when(s0.startsWith(s1), lit("true")).otherwise(lit("false"))
+        case "STRENDS" => when(s0.endsWith(s1), lit("true")).otherwise(lit("false"))
+        case "ABS" => abs(numC(s0))
+        case "CEIL" => ceil(numC(s0))
+        case "FLOOR" => floor(numC(s0))
+        // xsd:round = half toward +inf (ROUND(-2.5) = -2), which is
+        // floor(x + 0.5) — NOT java HALF_UP — and engine-portable
+        case "ROUND" => floor(numC(s0) + 0.5)
+        case "COALESCE" => coalesce(cs.map(_.cast(StringType)): _*)
         case udfName if store.udfs.contains(udfName) =>
           call_udf(udfName, array(cs.map(_.cast(StringType)): _*))
         case other => throw new IllegalArgumentException(s"unknown function $other")
@@ -693,10 +760,26 @@ class Compiler(store: QuadStore) {
     case And(a, b) => compileCond(df, a) && compileCond(df, b)
     case Or(a, b) => compileCond(df, a) || compileCond(df, b)
     case Not(x) => !compileCond(df, x)
-    case CondFunc(name, args) => name match {
-      case "ISTRIPLE" => qtIs(compileExpr(df, args.head).cast(StringType))
-      case other => throw new IllegalArgumentException(s"unknown filter function $other")
-    }
+    case CondFunc(name, args) =>
+      lazy val cs = args.map(a => compileExpr(df, a))
+      def s0 = cs.head.cast(StringType)
+      def s1 = cs(1).cast(StringType)
+      name match {
+        case "ISTRIPLE" => qtIs(s0)
+        // boolean builtins in FILTER position compile to native predicates
+        // (no string round-trip)
+        case "CONTAINS" => s0.contains(s1)
+        case "STRSTARTS" => s0.startsWith(s1)
+        case "STRENDS" => s0.endsWith(s1)
+        case "BOUND" => cs.head.isNotNull
+        case "REGEX" => // optional 3rd arg: "i" → case-insensitive
+          val pat = if (cs.size > 2)
+            concat(when(cs(2).cast(StringType).contains("i"), lit("(?i)"))
+              .otherwise(lit("")), s1)
+          else s1
+          regexp_like(s0, pat)
+        case other => throw new IllegalArgumentException(s"unknown filter function $other")
+      }
     case Cmp(op, l, r) =>
       val lc = compileExpr(df, l)
       val rc = compileExpr(df, r)
@@ -730,12 +813,17 @@ class Compiler(store: QuadStore) {
   def applyAggregates(df: DataFrame, sel: Select, extraKeys: Seq[String] = Nil): DataFrame = {
     val aggCols = sel.aggregates.map { a =>
       def in = numC(varCol(df, a.v.get).cast(StringType))
+      def raw = varCol(df, a.v.get).cast(StringType)
       (a.func match {
         case "COUNT" => a.v.map(v => count(varCol(df, v))).getOrElse(count(lit(1)))
         case "SUM" => sum(in)
         case "MIN" => min(in)
         case "MAX" => max(in)
         case "AVG" => avg(in)
+        // extensions: GROUP_CONCAT sorts for determinism (SPARQL leaves
+        // order undefined); SAMPLE picks the reproducible min
+        case "GROUP_CONCAT" => array_join(array_sort(collect_list(raw)), a.sep.getOrElse(" "))
+        case "SAMPLE" => min(raw)
       }).as(a.alias)
     }
     val keys = extraKeys ++ sel.groupBy

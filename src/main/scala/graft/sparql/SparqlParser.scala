@@ -139,10 +139,22 @@ class SparqlParser extends RegexParsers {
   def funcName: Parser[String] = """[A-Za-z_][A-Za-z0-9_.]*""".r
   def funcCall: Parser[Func] = funcName ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
     case n ~ as => Func(n.toUpperCase match {
-      case u @ ("CONCAT" | "TRIPLE" | "SUBJECT" | "PREDICATE" | "OBJECT" | "ISTRIPLE") => u
+      case u @ ("CONCAT" | "TRIPLE" | "SUBJECT" | "PREDICATE" | "OBJECT" | "ISTRIPLE"
+          // SPARQL 1.1 built-in library (extensions beyond the fragment)
+          | "STR" | "STRLEN" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" | "STRAFTER"
+          | "REPLACE" | "CONTAINS" | "STRSTARTS" | "STRENDS"
+          | "ABS" | "CEIL" | "FLOOR" | "ROUND" | "COALESCE"
+          | "REGEX" | "BOUND") => u
       case _ => n
     }, as)
   }
+
+  /** `IF(cond, then, else)` — the first argument is a full FILTER
+    * condition, so it gets its own production instead of riding funcCall. */
+  def ifExpr: Parser[Expr] =
+    kw("IF") ~> "(" ~> condition ~ ("," ~> expr) ~ ("," ~> expr) <~ ")" ^^ {
+      case c ~ t ~ e => IfExpr(c, t, e)
+    }
 
   def expr: Parser[Expr] = addExpr
   def addExpr: Parser[Expr] = mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
@@ -152,7 +164,7 @@ class SparqlParser extends RegexParsers {
     case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
   }
   def unaryExpr: Parser[Expr] =
-    "(" ~> addExpr <~ ")" | funcCall | term ^^ (ETerm(_))
+    "(" ~> addExpr <~ ")" | ifExpr | funcCall | term ^^ (ETerm(_))
 
   // ---- conditions --------------------------------------------------------
   def condition: Parser[Condition] = orCond
@@ -266,11 +278,16 @@ class SparqlParser extends RegexParsers {
 
   // ---- SELECT ------------------------------------------------------------
   def aggFunc: Parser[String] =
-    (kw("SUM") | kw("MIN") | kw("MAX") | kw("AVG") | kw("COUNT")) ^^ (_.toUpperCase)
+    (kw("SUM") | kw("MIN") | kw("MAX") | kw("AVG") | kw("COUNT") |
+      kw("GROUP_CONCAT") | kw("SAMPLE")) ^^ (_.toUpperCase)
 
   def aggProjection: Parser[Aggregate] =
-    "(" ~> aggFunc ~ ("(" ~> (("*" ^^ (_ => None)) | opt(kw("DISTINCT")) ~> varName ^^ (Some(_))) <~ ")") ~
-      (kw("AS") ~> varName) <~ ")" ^^ { case f ~ v ~ a => Aggregate(f, v, a) }
+    "(" ~> aggFunc ~
+      ("(" ~> (("*" ^^ (_ => None)) | opt(kw("DISTINCT")) ~> varName ^^ (Some(_))) ~
+        opt(";" ~> kw("SEPARATOR") ~> "=" ~> stringLit) <~ ")") ~
+      (kw("AS") ~> varName) <~ ")" ^^ {
+        case f ~ (v ~ sep) ~ a => Aggregate(f, v, a, sep)
+      }
 
   def selectQuery: Parser[Select] =
     kw("SELECT") ~> opt(kw("DISTINCT")) ~
@@ -615,10 +632,25 @@ class SparqlParser extends RegexParsers {
           fromNamed = froms.collect { case Right(g) => g }))
     }
 
+  /** `DESCRIBE (?v | <iri>)+ [FROM …] [WHERE { … }]` (extension). */
+  def describeQuery: Parser[DescribeOp] =
+    kw("DESCRIBE") ~> rep1(varName ^^ (Left(_)) | iri ^^ (Right(_))) ~
+      rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
+      opt(opt(kw("WHERE")) ~> groupGraphPattern) ^^ { case targets ~ froms ~ where =>
+      DescribeOp(
+        vars = targets.collect { case Left(v) => v },
+        iris = targets.collect { case Right(i) => i },
+        Select(distinct = false, projection = Seq("*"), aggregates = Nil,
+          where = where.getOrElse(Nil), groupBy = Nil, orderBy = Nil,
+          limit = None, offset = None,
+          fromGraphs = froms.collect { case Left(g) => g },
+          fromNamed = froms.collect { case Right(g) => g }))
+    }
+
   // ---- entry points ------------------------------------------------------
   def operation: Parser[Operation] =
     rep(prefixDecl) ~> (selectQuery ^^ (SelectOp(_)) | askQuery ^^ (AskOp(_)) |
-      constructQuery | update ^^ (UpdateOp(_)))
+      constructQuery | describeQuery | update ^^ (UpdateOp(_)))
 
   private def run[T](p: Parser[T], input: String): T = {
     prefixes = Map.empty

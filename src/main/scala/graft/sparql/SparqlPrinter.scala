@@ -40,6 +40,7 @@ object SparqlPrinter {
     case ETerm(t) => printTerm(t)
     case Arith(op, l, r) => s"(${printExpr(l)} $op ${printExpr(r)})"
     case Func(name, args) => s"$name(${args.map(printExpr).mkString(", ")})"
+    case IfExpr(c, t, el) => s"IF(${printCond(c)}, ${printExpr(t)}, ${printExpr(el)})"
   }
 
   def printCond(c: Condition): String = c match {
@@ -114,7 +115,8 @@ object SparqlPrinter {
       sel.projection.foreach(v => sb.append(s"?$v "))
       sel.aggregates.foreach { a =>
         val arg = a.v.map("?" + _).getOrElse("*")
-        sb.append(s"(${a.func}($arg) AS ?${a.alias}) ")
+        val sep = a.sep.map(s => s"""; SEPARATOR="${escape(s)}"""").getOrElse("")
+        sb.append(s"(${a.func}($arg$sep) AS ?${a.alias}) ")
       }
     }
     q.windows.zipWithIndex.foreach { case (w, i) =>
@@ -144,7 +146,8 @@ object SparqlPrinter {
       sel.projection.foreach(v => sb.append(s"?$v "))
       sel.aggregates.foreach { a =>
         val arg = a.v.map("?" + _).getOrElse("*")
-        sb.append(s"(${a.func}($arg) AS ?${a.alias}) ")
+        val sep = a.sep.map(s => s"""; SEPARATOR="${escape(s)}"""").getOrElse("")
+        sb.append(s"(${a.func}($arg$sep) AS ?${a.alias}) ")
       }
     }
     sel.fromGraphs.foreach(g => sb.append(s"FROM <$g> "))

@@ -289,6 +289,23 @@ class CompilerSpec extends SparkSpec {
     assert(hops.size == 2, s"fresh bnode per solution: $hops")
   }
 
+  test("DESCRIBE emits subject triples of var bindings and listed IRIs") {
+    val st = store(("alice", "knows", "bob"), ("alice", "age", "30"),
+      ("bob", "age", "25"), ("carol", "age", "40"))
+    def desc(q: String): Set[Seq[Any]] =
+      new Compiler(st).execute(q).collect().map(_.toSeq).toSet
+    // var form: describe everyone alice knows
+    assert(desc("DESCRIBE ?x WHERE { <alice> <knows> ?x }") ==
+      Set(Seq("bob", "age", "25")))
+    // iri form, no WHERE
+    assert(desc("DESCRIBE <carol>") == Set(Seq("carol", "age", "40")))
+    // mixed: var bindings union listed iris, set semantics
+    assert(desc("DESCRIBE ?x <carol> WHERE { <alice> <knows> ?x }") ==
+      Set(Seq("bob", "age", "25"), Seq("carol", "age", "40")))
+    // unmatched WHERE → var contributes nothing
+    assert(desc("DESCRIBE ?x WHERE { <nobody> <knows> ?x }").isEmpty)
+  }
+
   // ---- OPTIONAL / MINUS / EXISTS extensions ------------------------------
 
   test("OPTIONAL pads unmatched rows with null and keeps matches") {
