@@ -185,7 +185,32 @@ object PipelineSuite {
       val countCols = TextAnalysis.piiCounts(col("seeded")).map { case (n, c) => c.as(n) }
       seeded.select(col("doc_id") +: countCols :+
         TextAnalysis.piiScrub(col("seeded")).as("scrubbed"): _*)
-    }))
+    }),
+
+    // CCNet-style perplexity proxy: unigram LM trained on half the corpus
+    // (even doc_ids), every document scored — unseen-token smoothing is
+    // exercised by the held-out odd half
+    "lm_nll_unigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = graft.pipeline.LanguageModel.train(d.filter(col("doc_id") % 2 === 0), n = 1)
+      graft.pipeline.LanguageModel.scoreNll(d, lm, n = 1)
+        .select(col("doc_id"), round(col("nll"), 6).as("nll"))
+    }),
+
+    "lm_nll_bigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = graft.pipeline.LanguageModel.train(d.filter(col("doc_id") % 2 === 0), n = 2)
+      graft.pipeline.LanguageModel.scoreNll(d, lm, n = 2)
+        .select(col("doc_id"), round(col("nll"), 6).as("nll"))
+    }),
+
+    // Lee et al.-style passage dedup: token 8-grams repeated across >= 2
+    // documents are scrubbed from every document (47 docs change at
+    // sf0.01); the cleaned text is hash-checked end-to-end
+    "dedup_passage_scrub" -> ((s, dir) =>
+      graft.pipeline.PassageDedup.scrubbed(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        k = 8, minDocs = 2)))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -483,6 +508,64 @@ object PipelineSuite {
             ROUND(AVG(CASE WHEN token IN (SELECT token FROM v)
                            THEN 0.0 ELSE 1.0 END), 6) AS oov
           FROM e GROUP BY doc_id""",
+
+    "lm_nll_unigram" ->
+      """WITH tw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE doc_id % 2 = 0),
+          trg AS (SELECT unnest(w) AS gram FROM tw),
+          lm AS (SELECT gram, count(*) AS cnt FROM trg GROUP BY gram),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                         CAST(count(*) AS DOUBLE) AS v FROM lm),
+          dg AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
+                 FROM documents),
+          sc AS (SELECT dg.doc_id,
+                   AVG(ln(tot.n + tot.v) -
+                       ln(CAST(COALESCE(lm.cnt, 0) AS DOUBLE) + 1.0)) AS nll
+                 FROM dg CROSS JOIN tot LEFT JOIN lm USING (gram)
+                 GROUP BY dg.doc_id)
+          SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
+          FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    "lm_nll_bigram" ->
+      """WITH tw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE doc_id % 2 = 0),
+          trg AS (SELECT unnest(CASE WHEN len(w) >= 2
+                    THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                    ELSE [] END) AS gram FROM tw),
+          lm AS (SELECT gram, count(*) AS cnt FROM trg GROUP BY gram),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                         CAST(count(*) AS DOUBLE) AS v FROM lm),
+          dw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents),
+          dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                   ELSE [] END) AS gram FROM dw),
+          sc AS (SELECT dg.doc_id,
+                   AVG(ln(tot.n + tot.v) -
+                       ln(CAST(COALESCE(lm.cnt, 0) AS DOUBLE) + 1.0)) AS nll
+                 FROM dg CROSS JOIN tot LEFT JOIN lm USING (gram)
+                 GROUP BY dg.doc_id)
+          SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
+          FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    "dedup_passage_scrub" ->
+      """WITH lt AS (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS lw,
+                       string_split_regex(trim(text), '\s+') AS w
+                     FROM documents),
+          g AS (SELECT doc_id, i, array_to_string(lw[i:i+7], ' ') AS gram
+                FROM lt, LATERAL (SELECT unnest(range(1, len(lw) - 6)) AS i) r
+                WHERE len(lw) >= 8),
+          hot AS (SELECT gram FROM g GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+          st AS (SELECT g.doc_id, list(DISTINCT g.i) AS ss
+                 FROM g JOIN hot USING (gram) GROUP BY g.doc_id)
+          SELECT lt.doc_id,
+            COALESCE(array_to_string([lt.w[i] FOR i IN range(1, len(lt.w) + 1)
+               IF len(list_filter(COALESCE(st.ss, CAST([] AS BIGINT[])),
+                      s -> s <= i AND i < s + 8)) = 0], ' '), '') AS clean_text
+          FROM lt LEFT JOIN st USING (doc_id)""",
 
     "text_pii_scrub" ->
       """WITH s AS (SELECT doc_id,

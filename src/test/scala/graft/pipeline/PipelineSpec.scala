@@ -360,6 +360,60 @@ class PipelineSpec extends SparkSpec {
     assert(oov(2L) == 0.5)           // d d out of b c d d
   }
 
+  test("language model: exact smoothed nll, unseen-gram cost, gram-free docs") {
+    import spark.implicits._
+    // unigram model on "a a b": cnt(a)=2, cnt(b)=1, N=3, V=2
+    val lm = LanguageModel.train(Seq((0L, "a a b")).toDF("doc_id", "text"))
+    assert(lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+    val score = LanguageModel.scoreNll(
+        Seq((0L, "a b"), (1L, "z")).toDF("doc_id", "text"), lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nv = 5.0 // N + V
+    val expA = ((math.log(nv) - math.log(3.0)) + (math.log(nv) - math.log(2.0))) / 2
+    assert(math.abs(score(0L) - expA) < 1e-12)
+    // unseen gram costs ln(N+V) - ln(0+1)
+    assert(math.abs(score(1L) - math.log(nv)) < 1e-12)
+    // bigram: a doc below n tokens has no grams and scores 0 (kept)
+    val lm2 = LanguageModel.train(Seq((0L, "a b a b")).toDF("doc_id", "text"), n = 2)
+    val s2 = LanguageModel.scoreNll(
+        Seq((0L, "a b"), (1L, "x")).toDF("doc_id", "text"), lm2, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // lm2: cnt("a b")=2, cnt("b a")=1, N=3, V=2
+    assert(math.abs(s2(0L) - (math.log(nv) - math.log(3.0))) < 1e-12)
+    assert(s2(1L) == 0.0)
+    // training docs always score at or below a disjoint-vocab outlier —
+    // the CCNet filter property the stage exists for
+    assert(score(0L) < score(1L))
+  }
+
+  test("passage dedup: case-insensitive hot spans scrubbed, original case kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog UNIQUE1 One Two"),
+      (2L, "the quick brown fox jumps over the lazy dog UNIQUE2"),
+      (3L, "nothing   shared here at all")).toDF("doc_id", "text")
+    // docs 1+2 share a 9-token run (case-insensitively) => both 8-grams of
+    // the run are hot at minDocs=2, covering positions 1..9 in each
+    val hot = PassageDedup.hotSpans(docs, k = 8, minDocs = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(hot == Set("the quick brown fox jumps over the lazy",
+      "quick brown fox jumps over the lazy dog"))
+    val clean = PassageDedup.scrubbed(docs, k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "UNIQUE1 One Two") // original case survives
+    assert(clean(2L) == "UNIQUE2")
+    // untouched docs pass through with whitespace normalized
+    assert(clean(3L) == "nothing shared here at all")
+    // Lee et al. guarantee at this granularity: any verbatim repeat of
+    // >= 2k-1 tokens contains a repeated k-gram, so NO pair of scrubbed
+    // docs still shares a 15-token run
+    val scrubToks = clean.values.map(_.split("\\s+").toSeq).toSeq
+    for (a <- scrubToks; b <- scrubToks if a != b;
+         i <- 0 to a.size - 15; j <- 0 to b.size - 15)
+      assert(a.slice(i, i + 15) != b.slice(j, j + 15))
+  }
+
   test("pii scrub: counts and typed redaction, fixed replacement order") {
     import spark.implicits._
     val df = Seq(
