@@ -45,14 +45,16 @@ object PassageDedup {
         posexplode(TextAnalysis.ngramsOfTokens(col("__ltoks"), k)))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("gram"))
 
+  private def hotOf(g: DataFrame, minDocs: Int, idCol: String): DataFrame =
+    g.groupBy("gram").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+
   /** Hot spans: k-grams appearing in at least `minDocs` DISTINCT
     * documents. */
   def hotSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    gramRows(docs, k, idCol, textCol)
-      .groupBy("gram").agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("gram")
+    hotOf(gramRows(docs, k, idCol, textCol), minDocs, idCol)
 
   /** Every document with tokens covered by any hot span removed. A token
     * at 1-based position i is dropped iff some hot gram starts at s with
@@ -62,7 +64,7 @@ object PassageDedup {
       idCol: String = "doc_id", textCol: String = "text",
       broadcastHot: Boolean = true): DataFrame = {
     val g = gramRows(docs, k, idCol, textCol)
-    val hot0 = hotSpans(docs, k, minDocs, idCol, textCol)
+    val hot0 = hotOf(g, minDocs, idCol)
     val hot = if (broadcastHot) broadcast(hot0) else hot0
     val starts = g.join(hot, Seq("gram"), "left_semi")
       .groupBy(idCol).agg(collect_set(col("pos")).as("__starts"))
