@@ -250,6 +250,20 @@ object SparqlSuite {
         WHERE { ?li <lineitem#l_quantity> ?q }""")
         .withColumn("sumqty", round(col("sumqty"), 4))),
 
+    // HAVING (extension, SPARQL 1.1 §11.3): COUNT(*) reuses the projected
+    // alias; MIN(?bal) is unprojected → computed synthetically and dropped.
+    // Exact-valued constraints (count, min) keep the group membership
+    // engine-portable; only the projected SUM needs rounding.
+    "sparql_having" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?nname (COUNT(*) AS ?n) (SUM(?bal) AS ?total) WHERE {
+          ?c <customer#c_nationkey> ?nk .
+          ?nk <nation#n_name> ?nname .
+          ?c <customer#c_acctbal> ?bal }
+        GROUP BY ?nname
+        HAVING (COUNT(*) >= 55) (MIN(?bal) < -800.0)""")
+        .withColumn("total", round(col("total"), 4))),
+
     "sparql_distinct" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT DISTINCT ?seg WHERE { ?c <customer#c_mktsegment> ?seg }""")),
@@ -519,6 +533,12 @@ object SparqlSuite {
 
     "sparql_agg_global" ->
       """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sumqty FROM lineitem""",
+
+    "sparql_having" ->
+      """SELECT n_name AS nname, COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS total
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         HAVING COUNT(*) >= 55 AND MIN(c_acctbal) < -800.0""",
 
     "sparql_distinct" ->
       """SELECT DISTINCT c_mktsegment AS seg FROM customer""",

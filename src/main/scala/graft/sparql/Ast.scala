@@ -133,7 +133,13 @@ object Ast {
       limit: Option[Int],
       offset: Option[Int],
       fromGraphs: Seq[String],          // FROM <g> (merged default graph)
-      fromNamed: Seq[String])           // FROM NAMED <g>
+      fromNamed: Seq[String],           // FROM NAMED <g>
+      /** `HAVING (constraint)…` — EXTENSION (SPARQL 1.1 §11.3): filters
+        * grouped solutions. Constraints may reference aggregate
+        * applications (`SUM(?x) > 10`) — compiled by matching an existing
+        * projected aggregate or adding a synthetic one dropped after the
+        * filter — or grouped-variable / aggregate-alias atoms. */
+      having: Seq[Condition] = Nil)
 
   // ---- SPARQL Update (`shared/src/query.rs:377-402`) ---------------------
   sealed trait Update

@@ -833,25 +833,79 @@ class Compiler(store: QuadStore) {
     else df.agg(aggCols.head, aggCols.tail: _*)
   }
 
+  private val aggFuncNames =
+    Set("SUM", "MIN", "MAX", "AVG", "COUNT", "GROUP_CONCAT", "SAMPLE")
+
+  /** Rewrite a HAVING constraint for post-aggregation evaluation:
+    * aggregate applications (`SUM(?x)`, `COUNT(*)`) become references to
+    * the matching projected aggregate's alias, or to a synthetic
+    * `__having_i` aggregate (appended to `synth`, computed alongside the
+    * projected ones and dropped after the filter). Everything else —
+    * group keys, aggregate aliases, literals — passes through and
+    * resolves against the aggregated frame. */
+  private def rewriteHaving(c: Condition, aggs: Seq[Aggregate],
+      synth: scala.collection.mutable.ArrayBuffer[Aggregate]): Condition = {
+    def rewriteE(e: Expr): Expr = e match {
+      case Func(f, args) if aggFuncNames(f) =>
+        val v = args match {
+          case Seq(ETerm(Var(x))) => Some(x)
+          case Seq() if f == "COUNT" => None
+          case _ => throw new IllegalArgumentException(
+            s"HAVING aggregate $f expects a single variable argument")
+        }
+        val alias = (aggs ++ synth)
+          .find(a => a.func == f && a.v == v && a.sep.isEmpty)
+          .map(_.alias)
+          .getOrElse {
+            val a = Aggregate(f, v, s"__having_${synth.size}")
+            synth += a
+            a.alias
+          }
+        ETerm(Var(alias))
+      case Func(f, args) => Func(f, args.map(rewriteE))
+      case Arith(op, l, r) => Arith(op, rewriteE(l), rewriteE(r))
+      case IfExpr(ic, t, e2) => IfExpr(rewriteC(ic), rewriteE(t), rewriteE(e2))
+      case other => other
+    }
+    def rewriteC(c0: Condition): Condition = c0 match {
+      case Cmp(op, l, r) => Cmp(op, rewriteE(l), rewriteE(r))
+      case And(l, r) => And(rewriteC(l), rewriteC(r))
+      case Or(l, r) => Or(rewriteC(l), rewriteC(r))
+      case Not(x) => Not(rewriteC(x))
+      case CondFunc(n, args) => CondFunc(n, args.map(rewriteE))
+      case _: ExistsCond => throw new IllegalArgumentException(
+        "EXISTS is not supported in HAVING constraints")
+    }
+    rewriteC(c)
+  }
+
   /** Modifier order per the reference: outer = aggregate → ORDER →
     * DISTINCT → LIMIT → project (`execute_query.rs:279-318`); subquery =
     * aggregate → ORDER → project → DISTINCT → LIMIT (`engine.rs:685-719`).
     * DISTINCT is applied before the sort in the physical plan (dedup then
-    * top-k) — visible results match because DISTINCT keys ⊆ output rows. */
-  def finalizeSelect(b0: Bindings, sel: Select, subquery: Boolean): DataFrame = {
+    * top-k) — visible results match because DISTINCT keys ⊆ output rows.
+    * HAVING (extension) filters directly after aggregation (§11.3:
+    * aggregate → HAVING → the rest). */
+  def finalizeSelect(b0: Bindings, sel0: Select, subquery: Boolean): DataFrame = {
+    val synth = scala.collection.mutable.ArrayBuffer.empty[Aggregate]
+    val having = sel0.having.map(rewriteHaving(_, sel0.aggregates, synth))
+    val sel = if (synth.isEmpty) sel0
+      else sel0.copy(aggregates = sel0.aggregates ++ synth)
     // deferred-decode discipline: aggregate INPUTS need lexical values
     // (numeric parse), so they decode pre-aggregation; GROUP BY keys stay
     // encoded through the shuffle and decode on the aggregated — usually
     // far smaller — result, together with whatever else reaches output
     var b = decode(b0, sel.aggregates.flatMap(_.v).toSet)
-    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
+    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty || having.nonEmpty)
       b = Bindings(applyAggregates(b.df, sel), Set.empty,
         b.encoded.intersect(sel.groupBy.toSet))
     b = decodeAll(b) // ORDER/DISTINCT/projection below see lexical values
     var df = b.df
+    having.foreach(c => df = df.filter(compileCond(df, c)))
+    if (synth.nonEmpty) df = df.drop(synth.map(_.alias).toSeq: _*)
     val projCols: Seq[String] =
       if (sel.projection == Seq("*")) df.columns.toSeq
-      else sel.projection ++ sel.aggregates.map(_.alias)
+      else sel.projection ++ sel0.aggregates.map(_.alias)
     if (subquery) {
       df = df.select(projCols.map(c => varCol(df, c).as(c)): _*)
       if (sel.distinct) df = df.dropDuplicates()

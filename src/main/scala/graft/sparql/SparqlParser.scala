@@ -137,7 +137,11 @@ class SparqlParser extends RegexParsers {
 
   // ---- expressions -------------------------------------------------------
   def funcName: Parser[String] = """[A-Za-z_][A-Za-z0-9_.]*""".r
-  def funcCall: Parser[Func] = funcName ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+  def funcCall: Parser[Func] =
+    // COUNT(*) — legal only inside HAVING constraints (rewritten to a
+    // synthetic aggregate there); compileExpr rejects it elsewhere
+    kw("COUNT") ~> "(" ~> "*" <~ ")" ^^ (_ => Func("COUNT", Nil)) |
+    funcName ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
     case n ~ as => Func(n.toUpperCase match {
       case u @ ("CONCAT" | "TRIPLE" | "SUBJECT" | "PREDICATE" | "OBJECT" | "ISTRIPLE"
           // SPARQL 1.1 built-in library (extensions beyond the fragment)
@@ -299,10 +303,11 @@ class SparqlParser extends RegexParsers {
       rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
       (kw("WHERE") ~> groupGraphPattern) ~
       opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ~
+      opt(kw("HAVING") ~> rep1("(" ~> condition <~ ")")) ~
       opt(kw("ORDER") ~> kw("BY") ~> rep1(orderKey)) ~
       opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toInt)) ~
       opt(kw("OFFSET") ~> """\d+""".r ^^ (_.toInt)) ^^ {
-      case dist ~ proj ~ froms ~ where ~ gb ~ ob ~ lim ~ off =>
+      case dist ~ proj ~ froms ~ where ~ gb ~ hv ~ ob ~ lim ~ off =>
         val (vars, aggs, star) = proj
         Select(
           distinct = dist.isDefined,
@@ -313,7 +318,8 @@ class SparqlParser extends RegexParsers {
           orderBy = ob.getOrElse(Nil),
           limit = lim, offset = off,
           fromGraphs = froms.collect { case Left(g) => g },
-          fromNamed = froms.collect { case Right(g) => g })
+          fromNamed = froms.collect { case Right(g) => g },
+          having = hv.getOrElse(Nil))
     }
 
   def orderKey: Parser[OrderKey] =

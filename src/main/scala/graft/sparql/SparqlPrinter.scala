@@ -39,6 +39,7 @@ object SparqlPrinter {
   def printExpr(e: Expr): String = e match {
     case ETerm(t) => printTerm(t)
     case Arith(op, l, r) => s"(${printExpr(l)} $op ${printExpr(r)})"
+    case Func("COUNT", Seq()) => "COUNT(*)" // HAVING-only form
     case Func(name, args) => s"$name(${args.map(printExpr).mkString(", ")})"
     case IfExpr(c, t, el) => s"IF(${printCond(c)}, ${printExpr(t)}, ${printExpr(el)})"
   }
@@ -155,6 +156,9 @@ object SparqlPrinter {
     sb.append(s"WHERE { ${sel.where.map(printElement).mkString(" ")} }")
     if (sel.groupBy.nonEmpty)
       sb.append(sel.groupBy.map("?" + _).mkString(" GROUP BY ", " ", ""))
+    if (sel.having.nonEmpty)
+      sb.append(sel.having.map(c => s"(${printCond(c)})")
+        .mkString(" HAVING ", " ", ""))
     if (sel.orderBy.nonEmpty)
       sb.append(sel.orderBy.map(k =>
         if (k.asc) s"ASC(?${k.v})" else s"DESC(?${k.v})")

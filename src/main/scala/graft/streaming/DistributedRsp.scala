@@ -130,9 +130,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   // fail loudly on surface the plane does not compile, instead of
   // silently returning different results than RspEngine would
   require(query.select.orderBy.isEmpty && query.select.limit.isEmpty &&
-      query.select.offset.isEmpty,
+      query.select.offset.isEmpty && query.select.having.isEmpty,
     "distributed RSP plane supports projection/aggregates/DISTINCT; " +
-      "ORDER BY / LIMIT / OFFSET need the driver engine (RspEngine)")
+      "ORDER BY / LIMIT / OFFSET / HAVING need the driver engine (RspEngine)")
 
   private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
 

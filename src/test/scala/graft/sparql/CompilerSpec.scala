@@ -107,6 +107,39 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq(0L)))
   }
 
+  test("HAVING reuses a projected aggregate by function+argument") {
+    val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
+    val r = rows(st, """SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <p> ?v }
+      GROUP BY ?s HAVING (COUNT(?v) > 1)""")
+    assert(r == Seq(Seq("a", 2L)))
+  }
+
+  test("HAVING computes unprojected aggregates synthetically and drops them") {
+    val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "5"))
+    val r = rows(st, """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?v }
+      GROUP BY ?s HAVING (SUM(?v) >= 4.0) (MIN(?v) > 0)""")
+    // b passes (sum 5, min 5); a fails (sum 3); no __having column leaks
+    assert(r == Seq(Seq("b", 1L)))
+  }
+
+  test("HAVING alone implies a single implicit group") {
+    val st = store(("a", "p", "1"), ("b", "p", "2"))
+    assert(rows(st, "SELECT (SUM(?v) AS ?t) WHERE { ?s <p> ?v } HAVING (COUNT(*) > 1)") ==
+      Seq(Seq(3.0)))
+    assert(rows(st, "SELECT (SUM(?v) AS ?t) WHERE { ?s <p> ?v } HAVING (COUNT(*) > 2)")
+      .isEmpty)
+  }
+
+  test("HAVING can reference group keys and aggregate aliases as atoms") {
+    val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
+    val r = rows(st, """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?v }
+      GROUP BY ?s HAVING (?n = 1 || ?s = "a")""")
+    assert(r.map(_.head).toSet == Set("a", "b"))
+    val r2 = rows(st, """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?v }
+      GROUP BY ?s HAVING (?s = "b")""")
+    assert(r2 == Seq(Seq("b", 1L)))
+  }
+
   test("distinct applied on projection before limit (execute_query.rs:289-304)") {
     val st = store(("a", "p", "1"), ("b", "p", "1"), ("c", "p", "2"))
     val r = rows(st, "SELECT DISTINCT ?v WHERE { ?s <p> ?v } ORDER BY ?v LIMIT 2")

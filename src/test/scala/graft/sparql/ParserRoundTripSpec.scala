@@ -134,6 +134,17 @@ class ParserRoundTripSpec extends AnyFunSuite {
       1 -> selectGen(depth - 1).map(s => Seq(SubSelect(s): Element)))
       else Gen.const(Nil)
     groupBy <- if (aggs.nonEmpty) Gen.listOfN(1, nameGen) else Gen.const(Nil)
+    having <- if (aggs.isEmpty) Gen.const(Nil)
+      else Gen.frequency(2 -> Gen.const(Nil),
+        1 -> (for {
+          f <- Gen.oneOf("SUM", "MIN", "MAX", "AVG", "COUNT")
+          arg <- if (f == "COUNT")
+              Gen.frequency(1 -> Gen.const(Seq.empty[Expr]),
+                2 -> nameGen.map(v => Seq(ETerm(Var(v)): Expr)))
+            else nameGen.map(v => Seq(ETerm(Var(v)): Expr))
+          op <- Gen.oneOf("=", "!=", ">", ">=", "<", "<=")
+          n <- Gen.choose(0, 999)
+        } yield Seq(Cmp(op, Func(f, arg), ETerm(Lit(n.toString))): Condition)))
     orderBy <- Gen.frequency(2 -> Gen.const(Nil),
       1 -> (for { v <- nameGen; asc <- Gen.oneOf(true, false) }
         yield Seq(OrderKey(v, asc))))
@@ -148,7 +159,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     where = elems ++ sub,
     groupBy = if (star) Nil else groupBy,
     orderBy = orderBy, limit = limit, offset = offset,
-    fromGraphs = froms, fromNamed = fromNamed)
+    fromGraphs = froms, fromNamed = fromNamed,
+    having = if (star) Nil else having)
 
   private val windowGen: Gen[WindowSpec] = for {
     iri <- iriGen
