@@ -160,6 +160,14 @@ object SparqlSuite {
         SELECT ?c ?rname WHERE {
           ?c <customer#c_nationkey>/<nation#n_regionkey>/<region#r_name> ?rname }""")),
 
+    // negated property set (§9.1): everything about a nation EXCEPT its
+    // name and comment — leaves the key lexical + the region FK IRI
+    "sparql_path_neg" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?n ?o WHERE {
+          ?n <nation#n_name> ?nm .
+          ?n !(<nation#n_comment>|<nation#n_name>) ?o }""")),
+
     "sparql_path_plus" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val quads = c.filter(col("c_custkey") >= 2).select(
@@ -434,6 +442,13 @@ object SparqlSuite {
          FROM customer
          JOIN nation ON n_nationkey = c_nationkey
          JOIN region ON r_regionkey = n_regionkey""",
+
+    "sparql_path_neg" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+                CAST(n_nationkey AS VARCHAR) AS o FROM nation
+         UNION ALL
+         SELECT 'nation/' || CAST(n_nationkey AS VARCHAR),
+                'region/' || CAST(n_regionkey AS VARCHAR) FROM nation""",
 
     "sparql_path_plus" ->
       """WITH RECURSIVE e AS (

@@ -42,6 +42,11 @@ object Ast {
   final case class POneOrMore(p: Path) extends Path
   final case class PZeroOrMore(p: Path) extends Path
   final case class PZeroOrOne(p: Path) extends Path
+  /** Negated property set `!iri` / `!(iri1|^iri2|…)` (SPARQL 1.1 §9.1
+    * PathNegatedPropertySet): forward edges whose predicate is NOT in
+    * `fwd`, unioned with REVERSED edges whose predicate is not in `inv`
+    * (each side only when its member list is non-empty, per §9.3). */
+  final case class PNeg(fwd: Seq[String], inv: Seq[String]) extends Path
 
   // ---- graph scope (`shared/src/dataset_index.rs:41-54`) -----------------
   sealed trait GraphSpec

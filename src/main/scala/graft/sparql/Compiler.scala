@@ -461,6 +461,21 @@ class Compiler(store: QuadStore) {
         .select("__ps", "__po")
     case PAlt(l, r) =>
       pathEdges(l, scope, view).unionByName(pathEdges(r, scope, view))
+    case PNeg(fwd, inv) =>
+      // one scan of the scoped graph with the predicate kept as a column;
+      // each member list filters by NOT IN (predicate-pruning cannot help
+      // a negation — this is inherently a fuller scan than PLink)
+      val all = scanPattern(
+        TriplePattern(Var("__ps"), Var("__pneg"), Var("__po")), scope, view).df
+      def without(not: Seq[String]) =
+        if (not.isEmpty) all else all.filter(!col("__pneg").isin(not: _*))
+      val sides =
+        (if (fwd.nonEmpty || inv.isEmpty)
+           Seq(without(fwd).select("__ps", "__po")) else Nil) ++
+        (if (inv.nonEmpty)
+           Seq(without(inv).select(col("__po").as("__ps"), col("__ps").as("__po")))
+         else Nil)
+      sides.reduce(_ unionByName _)
     case POneOrMore(x) => pathClosure(pathEdges(x, scope, view))
     case PZeroOrMore(x) =>
       pathClosure(pathEdges(x, scope, view))

@@ -104,9 +104,20 @@ class SparqlParser extends RegexParsers {
       }
   }
 
+  /** One member of a negated property set: `iri` (forward) or `^iri`
+    * (inverse). Left = forward, Right = inverse. */
+  private def negSetMember: Parser[Either[String, String]] =
+    "^" ~> iri ^^ (Right(_)) | iri ^^ (Left(_))
+
+  def pathNegatedSet: Parser[Path] =
+    "!" ~> ("(" ~> rep1sep(negSetMember, "|") <~ ")" | negSetMember ^^ (Seq(_))) ^^ {
+      ms => PNeg(ms.collect { case Left(i) => i }, ms.collect { case Right(i) => i })
+    }
+
   def pathPrimary: Parser[Path] =
     iri ^^ (PLink(_)) |
     "a" ^^ (_ => PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) |
+    pathNegatedSet |
     "(" ~> pathExpr <~ ")"
 
   def pathElt: Parser[Path] = pathPrimary ~ opt(pathMod) ^^ {

@@ -67,6 +67,8 @@ object SparqlPrinter {
     case POneOrMore(x) => s"(${printPath(x)})+"
     case PZeroOrMore(x) => s"(${printPath(x)})*"
     case PZeroOrOne(x) => s"(${printPath(x)})?"
+    case PNeg(fwd, inv) =>
+      (fwd.map(i => s"<$i>") ++ inv.map(i => s"^<$i>")).mkString("!(", "|", ")")
   }
 
   def printElement(e: Element): String = e match {

@@ -107,6 +107,22 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq(0L)))
   }
 
+  test("negated property set: forward, inverse, and mixed members (§9.1)") {
+    val st = store(("a", "p", "b"), ("a", "q", "c"), ("b", "r", "a"))
+    // forward-only: any predicate except p
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s !<p> ?o }").toSet ==
+      Set(Seq("a", "c"), Seq("b", "a")))
+    // inverse-only: reversed edges whose predicate is not r
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s !(^<r>) ?o }").toSet ==
+      Set(Seq("b", "a"), Seq("c", "a")))
+    // mixed: forward minus {p,q} = (b,a); reversed minus {r} = (b,a),(c,a)
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s !(<p>|<q>|^<r>) ?o }").toSet ==
+      Set(Seq("b", "a"), Seq("c", "a")))
+    // negated set composes with sequence paths
+    assert(rows(st, "SELECT ?s ?o WHERE { ?s <p>/!(<q>) ?o }").toSet ==
+      Set(Seq("a", "a")))
+  }
+
   test("HAVING reuses a projected aggregate by function+argument") {
     val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
     val r = rows(st, """SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <p> ?v }

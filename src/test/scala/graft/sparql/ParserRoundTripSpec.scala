@@ -113,7 +113,13 @@ class ParserRoundTripSpec extends AnyFunSuite {
       1 -> (for { a <- link; b <- link } yield PAlt(a, b): Path),
       1 -> link.map(POneOrMore(_): Path),
       1 -> link.map(PZeroOrMore(_): Path),
-      1 -> link.map(PZeroOrOne(_): Path))
+      1 -> link.map(PZeroOrOne(_): Path),
+      1 -> (for {
+        nFwd <- Gen.choose(0, 2)
+        fwd <- Gen.listOfN(nFwd, iriGen)
+        nInv <- Gen.choose(if (nFwd == 0) 1 else 0, 2)
+        inv <- Gen.listOfN(nInv, iriGen)
+      } yield PNeg(fwd, inv): Path))
   }
 
   private def selectGen(depth: Int): Gen[Select] = for {
