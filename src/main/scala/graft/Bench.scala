@@ -34,6 +34,7 @@ object Bench {
     "text_fingerprint", "text_token_count", "text_subword_count",
     "text_repetition", // new r5: Gopher-style duplicate-ngram fractions
     "text_contamination", "text_pii_scrub", // new r5: decontam sweep + PII redaction
+    "text_c4_clean", // new r5: C4 line/document cleaning over seeded text
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

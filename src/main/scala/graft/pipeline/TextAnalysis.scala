@@ -147,6 +147,35 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailPattern, "[EMAIL]"), PhonePattern, "[PHONE]"), Ipv4Pattern, "[IP]")
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the heuristics
+    * behind the C4 corpus), at line granularity: a line survives iff it
+    * (a) ends in a terminal punctuation mark, (b) has at least
+    * `minLineWords` words, and (c) does not mention "javascript";
+    * kept lines of a surviving document are re-joined with newlines.
+    * Pure per-row Catalyst HOFs — narrow, codegen'd, no shuffle —
+    * mirrored exactly by a DuckDB list comprehension. (C4's bad-word list
+    * and its three-sentence dedup are separate concerns: the latter is
+    * [[PassageDedup]]; the former needs a list this repo does not ship.) */
+  def c4KeptLines(text: Column, minLineWords: Int = 5): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l =>
+      l.rlike("[.!?\"']$") &&
+        size(split(l, "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+
+  /** Document-level C4 gate over [[c4KeptLines]]: a document survives iff
+    * it keeps at least `minLines` lines, does not contain "lorem ipsum"
+    * (case-insensitive), and has no curly brace (code). Returns only
+    * surviving documents as (id, clean_text). */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLineWords: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol), c4KeptLines(t, minLineWords).as("__lines"), t)
+      .filter(size(col("__lines")) >= minLines &&
+        !lower(t).contains("lorem ipsum") && !t.contains("{"))
+      .select(col(idCol), array_join(col("__lines"), "\n").as("clean_text"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * (The shingle rolling-hash near-dup fingerprint lives in Dedup.) */
   def fingerprint(text: Column): Column =

@@ -210,7 +210,33 @@ object PipelineSuite {
     "dedup_passage_scrub" -> ((s, dir) =>
       graft.pipeline.PassageDedup.scrubbed(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism),
-        k = 8, minDocs = 2)))
+        k = 8, minDocs = 2)),
+
+    // C4-style line + document cleaning over deterministically seeded
+    // multi-line text (the synthetic corpus is single-line word soup, so
+    // the seed constructs documents that exercise every rule: short
+    // lines, unterminated lines, javascript lines, variable good-line
+    // counts, lorem-ipsum docs, curly-brace docs)
+    "text_c4_clean" -> ((s, dir) => {
+      val good = transform(
+        sequence(lit(1), lit(2) + (col("doc_id") % 3).cast("int")),
+        i => concat(lit("Good sentence number "), i.cast("string"),
+          lit(" for document "), col("doc_id").cast("string"), lit(".")))
+      val lines = concat(
+        array(lit("tiny line."),
+          lit("This sentence has no terminal punctuation at all"),
+          lit("Some javascript code sentence should be removed okay.")),
+        good,
+        when(col("doc_id") % 5 === 0,
+          array(lit("And lorem ipsum dolor sit amet appears here.")))
+          .otherwise(array().cast("array<string>")),
+        when(col("doc_id") % 7 === 0,
+          array(lit("A line with { brace in it appears now.")))
+          .otherwise(array().cast("array<string>")))
+      val seeded = docs(s, dir)
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      TextAnalysis.c4Clean(seeded)
+    }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -566,6 +592,34 @@ object PipelineSuite {
                IF len(list_filter(COALESCE(st.ss, CAST([] AS BIGINT[])),
                       s -> s <= i AND i < s + 8)) = 0], ' '), '') AS clean_text
           FROM lt LEFT JOIN st USING (doc_id)""",
+
+    "text_c4_clean" ->
+      """WITH s AS (SELECT doc_id,
+              ['tiny line.',
+               'This sentence has no terminal punctuation at all',
+               'Some javascript code sentence should be removed okay.']
+              || [ 'Good sentence number ' || CAST(i AS VARCHAR)
+                     || ' for document ' || CAST(doc_id AS VARCHAR) || '.'
+                   FOR i IN range(1, 3 + CAST(doc_id % 3 AS INT)) ]
+              || CASE WHEN doc_id % 5 = 0
+                   THEN ['And lorem ipsum dolor sit amet appears here.']
+                   ELSE CAST([] AS VARCHAR[]) END
+              || CASE WHEN doc_id % 7 = 0
+                   THEN ['A line with { brace in it appears now.']
+                   ELSE CAST([] AS VARCHAR[]) END AS lines
+            FROM documents),
+          k AS (SELECT doc_id,
+              [ trim(l) FOR l IN lines
+                IF regexp_matches(trim(l), '[.!?"'']$')
+                   AND len(string_split_regex(trim(l), '\s+')) >= 5
+                   AND NOT contains(lower(trim(l)), 'javascript') ] AS kept,
+              array_to_string(lines, chr(10)) AS full_text
+            FROM s)
+          SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+          FROM k
+          WHERE len(kept) >= 3
+            AND NOT contains(lower(full_text), 'lorem ipsum')
+            AND NOT contains(full_text, '{')""",
 
     "text_pii_scrub" ->
       """WITH s AS (SELECT doc_id,

@@ -387,6 +387,32 @@ class PipelineSpec extends SparkSpec {
     assert(score(0L) < score(1L))
   }
 
+  test("C4 cleaning: line rules then document gates (Raffel et al. §2.2)") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good lines + one short, one unterminated, one javascript line
+      (1L, "First proper sentence with enough words here.\nshort one.\n" +
+        "No terminal punctuation on this line of words\n" +
+        "A javascript mention kills this long line.\n" +
+        "Second proper sentence with enough words too!\n" +
+        "Third proper sentence asks enough words, yes?"),
+      // enough good lines but lorem ipsum anywhere drops the doc
+      (2L, "Alpha beta gamma delta epsilon zeta eta.\nGood second line with many words here.\n" +
+        "Good third line with many words here.\nlorem ipsum dolor sit amet friends."),
+      // curly brace anywhere drops the doc
+      (3L, "One good line with plenty of words.\nTwo good line with plenty of words.\n" +
+        "Three good line with plenty of words.\nvar x = { a: 1 }"),
+      // only 2 surviving lines < minLines
+      (4L, "Only good line number one right here.\nOnly good line number two right here.\n" +
+        "unterminated trailer")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == "First proper sentence with enough words here.\n" +
+      "Second proper sentence with enough words too!\n" +
+      "Third proper sentence asks enough words, yes?")
+  }
+
   test("passage dedup: case-insensitive hot spans scrubbed, original case kept") {
     import spark.implicits._
     val docs = Seq(
