@@ -80,6 +80,14 @@ object StreamSuite {
         .emissions(eventTriples(s, dir))
         .select("close", "e", "u")),
 
+    // trailing OPTIONAL inside the WINDOW block: per-close compat
+    // left_outer join — high-value purchases carry an ev/flag triple,
+    // the rest emit with ?f unbound (null)
+    "stream_window_optional" -> ((s, dir) =>
+      new DistributedRsp(s, windowOptionalQuery)
+        .emissions(eventTriplesWithFlag(s, dir))
+        .select("close", "e", "u", "f")),
+
     // cross-window SDS+ on the distributed plane: every hourly step's
     // expiry-annotated materialization in ONE step-keyed fixpoint — a
     // user is flagged at a step while BOTH a purchase and a view support
@@ -131,6 +139,16 @@ object StreamSuite {
         { ?e <ev/user> ?u . ?e <ev/type> "error" . }
       } }""")
 
+  private val windowOptionalQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/opt> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w {
+        ?e <ev/user> ?u . ?e <ev/type> "purchase" .
+        OPTIONAL { ?e <ev/flag> ?f }
+      } }""")
+
   private val windowAggQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
       REGISTER RSTREAM <http://out/agg> AS
@@ -167,6 +185,20 @@ object StreamSuite {
       e.select(lit("events").as("stream"), col("tms").as("ts"),
         subj.as("s"), lit("ev/value").as("p"),
         floor(col("value")).cast("long").cast("string").as("o")))
+  }
+
+  /** [[eventTriples]] plus an `ev/flag "hi"` triple for events whose
+    * floor(value) ≥ 150 — the selective predicate the OPTIONAL entry
+    * binds against. */
+  private def eventTriplesWithFlag(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("tms", expr("ts div 1000000"))
+    val subj = concat(lit("event/"), col("event_id"))
+    eventTriples(s, dir).unionByName(
+      e.filter(floor(col("value")) >= 150)
+        .select(lit("events").as("stream"), col("tms").as("ts"),
+          subj.as("s"), lit("ev/flag").as("p"), lit("hi").as("o")))
   }
 
   private val wstartHour =
@@ -265,6 +297,23 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.vint >= 150""",
+
+    "stream_window_optional" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(FLOOR(value) AS BIGINT) AS vint,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT fc.close, ev.eid AS e, ev.uid AS u,
+                 CASE WHEN ev.vint >= 150 THEN 'hi' ELSE NULL END AS f
+          FROM ev JOIN fired fc
+            ON ev.tms <= fc.close AND ev.tms >= fc.close - 7200000
+          WHERE ev.event_type = 'purchase'""",
 
     "stream_window_agg" ->
       s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,

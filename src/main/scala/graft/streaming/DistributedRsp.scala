@@ -85,21 +85,28 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
 
   /** WINDOW-block elements per window IRI, validated against the surface
     * the plane compiles: BGP, FILTER (scoped to the end of the enclosing
-    * group, as in [[graft.sparql.Compiler.compileGroup]]), and UNION of
+    * group, as in [[graft.sparql.Compiler.compileGroup]]), UNION of
     * such groups whose branches bind IDENTICAL variable sets (the
     * alternative-predicates shape; mixed-variable branches introduce
     * UNDEF-tolerant join semantics and stay on the driver engine, as do
-    * subselects). */
+    * subselects), and ONE trailing OPTIONAL or MINUS block (compat
+    * left_outer / left_anti per close — pattern elements after it would
+    * have to join UNDEF-tolerantly against the optional bindings, which
+    * stays engine territory, as do nested OPTIONAL/MINUS whose inner
+    * nulls would break the plane's equality joins). */
   private val windowBlocks: Map[String, Seq[Element]] = {
-    def validate(elems: Seq[Element]): Unit = elems.foreach {
+    def validate(elems: Seq[Element], allowLeft: Boolean): Unit = elems.foreach {
       case Bgp(_) | FilterElem(_) => ()
-      case UnionBlock(branches) => branches.foreach(validate)
+      case UnionBlock(branches) => branches.foreach(validate(_, allowLeft = false))
+      case OptionalBlock(inner) if allowLeft => validate(inner, allowLeft = false)
+      case MinusBlock(inner) if allowLeft => validate(inner, allowLeft = false)
       case other => throw new IllegalArgumentException(
-        s"distributed RSP plane supports BGP + FILTER + same-variable UNION WINDOW " +
-          s"blocks; found $other — use RspEngine for full block semantics")
+        s"distributed RSP plane supports BGP + FILTER + same-variable UNION + one " +
+          s"trailing OPTIONAL/MINUS per WINDOW block; found $other — use RspEngine " +
+          "for full block semantics")
     }
     query.select.where.collect { case WindowBlockElem(w, elems) =>
-      validate(elems)
+      validate(elems, allowLeft = true)
       w -> elems
     }.toMap
   }
@@ -111,6 +118,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   private def blockVars(elems: Seq[Element]): Seq[String] = elems.flatMap {
     case Bgp(ps) => ps.flatMap(tp => Seq(tp.s, tp.p, tp.o)).flatMap(termVarsOf)
     case UnionBlock(branches) => branches.flatMap(blockVars)
+    case OptionalBlock(inner) => blockVars(inner)
+    case MinusBlock(inner) => blockVars(inner)
     case _ => Nil
   }
 
@@ -249,21 +258,60 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
 
   /** Compile one group of block elements over close-keyed content:
     * BGPs scan+join, UNION branches (same variable set) union per close,
-    * FILTERs defer to the end of the group. Recursion covers nested
-    * unions/filters inside branches. */
+    * a trailing OPTIONAL as a per-close compat left_outer join, a
+    * trailing MINUS as a per-close left_anti with the §8.3
+    * domain-intersection guard (batch plane only: Spark has no
+    * stream-stream anti join), FILTERs defer to the end of the group
+    * (evaluating over the post-OPTIONAL frame, where a comparison on an
+    * unbound variable is null → dropped, SPARQL's error-is-false).
+    * Recursion covers nested unions/filters inside branches. */
   private def compileBlock(content: DataFrame, elems: Seq[Element]): DataFrame = {
     val (filterElems, others) = elems.partition(_.isInstanceOf[FilterElem])
-    val parts = others.map {
-      case Bgp(ps) => ps.map(scan(content, _)).reduce(joinOnShared)
+    var acc: Option[DataFrame] = None
+    var sawLeft = false
+    def inner(r: DataFrame): Unit = {
+      require(!sawLeft, "distributed RSP plane supports one TRAILING OPTIONAL/MINUS " +
+        "per WINDOW block; patterns after it need the driver engine (RspEngine)")
+      acc = Some(acc.map(joinOnShared(_, r)).getOrElse(r))
+    }
+    def leftSide(kind: String): DataFrame = {
+      require(!sawLeft, "distributed RSP plane supports one TRAILING OPTIONAL/MINUS " +
+        "per WINDOW block; a second one needs the driver engine (RspEngine)")
+      sawLeft = true
+      acc.getOrElse(throw new IllegalArgumentException(
+        s"$kind must follow a pattern element in its WINDOW block"))
+    }
+    others.foreach {
+      case Bgp(ps) => inner(ps.map(scan(content, _)).reduce(joinOnShared))
       case UnionBlock(branches) =>
         val rels = branches.map(compileBlock(content, _))
         require(rels.map(_.columns.toSet).distinct.size == 1,
           "distributed RSP plane supports UNION branches binding identical variable " +
             "sets; mixed-variable branches need the driver engine (RspEngine)")
-        rels.reduce(_ unionByName _)
+        inner(rels.reduce(_ unionByName _))
+      case OptionalBlock(optElems) =>
+        val left = leftSide("OPTIONAL")
+        val right = compileBlock(content, optElems)
+        // compat left join: left rows are null-free here (one trailing
+        // OPTIONAL), so plain equality on the shared columns — which
+        // always include the close keys — IS the SPARQL compat join
+        val shared = left.columns.filter(right.columns.contains(_)).toSeq
+        acc = Some(left.join(right, shared, "left_outer"))
+      case MinusBlock(minusElems) =>
+        val left = leftSide("MINUS")
+        require(!left.isStreaming,
+          "MINUS in a WINDOW block runs on the batch plane or RspEngine; Spark " +
+            "has no stream-stream anti join")
+        val right = compileBlock(content, minusElems)
+        val ck = Seq("close") ++
+          (if (left.columns.contains("closeTs")) Seq("closeTs") else Nil)
+        val sharedVars = left.columns.filter(right.columns.contains(_)).toSeq.diff(ck)
+        // §8.3: no shared query variable → domains are disjoint → keep all
+        acc = Some(if (sharedVars.isEmpty) left
+          else left.join(right, ck ++ sharedVars, "left_anti"))
       case other => throw new IllegalArgumentException(s"unsupported block element $other")
     }
-    val joined = parts.reduce(joinOnShared)
+    val joined = acc.getOrElse(throw new IllegalArgumentException("empty WINDOW block"))
     filterElems.collect { case FilterElem(c) => c }
       .foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
   }
@@ -432,13 +480,23 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         // close (first firing: prev = null → nothing relabels → emit all)
         val (rel, fired) = checkpointedRelAndFired(events)
         val prevRows = relabelPrevToCurrent(rel, closeSeq(fired))
-        rel.join(prevRows, rel.columns.toSeq, "left_anti")
+        antiNullSafe(rel, prevRows)
       case DStream =>
         // rows of the previous fired close absent at c, reported at c
         val (rel, fired) = checkpointedRelAndFired(events)
         val prevRows = relabelPrevToCurrent(rel, closeSeq(fired))
-        prevRows.join(rel, rel.columns.toSeq, "left_anti")
+        antiNullSafe(prevRows, rel)
     }
+  }
+
+  /** Anti join on ALL columns with null-safe equality: OPTIONAL window
+    * blocks and static compat joins put genuine nulls (UNDEF) in
+    * emission rows, and a plain column-name anti join would treat every
+    * null-bearing row as new at every close. */
+  private def antiNullSafe(l: DataFrame, r: DataFrame): DataFrame = {
+    val la = l.alias("__dl"); val ra = r.alias("__dr")
+    val cond = l.columns.map(c => col(s"__dl.$c") <=> col(s"__dr.$c")).reduce(_ && _)
+    la.join(ra, cond, "left_anti")
   }
 
   private def checkpointedRelAndFired(events: DataFrame): (DataFrame, DataFrame) = {

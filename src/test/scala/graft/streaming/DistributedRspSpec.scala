@@ -325,6 +325,95 @@ class DistributedRspSpec extends SparkSpec {
     }
   }
 
+  test("trailing OPTIONAL in WINDOW block matches the engine (batch + streaming)") {
+    val qText = """
+      REGISTER RSTREAM <http://out/opt> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . OPTIONAL { ?e <tag> ?t } } }"""
+    val data = Seq(("e1", "by", "alice", 1L), ("e1", "tag", "vip", 1L),
+      ("e2", "by", "bob", 2L), ("e3", "by", "carol", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r("u"), r.get("t"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), r.getAs[String]("u"), Option(r.getAs[String]("t")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // both bound and unbound ?t appear somewhere in the run
+    val flat = got.values.flatten.toSet
+    assert(flat.exists(_._3.isDefined) && flat.exists(_._3.isEmpty), s"vacuous: $flat")
+
+    // the same OPTIONAL through the live streaming plane (stream-stream
+    // left_outer join keyed on the watermarked closeTs)
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"opt_win_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        // a far-future tick flushes the watermark so outer-join nulls emit
+        mem.addData(Seq(("stream", 1000L, "zz", "by", "zz")))
+        sq.processAllAvailable()
+        val sGot = spark.table(sink).collect()
+          .map { r =>
+            val b = r.getAs[Map[String, String]]("binding")
+            r.getAs[Long]("close") -> ((b("e"), b("u"), b.get("t")))
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          .filter { case (c, _) => engineGot.contains(c) }
+        assert(sGot == engineGot, s"streaming $sGot vs engine $engineGot")
+      } finally sq.stop()
+    }
+  }
+
+  test("trailing MINUS in WINDOW block matches the engine (batch); streaming is refused") {
+    val qText = """
+      REGISTER RSTREAM <http://out/m> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . MINUS { ?e <void> ?x } } }"""
+    val data = Seq(("e1", "by", "alice", 1L), ("e1", "void", "y", 1L),
+      ("e2", "by", "bob", 2L), ("e3", "by", "carol", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("e"), r("u"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val rsp = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+    val got = rsp.emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> ((r.getAs[String]("e"), r.getAs[String]("u"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // e1 is voided out of every close it appears in
+    assert(!got.values.flatten.exists(_._1 == "e1"), s"MINUS leaked: $got")
+
+    // Spark has no stream-stream anti join — the stream path refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      val stream = spark.readStream.format("rate").load()
+        .select(lit("stream").as("stream"), col("timestamp").as("ts"),
+          lit("s").as("s"), lit("p").as("p"), lit("o").as("o"))
+      rsp.streamEmissions(stream)
+    }
+    assert(ex.getMessage.contains("anti join"), ex.getMessage)
+  }
+
   test("ISTREAM over a streaming aggregate chains two stateful operators and matches the engine") {
     // append-mode aggregation (grouped on the watermarked closeTs key)
     // feeding transformWithState — Spark 4 multi-stateful chaining; the
