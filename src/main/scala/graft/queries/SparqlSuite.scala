@@ -276,6 +276,26 @@ object SparqlSuite {
       engine(s, dir).select("""
         SELECT DISTINCT ?seg WHERE { ?c <customer#c_mktsegment> ?seg }""")),
 
+    // DISTINCT inside aggregates (§18.5.1 set-function Distinct forms):
+    // distinct nations per segment vs plain count; SUM over distinct
+    // balance values
+    "sparql_agg_distinct" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?seg (COUNT(DISTINCT ?n) AS ?nn) (COUNT(?n) AS ?total)
+               (SUM(DISTINCT ?bal) AS ?sd) WHERE {
+          ?c <customer#c_mktsegment> ?seg .
+          ?c <customer#c_nationkey> ?n .
+          ?c <customer#c_acctbal> ?bal }
+        GROUP BY ?seg""")
+        .withColumn("sd", round(col("sd"), 4))),
+
+    // FILTER [NOT] IN (§17.4.1.9): desugared =-disjunction
+    "sparql_filter_in" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?seg WHERE {
+          ?c <customer#c_mktsegment> ?seg .
+          FILTER(?seg IN ("BUILDING", "MACHINERY")) }""")),
+
     "sparql_orderby_limit" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?name ?bal WHERE {
@@ -557,6 +577,17 @@ object SparqlSuite {
 
     "sparql_distinct" ->
       """SELECT DISTINCT c_mktsegment AS seg FROM customer""",
+
+    "sparql_agg_distinct" ->
+      """SELECT c_mktsegment AS seg,
+                COUNT(DISTINCT 'nation/' || CAST(c_nationkey AS VARCHAR)) AS nn,
+                COUNT(*) AS total,
+                ROUND(SUM(DISTINCT c_acctbal), 4) AS sd
+         FROM customer GROUP BY c_mktsegment""",
+
+    "sparql_filter_in" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+         FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
 
     "sparql_orderby_limit" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal

@@ -125,7 +125,7 @@ object Ast {
     * (with `sep`, deterministic sorted order) and SAMPLE (deterministic
     * min — SPARQL allows any value, we pick a reproducible one). */
   final case class Aggregate(func: String, v: Option[String], alias: String,
-      sep: Option[String] = None)
+      sep: Option[String] = None, distinct: Boolean = false)
   final case class OrderKey(v: String, asc: Boolean)
 
   final case class Select(

@@ -830,14 +830,20 @@ class Compiler(store: QuadStore) {
       def in = numC(varCol(df, a.v.get).cast(StringType))
       def raw = varCol(df, a.v.get).cast(StringType)
       (a.func match {
-        case "COUNT" => a.v.map(v => count(varCol(df, v))).getOrElse(count(lit(1)))
-        case "SUM" => sum(in)
+        case "COUNT" =>
+          if (a.distinct) a.v.map(v => countDistinct(varCol(df, v)))
+            .getOrElse(count(lit(1)))
+          else a.v.map(v => count(varCol(df, v))).getOrElse(count(lit(1)))
+        case "SUM" => if (a.distinct) sum_distinct(in) else sum(in)
         case "MIN" => min(in)
         case "MAX" => max(in)
-        case "AVG" => avg(in)
+        // AVG DISTINCT: Spark exposes no avg_distinct — the exact
+        // sum/count-of-distinct quotient (both skip nulls) is it
+        case "AVG" => if (a.distinct) sum_distinct(in) / count_distinct(in) else avg(in)
         // extensions: GROUP_CONCAT sorts for determinism (SPARQL leaves
         // order undefined); SAMPLE picks the reproducible min
-        case "GROUP_CONCAT" => array_join(array_sort(collect_list(raw)), a.sep.getOrElse(" "))
+        case "GROUP_CONCAT" => array_join(array_sort(
+          if (a.distinct) collect_set(raw) else collect_list(raw)), a.sep.getOrElse(" "))
         case "SAMPLE" => min(raw)
       }).as(a.alias)
     }
@@ -869,7 +875,7 @@ class Compiler(store: QuadStore) {
             s"HAVING aggregate $f expects a single variable argument")
         }
         val alias = (aggs ++ synth)
-          .find(a => a.func == f && a.v == v && a.sep.isEmpty)
+          .find(a => a.func == f && a.v == v && a.sep.isEmpty && !a.distinct)
           .map(_.alias)
           .getOrElse {
             val a = Aggregate(f, v, s"__having_${synth.size}")

@@ -195,6 +195,13 @@ class SparqlParser extends RegexParsers {
     "(" ~> condition <~ ")"
   def cmpCond: Parser[Condition] =
     expr ~ ("!=" | ">=" | "<=" | "=" | ">" | "<") ~ expr ^^ { case l ~ op ~ r => Cmp(op, l, r) } |
+    // [NOT] IN desugars at parse time to the =-disjunction SPARQL 1.1
+    // §17.4.1.9/.10 defines it as — no new algebra node needed
+    expr ~ (opt(kw("NOT")) <~ kw("IN")) ~ ("(" ~> rep1sep(expr, ",") <~ ")") ^^ {
+      case l ~ n ~ items =>
+        val or = items.map(r => Cmp("=", l, r): Condition).reduce(Or(_, _))
+        if (n.isDefined) Not(or) else or
+    } |
     funcCall ^^ (f => CondFunc(f.name, f.args)) |
     "(" ~> condition <~ ")"
 
@@ -298,10 +305,11 @@ class SparqlParser extends RegexParsers {
 
   def aggProjection: Parser[Aggregate] =
     "(" ~> aggFunc ~
-      ("(" ~> (("*" ^^ (_ => None)) | opt(kw("DISTINCT")) ~> varName ^^ (Some(_))) ~
+      ("(" ~> (("*" ^^ (_ => (false, None))) |
+          opt(kw("DISTINCT")) ~ varName ^^ { case d ~ v => (d.isDefined, Some(v)) }) ~
         opt(";" ~> kw("SEPARATOR") ~> "=" ~> stringLit) <~ ")") ~
       (kw("AS") ~> varName) <~ ")" ^^ {
-        case f ~ (v ~ sep) ~ a => Aggregate(f, v, a, sep)
+        case f ~ (((d, v)) ~ sep) ~ a => Aggregate(f, v, a, sep, distinct = d)
       }
 
   def selectQuery: Parser[Select] =

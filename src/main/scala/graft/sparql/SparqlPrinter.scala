@@ -117,7 +117,7 @@ object SparqlPrinter {
     else {
       sel.projection.foreach(v => sb.append(s"?$v "))
       sel.aggregates.foreach { a =>
-        val arg = a.v.map("?" + _).getOrElse("*")
+        val arg = (if (a.distinct) "DISTINCT " else "") + a.v.map("?" + _).getOrElse("*")
         val sep = a.sep.map(s => s"""; SEPARATOR="${escape(s)}"""").getOrElse("")
         sb.append(s"(${a.func}($arg$sep) AS ?${a.alias}) ")
       }
@@ -148,7 +148,7 @@ object SparqlPrinter {
     else {
       sel.projection.foreach(v => sb.append(s"?$v "))
       sel.aggregates.foreach { a =>
-        val arg = a.v.map("?" + _).getOrElse("*")
+        val arg = (if (a.distinct) "DISTINCT " else "") + a.v.map("?" + _).getOrElse("*")
         val sep = a.sep.map(s => s"""; SEPARATOR="${escape(s)}"""").getOrElse("")
         sb.append(s"(${a.func}($arg$sep) AS ?${a.alias}) ")
       }

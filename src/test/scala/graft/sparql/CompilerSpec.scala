@@ -123,6 +123,22 @@ class CompilerSpec extends SparkSpec {
       Set(Seq("a", "a")))
   }
 
+  test("DISTINCT inside aggregates: COUNT/SUM/AVG/GROUP_CONCAT set forms") {
+    val st = store(("a", "p", "1"), ("a", "p", "1"), ("a", "p", "3"))
+    val r = rows(st, """SELECT (COUNT(DISTINCT ?v) AS ?n) (COUNT(?v) AS ?all)
+      (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a)
+      (GROUP_CONCAT(DISTINCT ?v) AS ?g) WHERE { ?x <p> ?v }""")
+    assert(r == Seq(Seq(2L, 3L, 4.0, 2.0, "1 3")))
+  }
+
+  test("FILTER IN / NOT IN desugar to the =-disjunction (§17.4.1.9)") {
+    val st = store(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3"))
+    assert(rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?v IN ("1", "3")) }""")
+      .map(_.head).toSet == Set("a", "c"))
+    assert(rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?v NOT IN ("1", "3")) }""")
+      .map(_.head) == Seq("b"))
+  }
+
   test("HAVING reuses a projected aggregate by function+argument") {
     val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
     val r = rows(st, """SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <p> ?v }

@@ -133,7 +133,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
       v <- if (f == "COUNT") Gen.frequency(1 -> Gen.const(None), 2 -> nameGen.map(Some(_)))
            else nameGen.map(Some(_))
       a <- nameGen
-    } yield Aggregate(f, v, a))
+      d <- Gen.oneOf(true, false)
+    } yield Aggregate(f, v, a, distinct = d && v.isDefined))
     nElems <- Gen.choose(1, 3)
     elems <- Gen.listOfN(nElems, simpleElemGen)
     sub <- if (depth > 0) Gen.frequency(3 -> Gen.const(Nil),
