@@ -42,6 +42,40 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Token-budget sharding: assign each document (in ascending `idCol`
+    * order) to the shard holding its cumulative token count —
+    * `shard = floor(tokens-before-this-doc / budget)` — the standard way
+    * a pretraining pipeline carves a corpus into fixed-token-budget
+    * output files with stable, reproducible boundaries.
+    *
+    * A global running sum is the textbook sequential trap; this is the
+    * two-pass distributed prefix sum: range-partition by id (so partition
+    * order is id order), per-partition exclusive running sums in
+    * parallel, then ONE tiny aggregation (a row per partition) windowed
+    * on the driver-sized side and broadcast back as offsets. At 100 TB
+    * the only non-parallel step remains O(#partitions), not O(#docs). */
+  def tokenShards(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals: #partitions rows — the single-partition window
+    // below runs over THAT, not the corpus
+    val offsets = t.groupBy("__pid").agg(sum("__n").as("__psum"))
+      .withColumn("__off", coalesce(sum("__psum").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val localCum = sum("__n").over(
+      Window.partitionBy("__pid").orderBy(idCol).rowsBetween(Window.unboundedPreceding, -1))
+    t.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum", coalesce(localCum, lit(0L)) + col("__off"))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        floor(col("__cum") / budget).as("shard"))
+  }
+
   /** Domain-mixing sampler: keep a different deterministic percentage per
     * group (the per-source mixture weights every corpus recipe specifies —
     * e.g. C4 at 20%, code at 100%). Groups absent from `percents` get

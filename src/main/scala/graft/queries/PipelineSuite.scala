@@ -163,6 +163,12 @@ object PipelineSuite {
           Map("src0" -> 10, "src1" -> 50, "src2" -> 0), defaultPercent = 80)
         .select("doc_id", "source")),
 
+    // token-budget sharding: two-pass distributed prefix sum (per-partition
+    // running sums + one #partitions-row offset window) — shard boundaries
+    // identical to DuckDB's global window
+    "pipeline_token_shards" -> ((s, dir) =>
+      Sampling.tokenShards(docs(s, dir), budget = 1000L)),
+
     // tokenizer-pipeline pair: corpus vocabulary (top-K tokens, ranked
     // deterministically) and per-document OOV occurrence rate against it
     "text_vocab_topk" -> ((s, dir) =>
@@ -516,6 +522,18 @@ object PipelineSuite {
          SELECT doc_id, source FROM b
          WHERE mb < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50
                                 WHEN 'src2' THEN 0 ELSE 80 END""",
+
+    "pipeline_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+                      len(string_split_regex(trim(text), '\s+')) AS n
+                    FROM documents),
+          c AS (SELECT doc_id, n,
+                  COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM t)
+          SELECT doc_id, n AS n_tokens,
+                 CAST(FLOOR(cum / 1000.0) AS BIGINT) AS shard
+          FROM c""",
 
     "text_vocab_topk" ->
       s"""WITH e AS (SELECT unnest($toks) AS token FROM documents),

@@ -387,6 +387,30 @@ class PipelineSpec extends SparkSpec {
     assert(score(0L) < score(1L))
   }
 
+  test("token shards: two-pass prefix sum equals the sequential assignment") {
+    import spark.implicits._
+    // many small docs across many partitions; budget 10 tokens
+    val docs = (1L to 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(13)
+    val got = Sampling.tokenShards(docs, budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // sequential reference
+    var cum = 0L
+    val want = (1L to 200L).map { i =>
+      val n = i % 7 + 1
+      val shard = cum / 10L
+      cum += n
+      (i, n, shard)
+    }
+    assert(got.toSeq == want)
+    // shards are contiguous id ranges and every shard except the last
+    // crosses its budget boundary exactly once
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    byShard.foreach { case (_, ids) =>
+      assert(ids.max - ids.min + 1 == ids.length, "shard ids not contiguous")
+    }
+  }
+
   test("C4 cleaning: line rules then document gates (Raffel et al. §2.2)") {
     import spark.implicits._
     val docs = Seq(
