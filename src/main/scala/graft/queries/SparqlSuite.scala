@@ -237,6 +237,14 @@ object SparqlSuite {
           ?c <customer#c_acctbal> ?bal .
           BIND(IF(?bal >= 5000.0, "high", IF(?bal >= 0.0, "mid", "neg")) AS ?bucket) }""")),
 
+    // hash builtins (§17.4.4): lowercase hex on both engines
+    "sparql_builtin_hash" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?h5 ?h256 WHERE {
+          ?c <customer#c_name> ?n .
+          BIND(MD5(?n) AS ?h5)
+          BIND(SHA256(?n) AS ?h256) }""")),
+
     "sparql_group_concat" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?seg (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) (SAMPLE(?name) AS ?first)
@@ -551,6 +559,11 @@ object SparqlSuite {
                 CASE WHEN c_acctbal >= 5000.0 THEN 'high'
                      WHEN c_acctbal >= 0.0 THEN 'mid'
                      ELSE 'neg' END AS bucket
+         FROM customer""",
+
+    "sparql_builtin_hash" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                md5(c_name) AS h5, sha256(c_name) AS h256
          FROM customer""",
 
     "sparql_group_concat" ->

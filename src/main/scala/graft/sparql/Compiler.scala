@@ -762,6 +762,12 @@ class Compiler(store: QuadStore) {
         // floor(x + 0.5) — NOT java HALF_UP — and engine-portable
         case "ROUND" => floor(numC(s0) + 0.5)
         case "COALESCE" => coalesce(cs.map(_.cast(StringType)): _*)
+        // SPARQL 1.1 §17.4.4.11-15 hash builtins (lowercase hex, as the
+        // spec's examples show); SHA384 has no DuckDB twin and is omitted
+        case "MD5" => md5(s0)
+        case "SHA1" => sha1(s0)
+        case "SHA256" => sha2(s0, 256)
+        case "SHA512" => sha2(s0, 512)
         case udfName if store.udfs.contains(udfName) =>
           call_udf(udfName, array(cs.map(_.cast(StringType)): _*))
         case other => throw new IllegalArgumentException(s"unknown function $other")

@@ -159,6 +159,7 @@ class SparqlParser extends RegexParsers {
           | "STR" | "STRLEN" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" | "STRAFTER"
           | "REPLACE" | "CONTAINS" | "STRSTARTS" | "STRENDS"
           | "ABS" | "CEIL" | "FLOOR" | "ROUND" | "COALESCE"
+          | "MD5" | "SHA1" | "SHA256" | "SHA512"
           | "REGEX" | "BOUND") => u
       case _ => n
     }, as)

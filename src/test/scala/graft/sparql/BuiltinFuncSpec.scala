@@ -22,6 +22,16 @@ class BuiltinFuncSpec extends SparkSpec {
   private val hello = store(("a", "p", "Hello World"))
   private val num = store(("a", "p", "-2.5"))
 
+  test("hash builtins: MD5/SHA1/SHA256/SHA512 lowercase hex (§17.4.4.11-15)") {
+    // the spec's own example value: MD5("abc")
+    val abc = store(("a", "p", "abc"))
+    assert(one(abc, "MD5(?v)") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one(abc, "SHA1(?v)") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one(abc, "SHA256(?v)") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one(abc, "SHA512(?v)").toString.length == 128)
+  }
+
   test("string builtins: STR/STRLEN/UCASE/LCASE/SUBSTR") {
     assert(one(hello, "STR(?v)") == "Hello World")
     assert(one(hello, "STRLEN(?v)") == "11")
