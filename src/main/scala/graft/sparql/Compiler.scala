@@ -854,7 +854,14 @@ class Compiler(store: QuadStore) {
       }).as(a.alias)
     }
     val keys = extraKeys ++ sel.groupBy
-    if (keys.nonEmpty)
+    if (aggCols.isEmpty) {
+      // bare GROUP BY (no aggregate projections — e.g. with a HAVING on
+      // the keys alone): grouping without aggregates is the distinct
+      // key set (§11.2's Group with no set functions evaluated)
+      require(keys.nonEmpty,
+        "aggregation requires GROUP BY keys or aggregate projections")
+      df.select(keys.map(v => varCol(df, v).as(v)): _*).distinct()
+    } else if (keys.nonEmpty)
       df.groupBy(keys.map(v => varCol(df, v).as(v)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     else df.agg(aggCols.head, aggCols.tail: _*)

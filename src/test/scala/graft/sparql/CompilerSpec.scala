@@ -162,6 +162,14 @@ class CompilerSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("bare GROUP BY (no aggregates) yields distinct keys; HAVING filters them") {
+    val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
+    assert(rows(st, "SELECT ?s WHERE { ?s <p> ?v } GROUP BY ?s")
+      .map(_.head).toSet == Set("a", "b"))
+    assert(rows(st, """SELECT ?s WHERE { ?s <p> ?v } GROUP BY ?s HAVING (?s = "a")""")
+      == Seq(Seq("a")))
+  }
+
   test("HAVING can reference group keys and aggregate aliases as atoms") {
     val st = store(("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"))
     val r = rows(st, """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?v }
