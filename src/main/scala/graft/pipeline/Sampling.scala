@@ -53,7 +53,10 @@ object Sampling {
     * order is id order), per-partition exclusive running sums in
     * parallel, then ONE tiny aggregation (a row per partition) windowed
     * on the driver-sized side and broadcast back as offsets. At 100 TB
-    * the only non-parallel step remains O(#partitions), not O(#docs). */
+    * the only non-parallel step remains O(#partitions), not O(#docs).
+    * (Catalyst re-hashes on __pid for the per-partition window — a second
+    * exchange — but both shuffles move only (id, count) pairs, never
+    * document text.) */
   def tokenShards(docs: DataFrame, budget: Long, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(budget > 0, "budget must be positive")

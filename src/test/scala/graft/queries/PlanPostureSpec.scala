@@ -59,6 +59,24 @@ class PlanPostureSpec extends SparkSpec {
     assert(!smp.contains("Exchange"), s"unexpected shuffle in:\n$smp")
   }
 
+  test("token shards: only the #partitions-row offset window is single-partition") {
+    val df = graft.pipeline.Sampling.tokenShards(
+      spark.read.parquet(s"${sf()}/documents.parquet"), budget = 1000L)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-document running sum must be partitioned by __pid (parallel);
+    // exactly one window may run unpartitioned — the per-partition-totals
+    // one, whose input is #partitions rows, not the corpus
+    val windows = "Window \\[".r.findAllIn(p).size
+    // partitioned window prints THREE bracket groups (exprs, partition,
+    // order); the unpartitioned offsets one prints two
+    val partitioned = "Window \\[[^\\]]*\\], \\[__pid#\\d+\\], \\[".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 window ops in:\n$p")
+    assert(partitioned == 1, s"per-doc running sum lost its __pid partitioning:\n$p")
+    // offsets come back via a broadcast join, not a shuffle of the docs
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast in:\n$p")
+  }
+
   test("deferred decode: encoded GROUP BY aggregates before any terms-table decode join") {
     // phase-2 posture: the aggregation must consume id columns directly —
     // the decode join happens on the aggregated result, so in the plan the
