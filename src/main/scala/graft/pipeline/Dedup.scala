@@ -262,6 +262,26 @@ object Dedup {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding near-dup pairs above `threshold` within
+    * each block (a cluster/label/LSH-bucket column — the blocking that
+    * keeps candidate generation off n²) are clustered by min-label
+    * propagation, and ONE deterministic representative (the min id) per
+    * semantic group survives. Returns `(id, cluster_size)` for the
+    * survivors — cluster_size 1 marks documents with no semantic dup.
+    * Pure composition of [[embeddingNearDupPairs]] (blocked equi-join) and
+    * [[nearDupClusters]] (O(|E|)/round label propagation) — both already
+    * the shapes that survive 100 TB. */
+  def semanticRepresentatives(emb: DataFrame, threshold: Double,
+      blockCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, threshold, blockCol, idCol, vecCol)
+    nearDupClusters(emb, pairs, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_size"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * partition column (e.g. label or an LSH bucket) to avoid n² at scale. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,

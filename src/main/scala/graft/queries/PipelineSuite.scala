@@ -48,6 +48,12 @@ object PipelineSuite {
       // within-label cosine ≈ 0.45-0.47), so the oracle checks real pairs
       Dedup.embeddingNearDupPairs(emb(s, dir), threshold = 0.35, blockCol = "label")),
 
+    // SemDedup-style semantic dedup end-to-end: blocked cosine pairs →
+    // min-label clusters → one min-id representative per semantic group
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticRepresentatives(emb(s, dir), threshold = 0.35,
+        blockCol = "label")),
+
     "similarity_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -339,6 +345,27 @@ object PipelineSuite {
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
                     list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.35 - 5e-7""",
+
+    "dedup_semantic" ->
+      """WITH RECURSIVE p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                      list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                 >= 0.35 - 5e-7),
+          ed AS (SELECT id_a AS v, id_b AS u FROM p
+                 UNION SELECT id_b, id_a FROM p),
+          rr(v, u) AS (SELECT v, u FROM ed
+                       UNION SELECT ed.v, rr.u FROM ed JOIN rr ON rr.v = ed.u),
+          mr AS (SELECT v, MIN(u) AS m FROM rr WHERE u < v GROUP BY v),
+          lab AS (SELECT e.vec_id, COALESCE(mr.m, e.vec_id) AS cluster_id
+                  FROM embeddings e LEFT JOIN mr ON mr.v = e.vec_id),
+          sz AS (SELECT vec_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                 FROM lab)
+          SELECT vec_id, cluster_size FROM sz WHERE vec_id = cluster_id""",
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

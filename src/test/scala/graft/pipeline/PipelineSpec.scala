@@ -387,6 +387,19 @@ class PipelineSpec extends SparkSpec {
     assert(score(0L) < score(1L))
   }
 
+  test("semantic dedup keeps the min-id representative per embedding group") {
+    import spark.implicits._
+    // a ≈ b (same direction), c orthogonal, d in another block entirely
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(0.9f, 0.1f), "x"),
+      (3L, Seq(0.0f, 1.0f), "x"), (4L, Seq(1.0f, 0.0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val reps = Dedup.semanticRepresentatives(e, threshold = 0.9, blockCol = "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 survives for {1,2}; 3 and 4 are their own groups
+    assert(reps == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("token shards: two-pass prefix sum equals the sequential assignment") {
     import spark.implicits._
     // many small docs across many partitions; budget 10 tokens
