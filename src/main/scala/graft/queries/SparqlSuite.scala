@@ -237,6 +237,15 @@ object SparqlSuite {
           ?c <customer#c_acctbal> ?bal .
           BIND(IF(?bal >= 5000.0, "high", IF(?bal >= 0.0, "mid", "neg")) AS ?bucket) }""")),
 
+    // projection expressions (§18.2.4.4): (expr AS ?v) in the SELECT
+    // clause, desugared to Extend before Project
+    "sparql_select_expr" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c (?bal * 2 AS ?dbl) (UCASE(?seg) AS ?useg) WHERE {
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> ?seg }""")
+        .withColumn("dbl", round(col("dbl"), 4))),
+
     // hash builtins (§17.4.4): lowercase hex on both engines
     "sparql_builtin_hash" -> ((s, dir) =>
       engine(s, dir).select("""
@@ -559,6 +568,12 @@ object SparqlSuite {
                 CASE WHEN c_acctbal >= 5000.0 THEN 'high'
                      WHEN c_acctbal >= 0.0 THEN 'mid'
                      ELSE 'neg' END AS bucket
+         FROM customer""",
+
+    "sparql_select_expr" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                ROUND(c_acctbal * 2, 4) AS dbl,
+                UPPER(c_mktsegment) AS useg
          FROM customer""",
 
     "sparql_builtin_hash" ->

@@ -313,13 +313,27 @@ class SparqlParser extends RegexParsers {
         case f ~ (((d, v)) ~ sep) ~ a => Aggregate(f, v, a, sep, distinct = d)
       }
 
+  /** One SELECT projection item: a bare variable, an aggregate, or a
+    * projection expression `(expr AS ?v)` (§18.2.4.4 Extend) — the last
+    * desugars to a BIND at the end of the WHERE group, which is exactly
+    * the Extend-before-Project evaluation order for the non-aggregate
+    * fragment (an expression over an aggregate ALIAS would need
+    * post-aggregation Extend; here the alias is simply not in scope yet,
+    * so it evaluates unbound → null, SPARQL's error-is-unbound). */
+  private sealed trait ProjItem
+  private final case class PVar(v: String) extends ProjItem
+  private final case class PAgg(a: Aggregate) extends ProjItem
+  private final case class PExpr(e: Expr, v: String) extends ProjItem
+
+  private def projItem: Parser[ProjItem] =
+    aggProjection ^^ (PAgg(_)) |
+    varName ^^ (PVar(_)) |
+    "(" ~> expr ~ (kw("AS") ~> varName) <~ ")" ^^ { case e ~ v => PExpr(e, v) }
+
   def selectQuery: Parser[Select] =
     kw("SELECT") ~> opt(kw("DISTINCT")) ~
-      (("*" ^^ (_ => (Seq.empty[String], Seq.empty[Aggregate], true))) |
-        rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_))) ^^ { items =>
-          (items.collect { case Left(v) => v },
-           items.collect { case Right(a) => a }, false)
-        }) ~
+      (("*" ^^ (_ => (Seq.empty[ProjItem], true))) |
+        rep1(projItem) ^^ ((_, false))) ~
       rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) | iri ^^ (Left(_)))) ~
       (kw("WHERE") ~> groupGraphPattern) ~
       opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ~
@@ -328,12 +342,14 @@ class SparqlParser extends RegexParsers {
       opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toInt)) ~
       opt(kw("OFFSET") ~> """\d+""".r ^^ (_.toInt)) ^^ {
       case dist ~ proj ~ froms ~ where ~ gb ~ hv ~ ob ~ lim ~ off =>
-        val (vars, aggs, star) = proj
+        val (items, star) = proj
+        val exprBinds = items.collect { case PExpr(e, v) => BindElem(e, v) }
         Select(
           distinct = dist.isDefined,
-          projection = if (star) Seq("*") else vars,
-          aggregates = aggs,
-          where = where,
+          projection = if (star) Seq("*")
+            else items.collect { case PVar(v) => v; case PExpr(_, v) => v },
+          aggregates = items.collect { case PAgg(a) => a },
+          where = where ++ exprBinds,
           groupBy = gb.getOrElse(Nil),
           orderBy = ob.getOrElse(Nil),
           limit = lim, offset = off,

@@ -123,6 +123,21 @@ class CompilerSpec extends SparkSpec {
       Set(Seq("a", "a")))
   }
 
+  test("projection expressions (expr AS ?v) desugar to Extend (§18.2.4.4)") {
+    val st = store(("a", "p", "2"), ("b", "p", "5"))
+    // BIND's uniform lexical model: the bound value is a string form
+    val r = rows(st, "SELECT ?s (?v * 10 AS ?x) WHERE { ?s <p> ?v }")
+    assert(r.map(x => (x(0), x(1))).toSet == Set(("a", "20.0"), ("b", "50.0")))
+    // builtin calls work as projection expressions too
+    val r2 = rows(st, "SELECT (UCASE(?s) AS ?u) WHERE { ?s <p> ?v }")
+    assert(r2.map(_.head).toSet == Set("A", "B"))
+    // an aggregate alias is NOT in scope for an expr projection (the
+    // desugar binds pre-aggregation): SPARQL error-is-unbound → null
+    // (projection order: expr vars first, aggregate aliases appended)
+    val r3 = rows(st, "SELECT (SUM(?v) AS ?t) (?t AS ?echo) WHERE { ?s <p> ?v }")
+    assert(r3 == Seq(Seq(null, 7.0)))
+  }
+
   test("DISTINCT inside aggregates: COUNT/SUM/AVG/GROUP_CONCAT set forms") {
     val st = store(("a", "p", "1"), ("a", "p", "1"), ("a", "p", "3"))
     val r = rows(st, """SELECT (COUNT(DISTINCT ?v) AS ?n) (COUNT(?v) AS ?all)
