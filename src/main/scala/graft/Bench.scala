@@ -75,17 +75,25 @@ object Bench {
     // a 42% "regression" on sparql_filter_arith that was run-to-run
     // variance). Reported value = MEDIAN; min/max go to "spread".
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // r5 postmortem: a query that THREW was timed at its time-to-crash
+    // (~0.07 s) and recorded as a result — 8 crashed stream entries read
+    // as a 7 s "speedup". Failures are now excluded from the total,
+    // listed in the JSON, and fail the process.
+    val failedQ = scala.collection.mutable.LinkedHashMap[String, String]()
     val timed = selected.map { name =>
-      val runs = (1 to reps).map { _ =>
+      val runs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val ok =
+          try { all(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failedQ(name) = e.toString.take(300)
+            System.err.println(s"[bench] $name FAILED: $e"); false }
         val secs = (System.nanoTime() - t0) / 1e9
         System.gc() // drive the weak-ref ContextCleaner between queries
-        secs
+        if (ok) Some(secs) else None
       }.sorted
       (name, runs)
-    }
+    }.filter(_._2.nonEmpty)
     val results = ("_load_quads", loadSecs) +:
       timed.map { case (n, runs) => n -> runs(runs.size / 2) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -93,8 +101,18 @@ object Bench {
     val spread = timed.map { case (n, runs) =>
       "\"" + n + "\":{\"min\":" + runs.head + ",\"max\":" + runs.last + "}"
     }.mkString("{", ",", "}")
+    val failed = failedQ.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._1 != "_load_quads").map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout of long runs gets tail-truncated by the capture (ADVICE r5) —
+    // the full line also lands in a file the round can always recompute from
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line + "\n")
     spark.stop()
+    if (failedQ.nonEmpty) {
+      System.err.println(s"[bench] ${failedQ.size} queries FAILED: ${failedQ.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

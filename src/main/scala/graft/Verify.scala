@@ -22,11 +22,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration escape hatch: comma-separated subset of entry names.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // r5 postmortem: a crashed entry left NO trace in the artifacts — the
+    // driver file just lacked the key and "all passing" stood unchallenged
+    // while 11/112 entries threw. Failures now land in errors.json AND a
+    // final registry-vs-dumped diff line that cannot be missed.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: ${failed(name)}")
       }
       System.gc() // drive the weak-ref ContextCleaner between queries
     }
@@ -45,6 +54,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // registry ↔ dumped-dir reconciliation: name every registered entry
+    // with no parquet on disk (crashed, filtered, or never attempted)
+    val dumped = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    val missing = SparkEntry.queries.keySet -- dumped
+    println(s"[verify] ${selected.size - failed.size}/${SparkEntry.queries.size} dumped, " +
+      s"${failed.size} failed" +
+      (if (failed.nonEmpty) s": ${failed.keys.mkString(", ")}" else "") +
+      (if (missing.nonEmpty) s"; MISSING from $outDir: ${missing.toSeq.sorted.mkString(", ")}"
+       else "; registry fully dumped"))
     spark.stop()
   }
 }

@@ -14,15 +14,11 @@ import graft.streaming.{DistributedRsp, StreamOps}
   */
 object StreamSuite {
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects by default; read nanos as long and convert to
-    * microsecond TimestampType (sub-second precision is irrelevant to
-    * window assignment and aggregation here). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
-  }
+  /** Schema-adaptive events read — see [[graft.streaming.EventsReader]]
+    * (the r5 testdata drift to `timestamp[us]` broke six hand-rolled
+    * copies of this; there is now exactly one). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsReader.events(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> ((s, dir) =>
@@ -95,9 +91,7 @@ object StreamSuite {
     // (⊗ = min across premises, ⊕ = max across derivations)
     "stream_cross_window_sds" -> ((s, dir) => {
       val H = 3600000L
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("tms", expr("ts div 1000000"))
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
       val content = ev.select(
         (col("tms") - (col("tms") % H)).as("step"),
         concat(lit("user/"), col("user_id")).as("s"),
@@ -158,12 +152,9 @@ object StreamSuite {
       GROUP BY ?u""")
 
   /** Events triplized for the RSP plane: `(stream, ts: long ms, s, p, o)`.
-    * ts is exact integer ns→ms division (double division at ns-epoch
-    * magnitude loses the close boundary). */
+    * `tms` is the exact epoch-ms axis from [[graft.streaming.EventsReader]]. */
   private def eventTriples(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("tms", expr("ts div 1000000"))
+    val e = graft.streaming.EventsReader.eventsMs(s, dir)
     val subj = concat(lit("event/"), col("event_id"))
     e.select(lit("events").as("stream"), col("tms").as("ts"),
         subj.as("s"), lit("ev/user").as("p"),
@@ -177,9 +168,7 @@ object StreamSuite {
     * identically by Spark and DuckDB, so the FILTER entry stays
     * hash-comparable (double→string formatting is not portable). */
   private def eventTriplesWithValue(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("tms", expr("ts div 1000000"))
+    val e = graft.streaming.EventsReader.eventsMs(s, dir)
     val subj = concat(lit("event/"), col("event_id"))
     eventTriples(s, dir).unionByName(
       e.select(lit("events").as("stream"), col("tms").as("ts"),
@@ -191,9 +180,7 @@ object StreamSuite {
     * floor(value) ≥ 150 — the selective predicate the OPTIONAL entry
     * binds against. */
   private def eventTriplesWithFlag(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("tms", expr("ts div 1000000"))
+    val e = graft.streaming.EventsReader.eventsMs(s, dir)
     val subj = concat(lit("event/"), col("event_id"))
     eventTriples(s, dir).unionByName(
       e.filter(floor(col("value")) >= 150)

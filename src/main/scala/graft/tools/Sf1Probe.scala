@@ -57,10 +57,12 @@ object Sf1Probe {
       }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // ts via the schema-adaptive reader (epoch-ms axis), written back as
+      // TimestampType — the entries re-read it through the same reader
+      val ev = graft.streaming.EventsReader.eventsMs(spark, sfDir)
       (0 until 10).map { cp =>
         ev.select((col("event_id") + lit(cp.toLong * 10000000L)).as("event_id"),
-          (col("ts") + lit(cp.toLong * 1000000L * 13L)).as("ts"), // 13 ms jitter/copy
+          timestamp_millis(col("tms") + lit(cp.toLong * 13L)).as("ts"), // 13 ms jitter/copy
           (col("user_id") + lit(cp.toLong * 1000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _).repartition(32)

@@ -852,14 +852,12 @@ class DistributedRspSpec extends SparkSpec {
     withRocksDb {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val q = SparqlParser().parseRsp("""
         REGISTER RSTREAM <http://out/replay> AS
         SELECT *
         FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
         WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
-      val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-        .withColumn("tms", expr("ts div 1000000"))
+      val ev = EventsReader.eventsMs(spark, sf("sf0.001"))
       val subj = concat(lit("event/"), col("event_id"))
       val triples = ev.select(lit("events").as("stream"), col("tms").as("ts"),
           subj.as("s"), lit("ev/user").as("p"),
@@ -901,10 +899,8 @@ class DistributedRspSpec extends SparkSpec {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import DistributedRsp.R2SRow
       implicit val sqlCtx = spark.sqlContext
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val step = 3600000L
-      val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-        .withColumn("tms", expr("ts div 1000000"))
+      val ev = EventsReader.eventsMs(spark, sf("sf0.001"))
         .select(col("tms"), col("event_type"))
       // per-event (close, binding) rows of the tumbling-hour relation
       val rel = ev.select((col("tms") - (col("tms") % step)).as("close"),
