@@ -168,6 +168,13 @@ object SparqlSuite {
           ?n <nation#n_name> ?nm .
           ?n !(<nation#n_comment>|<nation#n_name>) ?o }""")),
 
+    // alternative path (§9.1 `alt`): name OR key lexical per nation — a
+    // multiset union of the two link relations (VERDICT r5: SURVEY cited
+    // this entry without registering it; now it exists)
+    "sparql_path_alt" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?n ?o WHERE { ?n <nation#n_name>|<nation#n_nationkey> ?o }""")),
+
     "sparql_path_plus" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val quads = c.filter(col("c_custkey") >= 2).select(
@@ -373,6 +380,50 @@ object SparqlSuite {
         WHERE { ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg""")
     }),
 
+    // remaining Update forms as hash-checked entries (VERDICT r5 item 9;
+    // snapshot semantics per execute_query.rs:578-592 — the WHERE is
+    // evaluated against the pre-update store)
+    "sparql_update_insert_data" -> ((s, dir) => {
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        INSERT DATA { <probe/1> <probe/kind> "alpha" .
+                      <probe/2> <probe/kind> "beta" .
+                      GRAPH <graph/probe> { <probe/3> <probe/kind> "gamma" } }""")
+      c.select("""SELECT ?s ?k WHERE { ?s <probe/kind> ?k }""")
+    }),
+
+    "sparql_update_delete_data" -> ((s, dir) => {
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""INSERT DATA { <probe/1> <probe/kind> "alpha" .
+                                 <probe/2> <probe/kind> "beta" }""")
+      c.execute("""DELETE DATA { <probe/1> <probe/kind> "alpha" }""")
+      c.select("""SELECT ?s ?k WHERE { ?s <probe/kind> ?k }""")
+    }),
+
+    "sparql_update_delete_insert" -> ((s, dir) => {
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        DELETE { ?c <customer#c_mktsegment> ?seg }
+        INSERT { ?c <customer#c_mktsegment> "REBRANDED" }
+        WHERE { ?c <customer#c_mktsegment> ?seg . FILTER(?seg = "BUILDING") }""")
+      c.select("""
+        SELECT ?seg (COUNT(*) AS ?n)
+        WHERE { ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg""")
+    }),
+
+    // DELETE WHERE shorthand: the pattern is both template and matcher
+    "sparql_update_delete_where_short" -> ((s, dir) => {
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""DELETE WHERE { ?c <customer#c_mktsegment> "MACHINERY" }""")
+      c.select("""
+        SELECT ?seg (COUNT(*) AS ?n)
+        WHERE { ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg""")
+    }),
+
     "sparql_rdfstar" -> ((s, dir) => {
       val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val c = new Compiler(store)
@@ -486,6 +537,14 @@ object SparqlSuite {
          UNION ALL
          SELECT 'nation/' || CAST(n_nationkey AS VARCHAR),
                 'region/' || CAST(n_regionkey AS VARCHAR) FROM nation""",
+
+    "sparql_path_alt" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS n, n_name AS o
+         FROM nation
+         UNION ALL
+         SELECT 'nation/' || CAST(n_nationkey AS VARCHAR),
+                CAST(n_nationkey AS VARCHAR)
+         FROM nation""",
 
     "sparql_path_plus" ->
       """WITH RECURSIVE e AS (
@@ -648,6 +707,22 @@ object SparqlSuite {
     "sparql_update_delete_where" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
          WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment""",
+
+    "sparql_update_insert_data" ->
+      """SELECT 'probe/1' AS s, 'alpha' AS k UNION ALL SELECT 'probe/2', 'beta'""",
+
+    "sparql_update_delete_data" ->
+      """SELECT 'probe/2' AS s, 'beta' AS k""",
+
+    "sparql_update_delete_insert" ->
+      """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'REBRANDED'
+                     ELSE c_mktsegment END AS seg,
+                COUNT(*) AS n
+         FROM customer GROUP BY 1""",
+
+    "sparql_update_delete_where_short" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+         WHERE c_mktsegment <> 'MACHINERY' GROUP BY c_mktsegment""",
 
     "sparql_rdfstar" ->
       """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS name FROM nation""",

@@ -84,6 +84,16 @@ object StreamSuite {
         .emissions(eventTriplesWithFlag(s, dir))
         .select("close", "e", "u", "f")),
 
+    // multi-window Wait ISTREAM with UNEQUAL steps (1h vs 2h sliding):
+    // the emission schedule is the Wait-cycle orbit (each cycle completes
+    // when the laggard window fires; the other contributes its latest
+    // fired close), diffed between consecutive emissions — previously a
+    // loud refusal on the distributed plane (VERDICT r5 item 5)
+    "stream_multiwindow_istream" -> ((s, dir) =>
+      new DistributedRsp(s, multiWindowIStreamQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "e", "e2", "u")),
+
     // cross-window SDS+ on the distributed plane: every hourly step's
     // expiry-annotated materialization in ONE step-keyed fixpoint — a
     // user is flagged at a step while BOTH a purchase and a view support
@@ -114,6 +124,17 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val multiWindowIStreamQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER ISTREAM <http://out/mw> AS
+      SELECT *
+      FROM NAMED WINDOW :w1 ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      FROM NAMED WINDOW :w2 ON :events [RANGE 14400000 ms STEP 7200000 ms]
+      WHERE {
+        WINDOW :w1 { ?e <ev/user> ?u . ?e <ev/type> "purchase" . }
+        WINDOW :w2 { ?e2 <ev/user> ?u . ?e2 <ev/type> "view" . }
+      }""")
 
   private val windowFilterQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -332,6 +353,46 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type IN ('purchase', 'error')""",
+
+    // Wait-cycle recurrence as a recursive CTE: e₀ = max of the two first
+    // fired closes; each next emission = max of the two next-fired-closes
+    // after the previous one; every window contributes its greatest fired
+    // close ≤ the emission (as-of); ISTREAM diffs consecutive emissions
+    "stream_multiwindow_istream" ->
+      s"""WITH RECURSIVE ev AS (
+            SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                   'user/' || CAST(user_id AS VARCHAR) AS uid,
+                   event_type,
+                   CAST(epoch_ms(ts) AS BIGINT) AS tms
+            FROM events),
+          f1 AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS c FROM ev
+                 WHERE (tms - 1) - ((tms - 1) % 3600000) >= (SELECT MIN(tms) FROM ev)),
+          f2 AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 7200000) AS c FROM ev
+                 WHERE (tms - 1) - ((tms - 1) % 7200000) >= (SELECT MIN(tms) FROM ev)),
+          emis(c) AS (
+            SELECT GREATEST((SELECT MIN(c) FROM f1), (SELECT MIN(c) FROM f2))
+            UNION ALL
+            SELECT GREATEST((SELECT MIN(x.c) FROM f1 x WHERE x.c > e.c),
+                            (SELECT MIN(x.c) FROM f2 x WHERE x.c > e.c))
+            FROM emis e
+            WHERE (SELECT MIN(x.c) FROM f1 x WHERE x.c > e.c) IS NOT NULL
+              AND (SELECT MIN(x.c) FROM f2 x WHERE x.c > e.c) IS NOT NULL),
+          srcs AS (SELECT c AS close,
+            (SELECT MAX(x.c) FROM f1 x WHERE x.c <= emis.c) AS s1,
+            (SELECT MAX(x.c) FROM f2 x WHERE x.c <= emis.c) AS s2 FROM emis),
+          rel AS (
+            SELECT DISTINCT sr.close, p.eid AS e, v.eid AS e2, p.uid AS u
+            FROM srcs sr
+            JOIN ev p ON p.tms <= sr.s1 AND p.tms >= sr.s1 - 7200000
+                     AND p.event_type = 'purchase'
+            JOIN ev v ON v.tms <= sr.s2 AND v.tms >= sr.s2 - 14400000
+                     AND v.event_type = 'view' AND v.uid = p.uid),
+          seq AS (SELECT close, LAG(close) OVER (ORDER BY close) AS prev FROM srcs)
+          SELECT r.close, r.e, r.e2, r.u
+          FROM rel r JOIN seq s ON r.close = s.close
+          WHERE s.prev IS NULL OR NOT EXISTS (
+            SELECT 1 FROM rel p2
+            WHERE p2.close = s.prev AND p2.e = r.e AND p2.e2 = r.e2 AND p2.u = r.u)""",
 
     // derived tag = max over (purchase, view) pairs of min(expiries)
     // = LEAST(MAX purchase expiry, MAX view expiry) — the min-max

@@ -88,25 +88,25 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * group, as in [[graft.sparql.Compiler.compileGroup]]), UNION of
     * such groups whose branches bind IDENTICAL variable sets (the
     * alternative-predicates shape; mixed-variable branches introduce
-    * UNDEF-tolerant join semantics and stay on the driver engine, as do
-    * subselects), and ONE trailing OPTIONAL or MINUS block (compat
-    * left_outer / left_anti per close — pattern elements after it would
-    * have to join UNDEF-tolerantly against the optional bindings, which
-    * stays engine territory, as do nested OPTIONAL/MINUS whose inner
-    * nulls would break the plane's equality joins). */
+    * per-branch padding semantics and stay on the driver engine, as do
+    * subselects), and OPTIONAL / MINUS blocks anywhere after the first
+    * pattern — including nested OPTIONAL and patterns AFTER an OPTIONAL,
+    * compiled as UNDEF-tolerant compat joins (`engine.rs:1137-1160`
+    * discipline: null-tolerant equality only on vars that can actually
+    * be null, so null-free blocks keep their pure equi-join plans). */
   private val windowBlocks: Map[String, Seq[Element]] = {
-    def validate(elems: Seq[Element], allowLeft: Boolean): Unit = elems.foreach {
+    def validate(elems: Seq[Element]): Unit = elems.foreach {
       case Bgp(_) | FilterElem(_) => ()
-      case UnionBlock(branches) => branches.foreach(validate(_, allowLeft = false))
-      case OptionalBlock(inner) if allowLeft => validate(inner, allowLeft = false)
-      case MinusBlock(inner) if allowLeft => validate(inner, allowLeft = false)
+      case UnionBlock(branches) => branches.foreach(validate)
+      case OptionalBlock(inner) => validate(inner)
+      case MinusBlock(inner) => validate(inner)
       case other => throw new IllegalArgumentException(
-        s"distributed RSP plane supports BGP + FILTER + same-variable UNION + one " +
-          s"trailing OPTIONAL/MINUS per WINDOW block; found $other — use RspEngine " +
+        s"distributed RSP plane supports BGP + FILTER + same-variable UNION + " +
+          s"OPTIONAL/MINUS per WINDOW block; found $other — use RspEngine " +
           "for full block semantics")
     }
     query.select.where.collect { case WindowBlockElem(w, elems) =>
-      validate(elems, allowLeft = true)
+      validate(elems)
       w -> elems
     }.toMap
   }
@@ -256,64 +256,155 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   def windowRelation(events: DataFrame, w: WindowSpec): DataFrame =
     windowRelation(events, w, firedCloses(events, w))
 
+  /** A block relation plus the set of variables that can be null (UNDEF)
+    * in it — nulls enter ONLY through OPTIONAL right-sides, so null-free
+    * blocks keep their pure equi-join plans (the maybeNull discipline of
+    * [[graft.sparql.Compiler.Bindings]], close-keyed). */
+  private case class BlockRel(df: DataFrame, maybeNull: Set[String])
+
+  private def closeKeys(df: DataFrame): Seq[String] =
+    Seq("close") ++ (if (df.columns.contains("closeTs")) Seq("closeTs") else Nil)
+
+  /** UNDEF-tolerant compat join (`engine.rs:1137-1160`): equi on the close
+    * keys + null-free shared vars; a shared var that may be null on either
+    * side joins null-tolerantly (null compatible with anything) and the
+    * output coalesces both sides. Streaming frames never reach the
+    * null-tolerant branch (OPTIONAL right-sides are null-free and a
+    * nullable LEFT side is refused on the stream path below). */
+  private def compatInner(l: BlockRel, r: BlockRel): BlockRel = {
+    val ck = closeKeys(l.df)
+    val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
+    val nullableShared = shared.diff(ck)
+      .filter(c => l.maybeNull(c) || r.maybeNull(c))
+    if (nullableShared.isEmpty)
+      BlockRel(l.df.join(r.df, shared, "inner"),
+        (l.maybeNull ++ r.maybeNull) -- shared)
+    else {
+      require(!l.df.isStreaming && !r.df.isStreaming,
+        "UNDEF-tolerant joins (patterns after OPTIONAL) run on the batch plane " +
+          "or RspEngine; Spark stream-stream joins need equality keys")
+      val pre = "__graft_r_"
+      val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+      val cond = shared.map { c =>
+        if (nullableShared.contains(c))
+          col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+        else col(c) === col(pre + c)
+      }.reduce(_ && _)
+      var out = l.df.join(rr, cond, "inner")
+      shared.foreach { c =>
+        out = out.withColumn(c, coalesce(col(c), col(pre + c))).drop(pre + c)
+      }
+      r.df.columns.filterNot(shared.contains).foreach { c =>
+        out = out.withColumnRenamed(pre + c, c)
+      }
+      val stillNullable = (l.maybeNull ++ r.maybeNull).filter { v =>
+        if (shared.contains(v)) l.maybeNull(v) && r.maybeNull(v) else true
+      }
+      BlockRel(out, stillNullable)
+    }
+  }
+
+  /** OPTIONAL: left-preserving compat join; unmatched left rows pad the
+    * right-only vars with null, so those become maybeNull downstream. */
+  private def compatLeft(l: BlockRel, r: BlockRel): BlockRel = {
+    val ck = closeKeys(l.df)
+    val shared = l.df.columns.filter(r.df.columns.contains(_)).toSeq
+    val rightOnly = r.df.columns.filterNot(shared.contains).toSeq
+    val nullableShared = shared.diff(ck)
+      .filter(c => l.maybeNull(c) || r.maybeNull(c))
+    val joined =
+      if (nullableShared.isEmpty) l.df.join(r.df, shared, "left_outer")
+      else {
+        require(!l.df.isStreaming && !r.df.isStreaming,
+          "nested/post-OPTIONAL UNDEF-tolerant joins run on the batch plane " +
+            "or RspEngine; Spark stream-stream joins need equality keys")
+        val pre = "__graft_r_"
+        val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+        val cond = shared.map { c =>
+          if (nullableShared.contains(c))
+            col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+          else col(c) === col(pre + c)
+        }.reduce(_ && _)
+        var out = l.df.join(rr, cond, "left_outer")
+        shared.foreach { c =>
+          out = out.withColumn(c, coalesce(col(c), col(pre + c))).drop(pre + c)
+        }
+        r.df.columns.filterNot(shared.contains).foreach { c =>
+          out = out.withColumnRenamed(pre + c, c)
+        }
+        out
+      }
+    BlockRel(joined, l.maybeNull ++ r.maybeNull ++ rightOnly)
+  }
+
+  /** MINUS (§8.3): drop a left row when a right row is compatible AND the
+    * two share at least one var bound in BOTH (per-row domain-intersection
+    * guard — the static guard is its null-free special case). */
+  private def minusJoin(l: BlockRel, r: BlockRel): BlockRel = {
+    require(!l.df.isStreaming,
+      "MINUS in a WINDOW block runs on the batch plane or RspEngine; Spark " +
+        "has no stream-stream anti join")
+    val ck = closeKeys(l.df)
+    val sharedVars = l.df.columns.filter(r.df.columns.contains(_)).toSeq.diff(ck)
+    // no shared query variable → domains are disjoint → keep all
+    if (sharedVars.isEmpty) return l
+    val nullableShared = sharedVars.filter(c => l.maybeNull(c) || r.maybeNull(c))
+    if (nullableShared.isEmpty)
+      BlockRel(l.df.join(r.df, ck ++ sharedVars, "left_anti"), l.maybeNull)
+    else {
+      val pre = "__graft_r_"
+      val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
+      val compat = (ck.map(c => col(c) === col(pre + c)) ++ sharedVars.map { c =>
+        if (nullableShared.contains(c))
+          col(c).isNull || col(pre + c).isNull || (col(c) === col(pre + c))
+        else col(c) === col(pre + c)
+      }).reduce(_ && _)
+      val domShare = sharedVars.map(c => col(c).isNotNull && col(pre + c).isNotNull)
+        .reduce(_ || _)
+      BlockRel(l.df.join(rr, compat && domShare, "left_anti"), l.maybeNull)
+    }
+  }
+
   /** Compile one group of block elements over close-keyed content:
     * BGPs scan+join, UNION branches (same variable set) union per close,
-    * a trailing OPTIONAL as a per-close compat left_outer join, a
-    * trailing MINUS as a per-close left_anti with the §8.3
-    * domain-intersection guard (batch plane only: Spark has no
+    * OPTIONAL as a per-close compat left_outer join, MINUS as a per-close
+    * anti join with the §8.3 domain guard (batch plane only: Spark has no
     * stream-stream anti join), FILTERs defer to the end of the group
     * (evaluating over the post-OPTIONAL frame, where a comparison on an
     * unbound variable is null → dropped, SPARQL's error-is-false).
-    * Recursion covers nested unions/filters inside branches. */
-  private def compileBlock(content: DataFrame, elems: Seq[Element]): DataFrame = {
+    * Nested OPTIONALs and patterns after an OPTIONAL join UNDEF-
+    * tolerantly via the maybeNull discipline above. */
+  private def compileBlock(content: DataFrame, elems: Seq[Element]): DataFrame =
+    compileBlockRel(content, elems).df
+
+  private def compileBlockRel(content: DataFrame, elems: Seq[Element]): BlockRel = {
     val (filterElems, others) = elems.partition(_.isInstanceOf[FilterElem])
-    var acc: Option[DataFrame] = None
-    var sawLeft = false
-    def inner(r: DataFrame): Unit = {
-      require(!sawLeft, "distributed RSP plane supports one TRAILING OPTIONAL/MINUS " +
-        "per WINDOW block; patterns after it need the driver engine (RspEngine)")
-      acc = Some(acc.map(joinOnShared(_, r)).getOrElse(r))
-    }
-    def leftSide(kind: String): DataFrame = {
-      require(!sawLeft, "distributed RSP plane supports one TRAILING OPTIONAL/MINUS " +
-        "per WINDOW block; a second one needs the driver engine (RspEngine)")
-      sawLeft = true
+    var acc: Option[BlockRel] = None
+    def inner(r: BlockRel): Unit =
+      acc = Some(acc.map(compatInner(_, r)).getOrElse(r))
+    def leftSide(kind: String): BlockRel =
       acc.getOrElse(throw new IllegalArgumentException(
         s"$kind must follow a pattern element in its WINDOW block"))
-    }
     others.foreach {
-      case Bgp(ps) => inner(ps.map(scan(content, _)).reduce(joinOnShared))
+      case Bgp(ps) =>
+        inner(BlockRel(ps.map(scan(content, _)).reduce(joinOnShared), Set.empty))
       case UnionBlock(branches) =>
-        val rels = branches.map(compileBlock(content, _))
-        require(rels.map(_.columns.toSet).distinct.size == 1,
+        val rels = branches.map(compileBlockRel(content, _))
+        require(rels.map(_.df.columns.toSet).distinct.size == 1,
           "distributed RSP plane supports UNION branches binding identical variable " +
             "sets; mixed-variable branches need the driver engine (RspEngine)")
-        inner(rels.reduce(_ unionByName _))
+        inner(BlockRel(rels.map(_.df).reduce(_ unionByName _),
+          rels.flatMap(_.maybeNull).toSet))
       case OptionalBlock(optElems) =>
-        val left = leftSide("OPTIONAL")
-        val right = compileBlock(content, optElems)
-        // compat left join: left rows are null-free here (one trailing
-        // OPTIONAL), so plain equality on the shared columns — which
-        // always include the close keys — IS the SPARQL compat join
-        val shared = left.columns.filter(right.columns.contains(_)).toSeq
-        acc = Some(left.join(right, shared, "left_outer"))
+        acc = Some(compatLeft(leftSide("OPTIONAL"), compileBlockRel(content, optElems)))
       case MinusBlock(minusElems) =>
-        val left = leftSide("MINUS")
-        require(!left.isStreaming,
-          "MINUS in a WINDOW block runs on the batch plane or RspEngine; Spark " +
-            "has no stream-stream anti join")
-        val right = compileBlock(content, minusElems)
-        val ck = Seq("close") ++
-          (if (left.columns.contains("closeTs")) Seq("closeTs") else Nil)
-        val sharedVars = left.columns.filter(right.columns.contains(_)).toSeq.diff(ck)
-        // §8.3: no shared query variable → domains are disjoint → keep all
-        acc = Some(if (sharedVars.isEmpty) left
-          else left.join(right, ck ++ sharedVars, "left_anti"))
+        acc = Some(minusJoin(leftSide("MINUS"), compileBlockRel(content, minusElems)))
       case other => throw new IllegalArgumentException(s"unsupported block element $other")
     }
     val joined = acc.getOrElse(throw new IllegalArgumentException("empty WINDOW block"))
-    filterElems.collect { case FilterElem(c) => c }
-      .foldLeft(joined)((d, c) => d.filter(condCompiler.compileCond(d, c)))
+    BlockRel(filterElems.collect { case FilterElem(c) => c }
+      .foldLeft(joined.df)((d, c) => d.filter(condCompiler.compileCond(d, c))),
+      joined.maybeNull)
   }
 
   private def windowRelation(events: DataFrame, w: WindowSpec,
@@ -374,18 +465,85 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * the same #closes = timespan/step scale class as the close-sequence
     * lag, never data volume. */
   private def stealRelation(events: DataFrame): DataFrame = {
-    val perWindow = query.windows.map { w =>
+    val perWindow = checkpointedPerWindow(events)
+    val allCloses = perWindow.map(_._2).reduce(_ union _)
+      .distinct().select(col("close").as("__c"))
+    asOfJoined(perWindow, allCloses)
+  }
+
+  private def checkpointedPerWindow(events: DataFrame): Seq[(DataFrame, DataFrame)] =
+    query.windows.map { w =>
       val fired = firedCloses(events, w).localCheckpoint()
       (windowRelation(events, w, fired).localCheckpoint(), fired)
     }
-    val allCloses = perWindow.map(_._2).reduce(_ union _)
-      .distinct().select(col("close").as("__c"))
+
+  /** Join every window's relation at its greatest fired close ≤ each
+    * emission point (`__c` column of `closes`) — the coordinator's
+    * latest-per-window replace semantics as one as-of map per window
+    * (O(#closes²) worst-case over the close sequence only). */
+  private def asOfJoined(perWindow: Seq[(DataFrame, DataFrame)],
+      closes: DataFrame): DataFrame =
     perWindow.map { case (rel, fired) =>
-      val asof = allCloses.join(fired, fired("close") <= allCloses("__c"), "inner")
+      val asof = closes.join(fired, fired("close") <= closes("__c"), "inner")
         .groupBy("__c").agg(max("close").as("__src"))
       asof.join(rel.withColumnRenamed("close", "__src"), Seq("__src"), "inner")
         .drop("__src").withColumnRenamed("__c", "close")
     }.reduce(joinOnShared)
+
+  /** Wait-cycle emission schedule (`rsp_engine.rs:539-620` Wait in its
+    * event-time formulation) for windows whose close sequences differ:
+    * after an emission every window goes stale; the next cycle completes —
+    * and emits — at e' = max over windows of the FIRST fired close
+    * strictly after the previous emission e (windows firing earlier keep
+    * replacing their cached relation until the laggard fires). So
+    * e₀ = max over windows of the first fired close, and E is the orbit
+    * of e₀ under F(p) = max_i min{c ∈ fired_i : c > p}.
+    *
+    * Computed distributedly by recursive doubling over the fired-close
+    * sequences (the transitive-closure trick, `Reasoner.scala` doubling):
+    * hop = F as a (p → n) relation, squared each round while the reach
+    * set absorbs its image — O(log #closes) rounds over #closes =
+    * timespan/step rows, never data volume. Returns one `__c` column. */
+  private def waitEmissionCloses(perFired: Seq[DataFrame]): DataFrame = {
+    val cand = perFired.map(_.select("close")).reduce(_ unionByName _).distinct()
+      .localCheckpoint()
+    // min fired close of window i strictly after each candidate; F(p) =
+    // max over windows, defined only where EVERY window still has a next
+    val nexts = perFired.map { f =>
+      cand.as("c").join(f.as("n"), col("n.close") > col("c.close"))
+        .groupBy(col("c.close").as("p")).agg(min(col("n.close")).as("n"))
+    }
+    var hop = nexts.reduce(_ unionByName _)
+      .groupBy("p").agg(count(lit(1)).as("__k"), max(col("n")).as("n"))
+      .filter(col("__k") === perFired.size).select("p", "n").localCheckpoint()
+    val e0 = perFired.map(_.agg(min("close").as("__m"))).reduce(_ unionByName _)
+      .agg(max("__m").as("__c"))
+    var reach = e0.localCheckpoint()
+    var n = reach.count()
+    var grew = true
+    while (grew) {
+      val stepped = reach.join(hop, reach("__c") === hop("p"))
+        .select(col("n").as("__c"))
+      val merged = reach.unionByName(stepped).distinct().localCheckpoint()
+      val m = merged.count()
+      grew = m > n
+      if (grew) {
+        reach = merged; n = m
+        hop = hop.as("a").join(hop.as("b"), col("a.n") === col("b.p"))
+          .select(col("a.p").as("p"), col("b.n").as("n")).localCheckpoint()
+      }
+    }
+    reach
+  }
+
+  /** Multi-window Wait with UNEQUAL steps: the joined relation evaluated
+    * at each Wait-cycle emission point, each window contributing its
+    * latest fired close ≤ that point. (Equal-step multi-window Wait keeps
+    * the aligned-close equi-join — same semantics on dense feeds, one
+    * plain shuffle join instead of the orbit computation.) */
+  private def waitRelationUnequal(events: DataFrame): DataFrame = {
+    val perWindow = checkpointedPerWindow(events)
+    asOfJoined(perWindow, waitEmissionCloses(perWindow.map(_._2)))
   }
 
   /** Aligned-close TIMEOUT (`rsp_engine.rs:566-640`, virtual clock =
@@ -429,6 +587,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       case Some(StealPolicy) if query.windows.size > 1 => stealRelation(events)
       case Some(TimeoutPolicy(ms, steal)) if query.windows.size > 1 =>
         timeoutRelation(events, ms, steal, advanceTo)
+      case _ if query.windows.size > 1 &&
+          query.windows.map(step).distinct.size > 1 =>
+        waitRelationUnequal(events)
       case _ => query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
     }
     applyStatic(win)
@@ -500,14 +661,27 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   }
 
   private def checkpointedRelAndFired(events: DataFrame): (DataFrame, DataFrame) = {
-    require(query.windows.size == 1,
-      "I/DSTREAM diff sequencing is single-window; multi-window uses RspEngine")
-    val w = query.windows.head
-    val fired = firedCloses(events, w).localCheckpoint()
-    // the diff runs over the FINALIZED relation (incl. the static join) —
-    // the engine also diffs emission rows after modifiers, not raw bindings
-    (finalizePerClose(applyStatic(windowRelation(events, w, fired)))
-      .localCheckpoint(), fired)
+    if (query.windows.size == 1) {
+      val w = query.windows.head
+      val fired = firedCloses(events, w).localCheckpoint()
+      // the diff runs over the FINALIZED relation (incl. the static join) —
+      // the engine also diffs emission rows after modifiers, not raw bindings
+      (finalizePerClose(applyStatic(windowRelation(events, w, fired)))
+        .localCheckpoint(), fired)
+    } else {
+      // multi-window: the engine diffs CONSECUTIVE Wait-cycle emissions,
+      // so the fired sequence for the lag is the emission schedule and the
+      // relation is the latest-per-window as-of join at those points
+      // (Steal/Timeout emission cycles are arrival-order constructs with
+      // no event-time diff sequence — driver engine territory)
+      require(query.policy.forall(_ == WaitPolicy),
+        "multi-window I/DSTREAM diff sequencing is Wait-policy only; " +
+          "WITH POLICY steal/timeout R2S uses RspEngine")
+      val perWindow = checkpointedPerWindow(events)
+      val emis = waitEmissionCloses(perWindow.map(_._2)).localCheckpoint()
+      (finalizePerClose(applyStatic(asOfJoined(perWindow, emis)))
+        .localCheckpoint(), emis.withColumnRenamed("__c", "close"))
+    }
   }
 
   private def relabelPrevToCurrent(rel: DataFrame, seq: DataFrame): DataFrame = {

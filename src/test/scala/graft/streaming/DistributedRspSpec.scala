@@ -381,6 +381,113 @@ class DistributedRspSpec extends SparkSpec {
     }
   }
 
+  test("nested OPTIONAL in WINDOW block matches the engine (batch)") {
+    // OPTIONAL inside OPTIONAL: ?t may bind without ?l, ?l only with ?t
+    val qText = """
+      REGISTER RSTREAM <http://out/nopt> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        ?e <by> ?u . OPTIONAL { ?e <tag> ?t OPTIONAL { ?e <lvl> ?l } } } }"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "tag", "vip", 1L), ("e1", "lvl", "9", 1L),
+      ("e2", "by", "bob", 2L), ("e2", "tag", "std", 2L),
+      ("e3", "by", "carol", 4L), ("e4", "by", "dan", 6L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r("u"), r.get("t"), r.get("l"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), r.getAs[String]("u"),
+          Option(r.getAs[String]("t")), Option(r.getAs[String]("l")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // all three binding shapes occur: (t,l), (t,-), (-,-)
+    val flat = got.values.flatten.toSet
+    assert(flat.exists(r => r._3.isDefined && r._4.isDefined), s"no (t,l): $flat")
+    assert(flat.exists(r => r._3.isDefined && r._4.isEmpty), s"no (t,-): $flat")
+    assert(flat.exists(r => r._3.isEmpty && r._4.isEmpty), s"no (-,-): $flat")
+  }
+
+  test("pattern after OPTIONAL joins UNDEF-tolerantly and matches the engine (batch)") {
+    // { A . OPTIONAL { B } . C } where C shares the OPTIONAL's ?f:
+    // a row with unbound ?f is compatible with every C row (engine.rs:
+    // 1137-1160 compat semantics) and takes C's binding
+    val qText = """
+      REGISTER RSTREAM <http://out/postopt> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        ?e <by> ?u . OPTIONAL { ?e <friend> ?f } ?f <kind> ?k } }"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "friend", "fred", 1L),
+      ("fred", "kind", "dog", 1L), ("gil", "kind", "cat", 1L),
+      ("e2", "by", "bob", 2L), ("e3", "by", "carol", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r("u"), r.get("f"), r.get("k"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), r.getAs[String]("u"),
+          Option(r.getAs[String]("f")), Option(r.getAs[String]("k")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // e1 (f bound to fred) joins only fred's kind; e2 (f unbound) joins both
+    val flat = got.values.flatten.toSet
+    assert(flat.exists(r => r._1 == "e1" && r._3.contains("fred") && r._4.contains("dog")))
+    assert(flat.count(_._1 == "e2") >= 2, s"unbound ?f did not fan out: $flat")
+  }
+
+  test("multi-window unequal-step ISTREAM Wait cycles match the engine") {
+    // wa steps 2 ms, wb steps 3 ms: cycles complete at the laggard's
+    // close (3, 6, 9, 12), the other window contributing its latest
+    // fired close — previously a loud single-window-only refusal
+    val qText = """
+      REGISTER ISTREAM <http://out/mw> AS
+      SELECT *
+      FROM NAMED WINDOW :wa ON :streamA [RANGE 4 ms STEP 2 ms]
+      FROM NAMED WINDOW :wb ON :streamB [RANGE 6 ms STEP 3 ms]
+      WHERE {
+        WINDOW :wa { ?a <who> ?u . }
+        WINDOW :wb { ?b <who> ?u . }
+      }"""
+    val feed = Seq( // (stream, subject, user, ts) — ts strictly interleaved
+      ("streamA", "a1", "u1", 1L), ("streamB", "b2", "u1", 2L),
+      ("streamA", "a3", "u1", 3L), ("streamB", "b4", "u2", 4L),
+      ("streamA", "a5", "u2", 5L), ("streamA", "a7", "u1", 7L),
+      ("streamB", "b8", "u1", 8L), ("streamA", "a9", "u1", 9L),
+      ("streamB", "b10", "u1", 10L), ("streamA", "a11", "u2", 11L),
+      ("streamA", "a13", "u1", 13L), ("streamB", "b14", "u1", 14L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    feed.foreach { case (st, s, u, ts) => engine.add(st, s, "who", u, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("a"), r("b"), r("u"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = feed.map { case (st, s, u, ts) => (st, ts, s, "who", u) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("u"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // the emission schedule is wb's close sequence, not the aligned grid
+    assert(got.keySet.exists(c => c % 2 != 0), s"only aligned closes emitted: ${got.keySet}")
+  }
+
   test("trailing MINUS in WINDOW block matches the engine (batch); streaming is refused") {
     val qText = """
       REGISTER RSTREAM <http://out/m> AS
