@@ -24,6 +24,8 @@ object Bench {
     "stream_tumbling_agg", "stream_sliding_agg", "stream_istream", "stream_dstream",
     "stream_window_bgp", "stream_window_istream",
     "stream_window_agg", "stream_cross_window_sds", // new r5: per-close agg + SDS+
+    // new r6: 10x-density window plane + unequal-step multi-window Wait
+    "stream_window_istream_dense", "stream_multiwindow_istream",
     // ml inference stage
     "ml_predict_fixed",
     // probabilistic stack

@@ -84,6 +84,18 @@ object StreamSuite {
         .emissions(eventTriplesWithFlag(s, dir))
         .select("close", "e", "u", "f")),
 
+    // 10×-density window-plane bench entry (VERDICT r5 item 6): the
+    // regular stream_* entries finish in ~1-2 s at sf0.1, dominated by
+    // fixed job overhead, so window-plane regressions hide under noise.
+    // Same span, 10× events (ids shifted, ts jittered ±13 ms/copy — the
+    // Sf1Probe replication), full distributed BGP + ISTREAM diff.
+    // Deterministic → stable rows-only check; no DuckDB oracle (the
+    // synthesized feed never exists as a table on the oracle side).
+    "stream_window_istream_dense" -> ((s, dir) =>
+      new DistributedRsp(s, windowBgpQuery.copy(kind = graft.sparql.Ast.IStream))
+        .emissions(denseEventTriples(s, dir))
+        .select("close", "e", "u")),
+
     // multi-window Wait ISTREAM with UNEQUAL steps (1h vs 2h sliding):
     // the emission schedule is the Wait-cycle orbit (each cycle completes
     // when the laggard window fires; the other contributes its latest
@@ -181,6 +193,25 @@ object StreamSuite {
         subj.as("s"), lit("ev/user").as("p"),
         concat(lit("user/"), col("user_id")).as("o"))
       .unionByName(e.select(lit("events").as("stream"), col("tms").as("ts"),
+        subj.as("s"), lit("ev/type").as("p"), col("event_type").as("o")))
+  }
+
+  /** [[eventTriples]] at 10× density: each copy shifts ids and jitters ts
+    * by 13 ms — more rows per window, the same #closes, which is how
+    * event volume actually scales against a fixed window spec. */
+  private def denseEventTriples(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.streaming.EventsReader.eventsMs(s, dir)
+    val copies = (0 until 10).map { cp =>
+      e.select((col("event_id") + lit(cp.toLong * 100000000L)).as("event_id"),
+        (col("tms") + lit(cp.toLong * 13L)).as("tms"),
+        (col("user_id") + lit(cp.toLong * 1000000L)).as("user_id"),
+        col("event_type"))
+    }.reduce(_ unionByName _)
+    val subj = concat(lit("event/"), col("event_id"))
+    copies.select(lit("events").as("stream"), col("tms").as("ts"),
+        subj.as("s"), lit("ev/user").as("p"),
+        concat(lit("user/"), col("user_id")).as("o"))
+      .unionByName(copies.select(lit("events").as("stream"), col("tms").as("ts"),
         subj.as("s"), lit("ev/type").as("p"), col("event_type").as("o")))
   }
 

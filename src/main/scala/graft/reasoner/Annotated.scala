@@ -352,6 +352,12 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         .localCheckpoint()
       val changed = next.filter(col("__chg")).count()
       if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      // the previous round's checkpoint blocks are dead once `next` is
+      // materialized; dropping them eagerly (instead of waiting for the
+      // weak-ref ContextCleaner, which rarely fires on a mostly-idle
+      // large heap) is what keeps rep-to-rep spread down — each rep
+      // otherwise accumulates every round of every prior rep on-heap
+      Reasoner.unpersistCheckpoint(t)
       t = next.select("s", "o", "tag")
       if (changed == 0) { lastConverged = true; return t }
       round += 1

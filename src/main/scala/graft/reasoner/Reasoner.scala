@@ -27,6 +27,20 @@ import graft.sparql.Compiler
   */
 object Reasoner {
 
+  /** Eagerly drop the cached blocks behind a `localCheckpoint`'d frame
+    * whose data is no longer reachable (the caller has materialized its
+    * successor). The weak-ref ContextCleaner rarely fires on a
+    * mostly-idle large heap, so without this every fixpoint round of
+    * every rep stays resident — the measured source of rep-to-rep
+    * spread on the semiring closures. Best-effort: frames that are not
+    * checkpoint-backed are left untouched. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Detected transitive-closure rule shape: a two-rule set
     * `{ H(x,y) ← E(x,y);  H(x,z) ← P₁(x,y), P₂(y,z) }` with constant
     * predicates, `P₁P₂ ∈ {EH, HE, HH}`, no filters/negation/quoted terms,

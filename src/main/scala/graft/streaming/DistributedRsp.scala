@@ -86,10 +86,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** WINDOW-block elements per window IRI, validated against the surface
     * the plane compiles: BGP, FILTER (scoped to the end of the enclosing
     * group, as in [[graft.sparql.Compiler.compileGroup]]), UNION of
-    * such groups whose branches bind IDENTICAL variable sets (the
-    * alternative-predicates shape; mixed-variable branches introduce
-    * per-branch padding semantics and stay on the driver engine, as do
-    * subselects), and OPTIONAL / MINUS blocks anywhere after the first
+    * such groups (branches binding different variable sets null-pad the
+    * missing vars, which then join UNDEF-tolerantly downstream;
+    * subselects stay on the driver engine), and OPTIONAL / MINUS blocks
+    * anywhere after the first
     * pattern — including nested OPTIONAL and patterns AFTER an OPTIONAL,
     * compiled as UNDEF-tolerant compat joins (`engine.rs:1137-1160`
     * discipline: null-tolerant equality only on vars that can actually
@@ -389,12 +389,20 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       case Bgp(ps) =>
         inner(BlockRel(ps.map(scan(content, _)).reduce(joinOnShared), Set.empty))
       case UnionBlock(branches) =>
+        // SPARQL multiset union: branches may bind DIFFERENT variable
+        // sets — each branch null-pads the vars it does not bind, and
+        // those become maybeNull (UNDEF) downstream, where the compat
+        // joins above handle them (r6; was a loud refusal)
         val rels = branches.map(compileBlockRel(content, _))
-        require(rels.map(_.df.columns.toSet).distinct.size == 1,
-          "distributed RSP plane supports UNION branches binding identical variable " +
-            "sets; mixed-variable branches need the driver engine (RspEngine)")
-        inner(BlockRel(rels.map(_.df).reduce(_ unionByName _),
-          rels.flatMap(_.maybeNull).toSet))
+        val allCols = rels.flatMap(_.df.columns).distinct
+        val padded = rels.map { r =>
+          val missing = allCols.filterNot(r.df.columns.contains)
+          BlockRel(missing.foldLeft(r.df)((d, c) =>
+            d.withColumn(c, lit(null).cast(org.apache.spark.sql.types.StringType))),
+            r.maybeNull ++ missing)
+        }
+        inner(BlockRel(padded.map(_.df.select(allCols.map(col): _*)).reduce(_ unionByName _),
+          padded.flatMap(_.maybeNull).toSet))
       case OptionalBlock(optElems) =>
         acc = Some(compatLeft(leftSide("OPTIONAL"), compileBlockRel(content, optElems)))
       case MinusBlock(minusElems) =>

@@ -290,16 +290,27 @@ class DistributedRspSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
 
-    // mixed-variable branches are refused loudly, not silently mis-joined
-    val bad = SparqlParser().parseRsp("""
+    // mixed-variable branches null-pad the unbound var (r6; was a loud
+    // refusal) — engine parity on the padded shape
+    val mixedText = """
       REGISTER RSTREAM <http://out/u2> AS
       SELECT *
       FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
-      WHERE { WINDOW :w { { ?e <purchase/by> ?u . } UNION { ?e <view/of> ?item . } } }""")
-    val ex = intercept[IllegalArgumentException] {
-      new DistributedRsp(spark, bad).emissions(events).collect()
-    }
-    assert(ex.getMessage.contains("identical variable"))
+      WHERE { WINDOW :w { { ?e <purchase/by> ?u . } UNION { ?e <view/by> ?item . } } }"""
+    val engine2 = RspEngineBuilder.fromQuery(spark, mixedText)
+    data.foreach { case (e, p, u, ts) => engine2.add("stream", e, p, u, ts) }
+    val engineGot2 = engine2.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r.get("u"), r.get("item"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val got2 = new DistributedRsp(spark, SparqlParser().parseRsp(mixedText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), Option(r.getAs[String]("u")),
+          Option(r.getAs[String]("item")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got2 == engineGot2 && got2.nonEmpty,
+      s"distributed $got2 vs engine $engineGot2")
 
     // the same union through the live streaming plane
     withRocksDb {
@@ -448,6 +459,37 @@ class DistributedRspSpec extends SparkSpec {
     val flat = got.values.flatten.toSet
     assert(flat.exists(r => r._1 == "e1" && r._3.contains("fred") && r._4.contains("dog")))
     assert(flat.count(_._1 == "e2") >= 2, s"unbound ?f did not fan out: $flat")
+  }
+
+  test("mixed-variable UNION branches null-pad and match the engine (batch)") {
+    // left branch binds (?e ?u), right binds (?e ?v): the union pads the
+    // other branch's var with UNDEF — previously a loud refusal
+    val qText = """
+      REGISTER RSTREAM <http://out/mvu> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        { ?e <by> ?u . } UNION { ?e <val> ?v . }
+      } }"""
+    val data = Seq(("e1", "by", "alice", 1L), ("e2", "val", "42", 1L),
+      ("e3", "by", "bob", 2L), ("e4", "val", "7", 4L), ("e5", "by", "carol", 6L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r.get("u"), r.get("v"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), Option(r.getAs[String]("u")),
+          Option(r.getAs[String]("v")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    val flat = got.values.flatten.toSet
+    assert(flat.exists(_._2.isDefined) && flat.exists(_._3.isDefined), s"vacuous: $flat")
   }
 
   test("multi-window unequal-step ISTREAM Wait cycles match the engine") {
