@@ -84,6 +84,14 @@ object StreamSuite {
         .emissions(eventTriplesWithFlag(s, dir))
         .select("close", "e", "u", "f")),
 
+    // per-window top-k via a subselect in the WINDOW block (CityBench's
+    // classic shape): ORDER BY DESC(?v) ?e LIMIT 3 compiles to ONE
+    // row_number over the close partition; deterministic tiebreak on ?e
+    "stream_window_topk" -> ((s, dir) =>
+      new DistributedRsp(s, windowTopkQuery)
+        .emissions(eventTriplesWithValue(s, dir))
+        .select("close", "e", "v", "u")),
+
     // 10×-density window-plane bench entry (VERDICT r5 item 6): the
     // regular stream_* entries finish in ~1-2 s at sf0.1, dominated by
     // fixed job overhead, so window-plane regressions hide under noise.
@@ -136,6 +144,16 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val windowTopkQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/topk> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w {
+        { SELECT ?e ?v WHERE { ?e <ev/value> ?v } ORDER BY DESC(?v) ?e LIMIT 3 }
+        ?e <ev/user> ?u .
+      } }""")
 
   private val multiWindowIStreamQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -384,6 +402,26 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type IN ('purchase', 'error')""",
+
+    "stream_window_topk" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             CAST(FLOOR(value) AS BIGINT) AS vint,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev)),
+          content AS (SELECT f.close, ev.eid, ev.uid, ev.vint
+                      FROM ev JOIN fired f
+                        ON ev.tms <= f.close AND ev.tms >= f.close - 7200000),
+          ranked AS (SELECT close, eid, uid, vint,
+                       ROW_NUMBER() OVER (PARTITION BY close
+                                          ORDER BY vint DESC, eid) AS rn
+                     FROM content)
+          SELECT close, eid AS e, CAST(vint AS VARCHAR) AS v, uid AS u
+          FROM ranked WHERE rn <= 3""",
 
     // Wait-cycle recurrence as a recursive CTE: e₀ = max of the two first
     // fired closes; each next emission = max of the two next-fired-closes

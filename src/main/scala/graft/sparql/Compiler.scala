@@ -820,7 +820,7 @@ class Compiler(store: QuadStore) {
 
   // ---- modifiers ---------------------------------------------------------
 
-  private def sortKeyCols(df: DataFrame, k: OrderKey): Column = {
+  private[graft] def sortKeyCols(df: DataFrame, k: OrderKey): Column = {
     val c = varCol(df, k.v)
     // numeric-if-parses-else-lexical total order (`execute_query.rs:477-499`):
     // struct sorts by (numeric value, lexical form)

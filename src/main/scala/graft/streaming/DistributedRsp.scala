@@ -87,8 +87,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * the plane compiles: BGP, FILTER (scoped to the end of the enclosing
     * group, as in [[graft.sparql.Compiler.compileGroup]]), UNION of
     * such groups (branches binding different variable sets null-pad the
-    * missing vars, which then join UNDEF-tolerantly downstream;
-    * subselects stay on the driver engine), and OPTIONAL / MINUS blocks
+    * missing vars, which then join UNDEF-tolerantly downstream),
+    * subselects (per-close modifiers — see
+    * [[compileSubSelectPerClose]]), and OPTIONAL / MINUS blocks
     * anywhere after the first
     * pattern — including nested OPTIONAL and patterns AFTER an OPTIONAL,
     * compiled as UNDEF-tolerant compat joins (`engine.rs:1137-1160`
@@ -100,9 +101,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       case UnionBlock(branches) => branches.foreach(validate)
       case OptionalBlock(inner) => validate(inner)
       case MinusBlock(inner) => validate(inner)
+      case SubSelect(sub) => validate(sub.where) // modifiers checked at compile
       case other => throw new IllegalArgumentException(
-        s"distributed RSP plane supports BGP + FILTER + same-variable UNION + " +
-          s"OPTIONAL/MINUS per WINDOW block; found $other — use RspEngine " +
+        s"distributed RSP plane supports BGP + FILTER + UNION + OPTIONAL/MINUS + " +
+          s"subselects per WINDOW block; found $other — use RspEngine " +
           "for full block semantics")
     }
     query.select.where.collect { case WindowBlockElem(w, elems) =>
@@ -120,6 +122,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     case UnionBlock(branches) => branches.flatMap(blockVars)
     case OptionalBlock(inner) => blockVars(inner)
     case MinusBlock(inner) => blockVars(inner)
+    case SubSelect(sub) => blockVars(sub.where)
     case _ => Nil
   }
 
@@ -365,6 +368,42 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     }
   }
 
+  /** Per-close subselect (`engine.rs:416-426` materialize-then-join,
+    * close-scoped like every block element): the inner WHERE compiles
+    * over the same close-keyed content; aggregates group by (close keys ×
+    * GROUP BY vars) as ONE distributed aggregation across all closes;
+    * ORDER BY + LIMIT/OFFSET become a per-close rank (`row_number` over
+    * the close partition) — the CityBench per-window top-k shape as one
+    * distributed window function, no per-close loop. LIMIT without
+    * ORDER BY is refused (nondeterministic subset — the engine would
+    * emit an arbitrary one; a silent mismatch, not a compile target). */
+  private def compileSubSelectPerClose(content: DataFrame, sub: Select): BlockRel = {
+    require(sub.having.isEmpty,
+      "HAVING in WINDOW-block subselects needs the driver engine (RspEngine)")
+    require(sub.limit.isEmpty || sub.orderBy.nonEmpty,
+      "LIMIT without ORDER BY in a WINDOW-block subselect is nondeterministic; " +
+        "use RspEngine or add an ORDER BY")
+    val b = compileBlockRel(content, sub.where)
+    val ck = closeKeys(b.df)
+    var df = b.df
+    if (sub.aggregates.nonEmpty || sub.groupBy.nonEmpty)
+      df = condCompiler.applyAggregates(df, sub, ck)
+    val projCols: Seq[String] =
+      if (sub.projection == Seq("*")) df.columns.toSeq.filterNot(ck.contains)
+      else sub.projection ++ sub.aggregates.map(_.alias)
+    df = df.select((ck ++ projCols).map(col): _*)
+    if (sub.distinct) df = df.dropDuplicates()
+    if (sub.orderBy.nonEmpty && (sub.limit.nonEmpty || sub.offset.nonEmpty)) {
+      val w = Window.partitionBy(ck.map(col): _*)
+        .orderBy(sub.orderBy.map(k => condCompiler.sortKeyCols(df, k)): _*)
+      val lo = sub.offset.getOrElse(0)
+      val hi = sub.limit.map(l => lo.toLong + l).getOrElse(Long.MaxValue)
+      df = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+    }
+    BlockRel(df, b.maybeNull.intersect(projCols.toSet))
+  }
+
   /** Compile one group of block elements over close-keyed content:
     * BGPs scan+join, UNION branches (same variable set) union per close,
     * OPTIONAL as a per-close compat left_outer join, MINUS as a per-close
@@ -407,6 +446,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         acc = Some(compatLeft(leftSide("OPTIONAL"), compileBlockRel(content, optElems)))
       case MinusBlock(minusElems) =>
         acc = Some(minusJoin(leftSide("MINUS"), compileBlockRel(content, minusElems)))
+      case SubSelect(sub) =>
+        inner(compileSubSelectPerClose(content, sub))
       case other => throw new IllegalArgumentException(s"unsupported block element $other")
     }
     val joined = acc.getOrElse(throw new IllegalArgumentException("empty WINDOW block"))

@@ -461,6 +461,52 @@ class DistributedRspSpec extends SparkSpec {
     assert(flat.count(_._1 == "e2") >= 2, s"unbound ?f did not fan out: $flat")
   }
 
+  test("per-close subselect top-k joins the outer pattern and matches the engine (batch)") {
+    // { SELECT … ORDER BY DESC LIMIT 2 } inside a WINDOW block: the
+    // CityBench per-window top-k, compiled as ONE row_number over the
+    // close partition — previously a loud refusal
+    val qText = """
+      REGISTER RSTREAM <http://out/topk> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        { SELECT ?e ?v WHERE { ?e <val> ?v } ORDER BY DESC(?v) LIMIT 2 }
+        ?e <by> ?u .
+      } }"""
+    val data = Seq(
+      ("e1", "val", "10", 1L), ("e1", "by", "alice", 1L),
+      ("e2", "val", "40", 2L), ("e2", "by", "bob", 2L),
+      ("e3", "val", "20", 3L), ("e3", "by", "carol", 3L),
+      ("e4", "val", "30", 4L), ("e4", "by", "dan", 4L),
+      ("e5", "val", "50", 5L), ("e5", "by", "eve", 5L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose ->
+        em.rows.map(r => (r("e"), r("v"), r("u"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), r.getAs[String]("v"), r.getAs[String]("u"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // at every close at most 2 rows survive, and they are that close's max values
+    assert(got.values.forall(_.size <= 2), s"top-k leaked: $got")
+    // LIMIT without ORDER BY is refused loudly, not silently arbitrary
+    val bad = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/badk> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { { SELECT ?e WHERE { ?e <val> ?v } LIMIT 1 } } }""")
+    val ex = intercept[IllegalArgumentException] {
+      new DistributedRsp(spark, bad).emissions(events).collect()
+    }
+    assert(ex.getMessage.contains("nondeterministic"), ex.getMessage)
+  }
+
   test("mixed-variable UNION branches null-pad and match the engine (batch)") {
     // left branch binds (?e ?u), right binds (?e ?v): the union pads the
     // other branch's var with UNDEF — previously a loud refusal
