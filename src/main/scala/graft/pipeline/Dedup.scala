@@ -113,17 +113,31 @@ object Dedup {
         * operator lazy/composable; the driver entries and any multi-stage
         * scale run should pass true — recompute growth is linear in
         * corpus size while the barrier cost is fixed. */
-      checkpointSigs: Boolean = false): DataFrame = {
+      checkpointSigs: Boolean = false,
+      /** Cap on (band, bucket) membership before the self-join: a bucket
+        * of B docs yields B(B−1)/2 candidate pairs, so a flood of
+        * byte-identical docs (which belongs to [[exactDedup]] — run it
+        * first) would go quadratic here. Oversized buckets keep their
+        * `maxBucketSize` smallest ids (deterministic); a dropped doc can
+        * still pair through its other bands. None disables. */
+      maxBucketSize: Option[Int] = Some(4096)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs0 = minHashSignatures(docs, k, numHashes, idCol, textCol)
     val sigs = if (checkpointSigs) sigs0.localCheckpoint() else sigs0
     // Catalyst has no common-subplan reuse across self-join sides, so the
     // signature pipeline appears twice in the physical plan (lazy mode).
-    val banded = sigs.select(col("id"), col("sig"),
+    val bandedAll = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy("band", "bucket").orderBy("id")
+        bandedAll.withColumn("__bn", row_number().over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => bandedAll
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -2,23 +2,23 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Contamination, TextAnalysis}
+import graft.pipeline.Dedup
 
 /** Ad-hoc profiling entry (not part of the driver contract). Currently:
-  * stage timing of the contamination sweep at sf0.1 — the probe that
-  * located the single-input-split gram HOF cost (fixed by entry-side
-  * repartition + pre-tokenized lambda + checkpointGrams; numbers in
-  * [[Contamination.contaminatedPairs]]'s Scaladoc). NOTE: single-shot
-  * timings here run without the Bench harness's status-store caps and
-  * inter-query GC — treat them as direction, not measurement; confirm
-  * with `SPARK_GRAFT_BENCH_ONLY=<entry> graft.Bench`. */
+  * stage decomposition of the MinHash-LSH pipeline on the Sf1Probe 10×
+  * corpus — locating the 3.9 s → 106 s blowup the r6 probe measured
+  * (candidate-pair volume vs signature cost vs verify cost). NOTE:
+  * single-shot timings here run without the Bench harness's
+  * status-store caps and inter-query GC — treat them as direction, not
+  * measurement; confirm with `SPARK_GRAFT_BENCH_ONLY=<entry> graft.Bench`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "2")
       .config("spark.ui.retainedJobs", "20")
@@ -34,20 +34,24 @@ object Scratch {
       r
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val pre = docs.select(col("doc_id"), TextAnalysis.tokens(trim(col("text"))).as("__toks"))
-    val grams = pre.select(col("doc_id"), explode(array_distinct(
-      TextAnalysis.ngramsOfTokens(col("__toks"), 3))).as("gram"))
-    time("gram rows") { println(grams.count()) }
-    time("keep list") {
-      println(grams.groupBy("gram").agg(count(lit(1)).as("c"))
-        .filter(col("c") <= 20).count())
+    println(s"[scratch] docs=${docs.count()} partitions=${docs.rdd.getNumPartitions}")
+    time("tokens only") {
+      println(docs.select(graft.pipeline.TextAnalysis.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).first())
     }
-    val bench = docs.filter(col("doc_id") % 50 === 0)
+    time("shingle rows") {
+      println(Dedup.shingles(docs, 3).count())
+    }
     (1 to 3).foreach { i =>
-      time(s"full entry rep $i") {
-        println(Contamination.contaminatedPairs(docs, bench, n = 3,
-          minShared = 2, maxDf = Some(20), checkpointGrams = true).count())
+      time(s"entry cp=false rep$i") {
+        println(Dedup.minHashLshPairs(docs, k = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, checkpointSigs = false).count())
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"entry cp=true rep$i") {
+        println(Dedup.minHashLshPairs(docs, k = 3, numHashes = 32, bands = 8,
+          threshold = 0.5, checkpointSigs = true).count())
       }
     }
     spark.stop()

@@ -73,14 +73,28 @@ object Sf1Probe {
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       all(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      s
+    }
+    // STEADY-STATE timing: min of several in-JVM reps. The r6 probe
+    // first measured dedup_minhash_lsh at 106 s / exponent 1.43 at 10× —
+    // entirely JVM warm-up (later reps of the identical plan: 2.9 s;
+    // candidate pairs at 10× = 19, no bucket blowup). A single warm run
+    // is not enough for the wide-codegen entries, so each scale point
+    // takes the min over `reps` executions, and the spread is printed so
+    // a warm-up-dominated point is visible instead of silently inflating
+    // the exponent.
+    val reps = sys.env.get("SF1_PROBE_REPS").map(_.toInt).getOrElse(4)
+    def steady(name: String, dir: String): (Double, Double) = {
+      val runs = (1 to reps).map(_ => run(name, dir))
+      (runs.min, runs.max)
     }
     entries.foreach { name =>
-      run(name, sfDir) // warm (quad caches, codegen)
-      val t1 = run(name, sfDir)
-      val t10 = run(name, bigDir)
+      val (t1, t1max) = steady(name, sfDir)
+      val (t10, t10max) = steady(name, bigDir)
       val exp = math.log10(t10 / t1)
-      println(f"[sf1-probe] $name%-28s sf0.1=$t1%7.2f s  10x=$t10%8.2f s  exponent=$exp%5.2f")
+      println(f"[sf1-probe] $name%-28s sf0.1=$t1%7.2f s (max $t1max%6.2f)  10x=$t10%8.2f s (max $t10max%7.2f)  exponent=$exp%5.2f")
     }
     spark.stop()
   }
