@@ -84,6 +84,14 @@ object StreamSuite {
         .emissions(eventTriplesWithFlag(s, dir))
         .select("close", "e", "u", "f")),
 
+    // HAVING on the main RSP SELECT (r6): per-close aggregate constraint
+    // via the batch compiler's synthetic-aggregate rewrite — repeat
+    // purchasers (≥ 2 in the window) only
+    "stream_window_agg_having" -> ((s, dir) =>
+      new DistributedRsp(s, windowAggHavingQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "u", "n")),
+
     // per-window top-k via a subselect in the WINDOW block (CityBench's
     // classic shape): ORDER BY DESC(?v) ?e LIMIT 3 compiles to ONE
     // row_number over the close partition; deterministic tiebreak on ?e
@@ -144,6 +152,14 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val windowAggHavingQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/havagg> AS
+      SELECT ?u (COUNT(?e) AS ?n)
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }
+      GROUP BY ?u HAVING(COUNT(?e) >= 2)""")
 
   private val windowTopkQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -402,6 +418,23 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type IN ('purchase', 'error')""",
+
+    "stream_window_agg_having" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev)),
+          rel AS (SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+                  FROM ev JOIN fired f
+                    ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+                  WHERE ev.event_type = 'purchase')
+          SELECT close, u, COUNT(e) AS n FROM rel GROUP BY close, u
+          HAVING COUNT(e) >= 2""",
 
     "stream_window_topk" ->
       s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,

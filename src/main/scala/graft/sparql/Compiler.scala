@@ -877,7 +877,7 @@ class Compiler(store: QuadStore) {
     * projected ones and dropped after the filter). Everything else —
     * group keys, aggregate aliases, literals — passes through and
     * resolves against the aggregated frame. */
-  private def rewriteHaving(c: Condition, aggs: Seq[Aggregate],
+  private[graft] def rewriteHaving(c: Condition, aggs: Seq[Aggregate],
       synth: scala.collection.mutable.ArrayBuffer[Aggregate]): Condition = {
     def rewriteE(e: Expr): Expr = e match {
       case Func(f, args) if aggFuncNames(f) =>

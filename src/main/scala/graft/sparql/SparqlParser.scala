@@ -533,8 +533,12 @@ class SparqlParser extends RegexParsers {
         (("*" ^^ (_ => None)) |
           rep1(aggProjection ^^ (Right(_)) | varName ^^ (Left(_))) ^^ (items => Some(items)))) ~
       rep1(windowClause) ~ (kw("WHERE") ~> groupGraphPattern) ~
-      opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ^^ {
-      case kind ~ out ~ (dist ~ proj) ~ wins ~ where ~ gb =>
+      opt(kw("GROUP") ~> kw("BY") ~> rep1(varName)) ~
+      opt(kw("HAVING") ~> rep1("(" ~> condition <~ ")")) ~
+      opt(kw("ORDER") ~> kw("BY") ~> rep1(orderKey)) ~
+      opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toInt)) ~
+      opt(kw("OFFSET") ~> """\d+""".r ^^ (_.toInt)) ^^ {
+      case kind ~ out ~ (dist ~ proj) ~ wins ~ where ~ gb ~ hv ~ ob ~ lim ~ off =>
         val (vars, aggs) = proj match {
           case None => (Seq("*"), Nil)
           case Some(items) =>
@@ -544,7 +548,8 @@ class SparqlParser extends RegexParsers {
         RspQuery(kind, out,
           wins.map { case (w, s, r, st, _) => WindowSpec(w, s, r, st) },
           Select(dist.isDefined, vars, aggs,
-            where, gb.getOrElse(Nil), Nil, None, None, Nil, Nil),
+            where, gb.getOrElse(Nil), ob.getOrElse(Nil), lim, off, Nil, Nil,
+            having = hv.getOrElse(Nil)),
           policy = wins.flatMap(_._5).lastOption)
     }
 

@@ -140,11 +140,16 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     query.select.where.filterNot(_.isInstanceOf[WindowBlockElem])
 
   // fail loudly on surface the plane does not compile, instead of
-  // silently returning different results than RspEngine would
-  require(query.select.orderBy.isEmpty && query.select.limit.isEmpty &&
-      query.select.offset.isEmpty && query.select.having.isEmpty,
-    "distributed RSP plane supports projection/aggregates/DISTINCT; " +
-      "ORDER BY / LIMIT / OFFSET / HAVING need the driver engine (RspEngine)")
+  // silently returning different results than RspEngine would:
+  // LIMIT/OFFSET without ORDER BY is a nondeterministic subset (the
+  // engine emits an arbitrary one — a silent parity mismatch). Bare
+  // ORDER BY is accepted as a no-op: emission rows on the distributed
+  // plane are an unordered relation keyed by close, and the driver
+  // compare (like SPARQL set semantics) is order-insensitive.
+  require(query.select.orderBy.nonEmpty ||
+      (query.select.limit.isEmpty && query.select.offset.isEmpty),
+    "LIMIT/OFFSET without ORDER BY is nondeterministic; add an ORDER BY " +
+      "or use the driver engine (RspEngine)")
 
   private def step(w: WindowSpec): Long = math.max(w.stepMs, 1L)
 
@@ -645,26 +650,46 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   }
 
   /** Per-close solution modifiers, mirroring [[RspEngine.emitJoined]]'s
-    * `finalizeSelect` on each emission: aggregates group by (close keys ×
+    * `finalizeSelect` on each emission: aggregates (incl. HAVING via the
+    * batch compiler's synthetic-aggregate rewrite) group by (close keys ×
     * GROUP BY vars) — one distributed aggregation across ALL closes —
-    * then projection, then DISTINCT. The one non-representable case
-    * stays: a fired close with EMPTY content yields no row here, so a
-    * global aggregate over an empty firing (engine: one zero-count row)
-    * does not appear (class Scaladoc, "empty firings"). */
+    * then projection, DISTINCT, and ORDER BY + LIMIT/OFFSET as a
+    * per-close rank (one `row_number` over the close partition; row
+    * ORDER itself is not represented — emissions are an unordered
+    * relation). The one non-representable case stays: a fired close with
+    * EMPTY content yields no row here, so a global aggregate over an
+    * empty firing (engine: one zero-count row) does not appear (class
+    * Scaladoc, "empty firings"). */
   private def finalizePerClose(rel: DataFrame): DataFrame = {
-    val sel = query.select
+    val sel0 = query.select
     val keys = Seq("close") ++
       (if (rel.columns.contains("closeTs")) Seq("closeTs") else Nil)
+    val synth = scala.collection.mutable.ArrayBuffer.empty[graft.sparql.Ast.Aggregate]
+    val having = sel0.having.map(condCompiler.rewriteHaving(_, sel0.aggregates, synth))
+    val sel = if (synth.isEmpty) sel0
+      else sel0.copy(aggregates = sel0.aggregates ++ synth)
     var df = rel
-    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
+    if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty || having.nonEmpty)
       df = condCompiler.applyAggregates(df, sel, keys)
+    having.foreach(c => df = df.filter(condCompiler.compileCond(df, c)))
+    if (synth.nonEmpty) df = df.drop(synth.map(_.alias).toSeq: _*)
     val projCols: Seq[String] =
-      if (sel.projection == Seq("*")) df.columns.toSeq.filterNot(keys.contains)
-      else sel.projection ++ sel.aggregates.map(_.alias)
+      if (sel.projection == Seq("*"))
+        df.columns.toSeq.filterNot(keys.contains)
+      else sel.projection ++ sel0.aggregates.map(_.alias)
     df = df.select((keys ++ projCols).map(c =>
       (if (df.columns.contains(c)) col(c)
        else lit(null).cast(org.apache.spark.sql.types.StringType)).as(c)): _*)
-    if (sel.distinct) df.dropDuplicates() else df
+    if (sel.distinct) df = df.dropDuplicates()
+    if (sel.orderBy.nonEmpty && (sel.limit.nonEmpty || sel.offset.nonEmpty)) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(sel.orderBy.map(k => condCompiler.sortKeyCols(df, k)): _*)
+      val lo = sel.offset.getOrElse(0)
+      val hi = sel.limit.map(l => lo.toLong + l).getOrElse(Long.MaxValue)
+      df = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+    }
+    df
   }
 
   /** Fired-close sequence with its predecessor (lag over the ordered close
@@ -844,6 +869,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * (the eager default requires per-key non-decreasing closes across
     * micro-batches and emits with one less micro-batch of latency). */
   def streamEmissions(events: DataFrame, buffered: Boolean = false): Dataset[R2SRow] = {
+    require(query.select.having.isEmpty && query.select.limit.isEmpty &&
+        query.select.offset.isEmpty,
+      "HAVING / LIMIT / OFFSET run on the batch emissions or RspEngine; the " +
+        "streaming plane has no per-close rank over an unbounded stream")
     val relAll = streamRelation(events)
     val sel = query.select
     val keys = Seq("close", "closeTs")

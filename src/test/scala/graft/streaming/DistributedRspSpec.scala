@@ -111,6 +111,19 @@ class DistributedRspSpec extends SparkSpec {
     assert(p.contains("Join"), s"no join in plan:\n$p")
   }
 
+  test("plane posture: per-window top-k is one partitioned rank, no driver rebuild") {
+    val df = graft.SparkEntry.queries("stream_window_topk")(spark, sf("sf0.001"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan") && !p.contains("Scan ExistingRDD"),
+      s"driver-side relation rebuild in plan:\n$p")
+    // the subselect's LIMIT compiles to a close-partitioned Window
+    // (row_number), never a global Sort+Limit that would funnel all
+    // closes through one partition
+    assert(p.contains("Window"), s"no window operator in plan:\n$p")
+    assert(!p.contains("GlobalLimit"), s"global limit leaked into plan:\n$p")
+  }
+
   test("distributed R2R rule enrichment matches the engine's per-window materialization") {
     // rule: every typed subject gets an <enriched> marker; the WINDOW
     // block queries the DERIVED predicate, so emissions exist only if
@@ -459,6 +472,56 @@ class DistributedRspSpec extends SparkSpec {
     val flat = got.values.flatten.toSet
     assert(flat.exists(r => r._1 == "e1" && r._3.contains("fred") && r._4.contains("dog")))
     assert(flat.count(_._1 == "e2") >= 2, s"unbound ?f did not fan out: $flat")
+  }
+
+  test("HAVING and per-close top-k on the main RSP SELECT match the engine (batch)") {
+    // HAVING with a synthetic aggregate (COUNT not projected) per close
+    val qHaving = """
+      REGISTER RSTREAM <http://out/hav> AS
+      SELECT ?u (SUM(?v) AS ?sv)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . ?e <val> ?v . } }
+      GROUP BY ?u HAVING(COUNT(?e) >= 2)"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "val", "10", 1L),
+      ("e2", "by", "alice", 2L), ("e2", "val", "5", 2L),
+      ("e3", "by", "bob", 2L), ("e3", "val", "7", 2L),
+      ("e4", "by", "alice", 4L), ("e4", "val", "2", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qHaving)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("sv"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qHaving))
+      .emissions(events).withColumn("sv", col("sv").cast("string")).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("u"), r.getAs[String]("sv"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // bob (1 event per close) never passes the COUNT >= 2 constraint
+    assert(!got.values.flatten.exists(_._1 == "bob"), s"HAVING leaked: $got")
+
+    // top-1 user by summed value per close on the main SELECT
+    val qTopk = """
+      REGISTER RSTREAM <http://out/havk> AS
+      SELECT ?u (SUM(?v) AS ?sv)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . ?e <val> ?v . } }
+      GROUP BY ?u ORDER BY DESC(?sv) ?u LIMIT 1"""
+    val engine2 = RspEngineBuilder.fromQuery(spark, qTopk)
+    data.foreach { case (s, p, o, ts) => engine2.add("stream", s, p, o, ts) }
+    val engineGot2 = engine2.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("sv"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val got2 = new DistributedRsp(spark, SparqlParser().parseRsp(qTopk))
+      .emissions(events).withColumn("sv", col("sv").cast("string")).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("u"), r.getAs[String]("sv"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got2 == engineGot2 && got2.nonEmpty, s"distributed $got2 vs engine $engineGot2")
+    assert(got2.values.forall(_.size == 1), s"LIMIT 1 leaked: $got2")
   }
 
   test("per-close subselect top-k joins the outer pattern and matches the engine (batch)") {
