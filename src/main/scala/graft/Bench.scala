@@ -25,7 +25,9 @@ object Bench {
     "stream_window_bgp", "stream_window_istream",
     "stream_window_agg", "stream_cross_window_sds", // new r5: per-close agg + SDS+
     // new r6: 10x-density window plane + unequal-step multi-window Wait
+    // + per-window top-k (subselect rank)
     "stream_window_istream_dense", "stream_multiwindow_istream",
+    "stream_window_topk",
     // ml inference stage
     "ml_predict_fixed",
     // probabilistic stack

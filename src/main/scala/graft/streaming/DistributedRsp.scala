@@ -382,20 +382,25 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * distributed window function, no per-close loop. LIMIT without
     * ORDER BY is refused (nondeterministic subset — the engine would
     * emit an arbitrary one; a silent mismatch, not a compile target). */
-  private def compileSubSelectPerClose(content: DataFrame, sub: Select): BlockRel = {
-    require(sub.having.isEmpty,
-      "HAVING in WINDOW-block subselects needs the driver engine (RspEngine)")
-    require(sub.limit.isEmpty || sub.orderBy.nonEmpty,
+  private def compileSubSelectPerClose(content: DataFrame, sub0: Select): BlockRel = {
+    require(sub0.limit.isEmpty || sub0.orderBy.nonEmpty,
       "LIMIT without ORDER BY in a WINDOW-block subselect is nondeterministic; " +
         "use RspEngine or add an ORDER BY")
-    val b = compileBlockRel(content, sub.where)
+    val b = compileBlockRel(content, sub0.where)
     val ck = closeKeys(b.df)
+    // HAVING via the batch compiler's synthetic-aggregate rewrite, close-keyed
+    val synth = scala.collection.mutable.ArrayBuffer.empty[graft.sparql.Ast.Aggregate]
+    val having = sub0.having.map(condCompiler.rewriteHaving(_, sub0.aggregates, synth))
+    val sub = if (synth.isEmpty) sub0
+      else sub0.copy(aggregates = sub0.aggregates ++ synth)
     var df = b.df
-    if (sub.aggregates.nonEmpty || sub.groupBy.nonEmpty)
+    if (sub.aggregates.nonEmpty || sub.groupBy.nonEmpty || having.nonEmpty)
       df = condCompiler.applyAggregates(df, sub, ck)
+    having.foreach(c => df = df.filter(condCompiler.compileCond(df, c)))
+    if (synth.nonEmpty) df = df.drop(synth.map(_.alias).toSeq: _*)
     val projCols: Seq[String] =
       if (sub.projection == Seq("*")) df.columns.toSeq.filterNot(ck.contains)
-      else sub.projection ++ sub.aggregates.map(_.alias)
+      else sub.projection ++ sub0.aggregates.map(_.alias)
     df = df.select((ck ++ projCols).map(col): _*)
     if (sub.distinct) df = df.dropDuplicates()
     if (sub.orderBy.nonEmpty && (sub.limit.nonEmpty || sub.offset.nonEmpty)) {

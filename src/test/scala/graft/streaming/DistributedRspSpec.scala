@@ -568,6 +568,36 @@ class DistributedRspSpec extends SparkSpec {
       new DistributedRsp(spark, bad).emissions(events).collect()
     }
     assert(ex.getMessage.contains("nondeterministic"), ex.getMessage)
+
+    // HAVING inside a WINDOW-block subselect (synthetic COUNT rewrite)
+    val qHav = """
+      REGISTER RSTREAM <http://out/subhav> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        { SELECT ?u (SUM(?v) AS ?sv) WHERE { ?e <by> ?u . ?e <val> ?v }
+          GROUP BY ?u HAVING(COUNT(?e) >= 2) }
+      } }"""
+    val dataH = Seq(
+      ("e1", "by", "ann", 1L), ("e1", "val", "10", 1L),
+      ("e2", "by", "ann", 2L), ("e2", "val", "5", 2L),
+      ("e3", "by", "bo", 2L), ("e3", "val", "7", 2L),
+      ("e4", "by", "cy", 4L), ("e4", "val", "1", 4L))
+    val engineH = RspEngineBuilder.fromQuery(spark, qHav)
+    dataH.foreach { case (s, p, o, ts) => engineH.add("stream", s, p, o, ts) }
+    val engineGotH = engineH.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("sv"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val eventsH = dataH.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val gotH = new DistributedRsp(spark, SparqlParser().parseRsp(qHav))
+      .emissions(eventsH).withColumn("sv", col("sv").cast("string")).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("u"), r.getAs[String]("sv"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotH == engineGotH && gotH.nonEmpty,
+      s"distributed $gotH vs engine $engineGotH")
+    assert(!gotH.values.flatten.exists(_._1 == "bo"), s"subselect HAVING leaked: $gotH")
   }
 
   test("mixed-variable UNION branches null-pad and match the engine (batch)") {
