@@ -94,6 +94,151 @@ class MlRuntime(spark: SparkSession) {
     * in the reference's SparqlDatabase). */
   val modelArtifacts = scala.collection.mutable.Map.empty[String, String]
 
+  // ------------------------------------------------------------------
+  // sklearn-pickle fallback (`ml/src/lib.rs:160-330` loads .pkl models
+  // through embedded Python; here the pickle is parsed natively on the
+  // JVM and the learned parameters broadcast — see graft.mlx.Sklearn)
+  // ------------------------------------------------------------------
+
+  val sklearnModels = scala.collection.mutable.Map.empty[String, SkModel]
+  val sklearnClassifiers = scala.collection.mutable.Map.empty[String, Sklearn.PipelineClassifier]
+
+  /** Load a pickled sklearn regressor (file path or `res:/name` for a
+    * classpath resource) into the model registry. */
+  def loadSklearnRegressor(name: String, path: String): SkModel = {
+    val m = Sklearn.loadRegressor(loadPickle(path))
+    sklearnModels(name) = m
+    m
+  }
+
+  def loadSklearnClassifier(name: String, path: String): Sklearn.PipelineClassifier = {
+    val m = Sklearn.loadClassifier(loadPickle(path))
+    sklearnClassifiers(name) = m
+    m
+  }
+
+  private def loadPickle(path: String): Py.V =
+    if (path.startsWith("res:")) Pickle.loadResource(path.stripPrefix("res:"))
+    else {
+      val in = new java.io.FileInputStream(path)
+      try Pickle.load(in) finally in.close()
+    }
+
+  /** ML.PREDICT with a loaded sklearn model: broadcast parameters, narrow
+    * mapPartitions scoring — identical plan shape to [[predict]]. */
+  def predictSklearn(input: DataFrame, modelName: String,
+      featureCols: Seq[String], outCol: String): DataFrame = {
+    val model = sklearnModels.getOrElse(modelName,
+      throw new IllegalStateException(s"sklearn model $modelName not loaded"))
+    val bc = spark.sparkContext.broadcast(model)
+    val schema = StructType(input.schema.fields :+ StructField(outCol, DoubleType))
+    val fIdx = featureCols.map(input.schema.fieldIndex)
+    val out = input.rdd.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val x = fIdx.map(i => MlRuntime.anyToDouble(r.get(i))).toArray
+        Row.fromSeq(r.toSeq :+ m.predict(x))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** ML.PREDICT with a loaded sklearn classifier → label column. */
+  def predictSklearnLabel(input: DataFrame, modelName: String,
+      featureCols: Seq[String], outCol: String): DataFrame = {
+    val model = sklearnClassifiers.getOrElse(modelName,
+      throw new IllegalStateException(s"sklearn classifier $modelName not loaded"))
+    val bc = spark.sparkContext.broadcast(model)
+    val schema = StructType(input.schema.fields :+ StructField(outCol, StringType))
+    val fIdx = featureCols.map(input.schema.fieldIndex)
+    val out = input.rdd.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val x = fIdx.map(i => MlRuntime.anyToDouble(r.get(i))).toArray
+        Row.fromSeq(r.toSeq :+ m.predictLabel(x))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  private def toDouble(v: Any): Double = MlRuntime.anyToDouble(v)
+
+  /** Per-model resource metrics parsed from the sibling `.ttl` schema
+    * (mls vocabulary — `ml/src/lib.rs:64-139` runs the same extraction as
+    * a SPARQL query over rdflib; here it runs over OUR engine). */
+  final case class SkMetrics(trainingTime: Double = 0, predictionTime: Double = 0,
+      memoryMb: Double = 0, cpuPct: Double = 0,
+      mse: Option[Double] = None, r2: Option[Double] = None)
+
+  val sklearnSchemas = scala.collection.mutable.Map.empty[String, SkMetrics]
+  var bestSklearnModel: Option[String] = None
+
+  /** Parse `<model>.ttl` performance metrics (mls:ModelEvaluation /
+    * mls:specifiedBy / mls:hasValue, labels via rdfs:label) by running the
+    * reference's extraction query through the graft SPARQL compiler. */
+  def loadModelWithSchema(name: String, pklPath: String): SkMetrics = {
+    val ttlPath = pklPath.replace(".pkl", ".ttl")
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ttlPath)), "UTF-8")
+    val store = QuadStore.fromTriples(spark, graft.rdfio.RdfIO.parseTurtleDoc(doc))
+    val rows = new Compiler(store).select(
+      """SELECT ?label ?value WHERE {
+           ?eval <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/ns/mls#ModelEvaluation> .
+           ?eval <http://www.w3.org/ns/mls#specifiedBy> ?measure .
+           ?eval <http://www.w3.org/ns/mls#hasValue> ?value .
+           ?measure <http://www.w3.org/2000/01/rdf-schema#label> ?label
+         }""").collect()
+    var m = SkMetrics()
+    rows.foreach { r =>
+      val label = r.getString(0)
+      toDoubleOpt(r.getString(1)).foreach { v =>
+        label match {
+          case "training_time" => m = m.copy(trainingTime = v)
+          case "prediction_time" => m = m.copy(predictionTime = v)
+          case "memory_usage_mb" => m = m.copy(memoryMb = v)
+          case "cpu_usage_percent" => m = m.copy(cpuPct = v)
+          case "mse" => m = m.copy(mse = Some(v))
+          case "r2" => m = m.copy(r2 = Some(v))
+          case _ => ()
+        }
+      }
+    }
+    sklearnSchemas(name) = m
+    m
+  }
+
+  private def toDoubleOpt(s: String): Option[Double] =
+    try Some(s.stripPrefix("\"").takeWhile(c => c.isDigit || c == '.' || c == '-' || c == 'e' || c == 'E' || c == '+').toDouble)
+    catch { case _: Exception => None }
+
+  /** Lowest weighted resource score wins (`ml/src/lib.rs:227-266`:
+    * 0.5·cpu + 0.4·memory + 0.1·prediction_time). */
+  def compareModels(names: Seq[String]): Option[String] = {
+    if (names.isEmpty) return None
+    val best = names.minBy(n => sklearnSchemas.get(n).map(m =>
+      0.5 * m.cpuPct + 0.4 * m.memoryMb + 0.1 * m.predictionTime)
+      .getOrElse(Double.MaxValue))
+    bestSklearnModel = Some(best)
+    Some(best)
+  }
+
+  /** Two-pass discovery over a model directory
+    * (`ml/src/lib.rs:352-407`): pass 1 parses every `.pkl`'s TTL schema;
+    * pass 2 loads ONLY the best-scoring model's parameters. */
+  def discoverAndLoadModels(dir: String): Seq[String] = {
+    val pkls = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".pkl")).sortBy(_.getName)
+    val names = pkls.map { f =>
+      val name = f.getName.stripSuffix(".pkl")
+      loadModelWithSchema(name, f.getPath)
+      name
+    }.toSeq
+    compareModels(names).foreach { best =>
+      loadSklearnRegressor(best, new java.io.File(dir, best + ".pkl").getPath)
+    }
+    names
+  }
+
   /** Execute a `TRAIN NEURAL RELATION` declaration
     * (`neural_relations.rs:168-263` lower + execute): resolve the
     * registered NEURAL RELATION for the predicate (model, feature vars,
@@ -134,5 +279,15 @@ class MlRuntime(spark: SparkSession) {
       col("__label").as("o"))
     store.insert(facts)
     facts.count()
+  }
+}
+
+object MlRuntime {
+  /** Static so inference closures don't capture the runtime instance. */
+  def anyToDouble(v: Any): Double = v match {
+    case null => 0.0
+    case d: Double => d
+    case n: Number => n.doubleValue()
+    case s: String => try s.toDouble catch { case _: Exception => 0.0 }
   }
 }

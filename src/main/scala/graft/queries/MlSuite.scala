@@ -33,6 +33,29 @@ object MlSuite {
         .select(col("c_custkey"), col("tier"))
     }),
 
+    "ml_predict_sklearn_linear" -> ((s, dir) => {
+      val rt = new MlRuntime(s)
+      rt.loadSklearnRegressor("sk/lin", "res:/sklearn_linear.pkl")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      rt.predictSklearn(cust, "sk/lin", Seq("c_acctbal", "c_nationkey"), "pred")
+        // floor-quantize instead of round(): both engines compute the
+        // same IEEE double, but their round() implementations disagree on
+        // exact half-boundaries (-131.0807175 rounds differently)
+        .select(col("c_custkey"),
+          floor(col("pred") * 1e6 + 0.5).cast("long").as("pred_micro"))
+    }),
+
+    "ml_predict_sklearn_rf" -> ((s, dir) => {
+      val rt = new MlRuntime(s)
+      rt.loadSklearnRegressor("sk/rf", "res:/sklearn_rf.pkl")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      rt.predictSklearn(cust, "sk/rf", Seq("c_acctbal"), "pred")
+        .select(col("c_custkey"),
+          floor(col("pred") * 1e6 + 0.5).cast("long").as("pred_micro"))
+    }),
+
     "ml_neural_relation" -> ((s, dir) => {
       val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val rt = new MlRuntime(s)
@@ -57,5 +80,25 @@ object MlSuite {
     "ml_neural_relation" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
                 CASE WHEN c_acctbal > 5000.0 THEN 'pos' ELSE 'not_pos' END AS tier
+         FROM customer""",
+
+    // constants = the learned parameters baked into the pickle fixture
+    // (scripts/gen_sklearn_fixtures.py); prediction = scaler ∘ linear
+    "ml_predict_sklearn_linear" ->
+      """SELECT c_custkey,
+                CAST(floor((10.0 + 123.45 * ((c_acctbal - 4500.0) / 3000.0)
+                           + -67.8 * ((c_nationkey - 12.0) / 7.0)) * 1000000 + 0.5) AS BIGINT) AS pred_micro
+         FROM customer""",
+
+    // the three fixture stumps, averaged (RandomForestRegressor)
+    "ml_predict_sklearn_rf" ->
+      """SELECT c_custkey,
+                CAST(floor(((CASE WHEN c_acctbal <= 3000.0 THEN 100.0
+                             WHEN c_acctbal <= 7000.0 THEN 250.0
+                             ELSE 400.0 END)
+                     + (CASE WHEN c_acctbal <= 5000.0 THEN 120.0 ELSE 380.0 END)
+                     + (CASE WHEN c_acctbal <= 1000.0 THEN 80.0
+                             WHEN c_acctbal <= 9000.0 THEN 260.0
+                             ELSE 430.0 END)) / 3.0 * 1000000 + 0.5) AS BIGINT) AS pred_micro
          FROM customer""")
 }

@@ -114,4 +114,107 @@ class MlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(r == Set(("e1", "big"), ("e2", "not_big")))
   }
+
+  // ---- sklearn-pickle fallback (`ml/src/lib.rs:160-330` parity) ----
+
+  test("sklearn linear pipeline pickle: scaler+coef parsed, predictions exact") {
+    val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_linear.pkl"))
+    // prediction = 123.45*((x0-4500)/3000) - 67.8*((x1-12)/7) + 10
+    def expect(x0: Double, x1: Double): Double =
+      123.45 * ((x0 - 4500.0) / 3000.0) - 67.8 * ((x1 - 12.0) / 7.0) + 10.0
+    assert(m.predict(Array(4500.0, 12.0)) == 10.0)
+    assert(math.abs(m.predict(Array(7500.0, 5.0)) - expect(7500.0, 5.0)) < 1e-12)
+    assert(math.abs(m.predict(Array(0.0, 24.0)) - expect(0.0, 24.0)) < 1e-12)
+  }
+
+  test("sklearn pickle protocols 2 and 4 parse to identical models") {
+    val p4 = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_linear.pkl"))
+    val p2 = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_linear_p2.pkl"))
+    for (x <- Seq(Array(1000.0, 3.0), Array(9999.5, 21.0), Array(-50.0, 0.0)))
+      assert(p4.predict(x) == p2.predict(x))
+  }
+
+  test("sklearn random forest pickle: structured node arrays walk correctly") {
+    val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_rf.pkl"))
+    // hand-evaluate the three stumps
+    def t1(x: Double) = if (x <= 3000) 100.0 else if (x <= 7000) 250.0 else 400.0
+    def t2(x: Double) = if (x <= 5000) 120.0 else 380.0
+    def t3(x: Double) = if (x <= 1000) 80.0 else if (x <= 9000) 260.0 else 430.0
+    for (x <- Seq(0.0, 1000.0, 2999.9, 3000.0, 5000.1, 8000.0, 9500.0))
+      assert(m.predict(Array(x)) == (t1(x) + t2(x) + t3(x)) / 3.0, s"at $x")
+  }
+
+  test("sklearn gradient boosting pickle: init + lr-weighted stumps") {
+    val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_gbt.pkl"))
+    def expect(x: Double) = 5000.0 +
+      0.1 * (if (x <= 4000) -500.0 else 1500.0) +
+      0.1 * (if (x <= 8000) -200.0 else 900.0)
+    for (x <- Seq(0.0, 4000.0, 6000.0, 8000.1, 12000.0))
+      assert(m.predict(Array(x)) == expect(x), s"at $x")
+  }
+
+  test("sklearn logistic pickle: binary labels from object-dtype classes_") {
+    val m = Sklearn.loadClassifier(Pickle.loadResource("/sklearn_logistic.pkl"))
+    assert(m.predictLabel(Array(6000.0)) == "pos") // 0.001*6000-5 > 0
+    assert(m.predictLabel(Array(4000.0)) == "neg")
+  }
+
+  test("sklearn MLPRegressor pickle: relu-hidden forward pass") {
+    val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_mlp.pkl"))
+    // hidden = relu([x0*1+x1*0.5+0.5, -x0+2*x1-0.25]); out = 3*h0-2*h1+1
+    def expect(x0: Double, x1: Double): Double = {
+      val h0 = math.max(0, x0 + 0.5 * x1 + 0.5)
+      val h1 = math.max(0, -x0 + 2 * x1 - 0.25)
+      3 * h0 - 2 * h1 + 1
+    }
+    for ((a, b) <- Seq((0.0, 0.0), (1.0, 2.0), (-3.0, 0.5), (2.5, -1.0)))
+      assert(math.abs(m.predict(Array(a, b)) - expect(a, b)) < 1e-12)
+  }
+
+  test("predictSklearn is a distributed narrow stage over a DataFrame") {
+    val rt = new MlRuntime(spark)
+    rt.loadSklearnRegressor("lin", "res:/sklearn_linear.pkl")
+    val df = Seq((1L, 4500.0, 12.0), (2L, 7500.0, 5.0)).toDF("id", "bal", "nat")
+    val out = rt.predictSklearn(df, "lin", Seq("bal", "nat"), "pred")
+      .select("id", "pred").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) == 10.0)
+    assert(math.abs(out(2L) - (123.45 * 1.0 - 67.8 * (-1.0) + 10.0)) < 1e-12)
+  }
+
+  test("model discovery: TTL schemas parsed via graft SPARQL, best by resource score") {
+    val dir = java.nio.file.Files.createTempDirectory("skmodels").toFile
+    def copyRes(res: String, name: String): Unit = {
+      val in = getClass.getResourceAsStream(res)
+      java.nio.file.Files.copy(in, new java.io.File(dir, name).toPath)
+      in.close()
+    }
+    copyRes("/sklearn_linear.pkl", "alpha.pkl")
+    copyRes("/sklearn_rf.pkl", "beta.pkl")
+    def ttl(evalIri: String, vals: Map[String, Double]): String =
+      s"""@prefix mls: <http://www.w3.org/ns/mls#> .
+         |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+         |""".stripMargin + vals.zipWithIndex.map { case ((label, v), i) =>
+        s"""<$evalIri/e$i> a mls:ModelEvaluation .
+           |<$evalIri/e$i> mls:specifiedBy <$evalIri/m$i> .
+           |<$evalIri/e$i> mls:hasValue "$v" .
+           |<$evalIri/m$i> rdfs:label "$label" .
+           |""".stripMargin
+      }.mkString
+    // alpha: cheap (score 0.5*10+0.4*20+0.1*1 = 13.1); beta: expensive (61.0)
+    java.nio.file.Files.write(new java.io.File(dir, "alpha.ttl").toPath,
+      ttl("urn:alpha", Map("cpu_usage_percent" -> 10, "memory_usage_mb" -> 20,
+        "prediction_time" -> 1, "mse" -> 0.5, "r2" -> 0.9)).getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "beta.ttl").toPath,
+      ttl("urn:beta", Map("cpu_usage_percent" -> 90, "memory_usage_mb" -> 40,
+        "prediction_time" -> 0.1)).getBytes)
+    val rt = new MlRuntime(spark)
+    val found = rt.discoverAndLoadModels(dir.getPath)
+    assert(found == Seq("alpha", "beta"))
+    assert(rt.bestSklearnModel.contains("alpha"))
+    assert(rt.sklearnSchemas("alpha").r2.contains(0.9))
+    assert(rt.sklearnSchemas("beta").cpuPct == 90.0)
+    // only the best model's parameters were loaded (two-pass discovery)
+    assert(rt.sklearnModels.keySet == Set("alpha"))
+    assert(rt.sklearnModels("alpha").predict(Array(4500.0, 12.0)) == 10.0)
+  }
 }
