@@ -349,17 +349,30 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * two share at least one var bound in BOTH (per-row domain-intersection
     * guard — the static guard is its null-free special case). */
   private def minusJoin(l: BlockRel, r: BlockRel): BlockRel = {
-    require(!l.df.isStreaming,
-      "MINUS in a WINDOW block runs on the batch plane or RspEngine; Spark " +
-        "has no stream-stream anti join")
     val ck = closeKeys(l.df)
     val sharedVars = l.df.columns.filter(r.df.columns.contains(_)).toSeq.diff(ck)
     // no shared query variable → domains are disjoint → keep all
     if (sharedVars.isEmpty) return l
     val nullableShared = sharedVars.filter(c => l.maybeNull(c) || r.maybeNull(c))
-    if (nullableShared.isEmpty)
-      BlockRel(l.df.join(r.df, ck ++ sharedVars, "left_anti"), l.maybeNull)
-    else {
+    if (nullableShared.isEmpty) {
+      if (l.df.isStreaming && r.df.isStreaming) {
+        // Spark has no stream-stream anti join, but the same watermarked
+        // close-keyed left_outer the trailing-OPTIONAL path uses emulates
+        // it: mark every compatible right row, keep left rows whose
+        // watermark expired with NO marker. Duplicate right matches only
+        // multiply rows that the null-marker filter drops anyway, so no
+        // stateful dedup of the right side is needed.
+        val marked = r.df.select(((ck ++ sharedVars).map(col) :+
+          lit(1).as("__graft_minus_m")): _*)
+        BlockRel(l.df.join(marked, ck ++ sharedVars, "left_outer")
+          .filter(col("__graft_minus_m").isNull).drop("__graft_minus_m"),
+          l.maybeNull)
+      } else
+        BlockRel(l.df.join(r.df, ck ++ sharedVars, "left_anti"), l.maybeNull)
+    } else {
+      require(!l.df.isStreaming,
+        "UNDEF-tolerant MINUS (nullable shared vars) runs on the batch " +
+          "plane or RspEngine; Spark stream-stream joins need equality keys")
       val pre = "__graft_r_"
       val rr = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, pre + c))
       val compat = (ck.map(c => col(c) === col(pre + c)) ++ sharedVars.map { c =>
@@ -417,8 +430,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
   /** Compile one group of block elements over close-keyed content:
     * BGPs scan+join, UNION branches (same variable set) union per close,
     * OPTIONAL as a per-close compat left_outer join, MINUS as a per-close
-    * anti join with the §8.3 domain guard (batch plane only: Spark has no
-    * stream-stream anti join), FILTERs defer to the end of the group
+    * anti join with the §8.3 domain guard (emulated on the live plane as
+    * a watermarked left_outer + null-marker filter; only the UNDEF-
+    * tolerant variant stays batch-only), FILTERs defer to the end of the group
     * (evaluating over the post-OPTIONAL frame, where a comparison on an
     * unbound variable is null → dropped, SPARQL's error-is-false).
     * Nested OPTIONALs and patterns after an OPTIONAL join UNDEF-

@@ -669,7 +669,7 @@ class DistributedRspSpec extends SparkSpec {
     assert(got.keySet.exists(c => c % 2 != 0), s"only aligned closes emitted: ${got.keySet}")
   }
 
-  test("trailing MINUS in WINDOW block matches the engine (batch); streaming is refused") {
+  test("trailing MINUS in WINDOW block matches the engine on batch AND live streaming planes") {
     val qText = """
       REGISTER RSTREAM <http://out/m> AS
       SELECT *
@@ -692,14 +692,31 @@ class DistributedRspSpec extends SparkSpec {
     // e1 is voided out of every close it appears in
     assert(!got.values.flatten.exists(_._1 == "e1"), s"MINUS leaked: $got")
 
-    // Spark has no stream-stream anti join — the stream path refuses loudly
-    val ex = intercept[IllegalArgumentException] {
-      val stream = spark.readStream.format("rate").load()
-        .select(lit("stream").as("stream"), col("timestamp").as("ts"),
-          lit("s").as("s"), lit("p").as("p"), lit("o").as("o"))
-      rsp.streamEmissions(stream)
+    // live streaming plane: the anti join is emulated as a watermarked
+    // left_outer + null-marker filter (r6; was a loud refusal)
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"minus_stream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 100L, "eZ", "by", "zz"))) // flush watermark
+        sq.processAllAvailable()
+        val streamGot = spark.table(sink).collect().map { r =>
+          val b = r.getAs[Map[String, String]]("binding")
+          r.getAs[Long]("close") -> ((b("e"), b("u")))
+        }.toSet.filterNot(_._2._1 == "eZ")
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        assert(streamGot == engineGot, s"streaming $streamGot vs engine $engineGot")
+      } finally sq.stop()
     }
-    assert(ex.getMessage.contains("anti join"), ex.getMessage)
   }
 
   test("ISTREAM over a streaming aggregate chains two stateful operators and matches the engine") {
