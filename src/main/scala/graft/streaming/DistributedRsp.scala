@@ -888,36 +888,70 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * (the eager default requires per-key non-decreasing closes across
     * micro-batches and emits with one less micro-batch of latency). */
   def streamEmissions(events: DataFrame, buffered: Boolean = false): Dataset[R2SRow] = {
-    require(query.select.having.isEmpty && query.select.limit.isEmpty &&
-        query.select.offset.isEmpty,
-      "HAVING / LIMIT / OFFSET run on the batch emissions or RspEngine; the " +
-        "streaming plane has no per-close rank over an unbounded stream")
+    require((query.select.limit.isEmpty && query.select.offset.isEmpty) ||
+        query.select.orderBy.nonEmpty,
+      "LIMIT/OFFSET without ORDER BY is a nondeterministic subset; add an " +
+        "ORDER BY or use the batch emissions / RspEngine")
     val relAll = streamRelation(events)
-    val sel = query.select
+    val sel0 = query.select
     val keys = Seq("close", "closeTs")
-    val finalized =
-      if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty)
-        condCompiler.applyAggregates(relAll, sel, keys)
-      else {
-        val deduped = query.kind match {
-          // batch relations have set semantics: a duplicated arrival or a
-          // rule re-deriving an existing fact must not emit twice
-          case RStream => relAll.dropDuplicatesWithinWatermark()
-          case _ => relAll
-        }
-        val projCols: Seq[String] =
-          if (sel.projection == Seq("*"))
-            deduped.columns.toSeq.filterNot(keys.contains)
-          else sel.projection
-        val projected = deduped.select((keys ++ projCols).map(col): _*)
-        if (sel.distinct && query.kind == RStream)
-          projected.dropDuplicatesWithinWatermark()
-        else projected
-      }
+    // HAVING: append-mode aggregation finalizes each (close, group) once
+    // the watermark passes, so the HAVING condition is a STATELESS filter
+    // over finalized rows — same synthetic-aggregate rewrite as the batch
+    // plane (r6; was a loud refusal alongside LIMIT)
+    val synth = scala.collection.mutable.ArrayBuffer.empty[graft.sparql.Ast.Aggregate]
+    val having = sel0.having.map(condCompiler.rewriteHaving(_, sel0.aggregates, synth))
+    val sel = if (synth.isEmpty) sel0
+      else sel0.copy(aggregates = sel0.aggregates ++ synth)
+    val finalized = {
+      var df =
+        if (sel.aggregates.nonEmpty || sel.groupBy.nonEmpty || having.nonEmpty)
+          condCompiler.applyAggregates(relAll, sel, keys)
+        else nonAggFinalize(relAll, sel, keys)
+      having.foreach(c => df = df.filter(condCompiler.compileCond(df, c)))
+      if (synth.nonEmpty) df = df.drop(synth.map(_.alias).toSeq: _*)
+      df
+    }
+    streamEmissionsTail(events, finalized, buffered)
+  }
+
+  private def nonAggFinalize(relAll: DataFrame, sel: Select,
+      keys: Seq[String]): DataFrame = {
+    val deduped = query.kind match {
+      // batch relations have set semantics: a duplicated arrival or a
+      // rule re-deriving an existing fact must not emit twice
+      case RStream => relAll.dropDuplicatesWithinWatermark()
+      case _ => relAll
+    }
+    val projCols: Seq[String] =
+      if (sel.projection == Seq("*"))
+        deduped.columns.toSeq.filterNot(keys.contains)
+      else sel.projection
+    val projected = deduped.select((keys ++ projCols).map(col): _*)
+    if (sel.distinct && query.kind == RStream)
+      projected.dropDuplicatesWithinWatermark()
+    else projected
+  }
+
+  /** Finalized close-keyed rows → R2S emission stream. */
+  private def streamEmissionsTail(events: DataFrame, finalized: DataFrame,
+      buffered: Boolean): Dataset[R2SRow] = {
     val rel = finalized.drop("closeTs")
     val vars = rel.columns.filter(_ != "close").toSeq
-    val rows = toR2SRows(rel, vars)
+    val rows0 = toR2SRows(rel, vars)
     val st = step(query.windows.head)
+    val sel = query.select
+    // per-close ORDER BY + LIMIT/OFFSET: a close-keyed buffer-and-rank
+    // stateful stage ([[IncrementalR2S.perCloseTopK]]) — Structured
+    // Streaming has no window functions, so the rank runs in
+    // transformWithState once the watermark completes each close
+    // (r6; was a loud refusal)
+    val rows =
+      if (sel.orderBy.nonEmpty && (sel.limit.nonEmpty || sel.offset.nonEmpty))
+        IncrementalR2S.perCloseTopK(rows0, st,
+          sel.orderBy.map(k => (k.v, k.asc)),
+          sel.limit.map(_.toLong), sel.offset.getOrElse(0).toLong)
+      else rows0
     query.kind match {
       case RStream => rows
       case _ =>
@@ -1305,6 +1339,83 @@ object IncrementalR2S {
       }
       out.result().iterator
     }
+  }
+
+  /** Per-close ORDER BY + LIMIT/OFFSET over an unbounded stream: key by
+    * CLOSE, buffer the close's finalized rows in ListState, and when the
+    * event-time timer at close + step fires (the watermark guarantees the
+    * close's rows are complete — same +step guard as the buffered R2S
+    * family), sort with the engine's numeric-if-parses-else-lexical
+    * comparator (`execute_query.rs:477-499`, the streaming twin of
+    * [[graft.sparql.Compiler.sortKeyCols]]'s struct key) and emit the
+    * [offset, offset+limit) slice. State per close is one buffered rank
+    * window, cleared on drain. */
+  private class PerCloseTopKProcessor(step: Long, orderBy: Seq[(String, Boolean)],
+      lo: Long, hi: Long)
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[R2SRow] = _
+    @transient private var done: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[R2SRow]("pending",
+        Encoders.product[R2SRow], TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean]("done", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      if (done.exists()) return Iterator.empty // drained: late duplicates drop
+      var close = -1L
+      rows.foreach { r => pending.appendValue(r); close = r.close }
+      if (close >= 0) getHandle.registerTimer(close + step)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[R2SRow] = {
+      if (done.exists()) return Iterator.empty
+      val buf = pending.get().toSeq
+      pending.clear()
+      done.update(true)
+      val ordered = buf.sortWith { (a, b) =>
+        compareBindings(a.binding, b.binding, orderBy) < 0
+      }
+      ordered.slice(lo.toInt, math.min(hi, ordered.length).toInt).iterator
+    }
+  }
+
+  /** The engine's ORDER BY total order over lexical bindings: numeric when
+    * both sides parse, else lexical; an unbound var sorts first ascending
+    * (the struct key's null-first), multi-key lexicographic. */
+  private[streaming] def compareBindings(a: Map[String, String],
+      b: Map[String, String], keys: Seq[(String, Boolean)]): Int = {
+    keys.foreach { case (v, asc) =>
+      val (x, y) = (a.get(v), b.get(v))
+      val c0 = (x, y) match {
+        case (None, None) => 0
+        case (None, _) => -1
+        case (_, None) => 1
+        case (Some(xs), Some(ys)) =>
+          val (xn, yn) = (xs.toDoubleOption, ys.toDoubleOption)
+          val byNum = (xn, yn) match {
+            case (Some(xd), Some(yd)) => java.lang.Double.compare(xd, yd)
+            case (None, Some(_)) => -1 // null numeric field sorts first
+            case (Some(_), None) => 1
+            case (None, None) => 0
+          }
+          if (byNum != 0) byNum else xs.compareTo(ys)
+      }
+      if (c0 != 0) return if (asc) c0 else -c0
+    }
+    0
+  }
+
+  /** Apply a per-close rank to a finalized `(close, binding)` stream. */
+  def perCloseTopK(rows: Dataset[R2SRow], step: Long,
+      orderBy: Seq[(String, Boolean)], limit: Option[Long],
+      offset: Long): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    val hi = limit.map(offset + _).getOrElse(Long.MaxValue)
+    rows.groupByKey(r => r.close.toString)
+      .transformWithState(new PerCloseTopKProcessor(step, orderBy, offset, hi),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   private def keyed(rows: Dataset[R2SRow]) = {

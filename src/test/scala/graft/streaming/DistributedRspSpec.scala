@@ -524,6 +524,103 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.forall(_.size == 1), s"LIMIT 1 leaked: $got2")
   }
 
+  test("HAVING on the live streaming plane filters finalized aggregates (engine parity)") {
+    // same query/data as the batch HAVING test above, through MemoryStream:
+    // the HAVING condition (with its synthetic COUNT) is a stateless
+    // filter over the append-mode aggregation's finalized rows
+    val qHaving = """
+      REGISTER RSTREAM <http://out/havs> AS
+      SELECT ?u (SUM(?v) AS ?sv)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . ?e <val> ?v . } }
+      GROUP BY ?u HAVING(COUNT(?e) >= 2)"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "val", "10", 1L),
+      ("e2", "by", "alice", 2L), ("e2", "val", "5", 2L),
+      ("e3", "by", "bob", 2L), ("e3", "val", "7", 2L),
+      ("e4", "by", "alice", 4L), ("e4", "val", "2", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qHaving)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("sv"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"having_stream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qHaving))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 100L, "eZ", "by", "zz"),
+          ("stream", 100L, "eZ", "val", "1"))) // flush watermark
+        sq.processAllAvailable()
+        val got = spark.table(sink).collect().map { r =>
+          val b = r.getAs[Map[String, String]]("binding")
+          r.getAs[Long]("close") -> ((b("u"), b("sv")))
+        }.filterNot(_._2._1 == "zz")
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got == engineGot && got.nonEmpty, s"streaming $got vs engine $engineGot")
+        assert(!got.values.flatten.exists(_._1 == "bob"), s"HAVING leaked: $got")
+      } finally sq.stop()
+    }
+  }
+
+  test("per-close ORDER BY + LIMIT on the live streaming plane ranks each close (engine parity)") {
+    // top-1 user by summed value per close: the rank runs in a
+    // close-keyed transformWithState stage once the watermark completes
+    // the close (no window functions exist on unbounded streams)
+    val qTopk = """
+      REGISTER RSTREAM <http://out/topks> AS
+      SELECT ?u (SUM(?v) AS ?sv)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . ?e <val> ?v . } }
+      GROUP BY ?u ORDER BY DESC(?sv) ?u LIMIT 1"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "val", "10", 1L),
+      ("e2", "by", "alice", 2L), ("e2", "val", "5", 2L),
+      ("e3", "by", "bob", 2L), ("e3", "val", "7", 2L),
+      ("e4", "by", "alice", 4L), ("e4", "val", "2", 4L))
+    val engine = RspEngineBuilder.fromQuery(spark, qTopk)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("u"), r("sv"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"topk_stream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qTopk))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 200L, "eZ", "by", "zz"),
+          ("stream", 200L, "eZ", "val", "1"))) // flush watermark twice over
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 300L, "eY", "by", "yy"),
+          ("stream", 300L, "eY", "val", "1")))
+        sq.processAllAvailable()
+        val got = spark.table(sink).collect().map { r =>
+          val b = r.getAs[Map[String, String]]("binding")
+          r.getAs[Long]("close") -> ((b("u"), b("sv")))
+        }.filterNot(p => p._2._1 == "zz" || p._2._1 == "yy")
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got == engineGot && got.nonEmpty, s"streaming $got vs engine $engineGot")
+        assert(got.values.forall(_.size == 1), s"LIMIT 1 leaked: $got")
+      } finally sq.stop()
+    }
+  }
+
   test("per-close subselect top-k joins the outer pattern and matches the engine (batch)") {
     // { SELECT … ORDER BY DESC LIMIT 2 } inside a WINDOW block: the
     // CityBench per-window top-k, compiled as ONE row_number over the
