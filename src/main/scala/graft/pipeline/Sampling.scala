@@ -95,4 +95,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 100, salt) < threshold)
   }
+
+  /** Temperature-based source mixing — the standard multi-corpus
+    * reweighting (multinomial sampling with p_src ∝ n_src^α, α ∈ (0, 1]):
+    * per-document keep rate (n_src / n_min)^(α−1), so the SMALLEST source
+    * keeps 100 % and larger sources are downsampled toward balance; α = 1
+    * keeps everything (proportional mixing), α → 0 approaches uniform
+    * source shares. Decision stays a pure function of the document key
+    * (engine-portable md5 hash vs the rate), so reruns and incremental
+    * appends keep every document's fate stable. Cost: one tiny
+    * per-source count aggregate broadcast back — no global shuffle of
+    * the corpus itself. */
+  def temperatureMix(df: DataFrame, keyCol: String, srcCol: String,
+      alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
+    val counts = df.groupBy(srcCol).agg(count(lit(1)).cast("double").as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__minN"))))
+      .select(col(srcCol), pow(col("__n") / col("__minN"), alpha - 1).as("__rate"))
+    df.join(broadcast(rates), srcCol)
+      .filter(md5Hash60OfKey(col(keyCol), salt).cast("double") <
+        col("__rate") * lit(1152921504606846976.0)) // 2^60
+      .drop("__rate")
+  }
+
+  private def md5Hash60OfKey(key: Column, salt: String): Column =
+    Dedup.md5Hash60(concat(lit(salt), key.cast("string")))
 }

@@ -208,6 +208,35 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(round(avg(when(col("__in").isNull, 1.0).otherwise(0.0)), 6).as("oov"))
 
+  /** Fixed-size token chunking with overlap — the context-window packing
+    * step of a training-data pipeline: chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens), stride = chunkTokens − overlap;
+    * the last chunk keeps the (possibly shorter) tail. One output row per
+    * (doc, chunk) with the chunk text rejoined and its token count.
+    * Narrow end-to-end: tokenize → per-row `sequence` of chunk starts →
+    * `posexplode` of slices — no shuffle, no UDF, scales with input
+    * splits. Chunk COUNT per doc is ⌈(n − overlap) / stride⌉ (min 1), so
+    * total output volume is ~n/stride tokens per doc — bounded expansion
+    * the planner can see. */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(lit(1L),
+      ceil((n.cast(DoubleType) - overlap) / stride).cast(LongType))
+    docs
+      .select(col(idCol), toks.as("__toks"),
+        sequence(lit(0L), (nChunks - 1L) * stride, lit(stride.toLong)).as("__starts"))
+      .select(col(idCol), posexplode(transform(col("__starts"),
+        st => slice(col("__toks"), st.cast(IntegerType) + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast(IntegerType).as("chunk_ix"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("chunk_tokens"))
+  }
+
   /** All-in-one annotation: adds lang_pred / quality / n_tokens / fp. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

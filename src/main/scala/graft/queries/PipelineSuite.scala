@@ -175,6 +175,24 @@ object PipelineSuite {
     "pipeline_token_shards" -> ((s, dir) =>
       Sampling.tokenShards(docs(s, dir), budget = 1000L)),
 
+    // context-window packing: 50-token chunks, 10-token overlap
+    "pipeline_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), chunkTokens = 50, overlap = 10)),
+
+    // multinomial temperature mixing at alpha=0.7: smallest source keeps
+    // 100%, larger sources downsampled by (n_src/n_min)^(alpha-1). The
+    // testdata's sources are uniform-25 each, which would make the mix a
+    // no-op — a 70/20/10 corpus-tier derivation (web/books/wiki) gives
+    // the operator real skew to rebalance.
+    "pipeline_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+          docs(s, dir).withColumn("corpus",
+            when(col("doc_id") % 10 < 7, lit("web"))
+              .when(col("doc_id") % 10 < 9, lit("books"))
+              .otherwise(lit("wiki"))),
+          "doc_id", "corpus", alpha = 0.7)
+        .select("doc_id", "corpus")),
+
     // tokenizer-pipeline pair: corpus vocabulary (top-K tokens, ranked
     // deterministically) and per-document OOV occurrence rate against it
     "text_vocab_topk" -> ((s, dir) =>
@@ -550,6 +568,23 @@ object PipelineSuite {
          WHERE mb < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50
                                 WHEN 'src2' THEN 0 ELSE 80 END""",
 
+    // alpha=0.7: keep rate (n_src/n_min)^(alpha-1); 2^60 scales the
+    // 60-bit md5 hash into [0,1) with the same double ops as the plan
+    "pipeline_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 < 7 THEN 'web'
+                           WHEN doc_id % 10 < 9 THEN 'books'
+                           ELSE 'wiki' END AS corpus
+                    FROM documents),
+          n AS (SELECT corpus, CAST(count(*) AS DOUBLE) AS ns
+                FROM d GROUP BY corpus),
+          m AS (SELECT min(ns) AS mn FROM n),
+          r AS (SELECT corpus, power(ns / mn, 0.7 - 1) AS rate FROM n, m)
+         SELECT d.doc_id, d.corpus
+         FROM d JOIN r ON d.corpus = r.corpus
+         WHERE CAST(('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    AS DOUBLE) < rate * 1152921504606846976.0""",
+
     "pipeline_token_shards" ->
       """WITH t AS (SELECT doc_id,
                       len(string_split_regex(trim(text), '\s+')) AS n
@@ -561,6 +596,21 @@ object PipelineSuite {
           SELECT doc_id, n AS n_tokens,
                  CAST(FLOOR(cum / 1000.0) AS BIGINT) AS shard
           FROM c""",
+
+    // chunkTokens=50, overlap=10 → stride 40; DuckDB 1-based inclusive
+    // list slicing toks[s+1 : s+50] mirrors Spark's slice(toks, s+1, 50)
+    "pipeline_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+          c AS (SELECT doc_id, tk,
+                  GREATEST(1, CAST(CEIL((len(tk) - 10) / 40.0) AS BIGINT)) AS nc
+                FROM t),
+          x AS (SELECT doc_id, tk,
+                  unnest(generate_series(0, nc - 1)) AS ix
+                FROM c)
+          SELECT doc_id, CAST(ix AS INT) AS chunk_ix,
+                 array_to_string(tk[ix * 40 + 1 : ix * 40 + 50], ' ') AS chunk_text,
+                 len(tk[ix * 40 + 1 : ix * 40 + 50]) AS chunk_tokens
+          FROM x""",
 
     "text_vocab_topk" ->
       s"""WITH e AS (SELECT unnest($toks) AS token FROM documents),

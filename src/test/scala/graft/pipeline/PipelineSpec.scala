@@ -491,4 +491,50 @@ class PipelineSpec extends SparkSpec {
       "mail [EMAIL] then [PHONE] or [PHONE] from [IP] done")
     assert(r(2L).getInt(1) == 0 && r(2L).getString(4) == "nothing sensitive here")
   }
+
+  test("temperature mix: smallest source kept whole, larger sources downsampled to rate") {
+    import spark.implicits._
+    val docs = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "source", alpha = 0.7)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100, s"smallest source must keep 100%: $kept")
+    // big keeps ~(1000/100)^(-0.3) = 10^-0.3 ≈ 0.501 of its rows
+    val expect = 1000 * math.pow(10.0, -0.3)
+    assert(math.abs(kept("big") - expect) < 60, s"big kept ${kept("big")}, want ~$expect")
+    // determinism: same call keeps the same documents
+    val a = Sampling.temperatureMix(docs, "doc_id", "source", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(docs, "doc_id", "source", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // alpha = 1: proportional mixing keeps everything
+    assert(Sampling.temperatureMix(docs, "doc_id", "source", 1.0).count() == 1100)
+  }
+
+  test("chunking: coverage, overlap, tail, and zero-overlap reconstruction") {
+    import spark.implicits._
+    val doc = (1 to 107).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+
+    // overlap 10, size 50 → stride 40 → chunks at 0, 40, 80 (tail 27)
+    val r = TextAnalysis.chunk(df, chunkTokens = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    assert(r.keys.count(_._1 == 1L) == 3)
+    assert(r((1L, 0))._2 == 50 && r((1L, 1))._2 == 50 && r((1L, 2))._2 == 27)
+    // consecutive chunks share exactly the 10-token overlap
+    val c0 = r((1L, 0))._1.split(" ")
+    val c1 = r((1L, 1))._1.split(" ")
+    assert(c0.takeRight(10).sameElements(c1.take(10)))
+    assert(c0.head == "t1" && c1.head == "t41")
+    // a doc shorter than one chunk is a single whole chunk
+    assert(r((2L, 0)) == ("a b c", 3) && !r.contains((2L, 1)))
+
+    // zero overlap: chunks partition the token sequence exactly
+    val flat = TextAnalysis.chunk(df.filter($"doc_id" === 1L), 40, 0)
+      .orderBy("chunk_ix").collect().map(_.getString(2)).mkString(" ")
+    assert(flat == doc)
+  }
 }
