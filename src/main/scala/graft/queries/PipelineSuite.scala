@@ -22,6 +22,16 @@ object PipelineSuite {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir)).select("doc_id", "fp", "group_size")),
 
+    // new-crawl-vs-standing-corpus dedup: docs with id%3==0 arrive, the
+    // rest are the corpus; a broadcast Bloom prunes before the exact
+    // anti join (result exact — the filter only routes)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalExactDedup(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+        expectedItems = 10000L)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)),
 
@@ -311,6 +321,15 @@ object PipelineSuite {
          FROM documents)
          SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS group_size
          FROM f GROUP BY fp""",
+
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+          nw AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 0),
+          corp AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
+         SELECT n.doc_id, n.fp FROM nw n
+         WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.fp = n.fp)""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),

@@ -492,6 +492,25 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L).getInt(1) == 0 && r(2L).getString(4) == "nothing sensitive here")
   }
 
+  test("incremental dedup: bloom routes, anti join decides — exact result") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "hello world"),
+      (3L, "spark native engine")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "Hello   World"),   // dup of 2 after normalization
+      (11L, "completely new document"),
+      (12L, "the quick brown fox"), // dup of 1
+      (13L, "another unseen text")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(fresh, corpus, expectedItems = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"got $kept")
+    // a pathological fpp (tiny filter) still gives the exact answer —
+    // false positives only reroute docs into the anti join
+    val keptTiny = Dedup.incrementalExactDedup(fresh, corpus,
+      expectedItems = 1L, fpp = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTiny == Set(11L, 13L), s"got $keptTiny")
+  }
+
   test("temperature mix: smallest source kept whole, larger sources downsampled to rate") {
     import spark.implicits._
     val docs = ((1 to 1000).map(i => (i.toLong, "big")) ++
