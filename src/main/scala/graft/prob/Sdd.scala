@@ -54,15 +54,18 @@ final class Sdd(maxNodes: Int = 1 << 20) {
 
   private val posW = mutable.HashMap.empty[Int, Double]
   private val negW = mutable.HashMap.empty[Int, Double]
+  private val exclusiveVar = mutable.HashMap.empty[Int, Boolean]
 
   def nodeCount: Int = kind.length
 
   /** Register a variable with explicit literal weights; extends the
     * right-linear vtree (`sdd.rs:186-227`). Independent Bernoulli =
     * (p, 1−p); exclusive-group member = (p, 1) (annotated disjunction). */
-  def ensureVar(v: Int, pos: Double, neg: Double): Unit = {
+  def ensureVar(v: Int, pos: Double, neg: Double,
+      exclusive: Boolean = false): Unit = {
     posW(v) = math.max(0.0, math.min(1.0, pos))
     negW(v) = math.max(0.0, math.min(1.0, neg))
+    exclusiveVar(v) = exclusive
     if (!varLeaf.contains(v)) {
       val leaf = newVtNode(-1, -1, v)
       varLeaf(v) = leaf
@@ -236,6 +239,33 @@ final class Sdd(maxNodes: Int = 1 << 20) {
     go(id)
   }
 
+  /** ∂WMC/∂p(v) for every registered variable — the reference's
+    * differentiable-WMC surface (`shared/src/diff_sdd.rs:15-46`): for an
+    * independent Bernoulli (weights p, 1−p) the gradient is
+    * WMC[v↦(1,0)] − WMC[v↦(0,1)] (WMC is multilinear in the literal
+    * weights); for an annotated-disjunction member (weights p, 1) only
+    * the positive term applies. Weights are restored afterwards; near-
+    * zero gradients are dropped like the reference. O(|vars|) wmc passes
+    * over one arena — fine for the per-fact row-level arenas this engine
+    * builds ([[Sdd]] class doc). */
+  def wmcGradient(id: Int): Map[Int, Double] = {
+    val grads = Map.newBuilder[Int, Double]
+    posW.keys.toSeq.sorted.foreach { v =>
+      val (origPos, origNeg) = (posW(v), negW(v))
+      posW(v) = 1.0; negW(v) = 0.0
+      val aV = wmc(id)
+      val grad =
+        if (exclusiveVar.getOrElse(v, false)) aV
+        else {
+          posW(v) = 0.0; negW(v) = 1.0
+          aV - wmc(id)
+        }
+      posW(v) = origPos; negW(v) = origNeg
+      if (math.abs(grad) > 1e-15) grads += v -> grad
+    }
+    grads.result()
+  }
+
   /** Satisfying assignments — explanation-time only (`sdd.rs:780-812`). */
   def models(id: Int): Seq[Set[(Int, Boolean)]] = id match {
     case False => Nil
@@ -271,7 +301,7 @@ object Sdd {
     val varOf = seedIds.zipWithIndex.toMap
     for (sid <- seedIds) {
       val p = probs(sid)
-      if (groups.contains(sid)) m.ensureVar(varOf(sid), p, 1.0)
+      if (groups.contains(sid)) m.ensureVar(varOf(sid), p, 1.0, exclusive = true)
       else m.ensureVar(varOf(sid), p, 1.0 - p)
     }
     // phantom none-vars carry each group's residual mass
@@ -281,7 +311,7 @@ object Sdd {
         val residual = math.max(0.0, 1.0 - members.map(probs).sum)
         val none = nextVar
         nextVar += 1
-        m.ensureVar(none, residual, 1.0)
+        m.ensureVar(none, residual, 1.0, exclusive = true)
         m.exactlyOne(members.map(varOf) :+ none)
       }.toList
     val root = proofs.map { proof =>
@@ -290,6 +320,40 @@ object Sdd {
     }.reduce(m.disjoin)
     val constrained = constraints.foldLeft(root)(m.conjoin)
     m.wmc(constrained)
+  }
+
+  /** ∂WMC/∂p(seed) over a DNF lineage — [[Sdd.wmcGradient]] lifted to
+    * seed ids, same arena construction as [[wmcOfDnf]]. Gradients of the
+    * phantom residual vars stay internal (they are not seeds a caller
+    * can tune). Distributes like wmcOfDnf: one small arena per fact row. */
+  def wmcGradientOfDnf(proofs: Seq[Set[Long]], probs: Map[Long, Double],
+      groups: Map[Long, Long] = Map.empty,
+      maxNodes: Int = 1 << 20): Map[Long, Double] = {
+    if (proofs.isEmpty || proofs.exists(_.isEmpty)) return Map.empty
+    val m = new Sdd(maxNodes)
+    val seedIds = proofs.flatten.distinct.sorted
+    val varOf = seedIds.zipWithIndex.toMap
+    for (sid <- seedIds) {
+      val p = probs(sid)
+      if (groups.contains(sid)) m.ensureVar(varOf(sid), p, 1.0, exclusive = true)
+      else m.ensureVar(varOf(sid), p, 1.0 - p)
+    }
+    var nextVar = seedIds.length
+    val constraints = seedIds.filter(groups.contains).groupBy(groups)
+      .valuesIterator.map { members =>
+        val residual = math.max(0.0, 1.0 - members.map(probs).sum)
+        val none = nextVar
+        nextVar += 1
+        m.ensureVar(none, residual, 1.0, exclusive = true)
+        m.exactlyOne(members.map(varOf) :+ none)
+      }.toList
+    val root = proofs.map { proof =>
+      proof.toSeq.sorted.map(sid => m.literal(varOf(sid), polarity = true))
+        .reduce(m.conjoin)
+    }.reduce(m.disjoin)
+    val constrained = constraints.foldLeft(root)(m.conjoin)
+    val byVar = m.wmcGradient(constrained)
+    seedIds.flatMap(sid => byVar.get(varOf(sid)).map(sid -> _)).toMap
   }
 
   /** Exact WMC of a SIGNED DNF over independent seeds — the SDD engine's

@@ -115,6 +115,44 @@ class SddSpec extends AnyFunSuite {
     assert(math.abs(m.wmc(f) + m.wmc(m.negate(f)) - 1.0) < 1e-12)
   }
 
+  test("wmc gradient matches central finite differences (independent vars)") {
+    // the reference's own differential test shape (`diff_sdd.rs:48+`)
+    val m = new Sdd()
+    m.ensureVar(0, 0.7, 0.3)
+    m.ensureVar(1, 0.2, 0.8)
+    m.ensureVar(2, 0.5, 0.5)
+    // f = (x0 ∧ x1) ∨ ¬x2
+    val f = m.disjoin(
+      m.conjoin(m.literal(0, polarity = true), m.literal(1, polarity = true)),
+      m.literal(2, polarity = false))
+    val grads = m.wmcGradient(f)
+    // analytic: WMC = p0·p1·p2 + (1−p2); ∂/∂p0 = p1·p2, ∂/∂p1 = p0·p2,
+    // ∂/∂p2 = p0·p1 − 1
+    assert(math.abs(grads(0) - 0.2 * 0.5) < 1e-12)
+    assert(math.abs(grads(1) - 0.7 * 0.5) < 1e-12)
+    assert(math.abs(grads(2) - (0.7 * 0.2 - 1)) < 1e-12)
+  }
+
+  test("wmc gradient over DNF lineage with exclusive groups") {
+    // two seeds in one annotated-disjunction group + one independent
+    val proofs = Seq(Set(1L, 3L), Set(2L, 3L))
+    val probs = Map(1L -> 0.3, 2L -> 0.4, 3L -> 0.9)
+    val groups = Map(1L -> 100L, 2L -> 100L)
+    // WMC = (p1 + p2) · p3  (group members are mutually exclusive)
+    val w = Sdd.wmcOfDnf(proofs, probs, groups)
+    assert(math.abs(w - (0.3 + 0.4) * 0.9) < 1e-12)
+    val g = Sdd.wmcGradientOfDnf(proofs, probs, groups)
+    // ∂/∂p1 = p3, ∂/∂p2 = p3, ∂/∂p3 = p1 + p2
+    assert(math.abs(g(1L) - 0.9) < 1e-12)
+    assert(math.abs(g(2L) - 0.9) < 1e-12)
+    assert(math.abs(g(3L) - 0.7) < 1e-12)
+    // finite-difference cross-check on the independent seed
+    val eps = 1e-6
+    val fd = (Sdd.wmcOfDnf(proofs, probs + (3L -> (0.9 + eps)), groups) -
+      Sdd.wmcOfDnf(proofs, probs + (3L -> (0.9 - eps)), groups)) / (2 * eps)
+    assert(math.abs(g(3L) - fd) < 1e-6)
+  }
+
   test("model enumeration covers the DNF") {
     val m = new Sdd()
     m.ensureVar(0, 0.5, 0.5); m.ensureVar(1, 0.5, 0.5)
