@@ -68,6 +68,32 @@ object ReasonerSuite {
       chainer.solve(goal).map(_("y")).toList.toDF("y")
     }),
 
+    "datalog_hierarchy" -> ((s, dir) => {
+      // hierarchical multi-level reasoning (reasoning_experimental.rs):
+      // Base holds the triplized nation→region facts; a cross-level rule
+      // derives memberOf into Deductive, whose output feeds a second
+      // cross-level rule deriving the inverse into Abductive. Output =
+      // the whole hierarchy with its level column.
+      import graft.reasoner.Hierarchy._
+      val quads = Triplizer.isolatedStore(s, dir, defaultGraph = true).quads
+      val h = new graft.reasoner.ReasoningHierarchy(s)
+      h.addFactsAtLevel(Base,
+        quads.filter(col("p") === "nation#n_regionkey").select("s", "p", "o"))
+      val p = SparqlParser()
+      h.addCrossLevelRule(HierarchicalRule(
+        p.parseRule("""RULE <rules/member> :- CONSTRUCT { ?x <rel/memberOf> ?r }
+                       WHERE { ?x <nation#n_regionkey> ?r }"""),
+        level = Deductive, priority = 1, dependencies = Seq(Base)))
+      h.addCrossLevelRule(HierarchicalRule(
+        p.parseRule("""RULE <rules/hasmember> :- CONSTRUCT { ?r <rel/hasMember> ?x }
+                       WHERE { ?x <rel/memberOf> ?r }"""),
+        level = Abductive, priority = 1, dependencies = Seq(Deductive)))
+      h.hierarchicalInference()
+      h.queryHierarchy()
+        .filter(col("p").isin("rel/memberOf", "rel/hasMember"))
+        .select("level", "s", "p", "o")
+    }),
+
     "datalog_negation" -> ((s, dir) => {
       // Two strata, evaluated in order as the reference does (positive
       // rules to fixpoint first, then NAF rules — provenance_semi_naive.rs
@@ -115,6 +141,18 @@ object ReasonerSuite {
         """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c FROM customer
            WHERE NOT EXISTS (SELECT 1 FROM orders
                              WHERE o_custkey = c_custkey
-                               AND o_orderpriority = '1-URGENT')""")
+                               AND o_orderpriority = '1-URGENT')""",
+      "datalog_hierarchy" ->
+        """SELECT 'deductive' AS level,
+                  'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                  'rel/memberOf' AS p,
+                  'region/' || CAST(n_regionkey AS VARCHAR) AS o
+           FROM nation
+           UNION ALL
+           SELECT 'abductive',
+                  'region/' || CAST(n_regionkey AS VARCHAR),
+                  'rel/hasMember',
+                  'nation/' || CAST(n_nationkey AS VARCHAR)
+           FROM nation""")
   }
 }

@@ -101,8 +101,11 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     case _ => Nil
   }
 
-  /** Scan one premise pattern over `facts`: constants filter, vars project. */
-  def scan(facts: DataFrame, tp: TriplePattern): DataFrame = {
+  /** Scan one premise pattern over `facts`: constants filter, vars
+    * project. `keep` carries extra non-variable columns through the
+    * projection (the hierarchical cross-level path keeps the matched
+    * fact's identity for its i ≠ j guard). */
+  def scan(facts: DataFrame, tp: TriplePattern, keep: Seq[String] = Nil): DataFrame = {
     var filters = List.empty[Column]
     var binds = List.empty[(String, Column)]
     def walk(c: Column, t: Term): Unit = t match {
@@ -121,7 +124,8 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     val grouped = binds.reverse.groupBy(_._1)
     val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
     val filtered = (filters ++ eqs).foldLeft(facts)((d, f) => d.filter(f))
-    filtered.select(grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq: _*)
+    filtered.select(grouped.map { case (n, cs) => cs.head._2.as(n) }.toSeq ++
+      keep.map(col): _*)
   }
 
   private def joinBindings(l: DataFrame, r: DataFrame): DataFrame = {
