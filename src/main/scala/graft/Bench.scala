@@ -28,8 +28,8 @@ object Bench {
     // + per-window top-k (subselect rank)
     "stream_window_istream_dense", "stream_multiwindow_istream",
     "stream_window_topk",
-    // ml inference stage
-    "ml_predict_fixed",
+    // ml inference stage (+ r6 sklearn-pickle forest inference)
+    "ml_predict_fixed", "ml_predict_sklearn_rf",
     // probabilistic stack
     "prob_minmax_closure", "prob_hybrid_twohop", "prob_sdd_wmc",
     // pipeline scale paths
@@ -39,6 +39,8 @@ object Bench {
     "text_repetition", // new r5: Gopher-style duplicate-ngram fractions
     "text_contamination", "text_pii_scrub", // new r5: decontam sweep + PII redaction
     "text_c4_clean", // new r5: C4 line/document cleaning over seeded text
+    // new r6: context-window chunking + Bloom-routed incremental dedup
+    "pipeline_chunk_overlap", "dedup_incremental",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
