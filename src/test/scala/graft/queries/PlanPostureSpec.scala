@@ -173,4 +173,28 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"small delta did not broadcast into the premise join:\n$p")
   }
+
+  test("chunking is exchange-free: tokenize + explode, no shuffle") {
+    val p = plan("pipeline_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking introduced a shuffle:\n$p")
+    assert(p.contains("Generate"), s"no explode stage in:\n$p")
+  }
+
+  test("temperature mix: corpus side never shuffles — only the tiny rate table moves") {
+    val df = SparkEntry.queries("pipeline_temperature_mix")(spark, sf())
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-source counts aggregate exchanges, but the documents scan
+    // joins the broadcast rate table without repartitioning
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    val joinPart = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(!joinPart.split("BroadcastExchange")(0).contains("Exchange"),
+      s"corpus side shuffled before the rate join:\n$p")
+  }
+
+  test("incremental dedup: corpus fingerprints broadcast into the anti join") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join not broadcast:\n$p")
+  }
 }
