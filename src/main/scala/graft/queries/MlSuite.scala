@@ -56,6 +56,15 @@ object MlSuite {
           floor(col("pred") * 1e6 + 0.5).cast("long").as("pred_micro"))
     }),
 
+    "ml_predict_sklearn_logistic" -> ((s, dir) => {
+      val rt = new MlRuntime(s)
+      rt.loadSklearnClassifier("sk/logit", "res:/sklearn_logistic.pkl")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      rt.predictSklearnLabel(cust, "sk/logit", Seq("c_acctbal"), "label")
+        .select(col("c_custkey"), col("label"))
+    }),
+
     "ml_neural_relation" -> ((s, dir) => {
       val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
       val rt = new MlRuntime(s)
@@ -80,6 +89,13 @@ object MlSuite {
     "ml_neural_relation" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
                 CASE WHEN c_acctbal > 5000.0 THEN 'pos' ELSE 'not_pos' END AS tier
+         FROM customer""",
+
+    // decision function 0.001·bal − 5 > 0 ⇔ bal > 5000; classes_
+    // [neg, pos] from the fixture's object-dtype array
+    "ml_predict_sklearn_logistic" ->
+      """SELECT c_custkey,
+                CASE WHEN 0.001 * c_acctbal - 5.0 > 0 THEN 'pos' ELSE 'neg' END AS label
          FROM customer""",
 
     // constants = the learned parameters baked into the pickle fixture
