@@ -239,6 +239,23 @@ class MlRuntime(spark: SparkSession) {
     names
   }
 
+  /** Execute a full `ML.PREDICT(MODEL <m>, INPUT { SELECT … }) AS ?y`
+    * clause over a store: run the INPUT select through the compiler,
+    * then dispatch native-first with pickle fallback — the reference's
+    * Candle-then-Python order (`ml_predict_runtime.rs:109-160`; here
+    * "Python" is the JVM-parsed sklearn registry, so the fallback also
+    * runs distributed). Features = the INPUT select's projection. */
+  def executeMlPredict(store: QuadStore, clause: String): DataFrame = {
+    val (model, input, outVar) = new graft.sparql.SparqlParser().parseMlPredict(clause)
+    val rows = new Compiler(store).compileSelect(input)
+    val features = input.projection
+    if (trained.contains(model)) predict(rows, model, features, outVar)
+    else if (sklearnModels.contains(model)) predictSklearn(rows, model, features, outVar)
+    else if (sklearnClassifiers.contains(model)) predictSklearnLabel(rows, model, features, outVar)
+    else throw new IllegalStateException(
+      s"ML.PREDICT: model $model neither trained (native) nor loaded (sklearn)")
+  }
+
   /** Execute a `TRAIN NEURAL RELATION` declaration
     * (`neural_relations.rs:168-263` lower + execute): resolve the
     * registered NEURAL RELATION for the predicate (model, feature vars,

@@ -181,6 +181,31 @@ class MlSpec extends SparkSpec {
     assert(math.abs(out(2L) - (123.45 * 1.0 - 67.8 * (-1.0) + 10.0)) < 1e-12)
   }
 
+  test("executeMlPredict dispatches native-first with sklearn fallback") {
+    val store = QuadStore.fromTriples(spark,
+      Seq(("e1", "score", "6000"), ("e2", "score", "1000")))
+    val rt = new MlRuntime(spark)
+    // native MLP registered under m/native
+    rt.declareModel(ModelSpec("m/native", Nil, Seq("big"), binary = true))
+    rt.setWeights("m/native", Mlp(Array(Array(Array(0.001, -5.0))), Seq("big"), binary = true))
+    val native = rt.executeMlPredict(store,
+      """ML.PREDICT(MODEL <m/native>,
+           INPUT { SELECT ?s WHERE { ?e <score> ?s } }) AS ?y""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(native == Set(("6000", "big"), ("1000", "not_big")))
+    // sklearn classifier fallback under a name with no native model
+    rt.loadSklearnClassifier("m/pickle", "res:/sklearn_logistic.pkl")
+    val fallback = rt.executeMlPredict(store,
+      """ML.PREDICT(MODEL <m/pickle>,
+           INPUT { SELECT ?s WHERE { ?e <score> ?s } }) AS ?y""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fallback == Set(("6000", "pos"), ("1000", "neg")))
+    // unknown model fails loudly
+    val ex = intercept[IllegalStateException](rt.executeMlPredict(store,
+      """ML.PREDICT(MODEL <m/ghost>, INPUT { SELECT ?s WHERE { ?e <score> ?s } }) AS ?y"""))
+    assert(ex.getMessage.contains("m/ghost"))
+  }
+
   test("model discovery: TTL schemas parsed via graft SPARQL, best by resource score") {
     val dir = java.nio.file.Files.createTempDirectory("skmodels").toFile
     def copyRes(res: String, name: String): Unit = {
