@@ -30,7 +30,9 @@ import graft.sparql.Ast._
   *    lag over the fired-close sequence — the one narrow global-window
   *    op, O(#closes) rows;
   *  - empty firings are not representable as relation rows (an RSTREAM
-  *    emission with zero rows appears as no rows here);
+  *    emission with zero rows appears as no rows here) — EXCEPT the
+  *    global-aggregate case, where the engine's one zero-count row IS a
+  *    row and is unioned in ([[withEmptyFiringAggregates]], r6);
   *  - relations are SETS (the reference's R2R store semantics): a UNION
   *    whose branches match the same binding yields it once, where the
   *    engine's multiset emission would carry a duplicate row.
@@ -755,7 +757,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * engine's [[RspEngine.advanceTime]]) — only Timeout deadlines read it. */
   def emissions(events: DataFrame, advanceTo: Option[Long]): DataFrame = {
     query.kind match {
-      case RStream => finalizePerClose(relation(events, advanceTo))
+      case RStream =>
+        withEmptyFiringAggregates(events,
+          finalizePerClose(relation(events, advanceTo)))
       case IStream =>
         // rows at close c absent from the relation at the previous fired
         // close (first firing: prev = null → nothing relabels → emit all)
@@ -768,6 +772,41 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         val prevRows = relabelPrevToCurrent(rel, closeSeq(fired))
         antiNullSafe(prevRows, rel)
     }
+  }
+
+  /** Empty-firing GLOBAL aggregates (class-doc caveat, narrowed r6): a
+    * fired close whose WINDOW content matches nothing yields no relation
+    * row, but under a global aggregate (no GROUP BY) the engine emits ONE
+    * row — COUNT = 0, other aggregates over the empty group — which IS
+    * representable. Union those rows in for the single-window RSTREAM
+    * case: the aggregate expressions are evaluated once over an EMPTY
+    * bindings frame (Spark's global-aggregate-on-empty gives the same
+    * values the compiler gives the engine) and cross-joined with the
+    * fired closes missing from the relation. Grouped aggregates stay
+    * out (an empty group list is no rows in both engines), as do
+    * I/DSTREAM (the engine diffs emission ROWS; zero-rows diffs equal
+    * zero-rows) and HAVING (filters the zero row identically — but via
+    * the same union path, so it composes). */
+  private def withEmptyFiringAggregates(events: DataFrame, rel: DataFrame): DataFrame = {
+    val sel = query.select
+    if (query.windows.size != 1 || sel.aggregates.isEmpty || sel.groupBy.nonEmpty)
+      return rel
+    val w = query.windows.head
+    val missing = firedCloses(events, w)
+      .join(rel.select("close").distinct(), Seq("close"), "left_anti")
+    // aggregate over an empty bindings frame with the vars the aggregate
+    // expressions reference (all string, like every binding column)
+    val aggVars = sel.aggregates.flatMap(_.v).distinct
+    val schema = org.apache.spark.sql.types.StructType(aggVars.map(v =>
+      org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+    val emptyBindings = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    var zeroRow = condCompiler.applyAggregates(emptyBindings, sel, Nil)
+    sel.having.foreach(c => zeroRow = zeroRow.filter(condCompiler.compileCond(zeroRow, c)))
+    val projCols = rel.columns.filter(_ != "close").toSeq
+    if (!projCols.forall(zeroRow.columns.contains)) return rel // non-agg projection rode along
+    rel.unionByName(
+      missing.crossJoin(zeroRow).select((Seq("close") ++ projCols).map(col): _*))
   }
 
   /** Anti join on ALL columns with null-safe equality: OPTIONAL window

@@ -524,6 +524,35 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.forall(_.size == 1), s"LIMIT 1 leaked: $got2")
   }
 
+  test("empty firings emit one zero row under a GLOBAL aggregate (engine parity)") {
+    // every close fires (a <tick> event exists), but only some closes
+    // contain <flag> matches — the global COUNT must emit n=0 rows at
+    // the others, exactly like the engine (previously the class-doc
+    // "empty firings" caveat; grouped aggregates stay no-rows)
+    val qText = """
+      REGISTER RSTREAM <http://out/zero> AS
+      SELECT (COUNT(?e) AS ?n)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 2 ms STEP 2 ms]
+      WHERE { WINDOW :w { ?e <flag> ?v . } }"""
+    // ticks fire every close; flags exist only near the start, so later
+    // windows contain tick triples but zero BGP matches (fed in ts order —
+    // the engine is arrival-order driven and drops late events)
+    val data = (Seq(("e1", "flag", "a", 1L), ("e2", "flag", "b", 2L)) ++
+      (1L to 8L).map(t => (s"t$t", "tick", "x", t))).sortBy(_._4)
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(_("n")).toSet).toMap
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).withColumn("n", col("n").cast("string")).collect()
+      .map(r => r.getAs[Long]("close") -> r.getAs[String]("n"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    assert(got.values.exists(_ == Set("0")), s"no zero-count emission in $got")
+  }
+
   test("HAVING on the live streaming plane filters finalized aggregates (engine parity)") {
     // same query/data as the batch HAVING test above, through MemoryStream:
     // the HAVING condition (with its synthetic COUNT) is a stateless
