@@ -115,11 +115,20 @@ object Dedup {
     * (xxhash64 is codegen'd; (seed, value) gives k independent hashes). */
   private def mh(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
+  /** Engine-portable minhash component: [[md5Hash60]] of "seed:shingle" —
+    * DuckDB reproduces it closed-form, so the WHOLE LSH pipeline becomes
+    * hash-checkable (see `dedup_minhash_lsh_portable`). xxhash64 stays
+    * the throughput default. */
+  private def mhPortable(c: Column, seed: Int): Column =
+    md5Hash60(concat(lit(s"$seed:"), c))
+
   /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHashes: Boolean = false): DataFrame = {
     val sh = shingles(docs, k, idCol, textCol)
-    val aggs = (0 until numHashes).map(i => min(mh(col("shingle"), i)).as(s"h$i"))
+    val hash: (Column, Int) => Column = if (portableHashes) mhPortable else mh
+    val aggs = (0 until numHashes).map(i => min(hash(col("shingle"), i)).as(s"h$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -146,16 +155,22 @@ object Dedup {
         * first) would go quadratic here. Oversized buckets keep their
         * `maxBucketSize` smallest ids (deterministic); a dropped doc can
         * still pair through its other bands. None disables. */
-      maxBucketSize: Option[Int] = Some(4096)): DataFrame = {
+      maxBucketSize: Option[Int] = Some(4096),
+      portableHashes: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs0 = minHashSignatures(docs, k, numHashes, idCol, textCol)
+    val sigs0 = minHashSignatures(docs, k, numHashes, idCol, textCol, portableHashes)
     val sigs = if (checkpointSigs) sigs0.localCheckpoint() else sigs0
+    def bandBucket(b: Column): Column =
+      if (portableHashes)
+        md5Hash60(concat(lit("band:"), b.cast(StringType), lit(":"),
+          array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast(StringType)), ",")))
+      else xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)))
     // Catalyst has no common-subplan reuse across self-join sides, so the
     // signature pipeline appears twice in the physical plan (lazy mode).
     val bandedAll = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bandBucket(_))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val banded = maxBucketSize match {
       case Some(cap) =>

@@ -39,6 +39,15 @@ object PipelineSuite {
       Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, checkpointSigs = true)),
 
+    // the SAME banded-LSH pipeline with engine-portable md5-60 hashes:
+    // signatures, band buckets, candidate join, and similarity estimate
+    // are all reproduced closed-form by DuckDB → full hash check of the
+    // LSH shape (the xxhash64 entry above stays the throughput default
+    // and a rows-only check)
+    "dedup_minhash_lsh_portable" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, checkpointSigs = true, portableHashes = true)),
+
     // md5-derived 60-bit token hash so DuckDB reproduces the signatures
     // bit-for-bit; the oracle brute-forces all pairs, so it also proves
     // the segment blocking is recall-complete at this radius
@@ -330,6 +339,40 @@ object PipelineSuite {
           corp AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
          SELECT n.doc_id, n.fp FROM nw n
          WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.fp = n.fp)""",
+
+    // the full portable-hash LSH pipeline in SQL: shingles → 32 md5-60
+    // minhashes → 8 band buckets (md5-60 over the band's joined sig
+    // slice) → 4096-cap → bucket-join candidates → matching-fraction
+    // estimate; mirrors Dedup.minHashLshPairs(portableHashes = true)
+    "dedup_minhash_lsh_portable" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+          shl AS (SELECT DISTINCT doc_id AS id,
+                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                 FROM t WHERE len(w) >= 3),
+          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM shl),
+          mh AS (SELECT id, r.range AS i,
+                   min(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS h
+                 FROM e, range(32) r GROUP BY id, r.range),
+          sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY id),
+          band AS (SELECT id, sig, rb.range AS b,
+                   ('0x' || substr(md5('band:' || CAST(rb.range AS VARCHAR) || ':' ||
+                      array_to_string(list_transform(sig[rb.range*4+1 : rb.range*4+4],
+                        x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
+                   FROM sig, range(8) rb),
+          capped AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY b, bucket ORDER BY id) AS rn
+                   FROM band) WHERE rn <= 4096),
+          cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                     a.sig AS sig_a, b2.sig AS sig_b
+                   FROM capped a JOIN capped b2
+                     ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id)
+          SELECT id_a, id_b,
+                 round(CAST(len(list_filter(range(1, 33),
+                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+          FROM cand
+          WHERE CAST(len(list_filter(range(1, 33),
+                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
