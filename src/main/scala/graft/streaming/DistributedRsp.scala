@@ -809,6 +809,35 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       missing.crossJoin(zeroRow).select((Seq("close") ++ projCols).map(col): _*))
   }
 
+  /** The global aggregate's one-row result over an EMPTY bindings frame,
+    * as a lexical binding map — what an empty firing emits
+    * ([[withEmptyFiringAggregates]]); None when the query shape doesn't
+    * qualify or HAVING filters the zero row out. */
+  private lazy val globalZeroBinding: Option[Map[String, String]] = {
+    val sel0 = query.select
+    if (query.windows.size != 1 || sel0.aggregates.isEmpty || sel0.groupBy.nonEmpty)
+      None
+    else {
+      val synth = scala.collection.mutable.ArrayBuffer.empty[graft.sparql.Ast.Aggregate]
+      val having = sel0.having.map(condCompiler.rewriteHaving(_, sel0.aggregates, synth))
+      val sel = if (synth.isEmpty) sel0
+        else sel0.copy(aggregates = sel0.aggregates ++ synth)
+      val aggVars = sel.aggregates.flatMap(_.v).distinct
+      val schema = org.apache.spark.sql.types.StructType(aggVars.map(v =>
+        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+      var zeroRow = condCompiler.applyAggregates(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        sel, Nil)
+      having.foreach(c => zeroRow = zeroRow.filter(condCompiler.compileCond(zeroRow, c)))
+      if (synth.nonEmpty) zeroRow = zeroRow.drop(synth.map(_.alias).toSeq: _*)
+      zeroRow.collect().headOption.map { r =>
+        zeroRow.columns.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i)).map(c -> _.toString)
+        }.toMap
+      }
+    }
+  }
+
   /** Anti join on ALL columns with null-safe equality: OPTIONAL window
     * blocks and static compat joins put genuine nulls (UNDEF) in
     * emission rows, and a plain column-name anti join would treat every
@@ -879,6 +908,15 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         w.rangeMs, st)
       .withColumn("closeTs", timestamp_millis(col("close")))
       .withWatermark("closeTs", watermarkDelay(w))
+      // Optimizer barrier (always-true, NONDETERMINISTIC so no predicate
+      // may reorder across it): without it Catalyst pushes the WINDOW
+      // block's pattern filters BELOW the EventTimeWatermark node, whose
+      // runtime stats then see only MATCHING rows — on a stream where the
+      // pattern matches sparsely the watermark STARVES and finalized
+      // aggregates/joins stall until the next match arrives. The engine
+      // advances on every event; so must the watermark. (An opaque udf:
+      // range-foldable guards like rand() > -1 are simplified away.)
+      .filter(DistributedRsp.watermarkBarrier(col("close")))
     val gated = content.join(streamFired(events, w), Seq("close", "closeTs"), "left_semi")
     // streaming enrichment: a stream cannot loop a fixpoint, so unroll a
     // fixed number of rule passes; duplicates are merged by the
@@ -1019,7 +1057,22 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
           sel.limit.map(_.toLong), sel.offset.getOrElse(0).toLong)
       else rows0
     query.kind match {
-      case RStream => rows
+      case RStream =>
+        // live twin of [[withEmptyFiringAggregates]]: a fired close whose
+        // block matched nothing emits the global aggregate's zero row —
+        // the fired-close sentinel feeds a close-keyed zero-fill stage
+        // that passes real rows through and emits the precomputed zero
+        // binding at close + step when none arrived
+        globalZeroBinding match {
+          case Some(zero) =>
+            val w = query.windows.head
+            import rel.sparkSession.implicits._
+            val sentinel = streamFired(events, w).dropDuplicatesWithinWatermark()
+              .select(col("close")).as[Long]
+              .map(c => R2SRow(c, Map(IncrementalR2S.FiredMarker -> "")))
+            IncrementalR2S.zeroFill(rows.unionByName(sentinel), st, zero)
+          case None => rows
+        }
       case _ =>
         // incremental diffs run at close-step granularity: multi-window
         // queries need one shared step for the joined relation's sequence
@@ -1050,6 +1103,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
 object DistributedRsp {
   /** `(close, binding)` — the rows flowing through incremental R2S. */
   final case class R2SRow(close: Long, binding: Map[String, String])
+
+  /** Always-true nondeterministic predicate — the pushdown barrier that
+    * keeps pattern filters ABOVE the content watermark (see
+    * streamWindowRelation). Opaque to the optimizer by construction. */
+  private[streaming] val watermarkBarrier =
+    udf((_: Long) => true).asNondeterministic()
 
   private[streaming] def termVarsOf(t: Term): Seq[String] = t match {
     case Var(n) => Seq(n)
@@ -1471,6 +1530,46 @@ object IncrementalR2S {
       if (c0 != 0) return if (asc) c0 else -c0
     }
     0
+  }
+
+  /** Empty-firing zero-fill for live global aggregates: real aggregate
+    * rows pass straight through; the fired-close sentinel arms a timer at
+    * close + step, and a close that saw NO real row by then emits the
+    * precomputed zero binding (the batch plane's
+    * `withEmptyFiringAggregates`, one close of state at a time). */
+  private class ZeroFillProcessor(step: Long, zero: Map[String, String])
+      extends StatefulProcessor[String, R2SRow, R2SRow] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[R2SRow],
+        tv: TimerValues): Iterator[R2SRow] = {
+      val out = Seq.newBuilder[R2SRow]
+      var close = -1L
+      rows.foreach { r =>
+        close = r.close
+        if (!r.binding.contains(FiredMarker)) { seen.update(true); out += r }
+      }
+      if (close >= 0) getHandle.registerTimer(close + step)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[R2SRow] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true) // a later duplicate timer must not re-emit
+        Iterator.single(R2SRow(info.getExpiryTimeInMs - step, zero))
+      }
+    }
+  }
+
+  /** Zero-fill a global-aggregate emission stream (see ZeroFillProcessor). */
+  def zeroFill(rows: Dataset[R2SRow], step: Long,
+      zero: Map[String, String]): Dataset[R2SRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => r.close.toString)
+      .transformWithState(new ZeroFillProcessor(step, zero),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Apply a per-close rank to a finalized `(close, binding)` stream. */

@@ -551,6 +551,32 @@ class DistributedRspSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
     assert(got.values.exists(_ == Set("0")), s"no zero-count emission in $got")
+
+    // live plane: the fired-close sentinel arms a zero-fill stage
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"zero_stream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 100L, "tZ", "tick", "x")))
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 200L, "tY", "tick", "x")))
+        sq.processAllAvailable()
+        val streamGot = spark.table(sink).collect().map { r =>
+          r.getAs[Long]("close") -> r.getAs[Map[String, String]]("binding")("n")
+        }.toMap.view.filterKeys(engineGot.contains)
+          .mapValues(Set(_)).toMap
+        assert(streamGot == engineGot, s"streaming $streamGot vs engine $engineGot")
+      } finally sq.stop()
+    }
   }
 
   test("HAVING on the live streaming plane filters finalized aggregates (engine parity)") {
