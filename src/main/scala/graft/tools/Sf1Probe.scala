@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Probe {
   val entries = Seq("datalog_closure_seminaive", "prob_minmax_closure",
-    "dedup_minhash_lsh", "prob_sdd_wmc", "stream_window_istream")
+    "dedup_minhash_lsh", "prob_sdd_wmc", "stream_window_istream",
+    // r6 additions: chunking (narrow — exponent should sit near the
+    // output-volume line), temperature mix (count-broadcast), Bloom-routed
+    // incremental dedup (bloom build + anti join), forest inference
+    "pipeline_chunk_overlap", "pipeline_temperature_mix",
+    "dedup_incremental", "ml_predict_sklearn_rf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -43,7 +48,11 @@ object Sf1Probe {
       println("[sf1-probe] synthesizing 10x corpus …")
       val c = spark.read.parquet(s"$sfDir/customer.parquet")
       val maxKey = c.agg(max(col("c_custkey"))).first().getLong(0)
-      spark.range(1, maxKey * 10 + 1).select(col("id").as("c_custkey"))
+      spark.range(1, maxKey * 10 + 1).select(col("id").as("c_custkey"),
+          // deterministic balance/nation so the ml/predict probes run
+          (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 100.0
+            - 1000.0).as("c_acctbal"),
+          pmod(col("id"), lit(25L)).cast("int").as("c_nationkey"))
         .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
 
       val shuffleWords = udf((text: String, seed: Long) => {
@@ -53,7 +62,8 @@ object Sf1Probe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until 10).map { cp =>
         docs.select((col("doc_id") + lit(cp.toLong * 10000000L)).as("doc_id"),
-          shuffleWords(col("text"), col("doc_id") + lit(cp * 7919)).as("text"))
+          shuffleWords(col("text"), col("doc_id") + lit(cp * 7919)).as("text"),
+          col("source"))
       }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
