@@ -62,6 +62,14 @@ object StreamSuite {
         .emissions(eventTriplesWithValue(s, dir))
         .select("close", "e", "u", "v")),
 
+    // BIND + VALUES inside the WINDOW block (r6; were engine-only):
+    // BIND extends per row, VALUES constrains via a broadcast inline
+    // relation
+    "stream_window_bind_values" -> ((s, dir) =>
+      new DistributedRsp(s, windowBindValuesQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "e", "t", "tag")),
+
     // per-close aggregate: COUNT grouped by (close, ?u) as ONE distributed
     // aggregation across all closes — the CityBench-style per-window agg
     "stream_window_agg" -> ((s, dir) =>
@@ -152,6 +160,17 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val windowBindValuesQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/bindvalues> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w {
+        ?e <ev/type> ?t .
+        BIND(CONCAT("type:", ?t) AS ?tag)
+        VALUES (?t) { ("purchase") ("view") }
+      } }""")
 
   private val windowAggHavingQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -332,6 +351,21 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type = 'purchase'""",
+
+    "stream_window_bind_values" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT f.close, ev.eid AS e, ev.event_type AS t,
+                 'type:' || ev.event_type AS tag
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+          WHERE ev.event_type IN ('purchase', 'view')""",
 
     "stream_window_istream" ->
       s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,

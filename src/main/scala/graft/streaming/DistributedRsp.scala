@@ -99,15 +99,15 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * be null, so null-free blocks keep their pure equi-join plans). */
   private val windowBlocks: Map[String, Seq[Element]] = {
     def validate(elems: Seq[Element]): Unit = elems.foreach {
-      case Bgp(_) | FilterElem(_) => ()
+      case Bgp(_) | FilterElem(_) | BindElem(_, _) | ValuesElem(_, _) => ()
       case UnionBlock(branches) => branches.foreach(validate)
       case OptionalBlock(inner) => validate(inner)
       case MinusBlock(inner) => validate(inner)
       case SubSelect(sub) => validate(sub.where) // modifiers checked at compile
       case other => throw new IllegalArgumentException(
-        s"distributed RSP plane supports BGP + FILTER + UNION + OPTIONAL/MINUS + " +
-          s"subselects per WINDOW block; found $other — use RspEngine " +
-          "for full block semantics")
+        s"distributed RSP plane supports BGP + FILTER + BIND + VALUES + UNION + " +
+          s"OPTIONAL/MINUS + subselects per WINDOW block; found $other — use " +
+          "RspEngine for full block semantics")
     }
     query.select.where.collect { case WindowBlockElem(w, elems) =>
       validate(elems)
@@ -125,6 +125,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     case OptionalBlock(inner) => blockVars(inner)
     case MinusBlock(inner) => blockVars(inner)
     case SubSelect(sub) => blockVars(sub.where)
+    case BindElem(_, v) => Seq(v)
+    case ValuesElem(vars, _) => vars
     case _ => Nil
   }
 
@@ -474,6 +476,30 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         acc = Some(minusJoin(leftSide("MINUS"), compileBlockRel(content, minusElems)))
       case SubSelect(sub) =>
         inner(compileSubSelectPerClose(content, sub))
+      case BindElem(expr, v) =>
+        // per-row extension over the accumulated frame (batch Compiler's
+        // BIND discipline: error/unbound evaluates to null → maybeNull)
+        val base = leftSide("BIND")
+        acc = Some(BlockRel(
+          base.df.withColumn(v,
+            condCompiler.compileExpr(base.df, expr)
+              .cast(org.apache.spark.sql.types.StringType)),
+          base.maybeNull + v))
+      case ValuesElem(vars, vrows) =>
+        // inline data as a broadcast static relation: per-close rows join
+        // it on the shared vars (stream-static join on the live plane);
+        // UNDEF cells are nulls → maybeNull → compat machinery
+        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val data = vrows.map(r => org.apache.spark.sql.Row(
+          r.map(_.map(graft.model.TermLex.lexical).orNull): _*))
+        val vdf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toSeq, 1), schema))
+        val undef = vars.zipWithIndex.filter { case (_, i) =>
+          vrows.exists(_(i).isEmpty)
+        }.map(_._1).toSet
+        inner(BlockRel(vdf, undef))
       case other => throw new IllegalArgumentException(s"unsupported block element $other")
     }
     val joined = acc.getOrElse(throw new IllegalArgumentException("empty WINDOW block"))

@@ -524,6 +524,38 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.forall(_.size == 1), s"LIMIT 1 leaked: $got2")
   }
 
+  test("BIND and VALUES in WINDOW blocks match the engine (batch)") {
+    // BIND extends each row; VALUES constrains via inline data with an
+    // UNDEF wildcard row — both previously engine-only block elements
+    val qText = """
+      REGISTER RSTREAM <http://out/bv> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w {
+        ?e <by> ?u .
+        BIND(CONCAT(?u, "!") AS ?loud)
+        VALUES (?u) { ("alice") ("bob") }
+      } }"""
+    val data = Seq(("e1", "by", "alice", 1L), ("e2", "by", "bob", 2L),
+      ("e3", "by", "carol", 2L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("e"), r("u"), r("loud"))).toSet)
+      .toMap.filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") ->
+        ((r.getAs[String]("e"), r.getAs[String]("u"), r.getAs[String]("loud"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // carol filtered by VALUES; BIND visible
+    assert(!got.values.flatten.exists(_._2 == "carol"), s"VALUES leaked: $got")
+    assert(got.values.flatten.exists(_._3 == "alice!"), s"BIND missing: $got")
+  }
+
   test("empty firings emit one zero row under a GLOBAL aggregate (engine parity)") {
     // every close fires (a <tick> event exists), but only some closes
     // contain <flag> matches — the global COUNT must emit n=0 rows at
