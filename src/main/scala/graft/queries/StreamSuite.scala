@@ -62,6 +62,13 @@ object StreamSuite {
         .emissions(eventTriplesWithValue(s, dir))
         .select("close", "e", "u", "v")),
 
+    // property path inside the WINDOW block (r6; was engine-only):
+    // ^<ev/type>/<ev/user> walks type-value → event → user per close
+    "stream_window_path" -> ((s, dir) =>
+      new DistributedRsp(s, windowPathQuery)
+        .emissions(eventTriples(s, dir))
+        .select("close", "t", "u")),
+
     // BIND + VALUES inside the WINDOW block (r6; were engine-only):
     // BIND extends per row, VALUES constrains via a broadcast inline
     // relation
@@ -160,6 +167,13 @@ object StreamSuite {
       SELECT *
       FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
       WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+
+  private val windowPathQuery: graft.sparql.Ast.RspQuery =
+    graft.sparql.SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/windowpath> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+      WHERE { WINDOW :w { ?t (^<ev/type>/<ev/user>) ?u . } }""")
 
   private val windowBindValuesQuery: graft.sparql.Ast.RspQuery =
     graft.sparql.SparqlParser().parseRsp("""
@@ -351,6 +365,20 @@ object StreamSuite {
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type = 'purchase'""",
+
+    "stream_window_path" ->
+      s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                             'user/' || CAST(user_id AS VARCHAR) AS uid,
+                             event_type,
+                             CAST(epoch_ms(ts) AS BIGINT) AS tms
+                      FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT f.close, ev.event_type AS t, ev.uid AS u
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000""",
 
     "stream_window_bind_values" ->
       s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,

@@ -99,7 +99,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * be null, so null-free blocks keep their pure equi-join plans). */
   private val windowBlocks: Map[String, Seq[Element]] = {
     def validate(elems: Seq[Element]): Unit = elems.foreach {
-      case Bgp(_) | FilterElem(_) | BindElem(_, _) | ValuesElem(_, _) => ()
+      case Bgp(_) | FilterElem(_) | BindElem(_, _) | ValuesElem(_, _) |
+           PathPattern(_, _, _) => ()
       case UnionBlock(branches) => branches.foreach(validate)
       case OptionalBlock(inner) => validate(inner)
       case MinusBlock(inner) => validate(inner)
@@ -127,6 +128,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     case SubSelect(sub) => blockVars(sub.where)
     case BindElem(_, v) => Seq(v)
     case ValuesElem(vars, _) => vars
+    case PathPattern(ps, _, po) => termVarsOf(ps) ++ termVarsOf(po)
     case _ => Nil
   }
 
@@ -390,6 +392,110 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     }
   }
 
+  /** Close-keyed property-path algebra (r6; was engine-only): the batch
+    * compiler's path → edge-relation mapping ([[graft.sparql.Compiler]]
+    * `pathEdges`) with the close keys riding every select/join/union, so
+    * one plan evaluates the path inside EVERY window close at once.
+    * Arbitrary-length forms (`+`/`*`) run the recursive-doubling closure
+    * GROUPED BY close (the close keys join through the squaring
+    * self-join) — batch plane only: a stream cannot loop a fixpoint, and
+    * zero-length identity needs the close's full node set. */
+  private def pathEdgesPerClose(content: DataFrame, p: Path): DataFrame = {
+    val ck = closeKeys(content)
+    def scanP(pred: String): DataFrame =
+      content.filter(col("p") === pred)
+        .select((ck.map(col) :+ col("s").as("__ps") :+ col("o").as("__po")): _*)
+    p match {
+      case PLink(i) => scanP(i)
+      case PInv(x) => pathEdgesPerClose(content, x)
+        .withColumnRenamed("__ps", "__tmp").withColumnRenamed("__po", "__ps")
+        .withColumnRenamed("__tmp", "__po")
+      case PSeq(l, r) =>
+        pathEdgesPerClose(content, l).withColumnRenamed("__po", "__m")
+          .join(pathEdgesPerClose(content, r).withColumnRenamed("__ps", "__m"),
+            ck :+ "__m", "inner")
+          .select((ck.map(col) :+ col("__ps") :+ col("__po")): _*)
+      case PAlt(l, r) =>
+        pathEdgesPerClose(content, l).unionByName(pathEdgesPerClose(content, r))
+      case PNeg(fwd, inv) =>
+        val all = content.select((ck.map(col) :+ col("s").as("__ps") :+
+          col("p").as("__pneg") :+ col("o").as("__po")): _*)
+        def without(not: Seq[String]) =
+          if (not.isEmpty) all else all.filter(!col("__pneg").isin(not: _*))
+        val sides =
+          (if (fwd.nonEmpty || inv.isEmpty)
+             Seq(without(fwd).select((ck.map(col) :+ col("__ps") :+ col("__po")): _*))
+           else Nil) ++
+          (if (inv.nonEmpty)
+             Seq(without(inv).select((ck.map(col) :+ col("__po").as("__ps") :+
+               col("__ps").as("__po")): _*))
+           else Nil)
+        sides.reduce(_ unionByName _)
+      case POneOrMore(x) => pathClosurePerClose(ck, pathEdgesPerClose(content, x))
+      case PZeroOrMore(x) =>
+        pathClosurePerClose(ck, pathEdgesPerClose(content, x))
+          .unionByName(pathIdentityPerClose(content)).distinct()
+      case PZeroOrOne(x) =>
+        pathEdgesPerClose(content, x)
+          .unionByName(pathIdentityPerClose(content)).distinct()
+    }
+  }
+
+  private def pathIdentityPerClose(content: DataFrame): DataFrame = {
+    require(!content.isStreaming,
+      "zero-length path identity needs each close's full node set; " +
+        "use the batch emissions or RspEngine on the live stream")
+    val ck = closeKeys(content)
+    content.select((ck.map(col) :+ col("s").as("__n")): _*)
+      .unionByName(content.select((ck.map(col) :+ col("o").as("__n")): _*))
+      .distinct()
+      .select((ck.map(col) :+ col("__n").as("__ps") :+ col("__n").as("__po")): _*)
+  }
+
+  /** Per-close transitive closure: recursive doubling with the close keys
+    * in every join — O(log max-diameter) rounds over ALL closes at once. */
+  private def pathClosurePerClose(ck: Seq[String], edges: DataFrame): DataFrame = {
+    require(!edges.isStreaming,
+      "arbitrary-length paths need a fixpoint; a micro-batch stream cannot " +
+        "loop — use the batch emissions or RspEngine")
+    var r = edges.distinct().localCheckpoint()
+    var n = r.count()
+    var done = false
+    while (!done) {
+      val next = r.unionByName(
+          r.withColumnRenamed("__po", "__m")
+            .join(r.withColumnRenamed("__ps", "__m"), ck :+ "__m", "inner")
+            .select((ck.map(col) :+ col("__ps") :+ col("__po")): _*))
+        .distinct().localCheckpoint()
+      val m = next.count()
+      done = m == n
+      n = m
+      val prev = r
+      r = next
+      graft.reasoner.Reasoner.unpersistCheckpoint(prev)
+    }
+    r
+  }
+
+  private def compilePathPerClose(content: DataFrame, s: Term, path: Path,
+      o: Term): BlockRel = {
+    val ck = closeKeys(content)
+    val e = pathEdgesPerClose(content, path)
+    var filters = List.empty[Column]
+    var binds = List.empty[(String, Column)]
+    def walkEnd(c: Column, t: Term): Unit = t match {
+      case Var(n) => binds ::= (n -> c)
+      case other => filters ::= (c === lit(graft.model.TermLex.lexical(other)))
+    }
+    walkEnd(col("__ps"), s); walkEnd(col("__po"), o)
+    val grouped = binds.reverse.groupBy(_._1)
+    val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
+    val filtered = (filters ++ eqs).foldLeft(e)((d, f) => d.filter(f))
+    BlockRel(filtered.select((ck.map(col) ++
+      grouped.map { case (n, cs) => cs.head._2.as(n) }).toSeq: _*).distinct(),
+      Set.empty)
+  }
+
   /** Per-close subselect (`engine.rs:416-426` materialize-then-join,
     * close-scoped like every block element): the inner WHERE compiles
     * over the same close-keyed content; aggregates group by (close keys ×
@@ -500,6 +606,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
           vrows.exists(_(i).isEmpty)
         }.map(_._1).toSet
         inner(BlockRel(vdf, undef))
+      case PathPattern(ps, path, po) =>
+        inner(compilePathPerClose(content, ps, path, po))
       case other => throw new IllegalArgumentException(s"unsupported block element $other")
     }
     val joined = acc.getOrElse(throw new IllegalArgumentException("empty WINDOW block"))

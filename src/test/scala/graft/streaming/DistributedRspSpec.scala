@@ -524,6 +524,54 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.forall(_.size == 1), s"LIMIT 1 leaked: $got2")
   }
 
+  test("property paths in WINDOW blocks match the engine (batch)") {
+    // seq + inverse: from type value to user through the shared event
+    val qSeq = """
+      REGISTER RSTREAM <http://out/pathseq> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?t (^<type>/<by>) ?u . } }"""
+    val data = Seq(
+      ("e1", "type", "buy", 1L), ("e1", "by", "alice", 1L),
+      ("e2", "type", "view", 2L), ("e2", "by", "bob", 2L))
+    val engine = RspEngineBuilder.fromQuery(spark, qSeq)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("t"), r("u"))).toSet)
+      .toMap.filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qSeq))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> ((r.getAs[String]("t"), r.getAs[String]("u"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+
+    // transitive +: per-close closure over a follows-chain
+    val qPlus = """
+      REGISTER RSTREAM <http://out/pathplus> AS
+      SELECT *
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { <a> <f>+ ?x . } }"""
+    val chain = Seq(
+      ("a", "f", "b", 1L), ("b", "f", "c", 1L), ("c", "f", "d", 2L))
+    val engine2 = RspEngineBuilder.fromQuery(spark, qPlus)
+    chain.foreach { case (s, p, o, ts) => engine2.add("stream", s, p, o, ts) }
+    val engineGot2 = engine2.emissions
+      .map(em => em.windowClose -> em.rows.map(_("x")).toSet)
+      .toMap.filter(_._2.nonEmpty)
+    val events2 = chain.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got2 = new DistributedRsp(spark, SparqlParser().parseRsp(qPlus))
+      .emissions(events2).collect()
+      .map(r => r.getAs[Long]("close") -> r.getAs[String]("x"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got2 == engineGot2 && got2.nonEmpty,
+      s"distributed $got2 vs engine $engineGot2")
+    // multi-hop reach: c is 2 hops from a — only the closure finds it
+    assert(got2.values.exists(_.contains("c")), s"closure incomplete: $got2")
+  }
+
   test("BIND and VALUES in WINDOW blocks match the engine (batch)") {
     // BIND extends each row; VALUES constrains via inline data with an
     // UNDEF wildcard row — both previously engine-only block elements
