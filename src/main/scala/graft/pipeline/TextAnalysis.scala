@@ -54,6 +54,36 @@ object TextAnalysis {
     // NOTE: foldRight gives priority to earlier profiles on ties ("en" wins)
   }
 
+  /** Character-trigram language ID — the classic n-gram-profile shape
+    * (Cavnar–Trenkle, fixed top-trigram profiles instead of trained
+    * ranks so both engines compute the identical formula): lowercase,
+    * collapse non-letters to single spaces, slide a 3-char window, count
+    * profile hits per language, max with the fixed priority tiebreak.
+    * Overlapping windows via `substr` over a position sequence — narrow,
+    * no UDF, DuckDB mirrors it with list_transform(range, substr). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", "tio"),
+    "de" -> Seq("der", "ein", "sch", "ich", "und"),
+    "fr" -> Seq("les", "des", "que", "ait", "eur"),
+    "es" -> Seq("los", "ado", "ara", "cio", "nte"))
+
+  def charTrigrams(text: Column): Column = {
+    val t = regexp_replace(lower(text), "[^a-z]+", " ")
+    transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      i => t.substr(i, lit(3)))
+  }
+
+  def langIdNgram(text: Column): Column = {
+    val tris = charTrigrams(text)
+    val scores = trigramProfiles.map { case (l, ps) =>
+      l -> size(filter(tris, t => t.isInCollection(ps)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Winnowing fingerprint set (Schleimer et al.'s MOSS rolling-hash
     * scheme — the brief's "document fingerprinting (rolling hash)"):
     * token k-grams hashed (DuckDB-portable md5-60bit, [[Dedup.md5Hash60]]),

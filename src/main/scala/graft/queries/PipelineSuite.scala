@@ -153,6 +153,12 @@ object PipelineSuite {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // char-trigram profile variant (Cavnar-Trenkle shape, r6): sliding
+    // 3-char windows, profile-hit counts, fixed priority tiebreak
+    "text_langid_ngram" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langIdNgram(col("text")).as("lang_pred"))),
+
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -309,6 +315,26 @@ object PipelineSuite {
     }.mkString(", ")
     val bestExpr = "greatest(" +
       TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+    s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+        b AS (SELECT *, $bestExpr AS best FROM sc)
+        SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+  }
+
+  /** DuckDB mirror of langIdNgram: overlapping trigrams via
+    * list_transform(range, substr), profile-hit counts, same tiebreak. */
+  private val langIdNgramSql: String = {
+    val tris = """list_transform(
+        range(1, greatest(len(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) - 2, 0) + 1),
+        i -> substr(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), i, 3))"""
+    val scores = TextAnalysis.trigramProfiles.map { case (l, ps) =>
+      val set = ps.map(p => s"'$p'").mkString(", ")
+      s"len(list_filter($tris, t -> t IN ($set))) AS s_$l"
+    }.mkString(", ")
+    val cases = TextAnalysis.trigramProfiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    val bestExpr = "greatest(" +
+      TextAnalysis.trigramProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
     s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
         b AS (SELECT *, $bestExpr AS best FROM sc)
         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
@@ -565,6 +591,8 @@ object PipelineSuite {
           FROM g""",
 
     "text_langid" -> langIdSql,
+
+    "text_langid_ngram" -> langIdNgramSql,
 
     "text_quality" -> qualitySql,
 

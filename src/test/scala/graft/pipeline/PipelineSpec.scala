@@ -492,6 +492,23 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L).getInt(1) == 0 && r(2L).getString(4) == "nothing sensitive here")
   }
 
+  test("char-trigram langid classifies real language snippets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the king and the queen were singing during the information session"),
+      (2L, "der schneider und der schuler sind durch die schule gegangen und singen"),
+      (3L, "les grandes questions des auteurs etaient que la chaleur avait disparu"),
+      (4L, "los ganados cercados araban la nacion mientras el hacendado cantaba"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langIdNgram($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en", s"got $got")
+    assert(got(2L) == "de", s"got $got")
+    assert(got(3L) == "fr", s"got $got")
+    assert(got(4L) == "es", s"got $got")
+    assert(got(5L) == "und", s"got $got")
+  }
+
   test("incremental dedup: bloom routes, anti join decides — exact result") {
     import spark.implicits._
     val corpus = Seq((1L, "the quick brown fox"), (2L, "hello world"),

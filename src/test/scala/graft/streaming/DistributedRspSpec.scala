@@ -602,6 +602,31 @@ class DistributedRspSpec extends SparkSpec {
     // carol filtered by VALUES; BIND visible
     assert(!got.values.flatten.exists(_._2 == "carol"), s"VALUES leaked: $got")
     assert(got.values.flatten.exists(_._3 == "alice!"), s"BIND missing: $got")
+
+    // live plane: BIND is a narrow projection, VALUES a stream-static join
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, String)]
+      val stream = mem.toDF().toDF("stream", "tsms", "s", "p", "o")
+        .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+      val sink = s"bv_stream_${System.nanoTime()}"
+      val sq = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+        .streamEmissions(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) })
+        sq.processAllAvailable()
+        mem.addData(Seq(("stream", 100L, "eZ", "by", "alice")))
+        sq.processAllAvailable()
+        val streamGot = spark.table(sink).collect().map { r =>
+          val b = r.getAs[Map[String, String]]("binding")
+          r.getAs[Long]("close") -> ((b("e"), b("u"), b("loud")))
+        }.toSet.filterNot(_._2._1 == "eZ")
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        assert(streamGot == engineGot, s"streaming $streamGot vs engine $engineGot")
+      } finally sq.stop()
+    }
   }
 
   test("empty firings emit one zero row under a GLOBAL aggregate (engine parity)") {
