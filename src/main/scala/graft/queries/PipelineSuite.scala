@@ -78,6 +78,14 @@ object PipelineSuite {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // int8-quantized ANN (r6): cosine over quantized vectors is exact
+    // integer arithmetic (the per-vector scales cancel), so the ranking
+    // is bit-reproducible in DuckDB — 4x less candidate volume at scale
+    "similarity_int8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
     "similarity_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
@@ -541,6 +549,31 @@ object PipelineSuite {
           s AS (SELECT qid, nid,
                   ROUND(list_dot_product(qv, nv) /
                     sqrt(list_dot_product(qv, qv) * list_dot_product(nv, nv)), 6) AS cos
+                FROM q JOIN c ON qid <> nid),
+          r AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                FROM s)
+          SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
+
+    // quantization mirrored exactly: scale = maxAbs/127 (1 when zero),
+    // q = clamp(floor(v/scale + 0.5)); the cosine is integer dots only
+    "similarity_int8_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          qz AS (SELECT vec_id,
+                   CASE WHEN list_max(list_transform(ev, x -> abs(x))) = 0
+                        THEN 1.0
+                        ELSE list_max(list_transform(ev, x -> abs(x))) / 127.0
+                   END AS sc, ev
+                 FROM v),
+          qv AS (SELECT vec_id,
+                   list_transform(ev, x -> greatest(-127, least(127,
+                     CAST(floor(x / sc + 0.5) AS BIGINT)))) AS q
+                 FROM qz),
+          q AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < 10),
+          c AS (SELECT vec_id AS nid, q AS nq FROM qv),
+          s AS (SELECT qid, nid,
+                  ROUND(list_dot_product(qq, nq) /
+                    sqrt(list_dot_product(qq, qq) * list_dot_product(nq, nq)), 6) AS cos
                 FROM q JOIN c ON qid <> nid),
           r AS (SELECT qid, nid, cos,
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank

@@ -492,6 +492,32 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L).getInt(1) == 0 && r(2L).getString(4) == "nothing sensitive here")
   }
 
+  test("int8 quantized ANN: near-exact ranks, integer-only scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" <= 5)
+    val floatRows = graft.pipeline.Similarity.bruteForceTopK(df, queries, k = 200)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+    val floatCos = floatRows.map { case (k, (c, _)) => k -> c }.toMap
+    val floatTop = floatRows.collect { case ((q, n), (_, 1)) => q -> n }.toMap
+    val int8 = graft.pipeline.Similarity.int8TopK(df, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // random 16-dim data has razor-thin rank-1 gaps, so assert QUALITY,
+    // not identity: the int8 top-1's true cosine is within quantization
+    // error of the float top-1's
+    (1L to 5L).foreach { q =>
+      val loss = floatCos((q, floatTop(q))) - floatCos((q, int8((q, 1))))
+      assert(loss < 0.02, s"query $q top-1 quality loss $loss")
+    }
+    // quantized components live in [-127, 127]
+    val q = graft.pipeline.Similarity.quantizeInt8(df)
+    val bad = q.select(explode($"qvec").as("c")).filter(abs($"c") > 127).count()
+    assert(bad == 0)
+  }
+
   test("char-trigram langid classifies real language snippets") {
     import spark.implicits._
     val df = Seq(
