@@ -28,6 +28,8 @@ object Bench {
     // + per-window top-k (subselect rank)
     "stream_window_istream_dense", "stream_multiwindow_istream",
     "stream_window_topk",
+    // r6 session 2: path + BIND/VALUES block elements on the plane
+    "stream_window_path", "stream_window_bind_values",
     // ml inference stage (+ r6 sklearn-pickle forest inference)
     "ml_predict_fixed", "ml_predict_sklearn_rf",
     // probabilistic stack
@@ -40,7 +42,9 @@ object Bench {
     "text_contamination", "text_pii_scrub", // new r5: decontam sweep + PII redaction
     "text_c4_clean", // new r5: C4 line/document cleaning over seeded text
     // new r6: context-window chunking + Bloom-routed incremental dedup
+    // + portable-hash LSH + int8 ANN + trigram langid
     "pipeline_chunk_overlap", "dedup_incremental",
+    "dedup_minhash_lsh_portable", "similarity_int8_topk", "text_langid_ngram",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

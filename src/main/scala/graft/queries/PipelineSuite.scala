@@ -312,6 +312,15 @@ object PipelineSuite {
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($lst, t)))"
   }
 
+  /** The portable minhash family's (i, a_i, b_i) coefficient rows —
+    * generated from the SAME md5 derivation the plan uses
+    * ([[Dedup.mhCoeffs]]), inlined as a VALUES table. */
+  private val mhCoeffValues: String =
+    (0 until 32).map { i =>
+      val (a, b) = Dedup.mhCoeffs(i)
+      s"($i, ${a}, ${b})"
+    }.mkString(", ")
+
   /** Shared DuckDB mirrors of langId / qualityScore, reused by the
     * standalone text entries and the corpus-filter composition. */
   private val langIdSql: String = {
@@ -385,9 +394,13 @@ object PipelineSuite {
                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
                  FROM t WHERE len(w) >= 3),
           e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM shl),
-          mh AS (SELECT id, r.range AS i,
-                   min(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS h
-                 FROM e, range(32) r GROUP BY id, r.range),
+          base AS (SELECT id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+                   FROM e),
+          coeff(i, a, b) AS (VALUES $mhCoeffValues),
+          mh AS (SELECT id, c.i AS i,
+                   min((c.a * h0 + c.b) % 2147483647) AS h
+                 FROM base, coeff c GROUP BY id, c.i),
           sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY id),
           band AS (SELECT id, sig, rb.range AS b,
                    ('0x' || substr(md5('band:' || CAST(rb.range AS VARCHAR) || ':' ||
