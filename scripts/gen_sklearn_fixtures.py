@@ -158,6 +158,24 @@ def main():
     with open(os.path.join(OUT, "sklearn_mlp.pkl"), "wb") as f:
         pickle.dump(mlp, f, protocol=4)
 
+    # unicode-dtype classes_ — what a REAL sklearn fit on string labels
+    # stores (np.unique of the labels, '<U3'), unlike the object-dtype
+    # fixture above
+    logit_u = shell("sklearn.linear_model._logistic", "LogisticRegression",
+                    coef_=np.array([[0.001]]),
+                    intercept_=np.array([-5.0]),
+                    classes_=np.array(["neg", "pos"]))
+    with open(os.path.join(OUT, "sklearn_logistic_u.pkl"), "wb") as f:
+        pickle.dump(logit_u, f, protocol=4)
+
+    # tanh-activation MLP — the adapter must honor the pickled activation
+    mlp_tanh = shell("sklearn.neural_network._multilayer_perceptron", "MLPRegressor",
+                     coefs_=[np.array([[1.0], [0.5]]), np.array([[2.0]])],
+                     intercepts_=[np.array([0.25]), np.array([-1.0])],
+                     activation="tanh", n_layers_=3)
+    with open(os.path.join(OUT, "sklearn_mlp_tanh.pkl"), "wb") as f:
+        pickle.dump(mlp_tanh, f, protocol=4)
+
     # a protocol-2 copy of the linear model, to pin cross-protocol parsing
     with open(os.path.join(OUT, "sklearn_linear_p2.pkl"), "wb") as f:
         pickle.dump(wrapper, f, protocol=2)

@@ -305,6 +305,9 @@ object MlRuntime {
     case null => 0.0
     case d: Double => d
     case n: Number => n.doubleValue()
+    case b: Boolean => if (b) 1.0 else 0.0
     case s: String => try s.toDouble catch { case _: Exception => 0.0 }
+    case other => // dates/timestamps/anything else: lexical parse or 0.0
+      try other.toString.toDouble catch { case _: Exception => 0.0 }
   }
 }

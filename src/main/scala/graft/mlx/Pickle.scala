@@ -46,6 +46,24 @@ object Py {
     def l(i: Int): Long = dtype.readL(data, i * dtype.itemSize)
     def toDoubles: Array[Double] = Array.tabulate(n)(d)
     def toLongs: Array[Long] = Array.tabulate(n)(l)
+    /** fixed-width string element ('U' = UTF-32, 'S' = bytes), nulls
+      * stripped — how numpy stores sklearn's string classes_. */
+    def stringAt(i: Int): String = {
+      val off = i * dtype.itemSize
+      dtype.kind match {
+        case 'U' =>
+          val cs = (0 until dtype.itemSize / 4).map { j =>
+            val bb = ByteBuffer.wrap(data, off + j * 4, 4)
+            bb.order(if (dtype.little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+            bb.getInt
+          }.takeWhile(_ != 0)
+          new String(cs.flatMap(Character.toChars(_)).toArray)
+        case 'S' =>
+          new String(data.slice(off, off + dtype.itemSize).takeWhile(_ != 0), "ISO-8859-1")
+        case k => throw new IllegalArgumentException(s"dtype kind $k not a string")
+      }
+    }
+
     /** structured-record field accessor: value of `field` in record `rec` */
     def field(name: String, rec: Int): Double = {
       val (fd, off) = dtype.fields(name)

@@ -91,9 +91,17 @@ object Sklearn {
     }
   }
 
-  /** ReLU-hidden, identity-output MLP (sklearn MLPRegressor defaults). */
+  /** MLPRegressor forward pass: the pickle's hidden activation
+    * (relu/tanh/logistic/identity), identity output (sklearn regressors
+    * always use identity out). */
   final case class MlpReg(weights: Vector[Array[Array[Double]]],
-      biases: Vector[Array[Double]]) extends SkModel {
+      biases: Vector[Array[Double]], activation: String) extends SkModel {
+    private def act(z: Double): Double = activation match {
+      case "relu" => if (z < 0) 0.0 else z
+      case "tanh" => math.tanh(z)
+      case "logistic" => 1.0 / (1.0 + math.exp(-z))
+      case _ => z // identity
+    }
     def predict(x: Array[Double]): Double = {
       var a = x
       var l = 0
@@ -103,7 +111,7 @@ object Sklearn {
           var z = b(j)
           var i = 0
           while (i < a.length) { z += a(i) * w(i)(j); i += 1 }
-          if (l < weights.length - 1 && z < 0) 0.0 else z // ReLU hidden, identity out
+          if (l < weights.length - 1) act(z) else z
         }
         a = out
         l += 1
@@ -186,7 +194,12 @@ object Sklearn {
           case Num(l) => l.toString
           case x => x.toString
         }
-        else classesArr.toLongs.toVector.map(_.toString)
+        else classesArr.dtype.kind match {
+          // real sklearn string labels: fixed-width unicode/bytes dtype
+          case 'U' | 'S' => (0 until classesArr.n).toVector
+            .map(classesArr.stringAt)
+          case _ => classesArr.toLongs.toVector.map(_.toString)
+        }
       require(classes.length == 2,
         s"only binary LogisticRegression supported (got ${classes.length} classes)")
       SkClassifier(
@@ -235,6 +248,9 @@ object Sklearn {
       Array.tabulate(rows, cols)((i, j) => a.d(i * cols + j))
     }
     val bs = listOf(attrOrFail(o, "intercepts_")).map(b => arr(b).toDoubles)
-    MlpReg(ws, bs)
+    val act = attr(o, "activation").map(str).getOrElse("relu")
+    require(Seq("relu", "tanh", "logistic", "identity").contains(act),
+      s"unsupported MLPRegressor activation '$act'")
+    MlpReg(ws, bs, act)
   }
 }

@@ -80,9 +80,16 @@ class QueryEngine(val spark: SparkSession) {
   def explain(sparql: String): QueryExplanation = {
     val windowing = hasWindowingOperations(sparql)
     val mode = if (windowing || isRspQlQuery(sparql)) Streaming else Static
+    // COMPILE only, never execute: explain("DELETE WHERE ...") must not
+    // mutate the store (Compiler.execute runs updates eagerly)
     val plan = mode match {
       case Static =>
-        Some(new Compiler(store).execute(sparql).queryExecution.optimizedPlan.toString)
+        graft.sparql.SparqlParser.operation(sparql) match {
+          case graft.sparql.Ast.SelectOp(sel) =>
+            Some(new Compiler(store).compileSelect(sel)
+              .queryExecution.optimizedPlan.toString)
+          case _ => None // updates/other forms: routing info only
+        }
       case _ => None
     }
     QueryExplanation(

@@ -62,8 +62,9 @@ object Dedup {
     val mightExist = udf((f: String) => bc.value.mightContainString(f))
     val (clean, candidates) = (newFp.filter(!mightExist(col("fp"))),
       newFp.filter(mightExist(col("fp"))))
-    clean.unionByName(
-      candidates.join(corpusFp.distinct(), Seq("fp"), "left_anti"))
+    // left_anti is insensitive to right-side duplicates — no distinct,
+    // which would add a full shuffle of every corpus fingerprint
+    clean.unionByName(candidates.join(corpusFp, Seq("fp"), "left_anti"))
   }
 
   // ---- shingles ----------------------------------------------------------

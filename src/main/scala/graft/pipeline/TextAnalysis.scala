@@ -69,8 +69,11 @@ object TextAnalysis {
 
   def charTrigrams(text: Column): Column = {
     val t = regexp_replace(lower(text), "[^a-z]+", " ")
-    transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
-      i => t.substr(i, lit(3)))
+    // guard: sequence(1, 0) auto-descends to [1, 0] — a <3-char text
+    // must yield NO windows, as the oracle's range(1, 1) does
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
   }
 
   def langIdNgram(text: Column): Column = {

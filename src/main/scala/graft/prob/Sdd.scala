@@ -296,6 +296,16 @@ object Sdd {
       groups: Map[Long, Long] = Map.empty, maxNodes: Int = 1 << 20): Double = {
     if (proofs.isEmpty) return 0.0
     if (proofs.exists(_.isEmpty)) return 1.0
+    val (m, _, constrained) = buildArena(proofs, probs, groups, maxNodes)
+    m.wmc(constrained)
+  }
+
+  /** Shared arena construction for the DNF WMC/gradient pair: variable
+    * registration (annotated-disjunction members exclusive), phantom
+    * residual vars + exactly-one constraints, proofs → root. One builder
+    * so the two entry points cannot diverge. */
+  private def buildArena(proofs: Seq[Set[Long]], probs: Map[Long, Double],
+      groups: Map[Long, Long], maxNodes: Int): (Sdd, Map[Long, Int], Int) = {
     val m = new Sdd(maxNodes)
     val seedIds = proofs.flatten.distinct.sorted
     val varOf = seedIds.zipWithIndex.toMap
@@ -318,8 +328,7 @@ object Sdd {
       proof.toSeq.sorted.map(sid => m.literal(varOf(sid), polarity = true))
         .reduce(m.conjoin)
     }.reduce(m.disjoin)
-    val constrained = constraints.foldLeft(root)(m.conjoin)
-    m.wmc(constrained)
+    (m, varOf, constraints.foldLeft(root)(m.conjoin))
   }
 
   /** ∂WMC/∂p(seed) over a DNF lineage — [[Sdd.wmcGradient]] lifted to
@@ -330,30 +339,9 @@ object Sdd {
       groups: Map[Long, Long] = Map.empty,
       maxNodes: Int = 1 << 20): Map[Long, Double] = {
     if (proofs.isEmpty || proofs.exists(_.isEmpty)) return Map.empty
-    val m = new Sdd(maxNodes)
-    val seedIds = proofs.flatten.distinct.sorted
-    val varOf = seedIds.zipWithIndex.toMap
-    for (sid <- seedIds) {
-      val p = probs(sid)
-      if (groups.contains(sid)) m.ensureVar(varOf(sid), p, 1.0, exclusive = true)
-      else m.ensureVar(varOf(sid), p, 1.0 - p)
-    }
-    var nextVar = seedIds.length
-    val constraints = seedIds.filter(groups.contains).groupBy(groups)
-      .valuesIterator.map { members =>
-        val residual = math.max(0.0, 1.0 - members.map(probs).sum)
-        val none = nextVar
-        nextVar += 1
-        m.ensureVar(none, residual, 1.0, exclusive = true)
-        m.exactlyOne(members.map(varOf) :+ none)
-      }.toList
-    val root = proofs.map { proof =>
-      proof.toSeq.sorted.map(sid => m.literal(varOf(sid), polarity = true))
-        .reduce(m.conjoin)
-    }.reduce(m.disjoin)
-    val constrained = constraints.foldLeft(root)(m.conjoin)
+    val (m, varOf, constrained) = buildArena(proofs, probs, groups, maxNodes)
     val byVar = m.wmcGradient(constrained)
-    seedIds.flatMap(sid => byVar.get(varOf(sid)).map(sid -> _)).toMap
+    varOf.flatMap { case (sid, v) => byVar.get(v).map(sid -> _) }
   }
 
   /** Exact WMC of a SIGNED DNF over independent seeds — the SDD engine's

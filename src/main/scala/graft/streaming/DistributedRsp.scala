@@ -725,6 +725,9 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     val nCand = cand.count()
     if (nCand <= 100000L) {
       val seqs = perFired.map(_.select("close").collect().map(_.getLong(0)).sorted)
+      import cand.sparkSession.implicits._
+      // a window with NO fired closes means no Wait cycle ever completes
+      if (seqs.exists(_.isEmpty)) return Seq.empty[Long].toDF("__c")
       val emis = scala.collection.mutable.ArrayBuffer.empty[Long]
       // e0 = max over windows of first fired close; F(p) = max over
       // windows of min{c in fired_i : c > p}, defined while every window
@@ -740,7 +743,6 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         }
         if (nexts.forall(_.isDefined)) e = nexts.flatten.max else live = false
       }
-      import cand.sparkSession.implicits._
       return emis.toSeq.toDF("__c")
     }
     // min fired close of window i strictly after each candidate; F(p) =
@@ -921,33 +923,25 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * I/DSTREAM (the engine diffs emission ROWS; zero-rows diffs equal
     * zero-rows) and HAVING (filters the zero row identically — but via
     * the same union path, so it composes). */
-  private def withEmptyFiringAggregates(events: DataFrame, rel: DataFrame): DataFrame = {
-    val sel = query.select
-    if (query.windows.size != 1 || sel.aggregates.isEmpty || sel.groupBy.nonEmpty)
-      return rel
-    val w = query.windows.head
-    val missing = firedCloses(events, w)
-      .join(rel.select("close").distinct(), Seq("close"), "left_anti")
-    // aggregate over an empty bindings frame with the vars the aggregate
-    // expressions reference (all string, like every binding column)
-    val aggVars = sel.aggregates.flatMap(_.v).distinct
-    val schema = org.apache.spark.sql.types.StructType(aggVars.map(v =>
-      org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
-    val emptyBindings = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    var zeroRow = condCompiler.applyAggregates(emptyBindings, sel, Nil)
-    sel.having.foreach(c => zeroRow = zeroRow.filter(condCompiler.compileCond(zeroRow, c)))
-    val projCols = rel.columns.filter(_ != "close").toSeq
-    if (!projCols.forall(zeroRow.columns.contains)) return rel // non-agg projection rode along
-    rel.unionByName(
-      missing.crossJoin(zeroRow).select((Seq("close") ++ projCols).map(col): _*))
-  }
+  private def withEmptyFiringAggregates(events: DataFrame, rel: DataFrame): DataFrame =
+    globalZeroRowDf match {
+      case None => rel
+      case Some(zeroRow) =>
+        val w = query.windows.head
+        val missing = firedCloses(events, w)
+          .join(rel.select("close").distinct(), Seq("close"), "left_anti")
+        val projCols = rel.columns.filter(_ != "close").toSeq
+        if (!projCols.forall(zeroRow.columns.contains)) rel // non-agg projection rode along
+        else rel.unionByName(
+          missing.crossJoin(zeroRow).select((Seq("close") ++ projCols).map(col): _*))
+    }
 
-  /** The global aggregate's one-row result over an EMPTY bindings frame,
-    * as a lexical binding map — what an empty firing emits
-    * ([[withEmptyFiringAggregates]]); None when the query shape doesn't
-    * qualify or HAVING filters the zero row out. */
-  private lazy val globalZeroBinding: Option[Map[String, String]] = {
+  /** The global aggregate's one-row frame over EMPTY bindings — with the
+    * synthetic-aggregate HAVING rewrite applied, exactly as
+    * [[finalizePerClose]] does for real rows (sharing this builder is
+    * what keeps the batch union and the live zero-fill from diverging).
+    * None when the shape doesn't qualify or HAVING filters the row out. */
+  private lazy val globalZeroRowDf: Option[DataFrame] = {
     val sel0 = query.select
     if (query.windows.size != 1 || sel0.aggregates.isEmpty || sel0.groupBy.nonEmpty)
       None
@@ -964,13 +958,20 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         sel, Nil)
       having.foreach(c => zeroRow = zeroRow.filter(condCompiler.compileCond(zeroRow, c)))
       if (synth.nonEmpty) zeroRow = zeroRow.drop(synth.map(_.alias).toSeq: _*)
+      if (zeroRow.isEmpty) None else Some(zeroRow)
+    }
+  }
+
+  /** [[globalZeroRowDf]] as a lexical binding map (the live zero-fill's
+    * broadcast payload). */
+  private lazy val globalZeroBinding: Option[Map[String, String]] =
+    globalZeroRowDf.flatMap { zeroRow =>
       zeroRow.collect().headOption.map { r =>
         zeroRow.columns.zipWithIndex.flatMap { case (c, i) =>
           Option(r.get(i)).map(c -> _.toString)
         }.toMap
       }
     }
-  }
 
   /** Anti join on ALL columns with null-safe equality: OPTIONAL window
     * blocks and static compat joins put genuine nulls (UNDEF) in
@@ -1617,6 +1618,10 @@ object IncrementalR2S {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[R2SRow]("pending",
         Encoders.product[R2SRow], TTLConfig.NONE)
+      // TTL is not available in EventTime mode; the drain timer chain
+      // below clears this state one step after the drain instead, so a
+      // close's footprint is bounded (no per-close leak on an unbounded
+      // stream)
       done = getHandle.getValueState[Boolean]("done", Encoders.scalaBoolean, TTLConfig.NONE)
     }
     override def handleInputRows(key: String, rows: Iterator[R2SRow],
@@ -1629,10 +1634,17 @@ object IncrementalR2S {
     }
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[R2SRow] = {
-      if (done.exists()) return Iterator.empty
+      if (done.exists()) {
+        // second (cleanup) firing: drop the per-close state entirely —
+        // anything later than close + 2·step is beyond the watermark
+        // allowance and cannot arrive
+        done.clear(); pending.clear()
+        return Iterator.empty
+      }
       val buf = pending.get().toSeq
       pending.clear()
       done.update(true)
+      getHandle.registerTimer(info.getExpiryTimeInMs + step) // cleanup tick
       val ordered = buf.sortWith { (a, b) =>
         compareBindings(a.binding, b.binding, orderBy) < 0
       }
@@ -1675,6 +1687,7 @@ object IncrementalR2S {
       extends StatefulProcessor[String, R2SRow, R2SRow] {
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // cleared by the drain-timer chain (see PerCloseTopK note)
       seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[R2SRow],
         tv: TimerValues): Iterator[R2SRow] = {
@@ -1689,9 +1702,10 @@ object IncrementalR2S {
     }
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[R2SRow] = {
-      if (seen.exists()) Iterator.empty
+      if (seen.exists()) { seen.clear(); Iterator.empty } // cleanup tick
       else {
         seen.update(true) // a later duplicate timer must not re-emit
+        getHandle.registerTimer(info.getExpiryTimeInMs + step) // cleanup
         Iterator.single(R2SRow(info.getExpiryTimeInMs - step, zero))
       }
     }

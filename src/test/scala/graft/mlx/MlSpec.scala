@@ -159,6 +159,22 @@ class MlSpec extends SparkSpec {
     assert(m.predictLabel(Array(4000.0)) == "neg")
   }
 
+  test("sklearn logistic pickle with REAL unicode-dtype classes_") {
+    // a genuine fit on string labels stores classes_ as '<U3', not object
+    val m = Sklearn.loadClassifier(Pickle.loadResource("/sklearn_logistic_u.pkl"))
+    assert(m.predictLabel(Array(6000.0)) == "pos")
+    assert(m.predictLabel(Array(4000.0)) == "neg")
+  }
+
+  test("sklearn MLP pickle honors the pickled tanh activation") {
+    val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_mlp_tanh.pkl"))
+    // hidden = tanh(x0 + 0.5*x1 + 0.25); out = 2*h - 1
+    def expect(x0: Double, x1: Double): Double =
+      2.0 * math.tanh(x0 + 0.5 * x1 + 0.25) - 1.0
+    for ((a, b) <- Seq((0.0, 0.0), (1.5, -2.0), (-0.7, 0.3)))
+      assert(math.abs(m.predict(Array(a, b)) - expect(a, b)) < 1e-12)
+  }
+
   test("sklearn MLPRegressor pickle: relu-hidden forward pass") {
     val m = Sklearn.loadRegressor(Pickle.loadResource("/sklearn_mlp.pkl"))
     // hidden = relu([x0*1+x1*0.5+0.5, -x0+2*x1-0.25]); out = 3*h0-2*h1+1

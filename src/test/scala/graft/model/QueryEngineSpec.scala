@@ -21,6 +21,15 @@ class QueryEngineSpec extends SparkSpec {
       List("http://ex/carol", "http://ex/dan")))
   }
 
+  test("explain never executes: an UPDATE string leaves the store untouched") {
+    val e = new QueryEngine(spark)
+    e.addTripleToMemory("a", "p", "b")
+    val ex = e.explain("DELETE WHERE { ?s ?p ?o }")
+    assert(ex.storageMode == QueryEngine.Static)
+    assert(ex.catalystPlan.isEmpty) // routing info only for updates
+    assert(e.stats.memoryTripleCount == 1, "explain mutated the store")
+  }
+
   test("explain routes static vs streaming and extracts window clauses") {
     val e = new QueryEngine(spark)
     e.addTripleToMemory("a", "p", "b")

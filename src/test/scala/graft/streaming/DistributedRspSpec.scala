@@ -572,6 +572,45 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.exists(_.contains("c")), s"closure incomplete: $got2")
   }
 
+  test("global aggregate with inline-aggregate HAVING survives empty firings") {
+    // regression: the zero-row union used to filter with the RAW HAVING
+    // condition (COUNT un-rewritten) and crashed batch emissions
+    val qText = """
+      REGISTER RSTREAM <http://out/zerohav> AS
+      SELECT (SUM(?v) AS ?s)
+      FROM NAMED WINDOW :w ON ?stream [RANGE 2 ms STEP 2 ms]
+      WHERE { WINDOW :w { ?e <flag> ?v . } }
+      HAVING(COUNT(?e) >= 1)"""
+    val data = (Seq(("e1", "flag", "3", 1L)) ++
+      (1L to 6L).map(t => (s"t$t", "tick", "x", t))).sortBy(_._4)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).withColumn("s", col("s").cast("string")).collect()
+      .map(r => r.getAs[Long]("close") -> r.getAs[String]("s"))
+      .toMap
+    // the HAVING (COUNT >= 1) filters the zero row OUT: only closes with
+    // a flag match emit; no crash, no zero-count rows
+    assert(got.nonEmpty && got.values.forall(_ == "3.0"), s"got $got")
+  }
+
+  test("multi-window Wait with one silent window emits nothing (no orbit crash)") {
+    // regression: the adaptive orbit fast path crashed on an empty
+    // fired-close sequence (head of empty array)
+    val q = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <http://out/silent> AS
+      SELECT *
+      FROM NAMED WINDOW :wa ON :streamA [RANGE 3 ms STEP 1 ms]
+      FROM NAMED WINDOW :wb ON :streamB [RANGE 4 ms STEP 2 ms]
+      WHERE {
+        WINDOW :wa { ?a <p> ?x . }
+        WINDOW :wb { ?b <p> ?y . }
+      }""")
+    val events = Seq(("streamA", 1L, "a1", "p", "v1"), ("streamA", 2L, "a2", "p", "v2"))
+      .toDF("stream", "ts", "s", "p", "o")
+    assert(new DistributedRsp(spark, q).emissions(events).collect().isEmpty)
+  }
+
   test("BIND and VALUES in WINDOW blocks match the engine (batch)") {
     // BIND extends each row; VALUES constrains via inline data with an
     // UNDEF wildcard row — both previously engine-only block elements
