@@ -506,9 +506,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * ORDER BY is refused (nondeterministic subset — the engine would
     * emit an arbitrary one; a silent mismatch, not a compile target). */
   private def compileSubSelectPerClose(content: DataFrame, sub0: Select): BlockRel = {
-    require(sub0.limit.isEmpty || sub0.orderBy.nonEmpty,
-      "LIMIT without ORDER BY in a WINDOW-block subselect is nondeterministic; " +
-        "use RspEngine or add an ORDER BY")
+    require(!content.isStreaming,
+      "WINDOW-block subselects rank/aggregate per close — not expressible " +
+        "over an unbounded stream; use the batch emissions or RspEngine")
+    require((sub0.limit.isEmpty && sub0.offset.isEmpty) || sub0.orderBy.nonEmpty,
+      "LIMIT/OFFSET without ORDER BY in a WINDOW-block subselect is " +
+        "nondeterministic; use RspEngine or add an ORDER BY")
     val b = compileBlockRel(content, sub0.where)
     val ck = closeKeys(b.df)
     // HAVING via the batch compiler's synthetic-aggregate rewrite, close-keyed
@@ -524,7 +527,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     val projCols: Seq[String] =
       if (sub.projection == Seq("*")) df.columns.toSeq.filterNot(ck.contains)
       else sub.projection ++ sub0.aggregates.map(_.alias)
-    df = df.select((ck ++ projCols).map(col): _*)
+    // pad unbound projected vars with null, like finalizePerClose/the engine
+    df = df.select((ck ++ projCols).map(c =>
+      (if (df.columns.contains(c)) col(c)
+       else lit(null).cast(org.apache.spark.sql.types.StringType)).as(c)): _*)
     if (sub.distinct) df = df.dropDuplicates()
     if (sub.orderBy.nonEmpty && (sub.limit.nonEmpty || sub.offset.nonEmpty)) {
       val w = Window.partitionBy(ck.map(col): _*)
@@ -534,7 +540,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       df = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
     }
-    BlockRel(df, b.maybeNull.intersect(projCols.toSet))
+    // aggregate aliases can be null (MAX over an all-unparsable group,
+    // padded unbound vars too) — they must join compat-tolerantly downstream
+    val nullableOut = b.maybeNull.intersect(projCols.toSet) ++
+      sub0.aggregates.map(_.alias).filter(projCols.contains) ++
+      projCols.filterNot(df.columns.contains)
+    BlockRel(df, nullableOut)
   }
 
   /** Compile one group of block elements over close-keyed content:
@@ -825,8 +836,12 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       case Some(StealPolicy) if query.windows.size > 1 => stealRelation(events)
       case Some(TimeoutPolicy(ms, steal)) if query.windows.size > 1 =>
         timeoutRelation(events, ms, steal, advanceTo)
-      case _ if query.windows.size > 1 &&
-          query.windows.map(step).distinct.size > 1 =>
+      case _ if query.windows.size > 1 =>
+        // Wait ALWAYS goes through the cycle orbit + as-of join: equal
+        // STEPS do not imply equal FIRED sequences (sparse streams fire
+        // different closes), and the aligned equi-join silently drops
+        // every engine emission whose closes differ. With identical
+        // fired sequences the orbit reduces to the aligned join.
         waitRelationUnequal(events)
       case _ => query.windows.map(windowRelation(events, _)).reduce(joinOnShared)
     }
@@ -861,10 +876,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       if (sel.projection == Seq("*"))
         df.columns.toSeq.filterNot(keys.contains)
       else sel.projection ++ sel0.aggregates.map(_.alias)
-    df = df.select((keys ++ projCols).map(c =>
-      (if (df.columns.contains(c)) col(c)
-       else lit(null).cast(org.apache.spark.sql.types.StringType)).as(c)): _*)
-    if (sel.distinct) df = df.dropDuplicates()
+    // rank BEFORE projecting: the engine orders pre-projection
+    // (`finalizeSelect`, Compiler.scala), so ORDER BY may reference a
+    // variable the SELECT drops — projecting first would sort that key
+    // as a constant null and keep an arbitrary subset
     if (sel.orderBy.nonEmpty && (sel.limit.nonEmpty || sel.offset.nonEmpty)) {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(sel.orderBy.map(k => condCompiler.sortKeyCols(df, k)): _*)
@@ -873,6 +888,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       df = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
     }
+    df = df.select((keys ++ projCols).map(c =>
+      (if (df.columns.contains(c)) col(c)
+       else lit(null).cast(org.apache.spark.sql.types.StringType)).as(c)): _*)
+    if (sel.distinct) df = df.dropDuplicates()
     df
   }
 
@@ -1032,6 +1051,11 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
         query.policy.forall(_ == WaitPolicy),
       "streaming plane coordinates multi-window queries with aligned-close Wait " +
         "semantics; WITH POLICY steal/timeout needs RspEngine or batch emissions")
+    require(query.windows.size == 1 ||
+        query.windows.map(step).distinct.size == 1,
+      "multi-window queries with UNEQUAL steps follow the Wait-cycle orbit, " +
+        "which a stream-stream equi-join cannot express — use the batch " +
+        "emissions or RspEngine on the live stream")
     applyStatic(query.windows.map(streamWindowRelation(events, _)).reduce(joinOnShared))
   }
 

@@ -572,6 +572,79 @@ class DistributedRspSpec extends SparkSpec {
     assert(got2.values.exists(_.contains("c")), s"closure incomplete: $got2")
   }
 
+  test("ORDER BY on a variable the SELECT drops still ranks correctly (engine parity)") {
+    // regression: finalizePerClose used to project BEFORE ranking, so a
+    // non-projected sort key became a constant null and LIMIT kept an
+    // arbitrary row
+    val qText = """
+      REGISTER RSTREAM <http://out/dropkey> AS
+      SELECT ?u
+      FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+      WHERE { WINDOW :w { ?e <by> ?u . ?e <val> ?v . } }
+      ORDER BY DESC(?v) ?u LIMIT 1"""
+    val data = Seq(
+      ("e1", "by", "alice", 1L), ("e1", "val", "10", 1L),
+      ("e2", "by", "bob", 1L), ("e2", "val", "99", 1L),
+      ("e3", "by", "carol", 2L), ("e3", "val", "5", 2L))
+    val engine = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (s, p, o, ts) => engine.add("stream", s, p, o, ts) }
+    val engineGot = engine.emissions
+      .map(em => em.windowClose -> em.rows.map(_("u")).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.map { case (s, p, o, ts) => ("stream", ts, s, p, o) }
+      .toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> r.getAs[String]("u"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot && got.nonEmpty, s"distributed $got vs engine $engineGot")
+    // bob (val 99) must win every close he appears in
+    assert(got.filter(_._2.contains("bob")).nonEmpty, s"wrong winner: $got")
+
+    // OFFSET without ORDER BY in a subselect is refused loudly now
+    val ex = intercept[IllegalArgumentException] {
+      new DistributedRsp(spark, SparqlParser().parseRsp("""
+        REGISTER RSTREAM <http://out/offs> AS
+        SELECT *
+        FROM NAMED WINDOW :w ON ?stream [RANGE 3 ms STEP 1 ms]
+        WHERE { WINDOW :w { { SELECT ?e WHERE { ?e <by> ?u } OFFSET 2 } } }"""))
+        .emissions(events).collect()
+    }
+    assert(ex.getMessage.contains("OFFSET"), ex.getMessage)
+  }
+
+  test("equal-step Wait with DIVERGENT fired sequences follows the cycle orbit (engine parity)") {
+    // regression: equal steps used to take the aligned equi-join, which
+    // silently emitted only the closes BOTH sparse streams fired
+    val qText = """
+      REGISTER RSTREAM <http://out/sparsewait> AS
+      SELECT *
+      FROM NAMED WINDOW :wa ON :streamA [RANGE 6 ms STEP 2 ms]
+      FROM NAMED WINDOW :wb ON :streamB [RANGE 6 ms STEP 2 ms]
+      WHERE {
+        WINDOW :wa { ?a <p> ?x . }
+        WINDOW :wb { ?b <p> ?y . }
+      }"""
+    // A fires {0, 4}, B fires {0, 2}: beyond the shared (empty-content)
+    // close 0, the Wait cycle completes at 4 with A fresh and B cached —
+    // a close the aligned equi-join would never produce
+    val data = Seq(
+      ("streamA", 1L, "a1", "p", "v1"), ("streamB", 2L, "b1", "p", "w1"),
+      ("streamB", 4L, "b2", "p", "w2"), ("streamA", 6L, "a2", "p", "v2"))
+    val eng2 = RspEngineBuilder.fromQuery(spark, qText)
+    data.foreach { case (st, ts, s, p, o) => eng2.add(st, s, p, o, ts) }
+    val engineGot = eng2.emissions
+      .map(em => em.windowClose -> em.rows.map(r => (r("a"), r("b"))).toSet).toMap
+      .filter(_._2.nonEmpty)
+    val events = data.toDF("stream", "ts", "s", "p", "o")
+    val got = new DistributedRsp(spark, SparqlParser().parseRsp(qText))
+      .emissions(events).collect()
+      .map(r => r.getAs[Long]("close") -> ((r.getAs[String]("a"), r.getAs[String]("b"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == engineGot, s"distributed $got vs engine $engineGot")
+    assert(got.nonEmpty, "aligned equi-join would have emitted nothing here")
+  }
+
   test("global aggregate with inline-aggregate HAVING survives empty firings") {
     // regression: the zero-row union used to filter with the RAW HAVING
     // condition (COUNT un-rewritten) and crashed batch emissions
