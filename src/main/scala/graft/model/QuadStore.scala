@@ -46,7 +46,7 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     * paths see the mutation. */
   private var encodedSource: Option[(DataFrame, DataFrame)] = None
 
-  private def invalidateEncoded(): Unit = encodedSource = None
+  private def invalidateEncoded(): Unit = { encodedSource = None; derivedTerms = None }
 
   /** A dictionary-encoded view over a SNAPSHOT of the current quads;
     * optionally backed by pre-materialized id/terms tables. Mutations
@@ -74,12 +74,23 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
       xxhash64(col("p")).as("p_id"),
       xxhash64(col("o")).as("o_id")))
 
-  /** Dictionary `(id, lex)` of every distinct term in any position. */
-  def termsTable: DataFrame = encodedSource.map(_._2).getOrElse(
-    quadsDf.select(explode(array(col("g"), col("s"), col("p"), col("o"))).as("lex"))
-      .filter(col("lex").isNotNull)
-      .distinct()
-      .select(xxhash64(col("lex")).as("id"), col("lex")))
+  /** Dictionary `(id, lex)` of every distinct term in any position.
+    * The DERIVED fallback (no injected materialized dictionary) is
+    * cached after its first build: every decode() column-join embeds
+    * this frame, and without caching a query decoding N variables
+    * replans N explode+distinct shuffles over the quads. Invalidated
+    * with the encoded source on updates. */
+  private var derivedTerms: Option[DataFrame] = None
+  def termsTable: DataFrame = encodedSource.map(_._2).getOrElse {
+    if (derivedTerms.isEmpty)
+      derivedTerms = Some(
+        quadsDf.select(explode(array(col("g"), col("s"), col("p"), col("o"))).as("lex"))
+          .filter(col("lex").isNotNull)
+          .distinct()
+          .select(xxhash64(col("lex")).as("id"), col("lex"))
+          .localCheckpoint())
+    derivedTerms.get
+  }
 
   /** Audit job: ids mapping to more than one lexical form (must be 0). */
   def dictCollisions: Long =

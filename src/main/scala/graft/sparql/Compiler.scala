@@ -268,8 +268,10 @@ class Compiler(store: QuadStore) {
         val vb = Bindings(vdf, hasUndef)
         acc = Some(acc.map(a => compatJoin(a, vb)).getOrElse(vb))
       case SubSelect(sub) =>
-        // subqueries materialize bottom-up then join out (`engine.rs:416-426`)
-        val inner = compileSubSelect(sub)
+        // subqueries materialize bottom-up then join out (`engine.rs:416-426`);
+        // they evaluate against the ENCLOSING dataset and GRAPH scope
+        // unless they declare their own FROM/FROM NAMED
+        val inner = compileSubSelect(sub, scope, view)
         acc = Some(acc.map(a => compatJoin(a, inner)).getOrElse(inner))
       case WindowBlockElem(_, inner) =>
         // batch view of an RSP window block: scoped like a group; the
@@ -303,13 +305,22 @@ class Compiler(store: QuadStore) {
     acc
   }
 
-  def compileSubSelect(sub: Select): Bindings = {
-    val view = buildView(sub.fromGraphs, sub.fromNamed)
-    val b = compileGroup(sub.where, DefaultGraph, view, None).getOrElse(unitBindings)
+  def compileSubSelect(sub: Select): Bindings =
+    compileSubSelect(sub, DefaultGraph, buildView(sub.fromGraphs, sub.fromNamed))
+
+  def compileSubSelect(sub: Select, outerScope: GraphSpec,
+      outerView: View): Bindings = {
+    val (scope, view) =
+      if (sub.fromGraphs.nonEmpty || sub.fromNamed.nonEmpty)
+        (DefaultGraph, buildView(sub.fromGraphs, sub.fromNamed))
+      else (outerScope, outerView)
+    val b = compileGroup(sub.where, scope, view, None).getOrElse(unitBindings)
     val df = finalizeSelect(b, sub, subquery = true)
-    // projected vars of a subquery can be unbound in theory; treat
-    // aggregates as always bound, plain vars as bound (BGP-derived)
-    Bindings(df, b.maybeNull.intersect(df.columns.toSet))
+    // aggregate aliases CAN be null (MIN/MAX/SUM/AVG over an
+    // all-non-numeric group) — outer joins must stay UNDEF-tolerant
+    val aggAliases = sub.aggregates.map(_.alias).toSet
+    Bindings(df,
+      (b.maybeNull ++ aggAliases).intersect(df.columns.toSet))
   }
 
   // ---- BGP ---------------------------------------------------------------
@@ -415,6 +426,7 @@ class Compiler(store: QuadStore) {
       var binds = List.empty[(String, Column)]
       def walk(c: Column, t: Term): Unit = t match {
         case Var(n) => binds ::= (n -> c)
+        case BNode(label) => binds ::= (s"__bnode_$label" -> c) // pattern bnode = variable
         case other => filters ::= (c === xxhash64(lit(TermLex.lexical(other))))
       }
       walk(col("s_id"), tp.s); walk(col("p_id"), tp.p); walk(col("o_id"), tp.o)
@@ -448,66 +460,75 @@ class Compiler(store: QuadStore) {
     * recursive-doubling closure strategy the reasoner uses
     * ([[graft.reasoner.Reasoner]]): O(log diameter) self-join rounds,
     * each `localCheckpoint`ed to truncate plan lineage. */
-  private def pathEdges(p: Path, scope: GraphSpec, view: View): DataFrame = p match {
-    case PLink(i) =>
-      scanPattern(TriplePattern(Var("__ps"), Iri(i), Var("__po")), scope, view).df
-    case PInv(x) =>
-      pathEdges(x, scope, view)
-        .select(col("__po").as("__ps"), col("__ps").as("__po"))
-    case PSeq(l, r) =>
-      pathEdges(l, scope, view).select(col("__ps"), col("__po").as("__m"))
-        .join(pathEdges(r, scope, view)
-          .select(col("__ps").as("__m"), col("__po")), Seq("__m"), "inner")
-        .select("__ps", "__po")
-    case PAlt(l, r) =>
-      pathEdges(l, scope, view).unionByName(pathEdges(r, scope, view))
-    case PNeg(fwd, inv) =>
-      // one scan of the scoped graph with the predicate kept as a column;
-      // each member list filters by NOT IN (predicate-pruning cannot help
-      // a negation — this is inherently a fuller scan than PLink)
-      val all = scanPattern(
-        TriplePattern(Var("__ps"), Var("__pneg"), Var("__po")), scope, view).df
-      def without(not: Seq[String]) =
-        if (not.isEmpty) all else all.filter(!col("__pneg").isin(not: _*))
-      val sides =
-        (if (fwd.nonEmpty || inv.isEmpty)
-           Seq(without(fwd).select("__ps", "__po")) else Nil) ++
-        (if (inv.nonEmpty)
-           Seq(without(inv).select(col("__po").as("__ps"), col("__ps").as("__po")))
-         else Nil)
-      sides.reduce(_ unionByName _)
-    case POneOrMore(x) => pathClosure(pathEdges(x, scope, view))
-    case PZeroOrMore(x) =>
-      pathClosure(pathEdges(x, scope, view))
-        .unionByName(pathIdentity(scope, view)).distinct()
-    case PZeroOrOne(x) =>
-      pathEdges(x, scope, view)
-        .unionByName(pathIdentity(scope, view)).distinct()
+  private def pathEdges(p: Path, scope: GraphSpec, view: View): DataFrame = {
+    // a GRAPH ?g scope binds the graph var on every scan — it rides every
+    // join/union/closure as an extra key (a path stays within ONE graph),
+    // exactly like the RSP plane's close keys
+    val extra: Seq[String] = scope match { case GraphVar(v) => Seq(v); case _ => Nil }
+    def keep(df: DataFrame, ps: Column, po: Column): DataFrame =
+      df.select((extra.map(col) :+ ps.as("__ps") :+ po.as("__po")): _*)
+    p match {
+      case PLink(i) =>
+        scanPattern(TriplePattern(Var("__ps"), Iri(i), Var("__po")), scope, view).df
+      case PInv(x) =>
+        keep(pathEdges(x, scope, view), col("__po"), col("__ps"))
+      case PSeq(l, r) =>
+        pathEdges(l, scope, view).withColumnRenamed("__po", "__m")
+          .join(pathEdges(r, scope, view).withColumnRenamed("__ps", "__m"),
+            extra :+ "__m", "inner")
+          .select((extra.map(col) :+ col("__ps") :+ col("__po")): _*)
+      case PAlt(l, r) =>
+        pathEdges(l, scope, view).unionByName(pathEdges(r, scope, view))
+      case PNeg(fwd, inv) =>
+        // one scan of the scoped graph with the predicate kept as a column;
+        // each member list filters by NOT IN (predicate-pruning cannot help
+        // a negation — this is inherently a fuller scan than PLink)
+        val all = scanPattern(
+          TriplePattern(Var("__ps"), Var("__pneg"), Var("__po")), scope, view).df
+        def without(not: Seq[String]) =
+          if (not.isEmpty) all else all.filter(!col("__pneg").isin(not: _*))
+        val sides =
+          (if (fwd.nonEmpty || inv.isEmpty)
+             Seq(keep(without(fwd), col("__ps"), col("__po"))) else Nil) ++
+          (if (inv.nonEmpty)
+             Seq(keep(without(inv), col("__po"), col("__ps")))
+           else Nil)
+        sides.reduce(_ unionByName _)
+      case POneOrMore(x) => pathClosure(pathEdges(x, scope, view), extra)
+      case PZeroOrMore(x) =>
+        pathClosure(pathEdges(x, scope, view), extra)
+          .unionByName(pathIdentity(scope, view)).distinct()
+      case PZeroOrOne(x) =>
+        pathEdges(x, scope, view)
+          .unionByName(pathIdentity(scope, view)).distinct()
+    }
   }
 
   /** Zero-length path endpoints: every node (subject or object) of the
     * scoped graph relates to itself (SPARQL 1.1 §9.3 ZeroLengthPath over
     * graph terms). */
   private def pathIdentity(scope: GraphSpec, view: View): DataFrame = {
+    val extra: Seq[String] = scope match { case GraphVar(v) => Seq(v); case _ => Nil }
     val all = scanPattern(
       TriplePattern(Var("__ns"), Var("__np"), Var("__no")), scope, view).df
-    all.select(col("__ns").as("__n"))
-      .unionByName(all.select(col("__no").as("__n"))).distinct()
-      .select(col("__n").as("__ps"), col("__n").as("__po"))
+    all.select((extra.map(col) :+ col("__ns").as("__n")): _*)
+      .unionByName(all.select((extra.map(col) :+ col("__no").as("__n")): _*))
+      .distinct()
+      .select((extra.map(col) :+ col("__n").as("__ps") :+ col("__n").as("__po")): _*)
   }
 
   /** Transitive closure by recursive doubling: R ← R ∪ R∘R until the
     * count fixes. log₂(diameter) driver-paced rounds — a 10K-deep chain
     * closes in 14 rounds (same scaling argument as DoublingSpec). */
-  private def pathClosure(edges: DataFrame): DataFrame = {
+  private def pathClosure(edges: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     var r = edges.distinct().localCheckpoint()
     var n = r.count()
     var done = false
     while (!done) {
       val next = r.unionByName(
-          r.select(col("__ps"), col("__po").as("__m"))
-            .join(r.select(col("__ps").as("__m"), col("__po")), Seq("__m"), "inner")
-            .select("__ps", "__po"))
+          r.withColumnRenamed("__po", "__m")
+            .join(r.withColumnRenamed("__ps", "__m"), extra :+ "__m", "inner")
+            .select((extra.map(col) :+ col("__ps") :+ col("__po")): _*))
         .distinct().localCheckpoint()
       val m = next.count()
       done = m == n
@@ -519,7 +540,22 @@ class Compiler(store: QuadStore) {
 
   private def compilePathPattern(s: Term, path: Path, o: Term,
       scope: GraphSpec, view: View): Bindings = {
-    val e = pathEdges(path, scope, view)
+    val extraVars: Seq[String] = scope match { case GraphVar(v) => Seq(v); case _ => Nil }
+    val e0 = pathEdges(path, scope, view)
+    // SPARQL 1.1 §18.4 ZeroLengthPath relates a GROUND endpoint to itself
+    // even when the term is absent from the graph — pathIdentity only
+    // covers graph nodes, so union the ground endpoints' identity rows
+    // for the zero-admitting forms (default-graph scope; a GRAPH ?g
+    // zero-length over an absent term has no graph to bind)
+    val zeroAdmitting = path match {
+      case PZeroOrMore(_) | PZeroOrOne(_) => true
+      case _ => false
+    }
+    val groundEnds = Seq(s, o).filter(termVars(_).isEmpty).map(TermLex.lexical).distinct
+    val e = if (zeroAdmitting && groundEnds.nonEmpty && extraVars.isEmpty) {
+      import e0.sparkSession.implicits._
+      e0.unionByName(groundEnds.map(t => (t, t)).toDF("__ps", "__po")).distinct()
+    } else e0
     var filters = List.empty[Column]
     var binds = List.empty[(String, Column)]
     def walkEnd(c: Column, t: Term): Unit = t match {
@@ -530,6 +566,7 @@ class Compiler(store: QuadStore) {
         filters ::= (c === lit(TermLex.lexical(other)))
     }
     walkEnd(col("__ps"), s); walkEnd(col("__po"), o)
+    extraVars.foreach(v => binds ::= (v -> col(v))) // GRAPH ?g rides along
     val grouped = binds.reverse.groupBy(_._1)
     val eqs = grouped.values.flatMap(cs => cs.tail.map(x => x._2 === cs.head._2))
     val filtered = (filters ++ eqs).foldLeft(e)((d, f) => d.filter(f))
@@ -555,6 +592,10 @@ class Compiler(store: QuadStore) {
       case Var(n) => binds ::= (n -> c)
       case Iri(v) => filters ::= (c === lit(v))
       case Lit(v) => filters ::= (c === lit(v))
+      case BNode(label) =>
+        // a blank node in a query pattern is a non-projectable variable
+        // (SPARQL 1.1 §4.1.4), scoped by its label within the group
+        binds ::= (s"__bnode_$label" -> c)
       case q @ Quoted(s, p, o) =>
         if (termVars(q).isEmpty) filters ::= (c === lit(TermLex.lexical(q)))
         else {
@@ -938,7 +979,8 @@ class Compiler(store: QuadStore) {
     having.foreach(c => df = df.filter(compileCond(df, c)))
     if (synth.nonEmpty) df = df.drop(synth.map(_.alias).toSeq: _*)
     val projCols: Seq[String] =
-      if (sel.projection == Seq("*")) df.columns.toSeq
+      if (sel.projection == Seq("*"))
+        df.columns.toSeq.filterNot(_.startsWith("__bnode_")) // non-projectable
       else sel.projection ++ sel0.aggregates.map(_.alias)
     if (subquery) {
       df = df.select(projCols.map(c => varCol(df, c).as(c)): _*)
@@ -1041,10 +1083,17 @@ class Compiler(store: QuadStore) {
       throw new IllegalArgumentException("blank nodes are not allowed in DELETE templates")
     val epoch = Compiler.bnodeEpoch.incrementAndGet()
     // one column per label: identical across the per-template re-reads of
-    // this plan, so a label shared by two templates yields ONE node per row
-    val withNodes = labels.foldLeft(bindings)((df, l) =>
+    // this plan, so a label shared by two templates yields ONE node per row.
+    // MATERIALIZED (localCheckpoint) before the per-template fan-out:
+    // monotonically_increasing_id over an un-cached plan can differ
+    // between re-evaluations after a shuffle, which would split one
+    // logical _:b into disconnected nodes across two templates.
+    val withNodes0 = labels.foldLeft(bindings)((df, l) =>
       df.withColumn(s"__bnode_$l",
         concat(lit(s"_:$l-$epoch-"), monotonically_increasing_id())))
+    val withNodes =
+      if (labels.nonEmpty && tmpl.size > 1) withNodes0.localCheckpoint()
+      else withNodes0
 
     def termCol(t: Term): Column = t match {
       case Var(n) => varCol(withNodes, n)

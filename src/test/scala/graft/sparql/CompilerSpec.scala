@@ -456,4 +456,52 @@ class CompilerSpec extends SparkSpec {
       rows(st, """SELECT ?s WHERE { ?s <p> ?v . FILTER(?v > 0 && EXISTS { ?s <q> ?x }) }""")
     }
   }
+
+  // ---- r6 review-pass regressions ----------------------------------------
+
+  test("blank node in a pattern acts as a scoped, non-projectable variable") {
+    val st = store(("alice", "knows", "bob"), ("bob", "age", "30"))
+    // _:x joins the two patterns like a variable would
+    val r = rows(st, "SELECT ?a WHERE { ?a <knows> _:x . _:x <age> ?v }")
+    assert(r == Seq(Seq("alice")))
+    // SELECT * never projects the bnode column
+    val star = new Compiler(st).select("SELECT * WHERE { ?a <knows> _:x }")
+    assert(star.columns.toSeq == Seq("a"))
+  }
+
+  test("subselect inherits the enclosing FROM dataset and GRAPH scope") {
+    val st = qstore(("g1", "s1", "p", "x"), ("g2", "s2", "p", "y"))
+    // FROM <g1>: the subselect must evaluate against the same dataset
+    val r = rows(st,
+      "SELECT ?s FROM <g1> WHERE { { SELECT ?s WHERE { ?s <p> ?o } } }")
+    assert(r == Seq(Seq("s1")), s"got $r")
+    // inside GRAPH <g2>, the subselect scans g2
+    val r2 = rows(st,
+      "SELECT ?s WHERE { GRAPH <g2> { { SELECT ?s WHERE { ?s <p> ?o } } } }")
+    assert(r2 == Seq(Seq("s2")), s"got $r2")
+  }
+
+  test("property paths under GRAPH ?g stay within one graph and bind it") {
+    val st = qstore(
+      ("g1", "a", "p", "b"), ("g1", "b", "q", "c"),
+      ("g2", "b", "q", "z"))
+    // seq path: the two hops must come from the SAME graph (g1), and ?g binds
+    val r = rows(st, "SELECT ?g ?x WHERE { GRAPH ?g { <a> (<p>/<q>) ?x } }")
+    assert(r.toSet == Set(Seq("g1", "c")), s"got $r")
+    // closure under GRAPH ?g (used to crash on mismatched columns)
+    val st2 = qstore(("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+      ("g2", "c", "p", "d"))
+    val r2 = rows(st2, "SELECT ?g ?x WHERE { GRAPH ?g { <a> <p>+ ?x } }")
+    assert(r2.toSet == Set(Seq("g1", "b"), Seq("g1", "c")), s"got $r2")
+  }
+
+  test("zero-length paths relate ground endpoints absent from the graph") {
+    val st = store(("x", "p", "y"))
+    // <a> not in the data: p* still relates it to itself (SPARQL 18.4)
+    val ask = new Compiler(st).execute("ASK { <a> <p>* <a> }")
+      .collect().head.getBoolean(0)
+    assert(ask, "zero-length self-path on an absent term must hold")
+    val r = rows(st, "SELECT ?x WHERE { <a> <p>? ?x }")
+    assert(r == Seq(Seq("a")), s"got $r")
+  }
 }
