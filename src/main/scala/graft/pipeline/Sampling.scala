@@ -79,6 +79,60 @@ object Sampling {
         floor(col("__cum") / budget).as("shard"))
   }
 
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining step
+    * that lays every document's tokens end-to-end (in ascending `idCol`
+    * order) and cuts the stream into fixed `seqLen`-token training
+    * sequences; a document crossing a boundary is split across the two
+    * sequences. One output row per (sequence, document) span:
+    * `seq_id`, the 0-based `seq_offset` where the span starts inside the
+    * sequence, the 0-based `doc_tok_start` inside the document, the span
+    * length `n_toks`, and the span text itself.
+    *
+    * The global positions come from the SAME two-pass distributed prefix
+    * sum as [[tokenShards]] (per-partition running sums + one
+    * #partitions-row offset window) — no global single-partition window,
+    * no driver loop. The span explode is per-row arithmetic: a document
+    * of n tokens touches ⌈n/seqLen⌉+1 sequences at most, so output
+    * volume is bounded by input token volume. Documents with zero tokens
+    * pack nothing and are dropped (nothing to train on). */
+  def packSequences(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = docs
+      // both engines tokenize '' to [''] — drop whitespace-only docs first
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokens(trim(col(textCol))).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = t.groupBy("__pid").agg(sum("__n").as("__psum"))
+      .withColumn("__off", coalesce(sum("__psum").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val localCum = sum("__n").over(
+      Window.partitionBy("__pid").orderBy(idCol).rowsBetween(Window.unboundedPreceding, -1))
+    val L = lit(seqLen.toLong)
+    t.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum", coalesce(localCum, lit(0L)) + col("__off"))
+      // sequences this document touches: floor(cum/L) .. floor((cum+n-1)/L)
+      .select(col(idCol), col("__toks"), col("__n"), col("__cum"),
+        explode(sequence(floor(col("__cum") / L),
+          floor((col("__cum") + col("__n") - 1L) / L))).as("seq_id"))
+      .withColumn("__docStart", greatest(lit(0L), col("seq_id") * L - col("__cum")))
+      .withColumn("__spanLen",
+        least(col("__n"), (col("seq_id") + 1L) * L - col("__cum")) - col("__docStart"))
+      .select(col("seq_id"), col(idCol),
+        greatest(lit(0L), col("__cum") - col("seq_id") * L).as("seq_offset"),
+        col("__docStart").as("doc_tok_start"),
+        col("__spanLen").as("n_toks"),
+        array_join(slice(col("__toks"),
+          col("__docStart").cast(IntegerType) + 1,
+          col("__spanLen").cast(IntegerType)), " ").as("span_text"))
+  }
+
   /** Domain-mixing sampler: keep a different deterministic percentage per
     * group (the per-source mixture weights every corpus recipe specifies —
     * e.g. C4 at 20%, code at 100%). Groups absent from `percents` get

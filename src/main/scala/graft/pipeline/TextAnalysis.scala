@@ -209,6 +209,58 @@ object TextAnalysis {
       .select(col(idCol), array_join(col("__lines"), "\n").as("clean_text"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1 / Table A1 — the
+    * MassiveText document filter, the standard pre-training quality gate
+    * beside C4): a document passes iff
+    *   (a) word count in [minWords, maxWords],
+    *   (b) mean word length in [3, 10] characters,
+    *   (c) hash-or-ellipsis symbol-to-word ratio ≤ 0.1,
+    *   (d) < 90 % of lines start with a bullet,
+    *   (e) < 30 % of lines end with an ellipsis,
+    *   (f) ≥ 80 % of words contain at least one alphabetic character,
+    *   (g) at least 2 distinct words from the required-stopword list.
+    * Returns each rule's measured value plus the `gopher_pass` verdict so
+    * a pipeline can threshold differently without recomputing. Pure
+    * per-row Catalyst HOFs (narrow, codegen'd, no shuffle), restricted to
+    * constructs DuckDB mirrors bit-for-bit. */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(trim(t))
+    val nW = size(toks).cast(DoubleType)
+    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / greatest(nW, lit(1.0))
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast(DoubleType)
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val nL = size(lines).cast(DoubleType)
+    val bullet = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*"))).cast(DoubleType) /
+      greatest(nL, lit(1.0))
+    val ellipsis = size(filter(lines, l => l.endsWith("..."))).cast(DoubleType) /
+      greatest(nL, lit(1.0))
+    val alphaFrac = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(DoubleType) /
+      greatest(nW, lit(1.0))
+    val nStop = size(filter(
+      typedLit(GopherStopwords), sw => array_contains(tokens(lower(trim(t))), sw)))
+    docs.select(col(idCol),
+      nW.cast(LongType).as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbols / greatest(nW, lit(1.0)), 6).as("symbol_ratio"),
+      round(bullet, 6).as("bullet_ratio"),
+      round(ellipsis, 6).as("ellipsis_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbols / greatest(nW, lit(1.0)) <= 0.1 &&
+        bullet < 0.9 && ellipsis < 0.3 &&
+        alphaFrac >= 0.8 && nStop >= 2).as("gopher_pass"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * (The shingle rolling-hash near-dup fingerprint lives in Dedup.) */
   def fingerprint(text: Column): Column =

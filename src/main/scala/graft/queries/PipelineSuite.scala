@@ -275,6 +275,34 @@ object PipelineSuite {
         docs(s, dir).repartition(s.sparkContext.defaultParallelism),
         k = 8, minDocs = 2)),
 
+    // Gopher/MassiveText quality rules over deterministically seeded text
+    // (bullet/ellipsis/symbol lines appended by doc_id so rules (c)-(e)
+    // are non-vacuous on the single-line word-soup corpus); outputs every
+    // rule's measured value plus the pass verdict
+    "text_gopher_quality" -> ((s, dir) => {
+      val lines = concat(
+        array(col("text")),
+        when(col("doc_id") % 4 === 0,
+          array(lit("- bullet item one"), lit("* bullet item two"),
+            lit("- bullet item three")))
+          .otherwise(array().cast("array<string>")),
+        when(col("doc_id") % 3 === 0, array(lit("A trailing thought goes on...")))
+          .otherwise(array().cast("array<string>")))
+      val seeded = docs(s, dir).select(col("doc_id"),
+        concat(array_join(lines, "\n"),
+          when(col("doc_id") % 5 === 0, lit("\n# ## ### more... stuff..."))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherQuality(seeded)
+        .withColumn("gopher_pass", col("gopher_pass").cast("int"))
+    }),
+
+    // concat-and-chunk sequence packing at seqLen=128: documents laid
+    // end-to-end in doc_id order via the two-pass distributed prefix sum,
+    // split at sequence boundaries — one row per (sequence, doc) span
+    // with the span text hash-checked end-to-end
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), seqLen = 128)),
+
     // C4-style line + document cleaning over deterministically seeded
     // multi-line text (the synthetic corpus is single-line word soup, so
     // the seed constructs documents that exercise every rule: short
@@ -851,6 +879,88 @@ object PipelineSuite {
           WHERE len(kept) >= 3
             AND NOT contains(lower(full_text), 'lorem ipsum')
             AND NOT contains(full_text, '{')""",
+
+    // mirrors gopherQuality rule-for-rule; DuckDB trim() strips spaces
+    // only, but the seeded text never starts/ends with a newline, so the
+    // tokenizations agree (same discipline as every other text oracle)
+    "text_gopher_quality" ->
+      """WITH s AS (SELECT doc_id,
+              array_to_string(
+                [text]
+                || CASE WHEN doc_id % 4 = 0
+                     THEN ['- bullet item one', '* bullet item two',
+                           '- bullet item three']
+                     ELSE CAST([] AS VARCHAR[]) END
+                || CASE WHEN doc_id % 3 = 0
+                     THEN ['A trailing thought goes on...']
+                     ELSE CAST([] AS VARCHAR[]) END, chr(10))
+              || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || '# ## ### more... stuff...'
+                   ELSE '' END AS t
+            FROM documents),
+          m AS (SELECT doc_id,
+              string_split_regex(trim(t), '\s+') AS toks,
+              [trim(l) FOR l IN string_split(t, chr(10))] AS lines,
+              t
+            FROM s),
+          v AS (SELECT doc_id,
+              CAST(len(toks) AS DOUBLE) AS nw,
+              CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+                / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS mean_len,
+              CAST(len(regexp_extract_all(t, '#'))
+                 + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+                / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS sym,
+              CAST(len(list_filter(lines, l ->
+                  starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+                / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS bul,
+              CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+                / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS ell,
+              CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS alpha,
+              len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                  sw -> list_contains(string_split_regex(trim(lower(t)), '\s+'), sw)))
+                AS nstop
+            FROM m)
+          SELECT doc_id,
+            CAST(nw AS BIGINT) AS n_words,
+            ROUND(mean_len, 6) AS mean_word_len,
+            ROUND(sym, 6) AS symbol_ratio,
+            ROUND(bul, 6) AS bullet_ratio,
+            ROUND(ell, 6) AS ellipsis_ratio,
+            ROUND(alpha, 6) AS alpha_frac,
+            nstop AS n_stopwords,
+            CAST(nw >= 50 AND nw <= 100000
+              AND mean_len >= 3.0 AND mean_len <= 10.0
+              AND sym <= 0.1 AND bul < 0.9 AND ell < 0.3
+              AND alpha >= 0.8 AND nstop >= 2 AS INT) AS gopher_pass
+          FROM v""",
+
+    // seqLen=128; // is DuckDB floor division (all operands non-negative);
+    // tk[a+1 : a+len] mirrors Spark slice(toks, a+1, len)
+    "pipeline_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS tk
+            FROM documents WHERE len(trim(text)) > 0),
+          n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+                FROM t WHERE len(tk) > 0),
+          c AS (SELECT doc_id, tk, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+            FROM n),
+          x AS (SELECT doc_id, tk, n, cum,
+              unnest(generate_series(cum // 128, (cum + n - 1) // 128)) AS seq_id
+            FROM c),
+          y AS (SELECT seq_id, doc_id,
+              GREATEST(0, cum - seq_id * 128) AS seq_offset,
+              GREATEST(0, seq_id * 128 - cum) AS ds,
+              LEAST(n, (seq_id + 1) * 128 - cum)
+                - GREATEST(0, seq_id * 128 - cum) AS sl,
+              tk
+            FROM x)
+          SELECT seq_id, doc_id, seq_offset,
+                 ds AS doc_tok_start, sl AS n_toks,
+                 array_to_string(tk[ds + 1 : ds + sl], ' ') AS span_text
+          FROM y""",
 
     "text_pii_scrub" ->
       """WITH s AS (SELECT doc_id,

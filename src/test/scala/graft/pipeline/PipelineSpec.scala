@@ -599,4 +599,70 @@ class PipelineSpec extends SparkSpec {
       .orderBy("chunk_ix").collect().map(_.getString(2)).mkString(" ")
     assert(flat == doc)
   }
+
+  test("gopher quality rules: each rule fails exactly its target document") {
+    import spark.implicits._
+    val good = ((1 to 30).map(i => s"alpha$i") ++
+      Seq("the", "of", "and") ++ (1 to 30).map(i => s"beta$i")).mkString(" ")
+    val df = Seq(
+      (1L, good),                                        // passes everything
+      (2L, "the of and tiny"),                           // too few words
+      (3L, good + " " + (1 to 8).map(_ => "###").mkString(" ")), // symbol ratio
+      (4L, (1 to 60).map(_ => "the supercalifragilisticexpialidocious of").mkString(" ")), // mean len > 10
+      (5L, Seq(good, "- b one", "- b two", "- b three", "- b four", "- b five",
+        "- b six", "- b seven", "- b eight", "- b nine").mkString("\n")), // 90% bullets
+      (6L, good + "\nTrails off...\nAnd again..."),      // 2/3 lines ellipsis
+      (7L, ((1 to 30).map(i => s"alpha$i") ++ Seq("the") ++
+        (1 to 30).map(i => s"beta$i")).mkString(" ")),   // only 1 stopword
+      (8L, (good.split(" ") ++ (1 to 260).map(_ => "42")).mkString(" ")) // alpha frac
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQuality(df)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "good doc must pass")
+    assert(!r(2L).getBoolean(8) && r(2L).getLong(1) == 4)
+    assert(!r(3L).getBoolean(8) && r(3L).getDouble(3) > 0.1)
+    assert(!r(4L).getBoolean(8) && r(4L).getDouble(2) > 10.0)
+    assert(!r(5L).getBoolean(8) && r(5L).getDouble(4) == 0.9)
+    assert(!r(6L).getBoolean(8) && r(6L).getDouble(5) > 0.3)
+    assert(!r(7L).getBoolean(8) && r(7L).getInt(7) == 1)
+    assert(!r(8L).getBoolean(8) && r(8L).getDouble(6) < 0.8)
+  }
+
+  test("sequence packing: spans partition the concatenated token stream") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),   // 10 tokens
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ")),    // 7
+      (3L, ""),                                          // empty → dropped
+      (4L, (1 to 13).map(i => s"c$i").mkString(" ")),   // 13
+      (5L, "d1 d2")                                      // 2  → 32 total
+    ).toDF("doc_id", "text")
+    val spans = Sampling.packSequences(df, seqLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(s => (s._1, s._3))
+
+    // 32 tokens at L=8 → sequences 0..3, all full
+    assert(spans.map(_._5).sum == 32)
+    assert(spans.map(_._1).distinct.sameElements(Seq(0L, 1L, 2L, 3L)))
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(_._5).sum == 8)
+      // offsets tile the sequence contiguously
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(p._3 + p._5 == n._3); case _ => ()
+      }
+    }
+    // doc 1 fills seq 0 tokens 0-7 and spills 2 into seq 1
+    assert(spans.filter(_._2 == 1L).map(s => (s._1, s._3, s._4, s._5)).toSeq ==
+      Seq((0L, 0L, 0L, 8L), (1L, 0L, 8L, 2L)))
+    // reconstructing by (seq, offset) order equals doc-id-order concatenation
+    val rebuilt = spans.map(_._6).mkString(" ")
+    val expected = ((1 to 10).map(i => s"a$i") ++ (1 to 7).map(i => s"b$i") ++
+      (1 to 13).map(i => s"c$i") ++ Seq("d1", "d2")).mkString(" ")
+    assert(rebuilt == expected)
+    // empty doc contributes nothing
+    assert(!spans.exists(_._2 == 3L))
+  }
 }
