@@ -49,7 +49,10 @@ class MlRuntime(spark: SparkSession) {
     val rows = data.select(
         (featureCols.map(c => col(c).cast(DoubleType)) :+ col(labelCol).cast(StringType)): _*)
       .collect().toSeq
-      .filter(r => (0 until featureCols.size).forall(!r.isNullAt(_)))
+      // a null LABEL must drop the row, not train as the negative class
+      // (review finding: binary mode mapped null → y=0 while multiclass
+      // correctly discarded — same rows, different fates)
+      .filter(r => (0 to featureCols.size).forall(!r.isNullAt(_)))
     val labelIx = spec.outputs.zipWithIndex.toMap
     val train = rows.flatMap { r =>
       val x = Array.tabulate(featureCols.size)(r.getDouble)
@@ -78,12 +81,9 @@ class MlRuntime(spark: SparkSession) {
     val out = input.rdd.mapPartitions { it =>
       val m = bc.value
       it.map { r =>
-        val x = fIdx.map(i => r.get(i) match {
-          case null => 0.0
-          case d: Double => d
-          case n: Number => n.doubleValue()
-          case s: String => try s.toDouble catch { case _: Exception => 0.0 }
-        }).toArray
+        // anyToDouble covers Boolean/date/etc with a catch-all — the
+        // inline match here MatchError'd on BooleanType features
+        val x = fIdx.map(i => MlRuntime.anyToDouble(r.get(i))).toArray
         Row.fromSeq(r.toSeq :+ m.predictLabel(x))
       }
     }
@@ -160,8 +160,6 @@ class MlRuntime(spark: SparkSession) {
     }
     spark.createDataFrame(out, schema)
   }
-
-  private def toDouble(v: Any): Double = MlRuntime.anyToDouble(v)
 
   /** Per-model resource metrics parsed from the sibling `.ttl` schema
     * (mls vocabulary — `ml/src/lib.rs:64-139` runs the same extraction as
@@ -294,8 +292,12 @@ class MlRuntime(spark: SparkSession) {
       col(spec.anchorVar).as("s"),
       lit(predicate).as("p"),
       col("__label").as("o"))
-    store.insert(facts)
-    facts.count()
+    // checkpoint once: insert() unions the LAZY plan into the store, so
+    // without this the whole select+broadcast+inference pipeline re-runs
+    // for the count below AND on every later query against the store
+    val materialized = facts.localCheckpoint()
+    store.insert(materialized)
+    materialized.count()
   }
 }
 

@@ -354,7 +354,10 @@ object Pickle {
           case '0' => pop() // POP
           case '1' => popToMark() // POP_MARK
           case '2' => push(stack.last) // DUP
-          case 0x83 => u2() // EXT2 (unsupported registry — push marker)
+          case 0x83 => // EXT2: copyreg extension registry — consuming the
+            // code without pushing silently corrupts the stack; fail loud
+            throw new IllegalArgumentException(
+              s"unsupported pickle opcode EXT2 (copyreg extension ${u2()})")
           case other => throw new IllegalArgumentException(
             f"unsupported pickle opcode 0x$other%02x ('${other.toChar}') at stack depth ${stack.length}")
         }

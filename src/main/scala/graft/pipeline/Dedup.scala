@@ -27,7 +27,11 @@ object Dedup {
   /** Groups of byte-identical texts (normalized): (fp, doc_id, keep).
     * keep = the group's minimum id survives. */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = TextAnalysis.fingerprint(col(textCol))
+    // null text has no content to compare — a per-row sentinel keeps every
+    // null-text doc its own singleton group instead of Window.partitionBy
+    // lumping all nulls together and dropping all but one (review finding)
+    val fp = coalesce(TextAnalysis.fingerprint(col(textCol)),
+      concat(lit("__null__"), col(idCol).cast("string")))
     val w = Window.partitionBy("fp")
     docs.select(col(idCol), fp.as("fp"))
       .withColumn("keep_id", min(col(idCol)).over(w))
@@ -59,7 +63,9 @@ object Dedup {
     val newFp = newDocs.select(col(idCol), fp.as("fp"))
     val bloom = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val mightExist = udf((f: String) => bc.value.mightContainString(f))
+    // null fingerprint (null text) matches nothing in the corpus — and
+    // mightContainString NPEs on null, so guard before probing
+    val mightExist = udf((f: String) => f != null && bc.value.mightContainString(f))
     val (clean, candidates) = (newFp.filter(!mightExist(col("fp"))),
       newFp.filter(mightExist(col("fp"))))
     // left_anti is insensitive to right-side duplicates — no distinct,

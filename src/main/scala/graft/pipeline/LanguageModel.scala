@@ -52,15 +52,21 @@ object LanguageModel {
   def scoreNll(docs: DataFrame, lm: DataFrame, n: Int = 1,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastLm: Boolean = true): DataFrame = {
-    // one-row totals, broadcast into the per-gram expression
-    val totals = lm.agg(sum("cnt").cast("double").as("__N"),
-      count(lit(1)).cast("double").as("__V"))
+    // one-row totals, collected once and inlined as literals (the LM is
+    // an aggregated gram table — its totals row is driver-sized by
+    // construction). An EMPTY model would make __N null (sum over zero
+    // rows) and null-poison every per-gram nll into the 0.0 fallback — a
+    // filter that silently passes everything; fail loudly instead.
+    val tRow = lm.agg(coalesce(sum("cnt"), lit(0L)).cast("double"),
+      count(lit(1)).cast("double")).head()
+    val (nTot, vTot) = (tRow.getDouble(0), tRow.getDouble(1))
+    require(vTot > 0,
+      "scoreNll: empty language model — train() saw no grams (empty or fully-filtered corpus)")
     val lmSide = if (broadcastLm) broadcast(lm) else lm
     val scored = gramRows(docs, n, Seq(idCol), textCol)
       .join(lmSide, Seq("gram"), "left_outer")
-      .crossJoin(broadcast(totals))
       .select(col(idCol),
-        (log(col("__N") + col("__V")) -
+        (log(lit(nTot + vTot)) -
           log(coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)).as("__nll"))
       .groupBy(idCol).agg(avg("__nll").as("nll"))
     // left join back so short documents (no grams) survive with nll = 0

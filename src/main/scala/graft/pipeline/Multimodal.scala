@@ -38,7 +38,9 @@ object Multimodal {
       col(textCol).cast(BinaryType).as("payload"),
       struct(
         lit(mime).as("mime"),
-        length(col(textCol)).cast(LongType).as("n_bytes"),
+        // byte count of the PAYLOAD, not the character count — they
+        // differ for non-ASCII text (review finding)
+        length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes"),
         lit("inline").as("source")).as("meta"))
 
   /** STUB decode: deterministic pseudo-decode of an image payload into
@@ -164,6 +166,8 @@ object Multimodal {
     * `frameBytes` chunks, keep every `stride`-th chunk. Demonstrates the
     * batch-explode shape without a codec. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes $frameBytes must be positive")
+    require(stride > 0, s"stride $stride must be positive")
     val spark = media.sparkSession
     val pIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")
@@ -177,7 +181,9 @@ object Multimodal {
         if (payload == null) Iterator.empty
         else payload.grouped(frameBytes).zipWithIndex
           .filter(_._2 % stride == 0)
-          .map { case (chunk, i) => Row(id, i, chunk) }
+          // dense 0,1,2,… frame index, not the pre-filter chunk index
+          .zipWithIndex
+          .map { case ((chunk, _), frameNo) => Row(id, frameNo, chunk) }
       }
     }
     spark.createDataFrame(out, schema)

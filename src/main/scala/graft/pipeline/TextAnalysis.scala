@@ -244,8 +244,10 @@ object TextAnalysis {
       greatest(nL, lit(1.0))
     val alphaFrac = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(DoubleType) /
       greatest(nW, lit(1.0))
-    val nStop = size(filter(
-      typedLit(GopherStopwords), sw => array_contains(tokens(lower(trim(t))), sw)))
+    // one tokenization: a lambda capturing the split() expression would
+    // re-run the regex per stopword (see ngramsOfTokens doc above)
+    val nStop = size(array_intersect(
+      array_distinct(tokens(lower(trim(t)))), typedLit(GopherStopwords)))
     docs.select(col(idCol),
       nW.cast(LongType).as("n_words"),
       round(meanLen, 6).as("mean_word_len"),

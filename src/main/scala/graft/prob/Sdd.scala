@@ -296,7 +296,7 @@ object Sdd {
       groups: Map[Long, Long] = Map.empty, maxNodes: Int = 1 << 20): Double = {
     if (proofs.isEmpty) return 0.0
     if (proofs.exists(_.isEmpty)) return 1.0
-    val (m, _, constrained) = buildArena(proofs, probs, groups, maxNodes)
+    val (m, _, constrained, _) = buildArena(proofs, probs, groups, maxNodes)
     m.wmc(constrained)
   }
 
@@ -305,7 +305,8 @@ object Sdd {
     * residual vars + exactly-one constraints, proofs → root. One builder
     * so the two entry points cannot diverge. */
   private def buildArena(proofs: Seq[Set[Long]], probs: Map[Long, Double],
-      groups: Map[Long, Long], maxNodes: Int): (Sdd, Map[Long, Int], Int) = {
+      groups: Map[Long, Long], maxNodes: Int)
+      : (Sdd, Map[Long, Int], Int, Map[Long, (Int, Boolean)]) = {
     val m = new Sdd(maxNodes)
     val seedIds = proofs.flatten.distinct.sorted
     val varOf = seedIds.zipWithIndex.toMap
@@ -314,34 +315,55 @@ object Sdd {
       if (groups.contains(sid)) m.ensureVar(varOf(sid), p, 1.0, exclusive = true)
       else m.ensureVar(varOf(sid), p, 1.0 - p)
     }
-    // phantom none-vars carry each group's residual mass
+    // phantom none-vars carry each group's residual mass; report, per
+    // group, the none var and whether the residual is un-clamped (the
+    // gradient's chain-rule term vanishes once max(0, 1−Σp) clamps)
     var nextVar = seedIds.length
+    val groupInfo = Map.newBuilder[Long, (Int, Boolean)]
     val constraints = seedIds.filter(groups.contains).groupBy(groups)
-      .valuesIterator.map { members =>
-        val residual = math.max(0.0, 1.0 - members.map(probs).sum)
+      .iterator.map { case (gid, members) =>
+        val mass = 1.0 - members.map(probs).sum
         val none = nextVar
         nextVar += 1
-        m.ensureVar(none, residual, 1.0, exclusive = true)
+        groupInfo += gid -> (none, mass > 0.0)
+        m.ensureVar(none, math.max(0.0, mass), 1.0, exclusive = true)
         m.exactlyOne(members.map(varOf) :+ none)
       }.toList
     val root = proofs.map { proof =>
       proof.toSeq.sorted.map(sid => m.literal(varOf(sid), polarity = true))
         .reduce(m.conjoin)
     }.reduce(m.disjoin)
-    (m, varOf, constraints.foldLeft(root)(m.conjoin))
+    (m, varOf, constraints.foldLeft(root)(m.conjoin), groupInfo.result())
   }
 
   /** ∂WMC/∂p(seed) over a DNF lineage — [[Sdd.wmcGradient]] lifted to
-    * seed ids, same arena construction as [[wmcOfDnf]]. Gradients of the
-    * phantom residual vars stay internal (they are not seeds a caller
-    * can tune). Distributes like wmcOfDnf: one small arena per fact row. */
+    * seed ids, same arena construction as [[wmcOfDnf]].
+    *
+    * For an annotated-disjunction member the per-variable partial is not
+    * the whole story: the phantom none-var's weight is 1 − Σp over the
+    * group, so dWMC/dp(member) = ∂WMC/∂w(member) − ∂WMC/∂w(none) by the
+    * chain rule (the second term vanishes when the residual is clamped
+    * at 0, where the subgradient of max is 0). Without the correction a
+    * formula satisfiable through the none arm (any proof not using the
+    * group) reports a too-large member gradient — e.g. proofs
+    * [{m},{x}], p(m)=0.3, p(x)=0.5: WMC = p_m + (1−p_m)·p_x, true
+    * gradient 1−p_x = 0.5, uncorrected 1.0.
+    * Distributes like wmcOfDnf: one small arena per fact row. */
   def wmcGradientOfDnf(proofs: Seq[Set[Long]], probs: Map[Long, Double],
       groups: Map[Long, Long] = Map.empty,
       maxNodes: Int = 1 << 20): Map[Long, Double] = {
     if (proofs.isEmpty || proofs.exists(_.isEmpty)) return Map.empty
-    val (m, varOf, constrained) = buildArena(proofs, probs, groups, maxNodes)
+    val (m, varOf, constrained, groupInfo) = buildArena(proofs, probs, groups, maxNodes)
     val byVar = m.wmcGradient(constrained)
-    varOf.flatMap { case (sid, v) => byVar.get(v).map(sid -> _) }
+    varOf.flatMap { case (sid, v) =>
+      val direct = byVar.getOrElse(v, 0.0)
+      val total = groups.get(sid).flatMap(groupInfo.get) match {
+        case Some((noneVar, residualLive)) if residualLive =>
+          direct - byVar.getOrElse(noneVar, 0.0)
+        case _ => direct
+      }
+      if (math.abs(total) > 1e-15) Some(sid -> total) else None
+    }
   }
 
   /** Exact WMC of a SIGNED DNF over independent seeds — the SDD engine's

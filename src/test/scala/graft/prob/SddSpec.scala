@@ -153,6 +153,40 @@ class SddSpec extends AnyFunSuite {
     assert(math.abs(g(3L) - fd) < 1e-6)
   }
 
+  test("group-member gradient includes the residual chain term (none arm live)") {
+    // proofs [{m}, {x}] with m in a group: WMC = p_m + (1−p_m)·p_x —
+    // the none arm can satisfy the formula through {x}, so the phantom
+    // residual weight (1 − p_m) carries a −∂WMC/∂w_none chain term the
+    // per-variable partial misses (review finding, r6 session 3)
+    val proofs = Seq(Set(1L), Set(2L))
+    val probs = Map(1L -> 0.3, 2L -> 0.5)
+    val groups = Map(1L -> 7L)
+    val w = Sdd.wmcOfDnf(proofs, probs, groups)
+    assert(math.abs(w - (0.3 + 0.7 * 0.5)) < 1e-12)
+    val g = Sdd.wmcGradientOfDnf(proofs, probs, groups)
+    // d/dp_m (p_m + (1−p_m)·p_x) = 1 − p_x
+    assert(math.abs(g(1L) - 0.5) < 1e-12)
+    // finite differences on the GROUP member (residual recomputes per call)
+    val eps = 1e-6
+    val fd = (Sdd.wmcOfDnf(proofs, probs + (1L -> (0.3 + eps)), groups) -
+      Sdd.wmcOfDnf(proofs, probs + (1L -> (0.3 - eps)), groups)) / (2 * eps)
+    assert(math.abs(g(1L) - fd) < 1e-6)
+    // two-member group + outside proof: both members get the correction
+    val proofs2 = Seq(Set(1L), Set(4L), Set(9L))
+    val probs2 = Map(1L -> 0.2, 4L -> 0.3, 9L -> 0.4)
+    val groups2 = Map(1L -> 7L, 4L -> 7L)
+    val g2 = Sdd.wmcGradientOfDnf(proofs2, probs2, groups2)
+    for (s <- Seq(1L, 4L)) {
+      val fd2 = (Sdd.wmcOfDnf(proofs2, probs2 + (s -> (probs2(s) + eps)), groups2) -
+        Sdd.wmcOfDnf(proofs2, probs2 + (s -> (probs2(s) - eps)), groups2)) / (2 * eps)
+      assert(math.abs(g2(s) - fd2) < 1e-6, s"seed $s: ${g2(s)} vs fd $fd2")
+    }
+    // clamped residual (Σp ≥ 1): chain term drops — subgradient 0
+    val probs3 = Map(1L -> 0.6, 4L -> 0.4, 9L -> 0.4)
+    val g3 = Sdd.wmcGradientOfDnf(proofs2, probs3, groups2)
+    assert(g3.contains(1L)) // still finite, no crash
+  }
+
   test("model enumeration covers the DNF") {
     val m = new Sdd()
     m.ensureVar(0, 0.5, 0.5); m.ensureVar(1, 0.5, 0.5)
