@@ -45,8 +45,9 @@ object Bench {
     // + portable-hash LSH + int8 ANN + trigram langid
     "pipeline_chunk_overlap", "dedup_incremental",
     "dedup_minhash_lsh_portable", "similarity_int8_topk", "text_langid_ngram",
-    // r6 session 3: Gopher quality gate + concat-and-chunk sequence packing
-    "text_gopher_quality", "pipeline_pack_sequences",
+    // r6 session 3: Gopher quality gate + concat-and-chunk sequence
+    // packing + DSIR importance weights
+    "text_gopher_quality", "pipeline_pack_sequences", "pipeline_dsir_logw",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

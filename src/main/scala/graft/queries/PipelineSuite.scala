@@ -303,6 +303,15 @@ object PipelineSuite {
     "pipeline_pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docs(s, dir), seqLen = 128)),
 
+    // DSIR-style data selection: hashed-bigram importance weights of the
+    // whole corpus against the lang='en' target slice — 1000 buckets,
+    // add-one smoothing, md5-portable bucket hash (hash-checked)
+    "pipeline_dsir_logw" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dsir.logImportanceWeights(
+        d, d.filter(col("lang") === "en"), n = 2, buckets = 1000)
+    }),
+
     // C4-style line + document cleaning over deterministically seeded
     // multi-line text (the synthetic corpus is single-line word soup, so
     // the seed constructs documents that exercise every rule: short
@@ -879,6 +888,48 @@ object PipelineSuite {
           WHERE len(kept) >= 3
             AND NOT contains(lower(full_text), 'lorem ipsum')
             AND NOT contains(full_text, '{')""",
+
+    // hashed-bigram DSIR weights: same md5-60 bucket hash, add-one
+    // smoothing, unseen-bucket default ratio; n=2, buckets=1000,
+    // target = lang='en'
+    "pipeline_dsir_logw" ->
+      """WITH tw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE lang = 'en'),
+          tg AS (SELECT unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                   ELSE [] END) AS gram FROM tw),
+          tb AS (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1000 AS bucket,
+                   count(*) AS ct FROM tg GROUP BY 1),
+          rw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents),
+          rg AS (SELECT unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                   ELSE [] END) AS gram FROM rw),
+          rb AS (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1000 AS bucket,
+                   count(*) AS cr FROM rg GROUP BY 1),
+          tot AS (SELECT (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) FROM tb) AS nt,
+                         (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) FROM rb) AS nr),
+          ratio AS (SELECT COALESCE(tb.bucket, rb.bucket) AS bucket,
+                      (ln(CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) - ln(nt + 1000))
+                    - (ln(CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0) - ln(nr + 1000)) AS r
+                    FROM tb FULL OUTER JOIN rb ON tb.bucket = rb.bucket, tot),
+          dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                   ELSE [] END) AS gram
+                 FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+') AS w
+                       FROM documents)),
+          db AS (SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1000 AS bucket
+                 FROM dg),
+          sc AS (SELECT db.doc_id, count(*) AS n_grams,
+                   ROUND(SUM(COALESCE(ratio.r,
+                     ln(1.0 / (tot.nt + 1000)) - ln(1.0 / (tot.nr + 1000)))), 6) AS logw
+                 FROM db LEFT JOIN ratio USING (bucket), tot
+                 GROUP BY db.doc_id)
+          SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+                 COALESCE(sc.logw, 0.0) AS logw
+          FROM documents d LEFT JOIN sc USING (doc_id)""",
 
     // mirrors gopherQuality rule-for-rule; DuckDB trim() strips spaces
     // only, but the seeded text never starts/ends with a newline, so the

@@ -95,7 +95,11 @@ class PipelineSpec extends SparkSpec {
     assert(sized.filter(col("target_width") > 32 || col("target_height") > 32).count() == 0)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
     val f0 = frames.filter(col("media_id") === 0).collect()
-    assert(f0.nonEmpty && f0.forall(_.getInt(1) % 2 == 0))
+    // dense 0,1,2,… frame numbering over the kept (every-stride-th) chunks
+    assert(f0.nonEmpty &&
+      f0.map(_.getInt(1)).sorted.toSeq == f0.indices.toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(media, frameBytes = 16, stride = 0))
   }
 
   test("multimodal: REAL image decode via JDK ImageIO in mapPartitions") {
@@ -598,6 +602,33 @@ class PipelineSpec extends SparkSpec {
     val flat = TextAnalysis.chunk(df.filter($"doc_id" === 1L), 40, 0)
       .orderBy("chunk_ix").collect().map(_.getString(2)).mkString(" ")
     assert(flat == doc)
+  }
+
+  test("dsir: target-like docs outrank off-target; top-fraction rank is the global order") {
+    import spark.implicits._
+    val target = (1 to 20).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),  // on-target
+      (2L, "quick brown fox jumps over the lazy dog"),            // near
+      (3L, "zebra xylophone quartz vortex jackdaw nymph waltz"),  // off
+      (4L, "")                                                    // no grams
+    ).toDF("doc_id", "text")
+    val w = Dsir.logImportanceWeights(raw, target, n = 2, buckets = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w(1L)._2 > w(2L)._2 && w(2L)._2 > w(3L)._2,
+      s"ordering broke: $w")
+    assert(w(4L) == ((0L, 0.0)))
+    // two-pass distributed rank == naive global sort
+    val weights = Dsir.logImportanceWeights(raw, target, n = 2, buckets = 512)
+    val top = Dsir.selectTopFraction(weights, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val naive = weights.collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0))).take(2).map(_.getLong(0)).toSet
+    assert(top == naive && top == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      Dsir.logImportanceWeights(raw, target.limit(0), n = 2, buckets = 512))
   }
 
   test("gopher quality rules: each rule fails exactly its target document") {
