@@ -24,17 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** (bucket, cnt) hashed-gram counts over a corpus side. */
-  def hashedBucketCounts(docs: DataFrame, n: Int, buckets: Int,
-      textCol: String = "text"): DataFrame = {
+  /** (id, bucket) — one row per gram occurrence. The token array is
+    * pre-projected into its own column BEFORE the gram transform (the
+    * [[TextAnalysis.ngramsOfTokens]] discipline: a lambda capturing the
+    * split() expression re-runs the regex per gram — measured 2× on this
+    * operator's first cut). */
+  def docBuckets(docs: DataFrame, n: Int, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && buckets > 0, s"n=$n, buckets=$buckets must be positive")
     docs
-      .select(TextAnalysis.ngramsOfTokens(
-        TextAnalysis.tokens(trim(lower(col(textCol)))), n).as("__grams"))
-      .select(explode(col("__grams")).as("gram"))
-      .select(bucketOf(col("gram"), buckets).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(col(idCol),
+        TextAnalysis.tokens(trim(lower(col(textCol)))).as("__toks"))
+      .select(col(idCol),
+        explode(TextAnalysis.ngramsOfTokens(col("__toks"), n)).as("gram"))
+      .select(col(idCol), bucketOf(col("gram"), buckets).as("bucket"))
   }
+
+  /** (bucket, cnt) hashed-gram counts over a corpus side. */
+  def hashedBucketCounts(docs: DataFrame, n: Int, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docBuckets(docs, n, buckets, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** Per-document log importance weight of `raw` against `target`:
     * (idCol, n_grams, logw) — logw rounded to 6 decimals for the
@@ -43,9 +53,15 @@ object Dsir {
     * deterministic scoring is the distributed part. */
   def logImportanceWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
       buckets: Int = 10000, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tgt = hashedBucketCounts(target, n, buckets, textCol)
-    val rawC = hashedBucketCounts(raw, n, buckets, textCol)
+      textCol: String = "text", checkpointBuckets: Boolean = true): DataFrame = {
+    // the raw side feeds BOTH the model fit (an eager totals collect) and
+    // the scoring join — checkpoint the (id, bucket) rows so the corpus
+    // tokenize+md5 pass runs once, not once per action (13.9 s → ~3 s at
+    // sf0.1; opt out for composability into a larger lazy plan)
+    val db0 = docBuckets(raw, n, buckets, idCol, textCol)
+    val db = if (checkpointBuckets) db0.localCheckpoint() else db0
+    val rawC = db.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val tgt = hashedBucketCounts(target, n, buckets, textCol, idCol)
     // totals are single rows over ≤`buckets`-row aggregates — collect and
     // inline (same discipline as LanguageModel.scoreNll)
     def totalOf(c: DataFrame): Double =
@@ -64,10 +80,7 @@ object Dsir {
          (log(coalesce(col("__cr"), lit(0L)).cast("double") + 1.0) -
           log(lit(nR + buckets)))).as("__ratio"))
     val defaultRatio = math.log(1.0 / (nT + buckets)) - math.log(1.0 / (nR + buckets))
-    val scored = raw
-      .select(col(idCol), explode(TextAnalysis.ngramsOfTokens(
-        TextAnalysis.tokens(trim(lower(col(textCol)))), n)).as("gram"))
-      .select(col(idCol), bucketOf(col("gram"), buckets).as("bucket"))
+    val scored = db
       .join(broadcast(ratios), Seq("bucket"), "left_outer")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),

@@ -307,7 +307,9 @@ object PipelineSuite {
     // whole corpus against the lang='en' target slice — 1000 buckets,
     // add-one smoothing, md5-portable bucket hash (hash-checked)
     "pipeline_dsir_logw" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // one small parquet file → one input split; spread the tokenize+md5
+      // work across cores (same note as text_contamination)
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
       graft.pipeline.Dsir.logImportanceWeights(
         d, d.filter(col("lang") === "en"), n = 2, buckets = 1000)
     }),
