@@ -172,7 +172,13 @@ object QuadStore {
     fromQuads(spark, triples.map(t => (null: String, t._1, t._2, t._3)))
 
   def fromQuads(spark: SparkSession, qs: Seq[(String, String, String, String)]): QuadStore = {
-    val rows = qs.map(q => Row(q._1, q._2, q._3, q._4))
+    // set semantics from the start: duplicate input quads would read back
+    // twice AND survive exceptAll-based delete (the reference's HashSet
+    // store admits one copy; review finding). Deduped here driver-side —
+    // this factory is the in-memory-seq entry; DataFrame callers
+    // (QuadStore.apply) own their dedup, Triplizer quads are unique by
+    // construction.
+    val rows = qs.distinct.map(q => Row(q._1, q._2, q._3, q._4))
     new QuadStore(spark, spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, math.min(qs.size / 1000 + 1, 32))), schema))
   }

@@ -30,13 +30,21 @@ object QueryEngine {
 
   final case class QueryEngineStats(memoryTripleCount: Long)
 
-  /** The reference's windowing-keyword sniff (`query_engine.rs:118-140`). */
+  /** The reference's windowing-keyword sniff (`query_engine.rs:118-140`)
+    * — consciously FIXED rather than preserved (§7.5 discipline): the
+    * reference's bare substring check classifies any query mentioning
+    * `rdfs:range` (or a ?range variable, or RANGE inside an IRI) as
+    * streaming. Keywords here must appear as standalone words outside
+    * IRIs/string literals and not as `pfx:local` locals or variables. */
   private val windowingKeywords = Seq("WINDOW", "FROM NAMED WINDOW", "SLIDING",
     "TUMBLING", "RANGE", "RSTREAM", "ISTREAM", "DSTREAM", "SLIDE")
 
   private[model] def hasWindowingOperations(q: String): Boolean = {
-    val upper = q.toUpperCase
-    windowingKeywords.exists(upper.contains)
+    val stripped = q.replaceAll("<[^>]*>", " ")
+      .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", " ").toUpperCase
+    windowingKeywords.exists(k =>
+      ("(?<![:?$\\w])" + java.util.regex.Pattern.quote(k) + "(?!\\w)").r
+        .findFirstIn(stripped).isDefined)
   }
 
   private[model] def isRspQlQuery(q: String): Boolean = {

@@ -64,6 +64,15 @@ object RdfIO {
     * (`sparql_database.rs:965-1247`): @prefix, `;`/`,`/`.` continuations,
     * `a`, RDF-star `<< >>` terms, and `{| p o |}` annotation syntax
     * (annotation on triple t asserts t and `<<t>> p o`). */
+  /** A quote at `j` is escaped iff preceded by an ODD run of backslashes
+    * — `\\"` is an escaped backslash followed by a REAL closing quote
+    * (the naive `charAt(j-1) != '\\'` check left inQ stuck open). */
+  private def quoteEscaped(s: CharSequence, j: Int): Boolean = {
+    var k = j - 1; var n = 0
+    while (k >= 0 && s.charAt(k) == '\\') { n += 1; k -= 1 }
+    n % 2 == 1
+  }
+
   def parseTurtleDoc(doc: String): Seq[(String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var prefixes = Map.empty[String, String]
@@ -75,7 +84,7 @@ object RdfIO {
       var j = 0
       while (j < l.length) {
         val c = l.charAt(j)
-        if (c == '"' && !inIri && (j == 0 || l.charAt(j - 1) != '\\')) inQ = !inQ
+        if (c == '"' && !inIri && !quoteEscaped(l, j)) inQ = !inQ
         if (c == '<' && !inQ) inIri = true
         if (c == '>' && !inQ) inIri = false
         if (c == '#' && !inQ && !inIri) j = l.length
@@ -93,7 +102,7 @@ object RdfIO {
       while (j < cleaned.length) {
         val c = cleaned.charAt(j)
         c match {
-          case '"' if !inIri && (j == 0 || cleaned.charAt(j - 1) != '\\') =>
+          case '"' if !inIri && !quoteEscaped(cleaned, j) =>
             inQ = !inQ; sb += c
           case '<' if !inQ && cleaned.startsWith("<<", j) => depth += 1; sb ++= "<<"; j += 1
           case '>' if !inQ && cleaned.startsWith(">>", j) => depth -= 1; sb ++= ">>"; j += 1
@@ -113,15 +122,22 @@ object RdfIO {
       if (sb.toString.trim.nonEmpty) statements += sb.toString
     }
 
-    statements.map(_.trim).filter(_.nonEmpty).foreach { st =>
+    def process(st0: String): Unit = {
+      val st = st0.trim
+      if (st.isEmpty) return
       if (st.startsWith("@prefix") || st.toLowerCase.startsWith("prefix")) {
         val body = st.replaceFirst("(?i)@?prefix", "").trim
         val sp = body.indexOf(':')
         val pfx = body.substring(0, sp + 1).trim
         val iriStart = body.indexOf('<', sp)
         val iriEnd = body.indexOf('>', iriStart)
-        if (iriStart >= 0 && iriEnd > iriStart)
+        if (iriStart >= 0 && iriEnd > iriStart) {
           prefixes += (pfx -> body.substring(iriStart + 1, iriEnd))
+          // a SPARQL-style PREFIX has no trailing '.', so the '.'-split
+          // merges it with the NEXT statement — recurse on the remainder
+          // instead of silently dropping it (review finding)
+          process(body.substring(iriEnd + 1))
+        }
       } else {
         try {
           val p = new RdfTermParser(st.replace('\n', ' '))
@@ -158,6 +174,7 @@ object RdfIO {
         } catch { case _: Exception => /* lenient: skip malformed statement */ }
       }
     }
+    statements.foreach(process)
     out.toSeq
   }
 
@@ -292,10 +309,20 @@ object RdfIO {
     import df.sparkSession.implicits._
     def esc(v: String) = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+    // the local part becomes an XML element name, so it must be a valid
+    // NCName: split at the longest NCName suffix (a '#'/'/' split alone
+    // emitted `<2020 …>` for http://ex/2020 — unparseable XML that killed
+    // the whole part file's round-trip, review finding)
+    def isNCChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+    def isNCStart(c: Char) = c.isLetter || c == '_'
     def splitIri(p: String): (String, String) = {
-      val i = math.max(p.lastIndexOf('#'), p.lastIndexOf('/'))
-      if (i > 0 && i < p.length - 1) (p.substring(0, i + 1), p.substring(i + 1))
-      else ("urn:graft:", p)
+      var st = p.length
+      while (st > 0 && isNCChar(p.charAt(st - 1))) st -= 1
+      while (st < p.length && !isNCStart(p.charAt(st))) st += 1
+      if (st >= p.length)
+        throw new IllegalArgumentException(
+          s"predicate IRI '$p' has no XML-name local part — not serializable as RDF/XML")
+      if (st == 0) ("urn:graft:", p) else (p.substring(0, st), p.substring(st))
     }
     df.select("s", "p", "o").groupBy("s")
       .agg(collect_list(struct(col("p"), col("o"))).as("po"))

@@ -43,7 +43,10 @@ final class RdfTermParser(s: String) {
       case '<' => iri()
       case '"' => literal()
       case '_' => bnode()
-      case 'a' if i + 1 >= s.length || !isPNChar(s.charAt(i + 1)) =>
+      // ':' is not a PN char, so also exclude it or a prefixed name with
+      // prefix 'a:' would misparse as rdf:type + a dangling ':name'
+      case 'a' if i + 1 >= s.length ||
+          (!isPNChar(s.charAt(i + 1)) && s.charAt(i + 1) != ':') =>
         i += 1; "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
       case _ => pname()
     }

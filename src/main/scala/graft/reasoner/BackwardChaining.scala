@@ -19,6 +19,13 @@ class BackwardChainer(facts: Set[(String, String, String)], rules: Seq[Rule],
 
   type Subst = Map[String, String]
 
+  /** Monotonic id per RULE APPLICATION for variable freshening. A
+    * depth-based prefix is not enough: two sibling subgoals at the same
+    * depth resolved by the same rule would share renamed variables and
+    * capture each other's bindings (review finding — pair(?x,?y) over
+    * q/base derived only the diagonal). */
+  private var freshId = 0L
+
   private def applySubst(t: Term, s: Subst): Term = t match {
     case Var(n) => s.get(n).map(Lit(_)).getOrElse(Var(n))
     case Quoted(a, b, c) => Quoted(applySubst(a, s), applySubst(b, s), applySubst(c, s))
@@ -63,8 +70,9 @@ class BackwardChainer(facts: Set[(String, String, String)], rules: Seq[Rule],
     val g = TriplePattern(applySubst(goal.s, s0), applySubst(goal.p, s0), applySubst(goal.o, s0))
     val fromFacts = LazyList.from(facts).flatMap(f => unifyPattern(g, f, s0))
     val fromRules = LazyList.from(rules).flatMap { r =>
-      // freshen rule variables per use
-      val fresh = s"_r${depth}_"
+      // freshen rule variables per USE (not per depth)
+      freshId += 1
+      val fresh = s"_u${freshId}_"
       def rename(t: Term): Term = t match {
         case Var(n) => Var(fresh + n)
         case Quoted(a, b, c) => Quoted(rename(a), rename(b), rename(c))

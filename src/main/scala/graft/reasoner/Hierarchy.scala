@@ -115,8 +115,19 @@ class ReasoningHierarchy(spark: SparkSession) {
     applicable.foreach { hr =>
       val pool = hr.dependencies.map(levelFacts(_))
         .foldLeft(emptyTriples)(_ unionByName _).distinct()
-      val fresh = applyRuleOnce(hr.rule, pool)
+      // materialize `fresh` once: it feeds BOTH the levelFacts checkpoint
+      // below and the caller's `produced` materialization — lazy, the
+      // whole scan/join/anti-join pipeline would run twice per rule.
+      // Rebased through an RDD round-trip rather than a bare
+      // localCheckpoint: the checkpoint's LogicalRDD keeps the plan's
+      // attribute ids AND origin constraints, and those shared ids in two
+      // later union branches trip Catalyst's Union constraint rewrite
+      // (the closureByDoubling doc's known trap — reproduced by
+      // HierarchySpec when this used localCheckpoint directly).
+      val freshLazy = applyRuleOnce(hr.rule, pool)
         .join(levelFacts(target), Seq("s", "p", "o"), "left_anti")
+      val fresh = freshLazy.sparkSession.createDataFrame(
+        freshLazy.localCheckpoint().rdd, freshLazy.schema)
       levelFacts(target) =
         levelFacts(target).unionByName(fresh).distinct().localCheckpoint()
       produced = produced.unionByName(fresh)

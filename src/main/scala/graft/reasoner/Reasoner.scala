@@ -189,8 +189,13 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       val derived = rules.map { r =>
         instantiateHead(r, evalBody(r, facts, None, defaultCond))
       }.reduce(_ unionByName _)
-      facts = facts.unionByName(derived).distinct().localCheckpoint()
-      val n = facts.count()
+      val next = facts.unionByName(derived).distinct().localCheckpoint()
+      val n = next.count()
+      // eagerly drop the superseded round's blocks — the weak-ref
+      // ContextCleaner rarely fires on an idle heap (same hygiene as
+      // AnnotatedReasoner.closureByDoubling)
+      Reasoner.unpersistCheckpoint(facts)
+      facts = next
       changed = n > size
       size = n
       round += 1
@@ -314,8 +319,11 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       val tRound = System.nanoTime()
       val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      t = t.unionByName(hop).distinct().localCheckpoint()
-      val n2 = t.count()
+      val next = t.unionByName(hop).distinct().localCheckpoint()
+      val n2 = next.count()
+      // drop the superseded round's blocks (AnnotatedReasoner hygiene)
+      Reasoner.unpersistCheckpoint(t)
+      t = next
       if (debug) println(f"[reasoner] doubling round $round: pairs=$n2, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (n2 == n) return t
       n = n2

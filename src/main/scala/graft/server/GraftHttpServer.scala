@@ -426,7 +426,15 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
 
   private def runQueries(queries: Seq[String], rules: Seq[String],
       rdf: Option[String], format: String): ObjectNode = {
-    val store = buildStore(rdf, format)
+    val store0 = buildStore(rdf, format)
+    // rule materialization INSERTS derived facts — never into the shared
+    // base store (a rule-bearing request would otherwise mutate it for
+    // every later request, racing concurrent handlers; review finding).
+    // Snapshot per request instead: the copy shares the base's immutable
+    // quads DataFrame, only the mutation lands in the copy.
+    val store =
+      if (rules.nonEmpty && rdf.isEmpty) QuadStore(spark, store0.quads)
+      else store0
     if (rules.nonEmpty) {
       val parsed = rules.map(SparqlParser().parseRule)
       new Reasoner(spark).materialize(store, parsed)

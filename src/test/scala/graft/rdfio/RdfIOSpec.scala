@@ -135,6 +135,46 @@ class RdfIOSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("turtle: SPARQL-style PREFIX (no dot), escaped backslash, 'a:' prefix") {
+    // PREFIX without a trailing dot merges with the next statement on the
+    // '.'-split — the prefix branch must parse the remainder, not drop it
+    val t1 = RdfIO.parseTurtleDoc(
+      "PREFIX ex: <http://ex/>\nex:a ex:b ex:c .")
+    assert(t1 == Seq(("http://ex/a", "http://ex/b", "http://ex/c")))
+    // literal ending in an ESCAPED backslash: the quote after \\ is real;
+    // the next statement must still parse
+    val t2 = RdfIO.parseTurtleDoc(
+      "<http://x/s> <http://x/p> \"a\\\\\" .\n<http://x/s2> <http://x/p2> <http://x/o2> .")
+    assert(t2.map(_._1) == Seq("http://x/s", "http://x/s2"))
+    assert(t2.head._3 == "a\\")
+    // prefix named 'a:' is a prefixed name, not the rdf:type keyword
+    val t3 = RdfIO.parseTurtleDoc(
+      "@prefix a: <http://ex/> .\na:s a:p a:o .")
+    assert(t3 == Seq(("http://ex/s", "http://ex/p", "http://ex/o")))
+    // bare 'a' keyword still works
+    val t4 = RdfIO.parseTurtleDoc("<http://x/s> a <http://x/C> .")
+    assert(t4.head._2 == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+  }
+
+  test("rdf/xml writer: NCName-suffix split for non-name locals; loud when impossible") {
+    import spark.implicits._
+    // local part '2020' is not a legal element name — the split walks back
+    // to the longest NCName suffix; all-digit locals cannot serialize
+    val bad = Seq(("http://x/s", "http://ex/2020", "o")).toDF("s", "p", "o")
+    val e = intercept[org.apache.spark.SparkException] {
+      val out = java.nio.file.Files.createTempDirectory("rdfxml").toString + "/d"
+      RdfIO.writeRdfXmlDir(bad, out)
+    }
+    assert(e.getMessage.contains("XML-name local part") ||
+      e.getCause != null && e.getCause.getMessage.contains("XML-name local part"))
+    // a digit-leading SEGMENT with a trailing name part still round-trips
+    val ok = Seq(("http://x/s", "http://ex/2020/name", "o")).toDF("s", "p", "o")
+    val out2 = java.nio.file.Files.createTempDirectory("rdfxml").toString + "/d2"
+    RdfIO.writeRdfXmlDir(ok, out2)
+    assert(RdfIO.readRdfXml(spark, out2).collect().map(_.toSeq).toSet ==
+      ok.collect().map(_.toSeq).toSet)
+  }
+
   test("loaded store is queryable end-to-end (employee dataset shape)") {
     val store = RdfIO.storeFromRdfXml(spark, res("employees.rdf"))
     val r = new Compiler(store).select("""

@@ -31,6 +31,20 @@ class BackwardChainingSpec extends SparkSpec {
     assert(sols == Set("b", "c", "d"))
   }
 
+  test("sibling subgoals resolved by the same rule stay independent") {
+    // pair(?x,?y) :- q(?x), q(?y); q(?a) :- base(?a). Depth-based
+    // freshening shared _r1_a across the two sibling q-resolutions and
+    // derived only the diagonal (review finding) — expect all 4 pairs.
+    val rules = Seq(
+      parse("RULE <r/p> :- CONSTRUCT { ?x <pair> ?y } WHERE { ?x <q> <t> . ?y <q> <t> }"),
+      parse("RULE <r/q> :- CONSTRUCT { ?a <q> <t> } WHERE { ?a <base> <t> }"))
+    val facts = Set(("1", "base", "t"), ("2", "base", "t"))
+    val bc = new BackwardChainer(facts, rules)
+    val sols = bc.solve(TriplePattern(Var("x"), Iri("pair"), Var("y")))
+      .map(s => (s("x"), s("y"))).toSet
+    assert(sols == Set(("1", "1"), ("1", "2"), ("2", "1"), ("2", "2")))
+  }
+
   test("unifies quoted-triple goals") {
     val qt = graft.model.TermLex.encodeQuoted("alice", "age", "30")
     val facts = Set((qt, "certainty", "0.9"))

@@ -139,7 +139,10 @@ class CompilerSpec extends SparkSpec {
   }
 
   test("DISTINCT inside aggregates: COUNT/SUM/AVG/GROUP_CONCAT set forms") {
-    val st = store(("a", "p", "1"), ("a", "p", "1"), ("a", "p", "3"))
+    // duplicate VALUES come from distinct triples: a repeated identical
+    // triple is ONE fact under set semantics (dataset_index HashSets —
+    // QuadStore.fromQuads now dedups it away)
+    val st = store(("a", "p", "1"), ("b", "p", "1"), ("a", "p", "3"))
     val r = rows(st, """SELECT (COUNT(DISTINCT ?v) AS ?n) (COUNT(?v) AS ?all)
       (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a)
       (GROUP_CONCAT(DISTINCT ?v) AS ?g) WHERE { ?x <p> ?v }""")
