@@ -42,10 +42,12 @@ object N3RuleParser extends RegexParsers {
   private final case class UIri(value: String) extends UTerm
   private final case class UPrefixed(value: String) extends UTerm
 
+  // identifier classes admit '_'/'-'/'.' — ?user_id and ex:has_purchase
+  // are everyday N3 names (SparqlParser's own varName/pname accept them)
   private def uterm: Parser[UTerm] =
-    """\?[A-Za-z0-9]+""".r ^^ (s => UVar(s.drop(1))) |
+    """\?[A-Za-z_][A-Za-z0-9_]*""".r ^^ (s => UVar(s.drop(1))) |
     """<[^>]*>""".r ^^ (s => UIri(s.substring(1, s.length - 1))) |
-    """[A-Za-z0-9]+:[A-Za-z0-9]+""".r ^^ (UPrefixed(_))
+    """[A-Za-z0-9_\-]+:[A-Za-z0-9_\-.]+""".r ^^ (UPrefixed(_))
 
   private def utriple: Parser[(UTerm, UTerm, UTerm)] =
     uterm ~ uterm ~ uterm <~ opt(".") ^^ { case s ~ p ~ o => (s, p, o) }
@@ -108,13 +110,13 @@ object N3RuleParser extends RegexParsers {
     val predToWindow = preds.flatMap { p =>
       sortedWindows.find(w => p.startsWith(w)).map(p -> _)
     }.toMap
-    val outputs = Seq.newBuilder[String]
+    // ordered dedup in O(N) — calling .result() inside the loop for a
+    // membership test materialized the list per predicate (review finding)
+    val outputs = scala.collection.mutable.LinkedHashSet.empty[String]
     preds.filterNot(predToWindow.contains).foreach { p =>
       prefixes.values.find(comp => p.startsWith(comp) &&
-          !windowWidths.contains(comp)).foreach { comp =>
-        if (!outputs.result().contains(comp)) outputs += comp
-      }
+          !windowWidths.contains(comp)).foreach(outputs += _)
     }
-    (rules, WindowContext(predToWindow, windowWidths, outputs.result()))
+    (rules, WindowContext(predToWindow, windowWidths, outputs.toList))
   }
 }

@@ -73,11 +73,16 @@ class SparqlParser extends RegexParsers {
   def bnode: Parser[BNode] = """_:([A-Za-z0-9_\-]+)""".r ^^ (s => BNode(s.drop(2)))
 
   def term: Parser[Term] =
-    quoted | varName ^^ (Var(_)) | literal | bnode | "a" ^^ (_ =>
-      Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")) | iri ^^ (Iri(_))
+    // iri (which includes prefixed names) must win over the bare `a`
+    // keyword, or a declared prefix named 'a:' splits after the 'a'
+    // (pathPrimary already orders it this way)
+    quoted | varName ^^ (Var(_)) | literal | bnode | iri ^^ (Iri(_)) |
+      "a" ^^ (_ => Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
 
   // ---- prologue ----------------------------------------------------------
-  def prefixDecl: Parser[Unit] = kw("PREFIX") ~> """[A-Za-z_][A-Za-z0-9_\-]*:""".r ~ iriRef ^^ {
+  // the prefix name may be empty: `PREFIX : <iri>` declares the default
+  // prefix that pname's `:w` form resolves against
+  def prefixDecl: Parser[Unit] = kw("PREFIX") ~> """([A-Za-z_][A-Za-z0-9_\-]*)?:""".r ~ iriRef ^^ {
     case p ~ i => prefixes += (p -> i); ()
   }
 
@@ -160,7 +165,10 @@ class SparqlParser extends RegexParsers {
           | "REPLACE" | "CONTAINS" | "STRSTARTS" | "STRENDS"
           | "ABS" | "CEIL" | "FLOOR" | "ROUND" | "COALESCE"
           | "MD5" | "SHA1" | "SHA256" | "SHA512"
-          | "REGEX" | "BOUND") => u
+          | "REGEX" | "BOUND"
+          // aggregates appear as Func inside HAVING — normalize case so
+          // the case-sensitive rewriteHaving recognizes `count(?e)` too
+          | "COUNT" | "SUM" | "MIN" | "MAX" | "AVG" | "GROUP_CONCAT" | "SAMPLE") => u
       case _ => n
     }, as)
   }
@@ -488,7 +496,9 @@ class SparqlParser extends RegexParsers {
 
   // ---- RSP-QL (`parser.rs:2594-2846`) ------------------------------------
   def duration: Parser[Long] =
-    """\d+""".r ~ opt(kw("ms") | kw("s") | kw("m") | kw("h")) ^^ {
+    // unit needs a word boundary: a bare kw("s") consumed the 'S' of a
+    // following STEP keyword, making `[RANGE 10 STEP 5]` unparseable
+    """\d+""".r ~ opt("""(?i)(ms|s|m|h)(?![A-Za-z0-9_])""".r) ^^ {
       case n ~ u => n.toLong * (u.map(_.toLowerCase) match {
         case Some("ms") => 1L; case Some("s") => 1000L
         case Some("m") => 60000L; case Some("h") => 3600000L; case None => 1000L
@@ -597,11 +607,15 @@ class SparqlParser extends RegexParsers {
       val start = handleWhiteSpace(source, in.offset)
       if (start >= source.length || source.charAt(start) != '{')
         return Failure("`{' expected", in.drop(start - in.offset))
-      var depth = 0; var i = start; var end = -1
+      // braces inside string literals don't count — "val}ue" must not
+      // close the block (escape-aware: \" stays inside the literal)
+      var depth = 0; var i = start; var end = -1; var inQ = false
       while (i < source.length && end < 0) {
         source.charAt(i) match {
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) end = i
+          case '\\' if inQ => i += 1 // skip the escaped char
+          case '"' => inQ = !inQ
+          case '{' if !inQ => depth += 1
+          case '}' if !inQ => depth -= 1; if (depth == 0) end = i
           case _ =>
         }
         i += 1

@@ -136,8 +136,20 @@ object SparqlPrinter {
       }
     }
     sb.append(s"WHERE { ${sel.where.map(printElement).mkString(" ")} }")
+    // the FULL modifier tail — the RSP grammar accepts HAVING / ORDER BY /
+    // LIMIT / OFFSET since r6 and dropping them here made print∘parse
+    // silently weaker (review finding)
     if (sel.groupBy.nonEmpty)
       sb.append(sel.groupBy.map("?" + _).mkString(" GROUP BY ", " ", ""))
+    if (sel.having.nonEmpty)
+      sb.append(sel.having.map(c => s"(${printCond(c)})")
+        .mkString(" HAVING ", " ", ""))
+    if (sel.orderBy.nonEmpty)
+      sb.append(sel.orderBy.map(k =>
+        if (k.asc) s"ASC(?${k.v})" else s"DESC(?${k.v})")
+        .mkString(" ORDER BY ", " ", ""))
+    sel.limit.foreach(n => sb.append(s" LIMIT $n"))
+    sel.offset.foreach(n => sb.append(s" OFFSET $n"))
     sb.toString
   }
 

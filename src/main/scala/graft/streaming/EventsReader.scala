@@ -21,9 +21,22 @@ object EventsReader {
   /** events with `ts` normalized to session-TZ TimestampType (the session
     * runs UTC), whatever physical type the parquet carries. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // harmless when ts is already micros; required to even load nanos
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val path = s"$dir/events.parquet"
+    // only flip the legacy flag when the file ACTUALLY carries
+    // TIMESTAMP(NANOS) (Spark refuses to load it otherwise) — setting it
+    // unconditionally changed how every later parquet read in the shared
+    // session interprets nanos columns (review finding). When the flag is
+    // needed it stays set for the session: it must still hold at
+    // execution time for this DataFrame's scans.
+    val df =
+      try s.read.parquet(path)
+      catch { case e: Exception
+          if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") ||
+            Option(e.getCause).exists(c =>
+              String.valueOf(c.getMessage).contains("TIMESTAMP(NANOS")) =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+      }
     df.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) read as epoch-ns long; integer
         // division — double division at ns-epoch magnitude loses precision

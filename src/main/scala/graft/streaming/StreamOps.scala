@@ -55,8 +55,10 @@ object StreamOps {
     })
   }
 
-  private def shiftWstart(rel: DataFrame, slide: String, back: Boolean): DataFrame = {
-    val secs = durationSeconds(slide) * (if (back) -1 else 1)
+  /** Relabel each firing's rows to the NEXT firing's wstart — "the
+    * previous firing's content, seen from firing t". */
+  private def relabelToNextFiring(rel: DataFrame, slide: String): DataFrame = {
+    val secs = durationSeconds(slide)
     rel.withColumn("wstart", date_format(
       to_timestamp(col("wstart")) + make_dt_interval(lit(0), lit(0), lit(0), lit(secs)),
       "yyyy-MM-dd HH:mm:ss"))
@@ -65,7 +67,7 @@ object StreamOps {
   /** ISTREAM over a window-relation sequence: rows newly present vs the
     * previous firing (`r2s.rs:24-38`). */
   def istream(rel: DataFrame, slide: String): DataFrame = {
-    val prev = shiftWstart(rel, slide, back = false)
+    val prev = relabelToNextFiring(rel, slide)
     rel.join(prev, rel.columns.toSeq, "left_anti")
   }
 
@@ -73,7 +75,7 @@ object StreamOps {
     * the current firing's timestamp (`r2s.rs:40-52`). Only firings that
     * actually exist in the relation sequence report deletions. */
   def dstream(rel: DataFrame, slide: String): DataFrame = {
-    val prevRelabeled = shiftWstart(rel, slide, back = false)
+    val prevRelabeled = relabelToNextFiring(rel, slide)
     val firings = rel.select("wstart").distinct()
     prevRelabeled.join(rel, rel.columns.toSeq, "left_anti")
       .join(firings, Seq("wstart"), "left_semi")

@@ -190,12 +190,32 @@ class ParserRoundTripSpec extends AnyFunSuite {
         TimeoutPolicy(250L, fallbackSteal = false)).map(Some(_)))
     star <- Gen.oneOf(true, false)
     proj <- Gen.listOfN(2, nameGen)
-  } yield RspQuery(kind, out, windows,
-    Select(distinct = false,
-      projection = if (star) Seq("*") else proj,
-      aggregates = Nil, where = blocks, groupBy = Nil,
-      orderBy = Nil, limit = None, offset = None, fromGraphs = Nil, fromNamed = Nil),
-    policy = policy)
+    // the r6 modifier tail: aggregates + GROUP BY + HAVING + ORDER/LIMIT
+    // (printRsp used to drop everything after GROUP BY — review finding)
+    withAgg <- Gen.oneOf(true, false)
+    aggVar <- nameGen
+    aggAlias <- nameGen.suchThat(_ != aggVar)
+    groupVar <- nameGen
+    havingN <- Gen.choose(1, 5)
+    withOrder <- Gen.oneOf(true, false)
+    limit <- Gen.frequency(2 -> Gen.const(None), 1 -> Gen.choose(1, 9).map(Some(_)))
+  } yield {
+    val aggs = if (withAgg && !star)
+      Seq(Aggregate("COUNT", Some(aggVar), aggAlias)) else Nil
+    RspQuery(kind, out, windows,
+      Select(distinct = false,
+        projection = if (star) Seq("*") else proj,
+        aggregates = aggs, where = blocks,
+        groupBy = if (aggs.nonEmpty) Seq(groupVar) else Nil,
+        having = if (aggs.nonEmpty)
+          Seq(Cmp(">=", ETerm(Var(aggAlias)), ETerm(Lit(havingN.toString))))
+        else Nil,
+        orderBy = if (withOrder && aggs.nonEmpty)
+          Seq(OrderKey(aggAlias, asc = true)) else Nil,
+        limit = if (aggs.nonEmpty) limit else None,
+        offset = None, fromGraphs = Nil, fromNamed = Nil),
+      policy = policy)
+  }
 
   test("RSP-QL REGISTER parse ∘ print ∘ parse fixpoint holds for 300 generated queries") {
     val parser = SparqlParser()

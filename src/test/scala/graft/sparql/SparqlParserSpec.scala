@@ -115,6 +115,33 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(q.windows == Seq(WindowSpec("w1", "stream1", 10000, 5000)))
   }
 
+  test("review regressions: bare-second RANGE/STEP, lowercase HAVING agg, default prefix, 'a:' prefix") {
+    // `[RANGE 10 STEP 5]` — the unit parser must not eat STEP's 'S'
+    val q = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <out> AS SELECT ?s
+      FROM NAMED WINDOW <w> ON <st> [RANGE 10 STEP 5]
+      WHERE { WINDOW <w> { ?s <p> ?o } }""")
+    assert(q.windows.head.rangeMs == 10000 && q.windows.head.stepMs == 5000)
+    // lowercase aggregate inside HAVING normalizes like every other keyword
+    val h = SparqlParser.select(
+      "SELECT ?u (count(?e) AS ?n) WHERE { ?u <p> ?e } GROUP BY ?u HAVING(count(?e) >= 2)")
+    assert(h.having.nonEmpty)
+    // default prefix declaration + use
+    val d = SparqlParser.select(
+      "PREFIX : <http://ex/> SELECT ?s WHERE { ?s :p :o }")
+    assert(d.where.collect { case Bgp(tps) => tps }.flatten.head.p ==
+      Iri("http://ex/p"))
+    // a prefix named 'a:' is a prefixed name, not the rdf:type keyword
+    val a = SparqlParser.select(
+      "PREFIX a: <http://ex/> SELECT ?s WHERE { ?s a:p a:o }")
+    assert(a.where.collect { case Bgp(tps) => tps }.flatten.head.p ==
+      Iri("http://ex/p"))
+    // bare 'a' keyword still means rdf:type
+    val t = SparqlParser.select("SELECT ?s WHERE { ?s a <C> }")
+    assert(t.where.collect { case Bgp(tps) => tps }.flatten.head.p ==
+      Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  }
+
   test("rejects malformed queries") {
     val bad = Seq(
       "SELECT WHERE { ?s <p> ?o }",          // no projection
