@@ -48,6 +48,10 @@ object Bench {
     // r6 session 3: Gopher quality gate + concat-and-chunk sequence
     // packing + DSIR importance weights
     "text_gopher_quality", "pipeline_pack_sequences", "pipeline_dsir_logw",
+    // r6 session 4: point-in-time join + sessionization on events,
+    // TF-IDF keywords + exact histogram percentiles on documents
+    "events_asof_join", "events_sessionize",
+    "text_tfidf_topk", "pipeline_percentiles",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators a large-scale analytics pipeline needs beside
+  * the windowed RSP plane: point-in-time (as-of) joins and gap-based
+  * sessionization. Beyond-reference surface (the reference's closest
+  * shape is the RSP plane's per-close latest-fired as-of map,
+  * `kolibrie/src/rsp_engine.rs` window close sequencing — these are the
+  * batch/relational generalizations).
+  *
+  * Scale notes: both operators are ONE hash shuffle on the join/session
+  * key followed by narrow window arithmetic — no range-join explosion,
+  * no per-key driver loop. The as-of join is the union-tag formulation
+  * (tag both sides, sort-merge once, carry the latest right payload
+  * forward with `last(ignoreNulls)`), the standard way to make
+  * point-in-time joins linear instead of the O(left × right-per-key)
+  * naive inequality join: at 100 TB the inequality join materializes
+  * every (left row × earlier right row) pair before ranking, while this
+  * shape never materializes more than the unioned input.
+  */
+object EventOps {
+
+  /** Backward (inclusive) as-of join: each left row picks the single
+    * right row with the same `keys` and the greatest `rightTs` ≤ its
+    * `leftTs`, carrying `payload` columns prefixed with `matched_`
+    * (null when no prior right row exists — left-join semantics).
+    *
+    * Ties are deterministic: among right rows sharing (keys, ts), the
+    * one greatest by `payload` column order wins (the window sorts by
+    * them, and `last` takes the final row of the frame). The payload is
+    * carried as ONE struct so all matched columns come from the SAME
+    * right row even when some payload fields are null.
+    *
+    * `toleranceMs`: with Some(t), a match older than `t` milliseconds
+    * (by the `tsMs` epoch-ms columns) is nulled out — pandas
+    * `merge_asof(tolerance=...)` semantics: the left row survives with
+    * null matched columns.
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsMs: String, rightTsMs: String, payload: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoinBackward: at least one key column")
+    require(payload.nonEmpty, "asOfJoinBackward: at least one payload column")
+    val leftCols = left.columns.toSeq
+    val matchedTs = "matched_" + rightTsMs
+    // union-tag: right rows (src=0) sort BEFORE left rows (src=1) at an
+    // equal timestamp, so the backward match is ts-inclusive
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTsMs).cast("long").as("__ts"), lit(0).as("__src"),
+        struct(col(rightTsMs).cast("long").as(matchedTs) +:
+          payload.map(c => col(c).as("matched_" + c)): _*).as("__pay")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTsMs).cast("long").as("__ts"), lit(1).as("__src"),
+        lit(null).cast(rightTagged.schema("__pay").dataType).as("__pay")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    // deterministic physical order inside ts ties: payload columns break
+    // right-right ties (last() then picks the payload-greatest row)
+    val order: Seq[Column] = col("__ts").asc +: col("__src").asc +:
+      payload.map(c => col("__pay")("matched_" + c).asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = rightTagged.unionByName(leftTagged)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+    val tolerated = toleranceMs match {
+      case Some(t) => joined.withColumn("__m",
+        when(col("__ts") - col("__m")(matchedTs) <= t, col("__m")))
+      case None => joined
+    }
+    tolerated.select(
+      leftCols.map(col) ++
+        (matchedTs +: payload.map("matched_" + _)).map(c => col("__m")(c).as(c)): _*)
+  }
+
+  /** Per-event session assignment: a new session starts when the gap to
+    * the previous event of the same `keyCol` exceeds `gapMs`. Adds
+    * `session_no` (1-based per key, in time order). `tiebreak` makes the
+    * event order total when timestamps collide. One shuffle on the key;
+    * the lag and the running sum share the same window exchange. */
+  def sessionize(events: DataFrame, keyCol: String, tsMsCol: String,
+      gapMs: Long, tiebreak: Seq[String] = Seq.empty): DataFrame = {
+    require(gapMs > 0, "sessionize: gapMs must be positive")
+    val order = col(tsMsCol).asc +: tiebreak.map(col(_).asc)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val prev = lag(col(tsMsCol).cast("long"), 1).over(w)
+    events
+      .withColumn("__brk",
+        when(prev.isNull || col(tsMsCol).cast("long") - prev > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Per-session aggregates: (key, session_no, session_start, session_end,
+    * n_events, sum of `valueCol` rounded to 6). The groupBy keys start
+    * with the session key, so the window stage's hash partitioning
+    * already satisfies the aggregation's distribution — no second
+    * shuffle. */
+  def sessions(events: DataFrame, keyCol: String, tsMsCol: String,
+      gapMs: Long, valueCol: String, tiebreak: Seq[String] = Seq.empty): DataFrame =
+    sessionize(events, keyCol, tsMsCol, gapMs, tiebreak)
+      .groupBy(col(keyCol), col("session_no"))
+      .agg(
+        min(col(tsMsCol).cast("long")).as("session_start"),
+        max(col(tsMsCol).cast("long")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+}

@@ -333,4 +333,35 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fp", fingerprint(t))
   }
+
+  /** Per-document top-`k` keywords by smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn smooth-idf formula).
+    *
+    * Scale shape: term frequencies are one (doc, term) shuffle with
+    * map-side combine; document frequencies derive from THAT aggregate
+    * (never a second corpus pass — `tf` is checkpointed so the scoring
+    * join reuses it); the vocabulary join shuffles on term (NOT broadcast
+    * — a 100 TB corpus's vocabulary is executor-sized, not driver-sized);
+    * the rank is a doc-partitioned window. Ranking compares the ROUNDED
+    * score (6 decimals) with a term-asc tiebreak so the winner is
+    * identical across engines — raw-double ordering can flip near-equal
+    * scores on the last ulp of `ln`. */
+  def tfidfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text", checkpointTf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "tfidfTopK: k must be positive")
+    val n = docs.count().toDouble
+    val tf0 = docs
+      .select(col(idCol), explode(tokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = round(col("tf") *
+      (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+    tf.join(df, Seq("term"))
+      .select(col(idCol), col("term"), score.as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+  }
 }

@@ -338,7 +338,19 @@ object PipelineSuite {
       val seeded = docs(s, dir)
         .select(col("doc_id"), array_join(lines, "\n").as("text"))
       TextAnalysis.c4Clean(seeded)
-    }))
+    }),
+
+    // per-document top-3 TF-IDF keywords (smoothed idf; rounded-score
+    // ranking so the winner is engine-portable)
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), k = 3)),
+
+    // exact nearest-rank percentiles of per-document token counts —
+    // histogram aggregation, NOT a global sort or approx_percentile
+    "pipeline_percentiles" -> ((s, dir) =>
+      graft.pipeline.CorpusStats.exactPercentiles(
+        docs(s, dir).select(TextAnalysis.tokenCount(col("text")).as("n_toks")),
+        "n_toks", Seq(0.5, 0.9, 0.99))))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -1032,5 +1044,37 @@ object PipelineSuite {
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
               '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
               '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS scrubbed
-          FROM s""")
+          FROM s""",
+
+    // smoothed TF-IDF: tf * (ln((N+1)/(df+1)) + 1); the rank compares
+    // the ROUNDED score (term-asc tiebreak) so both engines agree
+    "text_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          sc AS (SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1), 6) AS tfidf
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+          r AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS rank
+                FROM sc)
+          SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 3""",
+
+    // exact nearest-rank percentiles of the token-count distribution
+    "pipeline_percentiles" ->
+      """WITH c AS (SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+                      AS BIGINT) AS v FROM documents),
+          h AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+          cu AS (SELECT v, sum(cnt) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+          n AS (SELECT count(*) AS n FROM c),
+          p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+          SELECT p.p, min(cu.v) AS value
+          FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
+          GROUP BY p.p""")
 }

@@ -131,6 +131,29 @@ object RelationalSuite {
         .filter(col("p_retailprice") > col("avg_price") * 1.01)
         .select(col("p_partkey"), col("p_type"),
           round(col("p_retailprice"), 2).as("p_retailprice"))
+    }),
+
+    // point-in-time join: each purchase picks the latest prior view of
+    // the same user (union-tag + window — ONE key shuffle, no range-join
+    // pair explosion; the DuckDB oracle IS the quadratic inequality join
+    // this shape avoids). graft.pipeline.EventOps.asOfJoinBackward.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tms"), round(col("value"), 6).as("value"))
+      graft.pipeline.EventOps
+        .asOfJoinBackward(purchases, views, Seq("user_id"), "tms", "tms", Seq("value"))
+    }),
+
+    // gap-based sessionization: 12 h inactivity closes a session; the
+    // session assignment (lag + running sum) and the per-session
+    // aggregate share one user_id shuffle.
+    "events_sessionize" -> ((s, dir) => {
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
+      graft.pipeline.EventOps.sessions(ev, "user_id", "tms",
+        gapMs = 12L * 3600 * 1000, valueCol = "value", tiebreak = Seq("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -209,5 +232,34 @@ object RelationalSuite {
       """SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice
          FROM part
          WHERE p_retailprice > 1.01 * (SELECT AVG(p2.p_retailprice) FROM part p2
-                                       WHERE p2.p_type = part.p_type)""")
+                                       WHERE p2.p_type = part.p_type)""",
+
+    // the inequality-join-then-rank formulation the Spark side avoids;
+    // ties broken by (ts desc, value desc) = the union-tag window's
+    // (ts asc, value asc) + last()
+    "events_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                    FROM events WHERE event_type = 'purchase'),
+          r AS (SELECT user_id, epoch_ms(ts) AS rms, round(value, 6) AS value
+                FROM events WHERE event_type = 'view')
+          SELECT l.event_id, l.user_id, l.tms,
+                 r.rms AS matched_tms, r.value AS matched_value
+          FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rms <= l.tms
+          QUALIFY row_number() OVER (PARTITION BY l.event_id
+            ORDER BY r.rms DESC NULLS LAST, r.value DESC NULLS LAST) = 1""",
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value
+                    FROM events),
+          g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                                 OR tms - lag(tms) OVER w > 43200000
+                               THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM g)
+          SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                 min(tms) AS session_start, max(tms) AS session_end,
+                 count(*) AS n_events, round(sum(value), 6) AS sum_value
+          FROM s GROUP BY user_id, session_no""")
 }

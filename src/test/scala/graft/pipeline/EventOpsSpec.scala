@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** EventOps: backward as-of join (union-tag + window shape) and gap-based
+  * sessionization, on hand-computable fixtures. */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    // (event_id, user, tms)
+    (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L),
+    (4L, 20L, 100L), (5L, 30L, 100L)
+  ).toDF("event_id", "user_id", "tms")
+
+  private def right = Seq(
+    // (user, tms, value)
+    (10L, 90L, 1.0), (10L, 200L, 2.0), (10L, 205L, 3.0),
+    (20L, 100L, 4.0), (20L, 100L, 5.0), // tie on ts: greater payload wins
+    (40L, 10L, 9.0)
+  ).toDF("user_id", "tms", "value")
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val out = EventOps
+      .asOfJoinBackward(left, right, Seq("user_id"), "tms", "tms", Seq("value"))
+      .select("event_id", "matched_tms", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v, p) => k -> ((v, p)) }.toMap
+    // plain backward match
+    assert(out(1L) == ((Some(90L), Some(1.0))))
+    // ts-inclusive: right row AT 205 matches left AT 205
+    assert(out(2L) == ((Some(205L), Some(3.0))))
+    // no right row at or before ts → left-join nulls
+    assert(out(3L) == ((None, None)))
+    // same-ts right duplicates: deterministic greatest-payload winner
+    assert(out(4L) == ((Some(100L), Some(5.0))))
+    // user with no right rows at all survives with nulls
+    assert(out(5L) == ((None, None)))
+  }
+
+  test("as-of join tolerance nulls out matches older than the window") {
+    val out = EventOps
+      .asOfJoinBackward(left, right, Seq("user_id"), "tms", "tms", Seq("value"),
+        toleranceMs = Some(10L))
+      .select("event_id", "matched_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0)) // 100 - 90 = 10 ≤ 10 → kept
+    assert(out(2L).contains(3.0)) // exact-ts match, age 0
+    assert(out(4L).contains(5.0)) // age 0
+    assert(out(5L).isEmpty)
+    // and a match just outside: left at 205 for user 10 against a
+    // 4ms-tighter window drops the age-0 match? no — stays; instead
+    // check user 10's event at 100 with tolerance 5 (age 10 > 5)
+    val tight = EventOps
+      .asOfJoinBackward(left, right, Seq("user_id"), "tms", "tms", Seq("value"),
+        toleranceMs = Some(5L))
+      .select("event_id", "matched_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(tight(1L).isEmpty) // age 10 > 5 → nulled, row kept
+  }
+
+  test("as-of join carries all matched columns from the SAME right row") {
+    // latest right row has a NULL payload field: a per-column
+    // last(ignoreNulls) would mix rows; the struct carry must not
+    val r = Seq(
+      (10L, Some(90L), Some(1.0), Some("a")),
+      (10L, Some(95L), None, Some("b")) // later row, null value
+    ).toDF("user_id", "tms", "value", "tag")
+      .select(col("user_id"), col("tms").cast("long").as("tms"),
+        col("value"), col("tag"))
+    val out = EventOps
+      .asOfJoinBackward(left.filter($"event_id" === 1L), r,
+        Seq("user_id"), "tms", "tms", Seq("value", "tag"))
+      .select("matched_tms", "matched_value", "matched_tag")
+      .as[(Option[Long], Option[Double], Option[String])].head()
+    assert(out == ((Some(95L), None, Some("b"))))
+  }
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val ev = Seq(
+      (10L, 0L, 1.0), (10L, 100L, 2.0), (10L, 1101L, 3.0), (10L, 1200L, 4.0),
+      (20L, 5L, 5.0)
+    ).toDF("user_id", "tms", "value")
+    val s = EventOps.sessions(ev, "user_id", "tms", gapMs = 1000L, valueCol = "value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(s == Set(
+      (10L, 1L, 0L, 100L, 2L, 3.0), // gap 1001 > 1000 splits here
+      (10L, 2L, 1101L, 1200L, 2L, 7.0),
+      (20L, 1L, 5L, 5L, 1L, 5.0)))
+    // a gap of exactly gapMs does NOT split
+    val ev2 = Seq((1L, 0L, 1.0), (1L, 1000L, 1.0)).toDF("user_id", "tms", "value")
+    assert(EventOps.sessions(ev2, "user_id", "tms", 1000L, "value").count() == 1L)
+  }
+
+  test("as-of join and sessionize plans stay one-key-shuffle shaped") {
+    val asOfPlan = EventOps
+      .asOfJoinBackward(left, right, Seq("user_id"), "tms", "tms", Seq("value"))
+      .queryExecution.executedPlan.toString
+    // the union-tag shape: no join operator at all, one window
+    assert(!asOfPlan.contains("Join"), s"as-of join must not plan a join:\n$asOfPlan")
+    assert(asOfPlan.contains("Window"))
+    val sessPlan = EventOps
+      .sessions(left.withColumn("value", lit(1.0)), "user_id", "tms", 1000L, "value")
+      .queryExecution.executedPlan.toString
+    // lag window + running-sum window + aggregate share ONE exchange
+    assert(sessPlan.split("Exchange").length - 1 == 1,
+      s"sessionize must shuffle exactly once:\n$sessPlan")
+  }
+}

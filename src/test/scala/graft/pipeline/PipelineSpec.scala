@@ -696,4 +696,39 @@ class PipelineSpec extends SparkSpec {
     // empty doc contributes nothing
     assert(!spans.exists(_._2 == 3L))
   }
+
+  test("tfidf top-k: rare terms outrank common ones, ranks are dense") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2 beats common tf=1 df=3
+    assert(out(1L) == Seq("apple", "banana"))
+    // doc 3: cherry (df=1) beats common (df=3)
+    assert(out(3L) == Seq("cherry", "common"))
+    // doc 2: common tf=2 (idf ln(4/4)+1=1 → 2.0) vs banana tf=1
+    // idf ln(4/3)+1 ≈ 1.2877 → common wins
+    assert(out(2L) == Seq("common", "banana"))
+    // k caps the output per doc
+    assert(TextAnalysis.tfidfTopK(df, k = 1).count() == 3)
+  }
+
+  test("exact percentiles: nearest-rank over a known distribution") {
+    import spark.implicits._
+    // values 1..100 once each: p50 → 50, p90 → 90, p99 → 99, p1 → 1
+    val df = (1 to 100).toDF("v")
+    val out = CorpusStats.exactPercentiles(df, "v", Seq(0.01, 0.5, 0.9, 0.99))
+      .as[(Double, Long)].collect().toMap
+    assert(out == Map(0.01 -> 1L, 0.5 -> 50L, 0.9 -> 90L, 0.99 -> 99L))
+    // duplicates: [1,1,1,9] → p50 = ceil(2)nd value = 1, p99 → 9
+    val dup = Seq(1, 1, 1, 9).toDF("v")
+    val o2 = CorpusStats.exactPercentiles(dup, "v", Seq(0.5, 0.99))
+      .as[(Double, Long)].collect().toMap
+    assert(o2 == Map(0.5 -> 1L, 0.99 -> 9L))
+  }
 }
