@@ -350,7 +350,21 @@ object PipelineSuite {
     "pipeline_percentiles" -> ((s, dir) =>
       graft.pipeline.CorpusStats.exactPercentiles(
         docs(s, dir).select(TextAnalysis.tokenCount(col("text")).as("n_toks")),
-        "n_toks", Seq(0.5, 0.9, 0.99))))
+        "n_toks", Seq(0.5, 0.9, 0.99))),
+
+    // BPE tokenizer: 200 merges trained from the distributed word
+    // histogram (corpus touched once; merge loop over the bounded
+    // histogram), then distributed encode under the broadcast merge
+    // ranks. No SQL oracle — merge application is inherently iterative;
+    // rows-only driver check, semantics pinned by BpeSpec's classic
+    // Sennrich walkthrough.
+    "pipeline_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.pipeline.Bpe.train(d, numMerges = 200)
+      graft.pipeline.Bpe.encode(d, merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
+    }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 

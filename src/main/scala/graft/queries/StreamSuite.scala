@@ -41,6 +41,17 @@ object StreamSuite {
         StreamOps.windowRelation(events(s, dir), "ts", "1 hour", "1 hour",
           Seq("event_type")), "1 hour")),
 
+    // gap-based session windows via Spark's NATIVE session_window operator
+    // (batch leg; the streaming merge-across-microbatches leg is pinned in
+    // StreamingSpec). Timestamps are ms-truncated so the split decision is
+    // bit-identical to the DuckDB mirror's epoch-ms arithmetic.
+    "stream_session_agg" -> ((s, dir) => {
+      val e = graft.streaming.EventsReader.eventsMs(s, dir)
+        .withColumn("tsms", timestamp_millis(col("tms")))
+      StreamOps.sessionWindowAgg(e, "tsms", "12 hours", Seq("user_id"),
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv")))
+    }),
+
     // Distributed RSP data plane end-to-end: events triplized, RSP-QL
     // parsed, WINDOW-block BGP (star join on ?e + constant filter)
     // compiled to (close, vars) equi-joins over exploded CSPARQL windows —
@@ -350,6 +361,22 @@ object StreamSuite {
               SELECT 1 FROM rel f
               WHERE strptime(f.wstart, '%Y-%m-%d %H:%M:%S') =
                     strptime(p.wstart, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 HOUR)""",
+
+    // session_window splits when the gap is >= 12h (the window is
+    // [first, last + gap)); ms-truncated on both sides
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value
+                    FROM events),
+          g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                                 OR tms - lag(tms) OVER w >= 43200000
+                               THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+          SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sv,
+                 MIN(tms) AS sstart, MAX(tms) + 43200000 AS send
+          FROM s GROUP BY user_id, sid""",
 
     "stream_window_bgp" ->
       s"""WITH ev AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,

@@ -43,6 +43,23 @@ object StreamOps {
       cols: Seq[String]): DataFrame =
     windowed(df, tsCol, width, slide).select(("wstart" +: cols).map(col): _*).distinct()
 
+  /** Gap-based session windows via Spark's NATIVE `session_window`
+    * operator (beyond-reference: the reference's S2R plane is time-driven
+    * only). Sessions split when consecutive events per group are ≥ `gap`
+    * apart; the window is [first_ts, last_ts + gap). Emits
+    * `sstart`/`send` as epoch millis. Works identically on batch and
+    * streaming inputs — streaming needs `withWatermark(tsCol, …)`
+    * upstream and merges sessions across micro-batches in state (the
+    * batch-vs-stream parity is pinned by StreamingSpec). One shuffle on
+    * (group, session), same as any keyed aggregation. */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, gap: String,
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sstart", unix_millis(col("session_window.start")))
+      .withColumn("send", unix_millis(col("session_window.end")))
+      .drop("session_window")
+
   /** "2 hours" / "30 minutes" / "10 seconds" → seconds. */
   def durationSeconds(d: String): Long = {
     val Array(n, u) = d.trim.split("\\s+")

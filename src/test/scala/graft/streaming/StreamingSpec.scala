@@ -73,4 +73,49 @@ class StreamingSpec extends SparkSpec {
     // rstream is identity
     assert(StreamOps.rstream(rel).collect().length == rel.collect().length)
   }
+
+  test("session_window streaming leg merges across micro-batches, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("tms", "user_id", "value")
+      .withColumn("ts", timestamp_millis(col("tms")))
+      .withWatermark("ts", "0 seconds")
+    val agg = StreamOps.sessionWindowAgg(stream, "ts", "10 seconds",
+      Seq("user_id"), Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv")))
+    val sink = s"session_win_${System.nanoTime()}"
+    val sq = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // user 1: one session spanning batches (0 s, 5 s, 9 s), then a new
+    // session at 60 s; user-99 sentinels only advance the watermark
+    val batches = Seq(
+      Seq((0L, 1L, 1.0), (5000L, 1L, 2.0)),
+      Seq((9000L, 1L, 3.0), (60000L, 1L, 4.0)),
+      Seq((1000000L, 99L, 0.0)),
+      Seq((2000000L, 99L, 0.0)))
+    try {
+      batches.foreach { b => mem.addData(b); sq.processAllAvailable() }
+      val got = spark.table(sink)
+        .filter(col("user_id") === 1L)
+        .select("user_id", "n", "sv", "sstart", "send")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // the 0/5/9 s events are ONE session even though they straddle a
+      // micro-batch boundary: [0, 19000); the 60 s event is its own
+      assert(got == Set(
+        (1L, 3L, 6.0, 0L, 19000L),
+        (1L, 1L, 4.0, 60000L, 70000L)), s"streaming sessions: $got")
+      // batch leg over the same rows produces the identical relation
+      import spark.implicits._
+      val batchDf = batches.flatten.toDF("tms", "user_id", "value")
+        .withColumn("ts", timestamp_millis(col("tms")))
+      val batchGot = StreamOps.sessionWindowAgg(batchDf, "ts", "10 seconds",
+        Seq("user_id"), Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv")))
+        .filter(col("user_id") === 1L)
+        .select("user_id", "n", "sv", "sstart", "send")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batchGot == got, s"batch $batchGot != streaming $got")
+    } finally sq.stop()
+  }
 }
