@@ -52,6 +52,9 @@ object Bench {
     // TF-IDF keywords + exact histogram percentiles on documents
     "events_asof_join", "events_sessionize",
     "text_tfidf_topk", "pipeline_percentiles",
+    // r6 session 5: native session windows + BPE train-and-encode +
+    // distributed-GD quality classifier
+    "stream_session_agg", "pipeline_bpe_encode", "pipeline_quality_classifier",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

@@ -364,6 +364,17 @@ object PipelineSuite {
       graft.pipeline.Bpe.encode(d, merges)
         .select(col("doc_id"), col("n_bpe_tokens"),
           array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
+    }),
+
+    // fastText-shaped quality classifier TRAINED here: 2 full-batch GD
+    // steps over md5-60-hashed 1+2-gram features (dim 64), label =
+    // "contains token 'spark'". The oracle unrolls the identical two
+    // steps as SQL CTEs — training, not just scoring, is hash-checked.
+    "pipeline_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      graft.pipeline.QualityClassifier.trainAndScore(
+        d, array_contains(split(trim(lower(col("text"))), "\\s+"), "spark"),
+        dim = 64, iters = 2, lr = 5.0)
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
@@ -958,6 +969,52 @@ object PipelineSuite {
           SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
                  COALESCE(sc.logw, 0.0) AS logw
           FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // the classifier's two GD steps unrolled: w=0,b=0 → p=0.5 (err0),
+    // bucket gradient + bias step → w1,b1 → margins → err1 → w2,b2 →
+    // final sigmoid scores. Same md5-60 buckets, same L1-normalized
+    // 1+2-gram features, lr=5, n = |documents|.
+    "pipeline_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\s+') AS w
+                      FROM documents),
+          lab AS (SELECT doc_id, CASE WHEN list_contains(w, 'spark')
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+                  FROM tok),
+          g AS (SELECT doc_id, unnest(w) AS gram FROM tok
+                UNION ALL
+                SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                  ELSE [] END) AS gram FROM tok),
+          db AS (SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT % 64 AS bucket,
+                   count(*) AS c
+                 FROM g GROUP BY 1, 2),
+          dt AS (SELECT doc_id, sum(c) AS tot FROM db GROUP BY 1),
+          feat AS (SELECT db.doc_id, bucket, CAST(c AS DOUBLE) / tot AS x
+                   FROM db JOIN dt USING (doc_id)),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+          e0 AS (SELECT doc_id, 0.5 - y AS err FROM lab),
+          w1 AS (SELECT bucket, -5.0 * sum(err * x) / (SELECT n FROM nn) AS w
+                 FROM feat JOIN e0 USING (doc_id) GROUP BY bucket),
+          b1 AS (SELECT -5.0 * sum(err) / (SELECT n FROM nn) AS b FROM e0),
+          xw1 AS (SELECT doc_id, sum(x * w1.w) AS sw
+                  FROM feat JOIN w1 USING (bucket) GROUP BY doc_id),
+          e1 AS (SELECT lab.doc_id, y,
+                   1.0/(1.0 + exp(-((SELECT b FROM b1) + COALESCE(sw, 0.0)))) - y AS err
+                 FROM lab LEFT JOIN xw1 USING (doc_id)),
+          w2 AS (SELECT bucket,
+                   w1.w - 5.0 * sum(err * x) / (SELECT n FROM nn) AS w
+                 FROM feat JOIN e1 USING (doc_id) JOIN w1 USING (bucket)
+                 GROUP BY bucket, w1.w),
+          b2 AS (SELECT (SELECT b FROM b1)
+                   - 5.0 * sum(err) / (SELECT n FROM nn) AS b FROM e1),
+          xw2 AS (SELECT doc_id, sum(x * w2.w) AS sw
+                  FROM feat JOIN w2 USING (bucket) GROUP BY doc_id)
+          SELECT lab.doc_id, y,
+                 ROUND(1.0/(1.0 + exp(-((SELECT b FROM b2) + COALESCE(sw, 0.0)))), 6)
+                   AS score
+          FROM lab LEFT JOIN xw2 USING (doc_id)""",
 
     // mirrors gopherQuality rule-for-rule; DuckDB trim() strips spaces
     // only, but the seeded text never starts/ends with a newline, so the
