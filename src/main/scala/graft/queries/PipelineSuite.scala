@@ -366,6 +366,25 @@ object PipelineSuite {
           array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
     }),
 
+    // KMV distinct-count sketch (custom TypedImperativeAggregate) per
+    // source: exact path on tokens (~31 distinct < k) AND estimator path
+    // on token×doc pairs (~600 distinct > k), beside the exact counts.
+    // md5-60 hashing makes the k-th smallest hash — hence the estimate —
+    // bit-reproducible in DuckDB.
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      graft.functions.KmvDistinct.register(s)
+      val tok = docs(s, dir).select(col("source"), col("doc_id"),
+        explode(TextAnalysis.tokens(trim(lower(col("text"))))).as("tok"))
+      val pair = concat_ws("|", col("tok"), col("doc_id"))
+      tok.groupBy("source").agg(
+        countDistinct(col("tok")).as("n_tok_exact"),
+        round(graft.functions.KmvDistinct(Dedup.md5Hash60(col("tok")), 128), 4)
+          .as("kmv_tok"),
+        countDistinct(pair).as("n_tokdoc_exact"),
+        round(graft.functions.KmvDistinct(Dedup.md5Hash60(pair), 128), 4)
+          .as("kmv_tokdoc"))
+    }),
+
     // fastText-shaped quality classifier TRAINED here: 2 full-batch GD
     // steps over md5-60-hashed 1+2-gram features (dim 64), label =
     // "contains token 'spark'". The oracle unrolls the identical two
@@ -969,6 +988,36 @@ object PipelineSuite {
           SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
                  COALESCE(sc.logw, 0.0) AS logw
           FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // k-th smallest distinct md5-60 hash per source reproduces the KMV
+    // estimate exactly; below k the sketch is exact (= max(rn))
+    "sketch_kmv_distinct" ->
+      """WITH t AS (SELECT source, doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                    FROM documents),
+          ht AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+          hd AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5(tok || '|' || doc_id), 1, 15))::BIGINT AS h
+                 FROM t),
+          rt AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM ht),
+          rd AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hd),
+          kt AS (SELECT source, CASE WHEN max(rn) < 128 THEN CAST(max(rn) AS DOUBLE)
+                   ELSE 127.0 * 1152921504606846976.0 / max(CASE WHEN rn = 128 THEN h END)
+                   END AS est
+                 FROM rt WHERE rn <= 128 GROUP BY source),
+          kd AS (SELECT source, CASE WHEN max(rn) < 128 THEN CAST(max(rn) AS DOUBLE)
+                   ELSE 127.0 * 1152921504606846976.0 / max(CASE WHEN rn = 128 THEN h END)
+                   END AS est
+                 FROM rd WHERE rn <= 128 GROUP BY source),
+          ex AS (SELECT source, count(DISTINCT tok) AS n_tok_exact,
+                   count(DISTINCT tok || '|' || doc_id) AS n_tokdoc_exact
+                 FROM t GROUP BY source)
+          SELECT ex.source, n_tok_exact, ROUND(kt.est, 4) AS kmv_tok,
+                 n_tokdoc_exact, ROUND(kd.est, 4) AS kmv_tokdoc
+          FROM ex JOIN kt USING (source) JOIN kd USING (source)""",
 
     // the classifier's two GD steps unrolled: w=0,b=0 → p=0.5 (err0),
     // bucket gradient + bias step → w1,b1 → margins → err1 → w2,b2 →
