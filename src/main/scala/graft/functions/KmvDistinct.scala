@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   * h_(k) is the k-th smallest hash and `domain` the hash range — the
   * standard unbiased KMV estimator with relative error ≈ 1/√(k−2).
   *
-  * The input is an already-hashed non-negative long (caller picks
+  * The input is an already-hashed NON-NEGATIVE long (caller picks
   * [[graft.pipeline.Dedup.md5Hash60]] for engine portability — then the
   * whole sketch, including the estimate, is bit-reproducible in DuckDB
-  * from the k-th smallest distinct hash — or xxhash64 for speed).
+  * from the k-th smallest distinct hash — or, for speed,
+  * `xxhash64(...).bitwiseAND(Long.MaxValue)` with domainBits = 63; raw
+  * xxhash64 is signed and a negative value is rejected at update time
+  * rather than silently corrupting the estimator).
   * Deterministic by construction: the k smallest of a multiset do not
   * depend on encounter order, unlike HLL register races.
   *
@@ -74,6 +77,9 @@ final case class KmvDistinct(child: Expression, k: Int, domainBits: Int,
   /** True if the value entered the sketch (or a smaller one still
     * could); false signals an ascending caller it may stop. */
   private def insert(buf: java.util.TreeSet[java.lang.Long], v0: Long): Boolean = {
+    if (v0 < 0) throw new IllegalArgumentException(
+      s"kmv_distinct input hash $v0 is negative — mask the hash into the " +
+        "declared domain (e.g. xxhash64(c) & Long.MaxValue with domainBits=63)")
     val v: java.lang.Long = v0
     if (buf.size < k) { buf.add(v); true }
     else if (v0 < buf.last()) {
@@ -128,7 +134,12 @@ object KmvDistinct {
       "built-in")
 
   /** kmv_distinct(hash, k) over the md5-60 domain. */
-  def apply(hash: Column, k: Int): Column =
+  def apply(hash: Column, k: Int): Column = apply(hash, k, domainBits = 60)
+
+  /** kmv_distinct(hash, k) over a caller-declared hash domain
+    * [0, 2^domainBits) — 63 for sign-masked xxhash64. */
+  def apply(hash: Column, k: Int, domainBits: Int): Column =
     call_function("kmv_distinct", hash,
-      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(60))
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(domainBits))
 }

@@ -20,19 +20,15 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Distributed word histogram: top `maxWords` whitespace words by
-    * (count desc, word asc). The ranking window runs over the AGGREGATED
-    * vocabulary (the [[TextAnalysis.vocabulary]] discipline). */
+    * (count desc, word asc) — [[TextAnalysis.vocabulary]] over the
+    * lowered text (ONE ranking surface; empty words filtered before the
+    * cap so they never occupy a rank slot). */
   def wordHistogram(docs: DataFrame, maxWords: Int,
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)))
-      .filter(col("rank") <= maxWords)
-      .drop("rank")
-  }
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.vocabulary(
+        docs.select(lower(trim(col(textCol))).as("text")), maxWords,
+        minTokenLength = 1)
+      .select(col("token").as("word"), col("cnt"))
 
   /** Driver-side merge learning over a word histogram: `numMerges`
     * rounds of (count all adjacent symbol pairs weighted by word count,
@@ -111,17 +107,20 @@ object Bpe {
   }
 
   /** Distributed encode: (id, bpe_tokens: array<string>, n_bpe_tokens).
-    * The merge table broadcasts (it is ≤ numMerges entries — KB-sized);
-    * the UDF is narrow and touches each document once. */
+    * The merge-rank table ships in the task closure — ≤ numMerges
+    * entries, KB-sized, with no broadcast-variable lifecycle to leak
+    * across repeated calls in a long session. Lowercasing uses
+    * Locale.ROOT to match the SQL `lower()` the histogram was trained
+    * with (a tr-TR executor default locale would otherwise dot/undot
+    * 'i' differently and miss every learned merge on such words). The
+    * UDF is narrow and touches each document once. */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
     val ranks = merges.zipWithIndex.toMap
-    val bc = spark.sparkContext.broadcast(ranks)
     val enc = udf((text: String) =>
       if (text == null) Array.empty[String]
-      else text.toLowerCase.trim.split("\\s+").toSeq
-        .filter(_.nonEmpty).flatMap(w => applyMerges(w, bc.value)).toArray)
+      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(w => applyMerges(w, ranks)).toArray)
     docs.select(col(idCol), enc(col(textCol)).as("bpe_tokens"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }

@@ -87,7 +87,9 @@ object EventOps {
   def sessionize(events: DataFrame, keyCol: String, tsMsCol: String,
       gapMs: Long, tiebreak: Seq[String] = Seq.empty): DataFrame = {
     require(gapMs > 0, "sessionize: gapMs must be positive")
-    val order = col(tsMsCol).asc +: tiebreak.map(col(_).asc)
+    // order by the SAME cast the gap arithmetic uses — a string-typed ms
+    // column would otherwise sort lexicographically under a numeric gap
+    val order = col(tsMsCol).cast("long").asc +: tiebreak.map(col(_).asc)
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val prev = lag(col(tsMsCol).cast("long"), 1).over(w)
     events

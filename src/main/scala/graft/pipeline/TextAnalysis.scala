@@ -274,9 +274,11 @@ object TextAnalysis {
     * the AGGREGATED vocabulary (bounded by distinct-token count, not
     * corpus size), which is the standard tokenizer-training shape: 100 TB
     * of text reduces to a vocab table that fits anywhere. */
-  def vocabulary(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+  def vocabulary(docs: DataFrame, k: Int, textCol: String = "text",
+      minTokenLength: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minTokenLength)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)))

@@ -349,15 +349,16 @@ object PipelineSuite {
     // histogram aggregation, NOT a global sort or approx_percentile
     "pipeline_percentiles" -> ((s, dir) =>
       graft.pipeline.CorpusStats.exactPercentiles(
-        docs(s, dir).select(TextAnalysis.tokenCount(col("text")).as("n_toks")),
+        docs(s, dir).select(
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
         "n_toks", Seq(0.5, 0.9, 0.99))),
 
     // BPE tokenizer: 200 merges trained from the distributed word
     // histogram (corpus touched once; merge loop over the bounded
-    // histogram), then distributed encode under the broadcast merge
-    // ranks. No SQL oracle — merge application is inherently iterative;
-    // rows-only driver check, semantics pinned by BpeSpec's classic
-    // Sennrich walkthrough.
+    // histogram), then distributed encode under the closure-shipped
+    // merge ranks. No SQL oracle — merge application is inherently
+    // iterative; rows-only driver check, semantics pinned by BpeSpec's
+    // classic Sennrich walkthrough.
     "pipeline_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.pipeline.Bpe.train(d, numMerges = 200)
@@ -1194,7 +1195,7 @@ object PipelineSuite {
                    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
           n AS (SELECT count(*) AS n FROM c),
           p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
-          SELECT p.p, min(cu.v) AS value
+          SELECT CAST(p.p AS DOUBLE) AS p, min(cu.v) AS value
           FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
           GROUP BY p.p""")
 }

@@ -45,6 +45,25 @@ class KmvDistinctSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("negative hash input is rejected, not silently mis-estimated") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(-1L, 2L).toDF("h")
+        .agg(call_function("kmv_distinct", $"h", lit(8), lit(60))).collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative")))
+  }
+
+  test("sign-masked xxhash64 with domainBits=63 estimates correctly") {
+    val vals = (1 to 2000).map(i => s"m$i")
+    val est = vals.toDF("s")
+      .select(KmvDistinct(xxhash64($"s").bitwiseAND(lit(Long.MaxValue)),
+        k = 64, domainBits = 63).as("e"))
+      .as[Double].head()
+    assert(math.abs(est - 2000.0) / 2000.0 < 4.0 / math.sqrt(62.0),
+      s"estimate $est too far from 2000")
+  }
+
   test("grouped sketches, nulls ignored, empty group = 0") {
     val df = Seq(("a", Some("t1")), ("a", Some("t2")), ("a", None),
       ("b", Some("t1"))).toDF("g", "s")

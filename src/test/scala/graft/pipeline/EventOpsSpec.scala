@@ -91,6 +91,14 @@ class EventOpsSpec extends SparkSpec {
     // a gap of exactly gapMs does NOT split
     val ev2 = Seq((1L, 0L, 1.0), (1L, 1000L, 1.0)).toDF("user_id", "tms", "value")
     assert(EventOps.sessions(ev2, "user_id", "tms", 1000L, "value").count() == 1L)
+    // review regression: a STRING ms column must order numerically ("9"
+    // before "100"), not lexicographically — same cast as the gap math
+    val evs = Seq((1L, "9", 1.0), (1L, "100", 2.0), (1L, "5000", 3.0))
+      .toDF("user_id", "tms", "value")
+    val got = EventOps.sessionize(evs, "user_id", "tms", gapMs = 1000L)
+      .select(col("tms"), col("session_no"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("9" -> 1L, "100" -> 1L, "5000" -> 2L))
   }
 
   test("as-of join and sessionize plans stay one-key-shuffle shaped") {

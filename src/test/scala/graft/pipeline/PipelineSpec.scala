@@ -730,5 +730,11 @@ class PipelineSpec extends SparkSpec {
     val o2 = CorpusStats.exactPercentiles(dup, "v", Seq(0.5, 0.99))
       .as[(Double, Long)].collect().toMap
     assert(o2 == Map(0.5 -> 1L, 0.99 -> 9L))
+    // review regression: fractional values keep their type — no silent
+    // long truncation ([1.4, 1.6, 2.6] p50 is 1.6, not 1)
+    val frac = Seq(1.4, 1.6, 2.6).toDF("v")
+    val o3 = CorpusStats.exactPercentiles(frac, "v", Seq(0.5))
+      .as[(Double, Double)].collect().toMap
+    assert(o3 == Map(0.5 -> 1.6))
   }
 }
