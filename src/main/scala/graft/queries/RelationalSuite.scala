@@ -154,6 +154,18 @@ object RelationalSuite {
       val ev = graft.streaming.EventsReader.eventsMs(s, dir)
       graft.pipeline.EventOps.sessions(ev, "user_id", "tms",
         gapMs = 12L * 3600 * 1000, valueCol = "value", tiebreak = Seq("event_id"))
+    }),
+
+    // PageRank over the order→part→supplier multigraph (Pregel-as-join:
+    // one edge join + one dst aggregation per iteration, dangling mass
+    // redistributed). The oracle unrolls the same three iterations.
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .unionAll(li.select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")))
+      graft.pipeline.GraphOps.pageRank(edges, iters = 3)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +273,39 @@ object RelationalSuite {
           SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
                  min(tms) AS session_start, max(tms) AS session_end,
                  count(*) AS n_events, round(sum(value), 6) AS sum_value
-          FROM s GROUP BY user_id, session_no""")
+          FROM s GROUP BY user_id, session_no""",
+
+    // three power iterations unrolled; pr'(v) = 0.15/N + 0.85*(in(v) + D/N)
+    // with D the dangling (supplier) mass — identical shapes per round
+    "graph_pagerank" ->
+      """WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+                    FROM lineitem
+                    UNION ALL
+                    SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem),
+          nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+                 FROM e GROUP BY 1),
+          base AS (SELECT nodes.node, od.outdeg FROM nodes LEFT JOIN od USING (node)),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+          p0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM nn) AS pr FROM base),
+          d1 AS (SELECT COALESCE(sum(pr), 0.0) AS d FROM p0 WHERE outdeg IS NULL),
+          c1 AS (SELECT e.dst AS node, sum(p.pr / p.outdeg) AS cin
+                 FROM e JOIN p0 p ON e.src = p.node GROUP BY e.dst),
+          p1 AS (SELECT b.node, b.outdeg, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * (COALESCE(c.cin, 0.0) + (SELECT d FROM d1) / (SELECT n FROM nn)) AS pr
+                 FROM base b LEFT JOIN c1 c USING (node)),
+          d2 AS (SELECT COALESCE(sum(pr), 0.0) AS d FROM p1 WHERE outdeg IS NULL),
+          c2 AS (SELECT e.dst AS node, sum(p.pr / p.outdeg) AS cin
+                 FROM e JOIN p1 p ON e.src = p.node GROUP BY e.dst),
+          p2 AS (SELECT b.node, b.outdeg, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * (COALESCE(c.cin, 0.0) + (SELECT d FROM d2) / (SELECT n FROM nn)) AS pr
+                 FROM base b LEFT JOIN c2 c USING (node)),
+          d3 AS (SELECT COALESCE(sum(pr), 0.0) AS d FROM p2 WHERE outdeg IS NULL),
+          c3 AS (SELECT e.dst AS node, sum(p.pr / p.outdeg) AS cin
+                 FROM e JOIN p2 p ON e.src = p.node GROUP BY e.dst),
+          p3 AS (SELECT b.node, b.outdeg, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * (COALESCE(c.cin, 0.0) + (SELECT d FROM d3) / (SELECT n FROM nn)) AS pr
+                 FROM base b LEFT JOIN c3 c USING (node))
+          SELECT node, ROUND(pr, 6) AS pr FROM p3""")
 }
