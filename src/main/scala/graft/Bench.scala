@@ -55,7 +55,7 @@ object Bench {
     // r6 session 5: native session windows + BPE train-and-encode +
     // distributed-GD quality classifier
     "stream_session_agg", "pipeline_bpe_encode", "pipeline_quality_classifier",
-    "sketch_kmv_distinct", "graph_pagerank",
+    "sketch_kmv_distinct", "graph_pagerank", "similarity_jl_project",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

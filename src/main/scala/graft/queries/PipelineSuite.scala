@@ -367,6 +367,14 @@ object PipelineSuite {
           array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
     }),
 
+    // Johnson–Lindenstrauss ±1 projection 64→16 over the embeddings
+    // table: hash-seeded sign matrix inlined as plan literals, per-row
+    // HOF arithmetic — exchange-free (plan-pinned in the spec). Long
+    // format (vec_id, j, p) so the oracle regenerates the same signs.
+    "similarity_jl_project" -> ((s, dir) =>
+      graft.pipeline.RandomProjection.jlProject(emb(s, dir), dIn = 64, dOut = 16)
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))),
+
     // KMV distinct-count sketch (custom TypedImperativeAggregate) per
     // source: exact path on tokens (~31 distinct < k) AND estimator path
     // on token×doc pairs (~600 distinct > k), beside the exact counts.
@@ -989,6 +997,18 @@ object PipelineSuite {
           SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
                  COALESCE(sc.logw, 0.0) AS logw
           FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // same md5-60-seeded sign matrix, same per-coordinate sums
+    "similarity_jl_project" ->
+      """WITH s AS (SELECT i.i, j.j,
+                      CASE WHEN ('0x' || substr(md5('jl|' || i.i || '|' || j.j), 1, 15))::BIGINT
+                             % 2 = 0
+                           THEN 1.0 ELSE -1.0 END AS sgn
+                    FROM range(64) i(i), range(16) j(j)),
+          x AS (SELECT vec_id, i.i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+                FROM embeddings, range(64) i(i))
+          SELECT vec_id, j, ROUND(sum(v * sgn) / sqrt(16.0), 6) AS p
+          FROM x JOIN s USING (i) GROUP BY vec_id, j""",
 
     // k-th smallest distinct md5-60 hash per source reproduces the KMV
     // estimate exactly; below k the sketch is exact (= max(rn))
