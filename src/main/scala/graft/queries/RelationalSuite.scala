@@ -158,13 +158,16 @@ object RelationalSuite {
 
     // PageRank over the order→part→supplier multigraph (Pregel-as-join:
     // one edge join + one dst aggregation per iteration, dangling mass
-    // redistributed). The oracle unrolls the same three iterations.
+    // redistributed). Node ids are TAGGED LONGS (key*4 + type) — long
+    // equi-joins and aggregations run several times faster than the
+    // string-concat ids this entry first shipped with (measured 8.2 s →
+    // see SURVEY §9). The oracle unrolls the same three iterations.
     "graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val edges = li.select(concat(lit("o"), col("l_orderkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-        .unionAll(li.select(concat(lit("p"), col("l_partkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst")))
+      val edges = li.select((col("l_orderkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .unionAll(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_suppkey") * 4 + 2).as("dst")))
       graft.pipeline.GraphOps.pageRank(edges, iters = 3)
     }))
 
@@ -278,10 +281,10 @@ object RelationalSuite {
     // three power iterations unrolled; pr'(v) = 0.15/N + 0.85*(in(v) + D/N)
     // with D the dangling (supplier) mass — identical shapes per round
     "graph_pagerank" ->
-      """WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      """WITH e AS (SELECT l_orderkey * 4 AS src, l_partkey * 4 + 1 AS dst
                     FROM lineitem
                     UNION ALL
-                    SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem),
+                    SELECT l_partkey * 4 + 1, l_suppkey * 4 + 2 FROM lineitem),
           nodes AS (SELECT DISTINCT node FROM
                     (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
           od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
