@@ -44,6 +44,27 @@ object Dedup {
       .filter(col(idCol) === col("keep_id"))
       .select(col(idCol), col("fp"), col("group_size"))
 
+  /** Streaming exact dedup over a live document feed: one representative
+    * per content fingerprint survives — the first MICRO-BATCH to carry a
+    * fingerprint wins, and duplicates in later batches are dropped via
+    * keyed state that EXPIRES once the event-time watermark passes
+    * `horizon` — so state is bounded by the horizon's unique-content
+    * rate, not the corpus (`dropDuplicatesWithinWatermark`, the same
+    * operator the RSP plane's R2S stages use). Within a single
+    * micro-batch the representative is arbitrary; min-id
+    * canonicalization is the batch `exactDedup`'s job, and catching
+    * duplicates OLDER than the horizon is `incrementalExactDedup`'s.
+    * StreamingSpec pins the batch/stream agreement on a replayed feed. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, horizon: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn("fp",
+        // same null-text sentinel as exactGroups: every null-text doc is
+        // its own singleton, never deduped against other nulls
+        coalesce(TextAnalysis.fingerprint(col(textCol)),
+          concat(lit("__null__"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Incremental exact dedup: drop arrivals whose content fingerprint
     * already exists in `corpus` — the "dedupe the new crawl against the
     * standing 100 TB corpus" shape. A Bloom filter over the corpus

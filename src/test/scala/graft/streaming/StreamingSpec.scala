@@ -74,6 +74,45 @@ class StreamingSpec extends SparkSpec {
     assert(StreamOps.rstream(rel).collect().length == rel.collect().length)
   }
 
+  test("streaming exact dedup: first arrival survives, state expires, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("tms", "doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("tms")))
+    val dedup = Dedup.streamingExactDedup(stream, "ts", "10 seconds")
+    val sink = s"sdedup_${System.nanoTime()}"
+    val sq = dedup.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // doc 2 duplicates doc 1 from a LATER micro-batch within the horizon
+    // (dropped); doc 98 advances the watermark past doc 1's state expiry
+    // so doc 4's much-later duplicate SURVIVES (the standing-corpus
+    // catch is incrementalExactDedup's job); null-text docs are never
+    // deduped against each other
+    // base offset keeps event times strictly above the initial watermark
+    // (a ts-0 row is dropped as late before any state exists)
+    val base = 1000000L
+    val batches = Seq(
+      Seq((base + 0L, 1L, "alpha beta"), (base + 200L, 3L, "gamma")),
+      Seq((base + 300L, 2L, "alpha beta"), (base + 500L, 5L, null: String),
+        (base + 600L, 6L, null: String)),
+      Seq((base + 50000L, 98L, "advance")),
+      Seq((base + 100000L, 4L, "alpha beta")),
+      Seq((base + 300000L, 99L, "sentinel")))
+    try {
+      batches.foreach { b => mem.addData(b); sq.processAllAvailable() }
+      val kept = spark.table(sink).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 5L, 6L, 98L, 4L, 99L), s"kept $kept")
+      // batch leg over the first horizon's rows agrees on the survivor set
+      import spark.implicits._
+      val batchKept = Dedup.exactDedup(
+          batches.take(2).flatten.toDF("tms", "doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKept == Set(1L, 3L, 5L, 6L), s"batch $batchKept")
+    } finally sq.stop()
+  }
+
   test("session_window streaming leg merges across micro-batches, equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
