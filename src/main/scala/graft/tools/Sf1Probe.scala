@@ -27,7 +27,13 @@ object Sf1Probe {
     // output-volume line), temperature mix (count-broadcast), Bloom-routed
     // incremental dedup (bloom build + anti join), forest inference
     "pipeline_chunk_overlap", "pipeline_temperature_mix",
-    "dedup_incremental", "ml_predict_sklearn_rf")
+    "dedup_incremental", "ml_predict_sklearn_rf",
+    // r6 session 5: GD classifier (per-step gradient shuffles), PageRank
+    // (per-iteration edge join), KMV sketch (bounded agg state), JL
+    // projection (narrow — exponent is the scan line), BPE (histogram
+    // shuffle + narrow encode), native session windows
+    "pipeline_quality_classifier", "graph_pagerank", "sketch_kmv_distinct",
+    "similarity_jl_project", "pipeline_bpe_encode", "stream_session_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -79,6 +85,31 @@ object Sf1Probe {
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
     }
 
+    // later-round additions get their own guards so a /tmp corpus built
+    // by an earlier probe run is extended in place, not rebuilt
+    if (!new java.io.File(s"$bigDir/lineitem.parquet/_SUCCESS").exists()) {
+      println("[sf1-probe] synthesizing 10x lineitem (graph columns) …")
+      // 10 copies, orderkeys shifted, part/supp ranges KEPT — edge volume
+      // scales 10x into the same part/supplier nodes, which is how a
+      // growing order book actually densifies the graph
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      (0 until 10).map { cp =>
+        li.select((col("l_orderkey") + lit(cp.toLong * 100000000L)).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+    }
+    if (!new java.io.File(s"$bigDir/embeddings.parquet/_SUCCESS").exists()) {
+      println("[sf1-probe] synthesizing 10x embeddings …")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until 10).map { cp =>
+        emb.select((col("vec_id") + lit(cp.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
+
     val all = graft.SparkEntry.queries
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -100,7 +131,9 @@ object Sf1Probe {
       val runs = (1 to reps).map(_ => run(name, dir))
       (runs.min, runs.max)
     }
-    entries.foreach { name =>
+    // local-iteration escape hatch, same convention as Bench/Verify
+    val only = sys.env.get("SF1_PROBE_ONLY").map(_.split(",").toSet)
+    entries.filter(n => only.forall(_.contains(n))).foreach { name =>
       val (t1, t1max) = steady(name, sfDir)
       val (t10, t10max) = steady(name, bigDir)
       val exp = math.log10(t10 / t1)
