@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CosineSimilarity, KmvDistinct, QtComponent}
 
@@ -21,34 +20,27 @@ import graft.functions.{CosineSimilarity, KmvDistinct, QtComponent}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn $what must be an integer literal, got $other")
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+    // each function's SQL builder lives on its object and is SHARED with
+    // the per-session register() route — defaults and arity checks exist
+    // in exactly one place, so the two routes cannot diverge
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      CosineSimilarity.builder _))
 
-    Seq("qt_subject" -> 0, "qt_predicate" -> 1, "qt_object" -> 2).foreach {
-      case (n, i) =>
-        ext.injectFunction((FunctionIdentifier(n),
-          info(n, s"$n(t) - the ${Seq("subject", "predicate", "object")(i)} " +
-            "of a quoted RDF-star triple"),
-          (exprs: Seq[Expression]) => QtComponent(exprs.head, i)))
+    QtComponent.names.zipWithIndex.foreach { case (n, i) =>
+      ext.injectFunction((FunctionIdentifier(n),
+        info(n, s"$n(t) - the ${Seq("subject", "predicate", "object")(i)} " +
+          "of a quoted RDF-star triple"),
+        QtComponent.builder(i) _))
     }
 
     ext.injectFunction((FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct",
         "kmv_distinct(hash, k[, domainBits]) - KMV distinct-count sketch"),
-      (exprs: Seq[Expression]) => KmvDistinct(exprs(0),
-        intArg(exprs(1), "kmv_distinct", "k"),
-        if (exprs.size > 2) intArg(exprs(2), "kmv_distinct", "domainBits")
-        else 60)))
+      KmvDistinct.builder _))
   }
 }

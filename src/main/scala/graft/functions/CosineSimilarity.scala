@@ -92,11 +92,20 @@ object CosineSimilarity {
     case _ => arr.getLong(i).toDouble
   }
 
+  /** The ONE SQL builder both registration routes (per-session
+    * register(), [[graft.GraftExtensions]]) resolve through — arity
+    * errors surface as a clear message, not an analyzer index crash. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2,
+      s"cosine_sim expects 2 arguments (a, b), got ${exprs.size}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Idempotent session registration (the public route to the Expression
     * as a Column, same pattern as [[QtComponent.register]]). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", builder, "built-in")
 
   def apply(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }

@@ -124,14 +124,21 @@ object KmvDistinct {
       s"kmv_distinct $what must be an integer literal, got $other")
   }
 
+  /** The ONE SQL builder both registration routes resolve through —
+    * holds the domainBits default (60, the md5-60 domain) in exactly
+    * one place (see [[CosineSimilarity.builder]]). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2 || exprs.size == 3,
+      s"kmv_distinct expects (hash, k[, domainBits]), got ${exprs.size} arguments")
+    KmvDistinct(exprs(0), intArg(exprs(1), "k"),
+      if (exprs.size > 2) intArg(exprs(2), "domainBits") else 60)
+  }
+
   /** Idempotent session registration ([[CosineSimilarity.register]]
     * pattern); the analyzer wraps the returned AggregateFunction. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_distinct",
-      exprs => KmvDistinct(exprs(0), intArg(exprs(1), "k"),
-        if (exprs.size > 2) intArg(exprs(2), "domainBits") else 60),
-      "built-in")
+      "kmv_distinct", builder, "built-in")
 
   /** kmv_distinct(hash, k) over the md5-60 domain. */
   def apply(hash: Column, k: Int): Column = apply(hash, k, domainBits = 60)

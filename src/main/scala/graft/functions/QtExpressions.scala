@@ -50,14 +50,22 @@ object QtComponent {
     }
   }
 
-  private val names = Seq("qt_subject", "qt_predicate", "qt_object")
+  val names = Seq("qt_subject", "qt_predicate", "qt_object")
+
+  /** The ONE SQL builder per component both registration routes resolve
+    * through (see [[CosineSimilarity.builder]]). */
+  def builder(idx: Int)(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1,
+      s"${names(idx)} expects 1 argument (a quoted triple), got ${exprs.size}")
+    QtComponent(exprs.head, idx)
+  }
 
   /** Register the three decomposition functions in the session's registry
     * (idempotent; the public route to a custom Expression as a Column). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     names.zipWithIndex.foreach { case (n, i) =>
-      registry.createOrReplaceTempFunction(n, exprs => QtComponent(exprs.head, i), "built-in")
+      registry.createOrReplaceTempFunction(n, builder(i), "built-in")
     }
   }
 

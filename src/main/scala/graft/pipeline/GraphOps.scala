@@ -61,7 +61,9 @@ object GraphOps {
         .drop("__in")
       val prev = pr
       pr = if (checkpoint) next.localCheckpoint() else next
-      if (checkpoint) prev.unpersist()
+      // Dataset.unpersist is a no-op for checkpoint blocks (it only
+      // uncaches CacheManager entries); drop the backing RDD directly
+      if (checkpoint) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }

@@ -88,15 +88,15 @@ object Sf1Probe {
     // later-round additions get their own guards so a /tmp corpus built
     // by an earlier probe run is extended in place, not rebuilt
     if (!new java.io.File(s"$bigDir/lineitem.parquet/_SUCCESS").exists()) {
-      println("[sf1-probe] synthesizing 10x lineitem (graph columns) …")
-      // 10 copies, orderkeys shifted, part/supp ranges KEPT — edge volume
-      // scales 10x into the same part/supplier nodes, which is how a
-      // growing order book actually densifies the graph
+      println("[sf1-probe] synthesizing 10x lineitem …")
+      // 10 FULL-SCHEMA copies (the never-rebuild guard would otherwise
+      // bake a pruned schema in for any future lineitem-reading probe),
+      // orderkeys shifted, part/supp ranges KEPT — edge volume scales
+      // 10x into the same part/supplier nodes, which is how a growing
+      // order book actually densifies the graph
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select("l_orderkey", "l_partkey", "l_suppkey")
       (0 until 10).map { cp =>
-        li.select((col("l_orderkey") + lit(cp.toLong * 100000000L)).as("l_orderkey"),
-          col("l_partkey"), col("l_suppkey"))
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(cp.toLong * 100000000L))
       }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
     }

@@ -34,6 +34,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(est - 300.0) / 300.0 < 4.0 / math.sqrt(30.0), s"est $est")
   }
 
+  test("wrong arity from pure SQL fails with a clear message, not an index crash") {
+    val e = intercept[Exception] {
+      fresh.sql("SELECT cosine_sim(array(1.0D))").head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expects 2 arguments")), s"got: ${msgs(e)}")
+    val e2 = intercept[Exception] {
+      fresh.sql("SELECT kmv_distinct(1L)").head()
+    }
+    assert(msgs(e2).exists(_.contains("expects (hash, k")), s"got: ${msgs(e2)}")
+  }
+
   test("extensions route agrees with the programmatic register() route") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
