@@ -320,6 +320,15 @@ object SparqlSuite {
           ?c <customer#c_mktsegment> ?seg .
           FILTER(?seg IN ("BUILDING", "MACHINERY")) }""")),
 
+    // term-inspection builtins (SPARQL §17.4.1-2): isNumeric over the
+    // lexical-storage try_cast, isBlank on the _: form, sameTerm as
+    // exact string equality (vs "=" which compares numerically)
+    "sparql_filter_terms" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?bal WHERE {
+          ?c <customer#c_acctbal> ?bal .
+          FILTER(isNumeric(?bal) && !isBlank(?c) && !sameTerm(?bal, "0")) }""")),
+
     "sparql_orderby_limit" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?name ?bal WHERE {
@@ -675,6 +684,13 @@ object SparqlSuite {
     "sparql_filter_in" ->
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
          FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+
+    // isNumeric always true for acctbal lexicals, isBlank false for the
+    // customer IRIs, sameTerm excludes the exact lexical "0"
+    "sparql_filter_terms" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                CAST(c_acctbal AS VARCHAR) AS bal
+         FROM customer WHERE CAST(c_acctbal AS VARCHAR) <> '0'""",
 
     "sparql_orderby_limit" ->
       """SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal

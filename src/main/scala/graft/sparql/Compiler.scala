@@ -830,6 +830,11 @@ class Compiler(store: QuadStore) {
         case "ISTRIPLE" => qtIs(s0)
         // boolean builtins in FILTER position compile to native predicates
         // (no string round-trip)
+        case "ISNUMERIC" => numC(s0).isNotNull // parses as xsd numeric
+        case "ISBLANK" => s0.startsWith("_:") // TermLex blank-node form
+        // storage is lexical terms, so sameTerm is exact string equality
+        // (vs "=" which compares numerically when both sides parse)
+        case "SAMETERM" => s0 === s1
         case "CONTAINS" => s0.contains(s1)
         case "STRSTARTS" => s0.startsWith(s1)
         case "STRENDS" => s0.endsWith(s1)

@@ -165,7 +165,7 @@ class SparqlParser extends RegexParsers {
           | "REPLACE" | "CONTAINS" | "STRSTARTS" | "STRENDS"
           | "ABS" | "CEIL" | "FLOOR" | "ROUND" | "COALESCE"
           | "MD5" | "SHA1" | "SHA256" | "SHA512"
-          | "REGEX" | "BOUND"
+          | "REGEX" | "BOUND" | "ISNUMERIC" | "ISBLANK" | "SAMETERM"
           // aggregates appear as Func inside HAVING — normalize case so
           // the case-sensitive rewriteHaving recognizes `count(?e)` too
           | "COUNT" | "SUM" | "MIN" | "MAX" | "AVG" | "GROUP_CONCAT" | "SAMPLE") => u
