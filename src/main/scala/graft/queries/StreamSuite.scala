@@ -276,8 +276,14 @@ object StreamSuite {
 
   /** [[eventTriples]] at 10× density: each copy shifts ids and jitters ts
     * by 13 ms — more rows per window, the same #closes, which is how
-    * event volume actually scales against a fixed window spec. */
-  private def denseEventTriples(s: SparkSession, dir: String): DataFrame = {
+    * event volume actually scales against a fixed window spec.
+    * localCheckpoint-ed: emissions() scans its feed twice (fired-close
+    * sentinel + window relation), and recomputing the 20-way
+    * union-with-concats is the dominant cost of the dense entry. */
+  private def denseEventTriples(s: SparkSession, dir: String): DataFrame =
+    denseEventTriples0(s, dir).localCheckpoint()
+
+  private def denseEventTriples0(s: SparkSession, dir: String): DataFrame = {
     val e = graft.streaming.EventsReader.eventsMs(s, dir)
     val copies = (0 until 10).map { cp =>
       e.select((col("event_id") + lit(cp.toLong * 100000000L)).as("event_id"),
