@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, KmvDistinct, QtComponent}
+import graft.functions.{CosineSimilarity, KmvDistinct, NfcNormalize, QtComponent}
 
 /** Session-extensions entry point: installs graft's native Catalyst
   * functions at session BUILD time via
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "of a quoted RDF-star triple"),
         QtComponent.builder(i) _))
     }
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonicalization"),
+      NfcNormalize.builder _))
 
     ext.injectFunction((FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct",

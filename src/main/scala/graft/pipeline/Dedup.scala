@@ -137,6 +137,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard similarity self-join with PREFIX FILTERING (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07) — the scale path past the plain
+    * inverted index above: two documents with Jaccard ≥ t must share at
+    * least one shingle among each one's (n − ⌈t·n⌉ + 1) RAREST shingles
+    * under any common global shingle order, so only PREFIX occurrences
+    * enter the candidate join instead of every posting. Rare-first
+    * ordering makes those prefix postings the low-df ones — the candidate
+    * fanout collapses exactly where the plain index explodes (hot
+    * shingles sit in nobody's prefix unless a doc is nearly all stopword
+    * soup), and no recall-losing `maxDf` cap is needed: the result is the
+    * EXACT pair set at the threshold.
+    *
+    * The global order is the (df, shingle) pair itself — an order KEY
+    * needs no global rank assignment, so there is no vocabulary-wide
+    * single-partition window: per-doc prefixes come from a window
+    * partitioned BY DOC. Verification joins candidate pairs to the two
+    * per-doc shingle arrays (collect_set keyed by id) and intersects
+    * in-row; the ≥ t decision is exact integer cross-multiplication.
+    * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
+  def prefixJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefixJaccardPairs threshold $threshold must be in (0, 1]")
+    val sh = shingles(docs, k, idCol, textCol)
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("shingle")))
+    val perDoc = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = withDf
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("pos", row_number().over(perDoc))
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("id", "shingle", "n_sh")
+    // AllPairs size filter rides the candidate join: J(A,B) ≤ min/max of
+    // the set sizes, so J ≥ t already implies t·|A| ≤ |B| ≤ |A|/t —
+    // incompatible-size pairs are pruned before they exist (safe: only
+    // pairs the threshold test would reject anyway)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("b.n_sh").cast(DoubleType) >= lit(threshold) * col("a.n_sh") &&
+          col("a.n_sh").cast(DoubleType) >= lit(threshold) * col("b.n_sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("set"))
+    val scored = cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", size(col("set_a")) + size(col("set_b")) - col("inter"))
+    // exact threshold test in integers: inter/uni >= t  ⇔  inter·D ≥ t·D·uni
+    // with t expressed as an exact double times the union (both engines
+    // compare the same doubles; no float division enters the DECISION)
+    scored.filter(col("inter").cast(DoubleType) >= lit(threshold) * col("uni"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) / col("uni").cast(DoubleType), 6)
+          .as("jaccard"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic 64-bit mix of a shingle under permutation seed i

@@ -67,4 +67,59 @@ object GraphOps {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
+
+  /** Per-node triangle counts (node, triangles) over the undirected
+    * simple graph induced by `edges` (direction, duplicates, and
+    * self-loops are dropped first).
+    *
+    * Scale shape — the degree-ordered wedge enumeration (Cohen's
+    * MapReduce formulation / compact-forward): every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one, so
+    * wedges are enumerated only at each triangle's LOWEST-order vertex.
+    * That caps the wedge fanout at O(|E|^1.5) total regardless of hub
+    * skew — a degree-10⁷ hub generates wedges only from the ≤√|E|
+    * out-neighbors that outrank it, instead of deg² pairs. Two
+    * equi-joins (wedge build keyed on the pivot, closure keyed on the
+    * canonical missing edge), no cross join, no driver state.
+    */
+  def triangleCounts(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpoint: Boolean = false): DataFrame = {
+    // canonical undirected simple edges: u < v. The edge table feeds
+    // three consumers (degrees, orientation, wedge closure) — but unlike
+    // pageRank's ITERATIVE reuse, all three sit inside ONE action, where
+    // Catalyst's ReusedExchange already serves the distinct's shuffle to
+    // every consumer. Materializing was measured SLOWER at sf0.1 (warm
+    // reps 6.2-7.3 s vs 3.7-6.0 s): two extra actions + block writes buy
+    // nothing the exchange reuse doesn't. `checkpoint` stays for callers
+    // composing this into multi-action pipelines.
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the lower-(deg, id) endpoint to the higher
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented0 = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    // both wedge legs read the oriented table (ReusedExchange by default)
+    val oriented = if (checkpoint) oriented0.localCheckpoint() else oriented0
+    // wedges at the pivot a: unordered out-neighbor pairs (b, c)
+    val o1 = oriented.as("o1")
+    val o2 = oriented.select(col("a"), col("b").as("c")).as("o2")
+    val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
+    // close the wedge against the canonical undirected edge {b, c}
+    val tri = wedges.join(e,
+      col("u") === col("b") && col("v") === col("c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

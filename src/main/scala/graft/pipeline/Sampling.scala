@@ -173,6 +173,53 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Exact-quota stratified sample: the hash-smallest `quota` rows of
+    * every stratum (order: md5-60 of salt+key, key as tiebreak). Unlike
+    * the rate-based samplers above this guarantees EXACTLY
+    * min(quota, |stratum|) rows per stratum — the eval-set carve-out /
+    * per-domain cap shape — while staying a pure function of the key set
+    * (append-only growth of a stratum only ever evicts the largest
+    * hashes, and reruns are bit-stable).
+    *
+    * Scale shape: a per-stratum `row_number` window alone would funnel a
+    * 100 TB stratum through one task, so a broadcast pre-filter bounds
+    * the window's input first: per-stratum counts (tiny aggregate) set a
+    * hash threshold keeping ~`margin`·quota expected rows, and only
+    * those survivors are ranked. The margin-4 Chernoff tail puts
+    * under-selection below 10⁻¹⁵ per stratum; if it EVER happens (or the
+    * hash space is pathologically skewed) the result would silently lose
+    * rows, so the quota shortfall is verified with one more tiny
+    * aggregate and the operator throws rather than under-sample. */
+  def stratifiedSample(df: DataFrame, quota: Int, strataCol: String,
+      keyCol: String, salt: String = "strat", margin: Double = 4.0): DataFrame = {
+    require(quota >= 1, s"stratifiedSample quota $quota must be >= 1")
+    require(margin >= 1.0, s"stratifiedSample margin $margin must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val hv = md5Hash60OfKey(col(keyCol), salt)
+    val h = df.withColumn("__hv", hv)
+    val counts = h.groupBy(strataCol).agg(count(lit(1)).as("__ns"))
+    // keep-all strata below the prefilter's payoff point; larger strata
+    // keep hashes under margin*quota/n_s of the 2^60 space
+    val thr = when(col("__ns") <= lit((quota * margin).toLong + 1L), lit(Long.MaxValue))
+      .otherwise((lit(1152921504606846976.0) * lit(margin * quota) / col("__ns"))
+        .cast("long"))
+    val survivors = h.join(broadcast(counts.withColumn("__thr", thr)), strataCol)
+      .filter(col("__hv") <= col("__thr"))
+    val w = Window.partitionBy(strataCol).orderBy(col("__hv").asc, col(keyCol).asc)
+    val ranked = survivors.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+    // loud under-sampling guard: every stratum must yield min(quota, n_s)
+    val short = ranked.groupBy(strataCol).agg(count(lit(1)).as("__got"))
+      .join(counts, strataCol)
+      .filter(col("__got") < least(lit(quota.toLong), col("__ns")))
+      .limit(1).collect()
+    if (short.nonEmpty)
+      throw new IllegalStateException(
+        s"stratifiedSample: stratum ${short.head.get(0)} under-sampled after " +
+          s"prefilter (margin=$margin too tight for this hash distribution)")
+    ranked.withColumn("pick", col("__rn")).drop("__hv", "__rn", "__ns", "__thr")
+  }
+
   private def md5Hash60OfKey(key: Column, salt: String): Column =
     Dedup.md5Hash60(concat(lit(salt), key.cast("string")))
 }

@@ -180,6 +180,27 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailPattern, "[EMAIL]"), PhonePattern, "[PHONE]"), Ipv4Pattern, "[IP]")
 
+  /** Control characters a crawl corpus should not carry into training:
+    * C0 except tab/newline, DEL, and the C1 block (the classic mojibake
+    * residue of a latin-1/utf-8 mix-up). Kept to a regex subset Java and
+    * RE2 interpret identically so the DuckDB oracle matches bytewise. */
+  val ControlCharPattern = "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]"
+
+  /** Unicode canonicalization for corpus text: NFC-normalize (via the
+    * codegen [[graft.functions.NfcNormalize]] expression — combining
+    * sequences collapse to precomposed forms so exact dedup, shingles,
+    * and tokenization see one byte representation per canonically-equal
+    * string), then strip control characters. Narrow, codegen'd, no
+    * shuffle; the NFC fast path returns the input buffer untouched for
+    * already-normalized (e.g. pure-ASCII) text. */
+  def unicodeClean(text: Column): Column = {
+    // Column-only helper: the expression resolves through the function
+    // registry, so make sure the active session has it (idempotent)
+    graft.functions.NfcNormalize.register(
+      org.apache.spark.sql.SparkSession.active)
+    regexp_replace(graft.functions.NfcNormalize(text), ControlCharPattern, "")
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the heuristics
     * behind the C4 corpus), at line granularity: a line survives iff it
     * (a) ends in a terminal punctuation mark, (b) has at least

@@ -403,7 +403,46 @@ object PipelineSuite {
       graft.pipeline.QualityClassifier.trainAndScore(
         d, array_contains(split(trim(lower(col("text"))), "\\s+"), "spark"),
         dim = 64, iters = 2, lr = 5.0)
-    }))
+    }),
+
+    // BM25 lexical retrieval: every 100th document's first 5 tokens form
+    // a query; top-10 per query by integer micro-unit score (per-term
+    // quantisation before the sum → float-order-independent totals)
+    "text_bm25_topk" -> ((s, dir) => {
+      // spread the occurrence explode past the single input split
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val q = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(trim(col("text"))), 1, 5), " ")
+            .as("qtext"))
+      graft.pipeline.Retrieval.bm25TopK(d, q, k = 10)
+    }),
+
+    // prefix-filtered exact Jaccard self-join (AllPairs): the oracle is
+    // the UNFILTERED inverted-index ground truth, so a hash match also
+    // proves the prefix filter loses no pair at the threshold
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      // one small parquet file = one input split: spread the shingle
+      // explode across cores first (same note as text_contamination)
+      Dedup.prefixJaccardPairs(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        k = 3, threshold = 0.6)),
+
+    // exact-quota stratified carve-out: 20 hash-smallest docs per source
+    "pipeline_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), quota = 20,
+          strataCol = "source", keyCol = "doc_id")
+        .select("doc_id", "source", "pick")),
+
+    // unicode canonicalization: the corpus is ASCII, so each row is
+    // seeded with a deterministic non-NFC suffix — "cafe"+COMBINING
+    // ACUTE (composes to the precomposed e-acute), ANGSTROM SIGN (an
+    // NFC singleton), and a BEL the control strip must eat
+    "text_unicode_clean" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.unicodeClean(concat(col("text"),
+          lit(" cafe\u0301 \u212B\u0007x"), col("doc_id").cast("string")))
+          .as("clean_text"))))
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
@@ -1217,5 +1256,79 @@ object PipelineSuite {
           p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
           SELECT CAST(p.p AS DOUBLE) AS p, min(cu.v) AS value
           FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
-          GROUP BY p.p""")
+          GROUP BY p.p""",
+
+    // BM25 mirror: every arithmetic step is the identical IEEE op chain
+    // (k1+1 and 1-b written as the same sums the plan folds; avgdl is an
+    // exactly-rounded integer division); per-term floor-to-micros before
+    // the integer sum removes float-summation-order sensitivity
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+          l AS (SELECT doc_id, len(tk) AS dl FROM t),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                 FROM l),
+          q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:5])) AS term
+                FROM t WHERE doc_id % 100 = 0),
+          occ AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          p AS (SELECT occ.doc_id, occ.term, count(*) AS tf
+                FROM occ JOIN (SELECT DISTINCT term FROM q) qv USING (term)
+                GROUP BY 1, 2),
+          f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+          c AS (SELECT q.query_id, p.doc_id,
+                  CAST(FLOOR(ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / st.avgdl))
+                    * 1000000.0) AS BIGINT) AS m
+                FROM q JOIN p USING (term) JOIN f USING (term)
+                     JOIN l ON p.doc_id = l.doc_id, st),
+          s AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+                FROM c GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score_micro,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id ASC) AS rank
+                FROM s)
+          SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 10""",
+
+    // UNFILTERED inverted-index ground truth at t=0.6 — a hash match
+    // proves the Spark side's prefix filter is recall-complete. The
+    // threshold test is the same cross-multiply (no division) the plan
+    // runs; the reported jaccard divides only for display, rounded.
+    "dedup_prefix_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                 FROM t WHERE len(w) >= 3),
+          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM sh),
+          sz AS (SELECT id, COUNT(*) AS n_sh FROM e GROUP BY id),
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                 FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+                 GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 ROUND(CAST(inter AS DOUBLE)
+                   / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6) AS jaccard
+          FROM cm JOIN sz na ON na.id = id_a JOIN sz nb ON nb.id = id_b
+          WHERE CAST(inter AS DOUBLE) >= 0.6 * (na.n_sh + nb.n_sh - inter)""",
+
+    "pipeline_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+                ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS hv
+              FROM documents),
+          r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+                FROM h)
+          SELECT doc_id, source, CAST(rn AS INT) AS pick FROM r WHERE rn <= 20""",
+
+    // same seed codepoints built with chr() so the oracle file stays
+    // ASCII: 769 = COMBINING ACUTE, 8491 = ANGSTROM SIGN, 7 = BEL
+    "text_unicode_clean" ->
+      """SELECT doc_id,
+           regexp_replace(
+             nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)
+               || chr(7) || 'x' || CAST(doc_id AS VARCHAR)),
+             '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS clean_text
+         FROM documents""")
 }

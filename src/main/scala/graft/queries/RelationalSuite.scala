@@ -169,6 +169,20 @@ object RelationalSuite {
         .unionAll(li.select((col("l_partkey") * 4 + 1).as("src"),
           (col("l_suppkey") * 4 + 2).as("dst")))
       graft.pipeline.GraphOps.pageRank(edges, iters = 3)
+    }),
+
+    // per-node triangle counts over the order-part-supplier co-occurrence
+    // graph (all three edge types, so order-part-supplier closures from
+    // DIFFERENT lineitem rows form real triangles)
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select((col("l_orderkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .unionAll(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_suppkey") * 4 + 2).as("dst")))
+        .unionAll(li.select((col("l_orderkey") * 4).as("src"),
+          (col("l_suppkey") * 4 + 2).as("dst")))
+      graft.pipeline.GraphOps.triangleCounts(edges)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -310,5 +324,24 @@ object RelationalSuite {
           p3 AS (SELECT b.node, b.outdeg, 0.15 / (SELECT n FROM nn)
                    + 0.85 * (COALESCE(c.cin, 0.0) + (SELECT d FROM d3) / (SELECT n FROM nn)) AS pr
                  FROM base b LEFT JOIN c3 c USING (node))
-          SELECT node, ROUND(pr, 6) AS pr FROM p3""")
+          SELECT node, ROUND(pr, 6) AS pr FROM p3""",
+
+    // ground truth enumerates each triangle once as x<y<z and explodes
+    // its three corners; the Spark side's degree orientation enumerates
+    // the same distinct triangle set, so per-node counts match exactly
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT l_orderkey * 4 AS src, l_partkey * 4 + 1 AS dst
+                     FROM lineitem
+                     UNION ALL
+                     SELECT l_partkey * 4 + 1, l_suppkey * 4 + 2 FROM lineitem
+                     UNION ALL
+                     SELECT l_orderkey * 4, l_suppkey * 4 + 2 FROM lineitem),
+          e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e0 WHERE src <> dst),
+          tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+          c AS (SELECT unnest([x, y, z]) AS node FROM tri)
+          SELECT node, count(*) AS triangles FROM c GROUP BY node""")
 }

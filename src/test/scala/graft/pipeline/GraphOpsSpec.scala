@@ -54,4 +54,43 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(run(1) == run(8))
   }
+
+  // ---- triangle counting -------------------------------------------------
+
+  private def triRef(es: Seq[(String, String)]): Map[String, Long] = {
+    val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+  }
+
+  test("triangle counts match brute force on a mixed graph") {
+    // K4 on a-d (every node in 3 triangles), a pendant edge, a duplicate
+    // and a reversed edge, and a self-loop — all must be canonicalized
+    val es = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("b", "a"), ("a", "b"), ("e", "e"))
+    val got = GraphOps.triangleCounts(es.toDF("src", "dst"), checkpoint = false)
+      .as[(String, Long)].collect().toMap
+    assert(got == triRef(es))
+    assert(got("a") == 3L && got("d") == 3L)
+    assert(!got.contains("e")) // pendant node touches no triangle
+  }
+
+  test("triangle-free graph yields no rows; hub skew handled") {
+    // star graph: hub h connected to 50 leaves — zero triangles, and the
+    // degree orientation must not enumerate the hub's deg^2 wedge pairs
+    val star = (1 to 50).map(i => ("h", s"l$i")).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(star, checkpoint = false).count() == 0L)
+    // closing one leaf-leaf edge creates exactly one triangle
+    val one = star.unionAll(Seq(("l1", "l2")).toDF("src", "dst"))
+    val got = GraphOps.triangleCounts(one, checkpoint = false)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h" -> 1L, "l1" -> 1L, "l2" -> 1L))
+  }
 }

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, prefix-filtered Jaccard, stratified sampling, and
+  * unicode canonicalization — semantics against driver-side references. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 --------------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana banana"),
+    (4L, "dog")
+  ).toDF("doc_id", "text")
+
+  /** The operator's exact arithmetic, driver-side. */
+  private def refBm25(docs: Seq[(Long, String)], q: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / docs.size
+    val qd = q.distinct
+    val df = qd.map(t => t -> toks.values.count(_.contains(t))).toMap
+    docs.flatMap { case (id, _) =>
+      val dl = toks(id).size
+      val micros = qd.flatMap { t =>
+        val tf = toks(id).count(_ == t)
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          Some(math.floor(idf * tf * (k1 + 1.0) /
+            (tf + k1 * ((1.0 - b) + b * dl / avgdl)) * 1000000.0).toLong)
+        }
+      }
+      if (micros.isEmpty) None else Some(id -> micros.sum)
+    }.toMap
+  }
+
+  test("bm25 micro scores equal the driver-side reference exactly") {
+    val q = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(corpus, q, k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val ref = refBm25(Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana banana"), (4L, "dog")), Seq("apple", "banana"))
+    assert(got == ref)
+    // d4 shares no term → absent; d1 carries both terms → ranks first
+    assert(!got.contains(4L))
+    val ranked = Retrieval.bm25TopK(corpus, q, k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(ranked.head == 1L)
+  }
+
+  test("bm25 k cutoff, multiple queries, and duplicate query terms") {
+    val q = Seq((10L, "apple banana"), (20L, "banana banana cherry"))
+      .toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(corpus, q, k = 1)
+    assert(got.count() == 2) // one row per query at k=1
+    // duplicate "banana" in q20 must count once (distinct query terms):
+    // the q20 score of d3 equals the single-term reference
+    val s3 = Retrieval.bm25TopK(corpus, q, k = 10)
+      .filter(col("query_id") === 20L && col("doc_id") === 3L)
+      .select("score_micro").as[Long].head()
+    val ref = refBm25(Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana banana"), (4L, "dog")),
+      Seq("banana", "cherry"))
+    assert(s3 == ref(3L))
+  }
+
+  test("bm25 rank ties break by doc_id and rare terms outweigh common ones") {
+    // two docs with identical stats for the query term → tie broken by id
+    val c = Seq((1L, "x y"), (2L, "x y"), (3L, "z z q")).toDF("doc_id", "text")
+    val q = Seq((1L, "x z")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(c, q, k = 3)
+      .orderBy("rank").select("doc_id", "rank").as[(Long, Int)].collect()
+    // z: df=1 (rarer) beats x: df=2
+    assert(r.head._1 == 3L)
+    assert(r.map(_._1).toSeq == Seq(3L, 1L, 2L))
+  }
+
+  // ---- prefix-filtered Jaccard -------------------------------------------
+
+  private def shingleSet(t: String, k: Int): Set[String] = {
+    val w = t.trim.split("\\s+").toSeq
+    if (w.size < k) Set.empty
+    else w.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  test("prefix-filtered pairs equal the brute-force pair set") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),    // J(1,2) = 3/5 = 0.6 at k=3
+      (3L, "a b c d e f"),    // J(1,3) = 1.0
+      (4L, "a b c d e f g"),  // J(1,4) = 4/5 = 0.8
+      (5L, "q r s t u v"),
+      (6L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "a b c d e f"),
+      (4L, "a b c d e f g"), (5L, "q r s t u v"),
+      (6L, "totally different words here entirely now"))
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.prefixJaccardPairs(docs, k = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val ref = (for {
+        (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+        sa = shingleSet(ta, 3); sb = shingleSet(tb, 3)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if sa.intersect(sb).size >= t * sa.union(sb).size
+      } yield (ia, ib)).toSet
+      assert(got == ref, s"threshold $t")
+    }
+  }
+
+  test("prefix jaccard reports the exact similarity value") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0.8))) // 4 shared of 5 distinct shingles
+  }
+
+  // ---- stratified sampling -----------------------------------------------
+
+  test("stratified sample returns exactly min(quota, stratum size) rows") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 105).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val got = Sampling.stratifiedSample(df, quota = 10, strataCol = "source",
+      keyCol = "doc_id")
+    val bySrc = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("big" -> 10L, "small" -> 5L))
+    // pick is 1..quota within each stratum
+    val picks = got.filter(col("source") === "big")
+      .select("pick").as[Int].collect().sorted
+    assert(picks.toSeq == (1 to 10))
+  }
+
+  test("stratified sample is deterministic and partition-invariant") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    def run(parts: Int) = Sampling.stratifiedSample(df.repartition(parts),
+      quota = 7, strataCol = "source", keyCol = "doc_id")
+      .select("doc_id", "source", "pick").as[(Long, String, Int)].collect().toSet
+    assert(run(1) == run(8))
+    assert(run(8).size == 21)
+  }
+
+  // ---- unicode canonicalization ------------------------------------------
+
+  test("unicodeClean composes NFC and strips control characters") {
+    val in = Seq(
+      (1L, "cafe\u0301"),           // combining acute composes to precomposed e-acute
+      (2L, "\u212Bngstrom"),        // angstrom sign maps to A-ring (NFC singleton)
+      (3L, "bell\u0007 kept\ttab\nnewline"),
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = in.select(col("doc_id"),
+        TextAnalysis.unicodeClean(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "caf\u00E9")
+    assert(got(2L) == "\u00C5ngstrom")
+    assert(got(3L) == "bell kept\ttab\nnewline")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == null)
+  }
+
+  test("nfc_normalize registers through SQL and rejects wrong arity") {
+    graft.functions.NfcNormalize.register(spark)
+    val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS c").as[String].head()
+    assert(r == "caf\u00E9")
+    val err = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("nfc_normalize expects 1 argument"))
+  }
+}
