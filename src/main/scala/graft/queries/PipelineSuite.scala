@@ -405,6 +405,21 @@ object PipelineSuite {
         dim = 64, iters = 2, lr = 5.0)
     }),
 
+    // count-min sketch over the token stream (d=4, w=512): the full
+    // counter table is an integer aggregation over md5 buckets, so the
+    // sketch AND the min-over-depths estimates for the top-20 vocabulary
+    // tokens are bit-identical in DuckDB — estimates sit beside exact
+    // counts, so the overestimate behavior itself is hash-checked
+    "sketch_cms_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text", lower(col("text")))
+      val tok = d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = graft.pipeline.Sketches.countMin(tok, "token", d = 4, w = 512)
+      val top = TextAnalysis.vocabulary(d, k = 20)
+      graft.pipeline.Sketches.countMinEstimate(cms, top, "token", d = 4, w = 512)
+        .join(top, Seq("token"))
+        .select("token", "cnt", "cms_est", "rank")
+    }),
+
     // BM25 lexical retrieval: every 100th document's first 5 tokens form
     // a query; top-10 per query by integer micro-unit score (per-term
     // quantisation before the sum → float-order-independent totals)
@@ -1257,6 +1272,30 @@ object PipelineSuite {
           SELECT CAST(p.p AS DOUBLE) AS p, min(cu.v) AS value
           FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
           GROUP BY p.p""",
+
+    "sketch_cms_tokens" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS token FROM documents),
+          c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+          t20 AS (SELECT token, cnt, rank FROM (
+                    SELECT token, cnt, row_number() OVER
+                      (ORDER BY cnt DESC, token ASC) AS rank FROM c)
+                  WHERE rank <= 20),
+          ds AS (SELECT unnest(range(0, 4)) AS depth),
+          tb AS (SELECT depth,
+                   ('0x' || substr(md5('cms' || CAST(depth AS VARCHAR) || token), 1, 15))::BIGINT
+                     % 512 AS bucket
+                 FROM tok, ds),
+          cms AS (SELECT depth, bucket, count(*) AS bc FROM tb GROUP BY 1, 2),
+          kb AS (SELECT token, depth,
+                   ('0x' || substr(md5('cms' || CAST(depth AS VARCHAR) || token), 1, 15))::BIGINT
+                     % 512 AS bucket
+                 FROM t20, ds),
+          est AS (SELECT kb.token, MIN(COALESCE(cms.bc, 0)) AS cms_est
+                  FROM kb LEFT JOIN cms USING (depth, bucket)
+                  GROUP BY kb.token)
+          SELECT t20.token, t20.cnt, est.cms_est, CAST(t20.rank AS INT) AS rank
+          FROM t20 JOIN est USING (token)""",
 
     // BM25 mirror: every arithmetic step is the identical IEEE op chain
     // (k1+1 and 1-b written as the same sums the plan folds; avgdl is an

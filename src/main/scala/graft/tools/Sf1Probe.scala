@@ -33,7 +33,13 @@ object Sf1Probe {
     // projection (narrow — exponent is the scan line), BPE (histogram
     // shuffle + narrow encode), native session windows
     "pipeline_quality_classifier", "graph_pagerank", "sketch_kmv_distinct",
-    "similarity_jl_project", "pipeline_bpe_encode", "stream_session_agg")
+    "similarity_jl_project", "pipeline_bpe_encode", "stream_session_agg",
+    // r6 session 6: BM25 (query-vocab-filtered postings), prefix-filtered
+    // Jaccard (prefix windows + candidate join), degree-oriented triangle
+    // counting (wedge joins — the one with real output growth), CMS
+    // (bounded d×w agg)
+    "text_bm25_topk", "dedup_prefix_jaccard", "graph_triangles",
+    "sketch_cms_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -32,6 +32,10 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT kmv_distinct(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT), 32)
          FROM ext_vals""").head().getDouble(0)
     assert(math.abs(est - 300.0) / 300.0 < 4.0 / math.sqrt(30.0), s"est $est")
+
+    // nfc_normalize: decomposed input composes from pure SQL
+    val nfc = fresh.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
+    assert(nfc == "caf\u00E9")
   }
 
   test("wrong arity from pure SQL fails with a clear message, not an index crash") {
