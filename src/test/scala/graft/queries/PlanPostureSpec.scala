@@ -197,4 +197,57 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"anti join not broadcast:\n$p")
   }
+
+  test("bm25: query vocabulary broadcasts into the postings filter; no cartesian") {
+    val p = plan("text_bm25_topk")
+    // the corpus-side occurrence stream must meet the query vocabulary
+    // through a broadcast (LeftSemi) — never a shuffle of all postings
+    // against the queries, and never a nested-loop pairing
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"query vocab not broadcast-semi-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
+  }
+
+  test("prefix jaccard: candidate generation is an equi-join, prefixes partition by doc") {
+    val p = plan("dedup_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in prefix jaccard:\n$p")
+    // no vocabulary-wide global rank: every Window must carry a
+    // partition spec (the (df, shingle) ORDER KEY needs no global rank)
+    val globalWindows = "Window \\[[^\\]]*\\], \\[\\]".r.findAllIn(p).size
+    assert(globalWindows == 0, s"single-partition window in prefix jaccard:\n$p")
+  }
+
+  test("triangles: wedge build and closure are equi-joins, no cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in triangle plan:\n$p")
+    assert(p.contains("LeftSemi"), s"closure is not a semi join:\n$p")
+  }
+
+  test("stratified sample: counts broadcast; rank window partitions by stratum") {
+    val df = SparkEntry.queries("pipeline_stratified_sample")(spark, sf())
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"stratum counts not broadcast:\n$p")
+    val globalWindows = "Window \\[[^\\]]*\\], \\[\\]".r.findAllIn(p).size
+    assert(globalWindows == 0, s"unpartitioned rank window:\n$p")
+  }
+
+  test("unicode clean and CMS build stay shuffle-minimal") {
+    val p = plan("text_unicode_clean")
+    assert(!p.contains("Exchange"), s"unicode clean introduced a shuffle:\n$p")
+    // CMS: one partial-aggregated exchange of at most d·w rows — the
+    // sketch build itself must show map-side partial aggregation
+    val cms = graft.pipeline.Sketches.countMin(
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.pipeline.TextAnalysis.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("token")),
+      "token", d = 4, w = 512)
+    cms.count()
+    val cp = cms.queryExecution.executedPlan.toString
+    assert(cp.contains("partial_count") || cp.contains("partial"),
+      s"no map-side partial aggregation in CMS build:\n$cp")
+  }
 }
