@@ -64,4 +64,11 @@ object NfcNormalize {
       "nfc_normalize", builder, "built-in")
 
   def apply(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Registry-free Column construction — for library-internal use where
+    * mutating the session's temp-function registry as a side effect of
+    * building a Column would be surprising ([[graft.pipeline.TextAnalysis.unicodeClean]]). */
+  def ofColumn(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 }

@@ -195,7 +195,11 @@ object Sampling {
     require(quota >= 1, s"stratifiedSample quota $quota must be >= 1")
     require(margin >= 1.0, s"stratifiedSample margin $margin must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val hv = md5Hash60OfKey(col(keyCol), salt)
+    // null keys hash through a reserved sentinel (so they sort
+    // deterministically instead of silently vanishing on a null hash);
+    // null strata are a stratum like any other (null-safe join below)
+    val hv = md5Hash60OfKey(
+      coalesce(col(keyCol).cast("string"), lit("\u0000")), salt)
     val h = df.withColumn("__hv", hv)
     val counts = h.groupBy(strataCol).agg(count(lit(1)).as("__ns"))
     // keep-all strata below the prefilter's payoff point; larger strata
@@ -203,15 +207,24 @@ object Sampling {
     val thr = when(col("__ns") <= lit((quota * margin).toLong + 1L), lit(Long.MaxValue))
       .otherwise((lit(1152921504606846976.0) * lit(margin * quota) / col("__ns"))
         .cast("long"))
-    val survivors = h.join(broadcast(counts.withColumn("__thr", thr)), strataCol)
-      .filter(col("__hv") <= col("__thr"))
+    val cnts = counts.withColumn("__thr", thr)
+      .withColumnRenamed(strataCol, "__strat")
+    val survivors0 = h.join(broadcast(cnts), col(strataCol) <=> col("__strat"))
+      .filter(col("__hv") <= col("__thr")).drop("__strat")
+    // the prefilter bounds survivors to ~margin·quota rows per stratum,
+    // so ONE materialization here lets the shortfall check AND the
+    // result share a single pass over the corpus (the operator is
+    // deliberately eager, like incrementalExactDedup's Bloom build)
+    val survivors = survivors0.localCheckpoint()
     val w = Window.partitionBy(strataCol).orderBy(col("__hv").asc, col(keyCol).asc)
     val ranked = survivors.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= quota)
-    // loud under-sampling guard: every stratum must yield min(quota, n_s)
-    val short = ranked.groupBy(strataCol).agg(count(lit(1)).as("__got"))
-      .join(counts, strataCol)
-      .filter(col("__got") < least(lit(quota.toLong), col("__ns")))
+    // loud under-sampling guard, FROM the counts side: a stratum whose
+    // rows were all prefiltered away must surface as 0-got, not vanish
+    val got = ranked.groupBy(strataCol).agg(count(lit(1)).as("__got"))
+      .withColumnRenamed(strataCol, "__strat")
+    val short = cnts.join(got, cnts("__strat") <=> got("__strat"), "left_outer")
+      .filter(coalesce(col("__got"), lit(0L)) < least(lit(quota.toLong), col("__ns")))
       .limit(1).collect()
     if (short.nonEmpty)
       throw new IllegalStateException(

@@ -45,14 +45,16 @@ object Sketches {
   /** Point estimates for `keys` against a built sketch: the classic
     * min-over-depths counter read. Keys never seen estimate 0 only if
     * ALL their buckets are empty (count-min never underestimates).
-    * `keys` is broadcast (query sets are small by construction); the
-    * sketch side is at most d·w rows, so the join is trivially local. */
+    * The SKETCH side broadcasts — it is at most d·w rows by
+    * construction, and a broadcast hint must sit on the BUILD (right)
+    * side of the left_outer join to be satisfiable — so arbitrarily
+    * large key sets stream narrowly against the broadcast counters. */
   def countMinEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
       d: Int = 4, w: Int = 1024): DataFrame = {
     val kq = keys.select(col(keyCol).as("__k")).filter(col("__k").isNotNull).distinct()
       .select(col("__k"), explode(depthBuckets(d, w)).as("db"))
       .select(col("__k"), col("db.depth").as("depth"), col("db.bucket").as("bucket"))
-    broadcast(kq).join(cms, Seq("depth", "bucket"), "left_outer")
+    kq.join(broadcast(cms), Seq("depth", "bucket"), "left_outer")
       .groupBy(col("__k").as(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }

@@ -193,13 +193,12 @@ object TextAnalysis {
     * string), then strip control characters. Narrow, codegen'd, no
     * shuffle; the NFC fast path returns the input buffer untouched for
     * already-normalized (e.g. pure-ASCII) text. */
-  def unicodeClean(text: Column): Column = {
-    // Column-only helper: the expression resolves through the function
-    // registry, so make sure the active session has it (idempotent)
-    graft.functions.NfcNormalize.register(
-      org.apache.spark.sql.SparkSession.active)
-    regexp_replace(graft.functions.NfcNormalize(text), ControlCharPattern, "")
-  }
+  def unicodeClean(text: Column): Column =
+    // wrap the expression directly (no registry side effect — this is a
+    // pure Column combinator; SQL clients get the same expression via
+    // GraftExtensions / NfcNormalize.register)
+    regexp_replace(graft.functions.NfcNormalize.ofColumn(text),
+      ControlCharPattern, "")
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the heuristics
     * behind the C4 corpus), at line granularity: a line survives iff it

@@ -137,6 +137,20 @@ class RetrievalSpec extends SparkSpec {
     assert(picks.toSeq == (1 to 10))
   }
 
+  test("stratified sample keeps null strata and null keys (no silent drop)") {
+    val rows = (1 to 50).map(i => (s"k$i", "a")) ++
+      (51 to 60).map(i => (s"k$i", null.asInstanceOf[String])) ++
+      Seq((null.asInstanceOf[String], "a"))
+    val df = rows.toDF("k", "src")
+    val got = Sampling.stratifiedSample(df, quota = 5, strataCol = "src",
+      keyCol = "k")
+    val bySrc = got.groupBy("src").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null stratum is a stratum like any other; the null key is a
+    // candidate row of stratum "a" (51 rows there, 5 survive)
+    assert(bySrc == Map(Some("a") -> 5L, None -> 5L))
+  }
+
   test("stratified sample is deterministic and partition-invariant") {
     val df = (1 to 200).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
     def run(parts: Int) = Sampling.stratifiedSample(df.repartition(parts),
