@@ -50,7 +50,7 @@ object Bench {
     "text_gopher_quality", "pipeline_pack_sequences", "pipeline_dsir_logw",
     // r6 session 4: point-in-time join + sessionization on events,
     // TF-IDF keywords + exact histogram percentiles on documents
-    "events_asof_join", "events_sessionize",
+    "events_asof_join", "events_sessionize", "events_interval_join",
     "text_tfidf_topk", "pipeline_percentiles",
     // r6 session 5: native session windows + BPE train-and-encode +
     // distributed-GD quality classifier

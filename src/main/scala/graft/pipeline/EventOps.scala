@@ -115,4 +115,41 @@ object EventOps {
         max(col(tsMsCol).cast("long")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 6).as("sum_value"))
+
+  /** Interval (range) join: every (left, right) pair sharing `keys` with
+    * `rightTs ∈ [leftTs + loMs, leftTs + hiMs]` (inclusive, epoch-ms
+    * arithmetic). Inner-join semantics, one output row per pair; right
+    * payload columns arrive prefixed `matched_`.
+    *
+    * Scale shape — TIME-BUCKET BLOCKING, the standard fix for Spark
+    * planning a raw time-inequality join as a per-key nested loop (every
+    * left row × every right row of the key before filtering): with
+    * bucket width W = hi − lo + 1, a left row's window spans AT MOST two
+    * buckets, so the left side explodes into ≤2 probe rows and the join
+    * becomes a pure equi-join on (keys, bucket) with the exact range
+    * test as a cheap post-filter. Join fanout is true matches plus
+    * same-bucket near-misses — never the per-key cross product. Hot
+    * (key, bucket) cells are data skew the same way any equi-join key
+    * is, so AQE skew-join handles them. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsMs: String, rightTsMs: String, loMs: Long, hiMs: Long,
+      rightPayload: Seq[String]): DataFrame = {
+    require(hiMs >= loMs, s"intervalJoin: hiMs $hiMs must be >= loMs $loMs")
+    require(keys.nonEmpty, "intervalJoin: at least one key column")
+    val width = hiMs - loMs + 1
+    val matchedTs = "matched_" + rightTsMs
+    val r = right.select(
+        (keys.map(col) :+ col(rightTsMs).cast("long").as("__rts")) ++
+          rightPayload.map(c => col(c).as("matched_" + c)): _*)
+      .withColumn("__bucket", floor(col("__rts") / width))
+    val l = left.withColumn("__lts", col(leftTsMs).cast("long"))
+      .withColumn("__bucket", explode(array_distinct(array(
+        floor((col("__lts") + loMs) / width),
+        floor((col("__lts") + hiMs) / width)))))
+    l.join(r, keys :+ "__bucket")
+      .filter(col("__rts") >= col("__lts") + loMs &&
+        col("__rts") <= col("__lts") + hiMs)
+      .withColumn(matchedTs, col("__rts"))
+      .drop("__bucket", "__lts", "__rts")
+  }
 }

@@ -147,6 +147,20 @@ object RelationalSuite {
         .asOfJoinBackward(purchases, views, Seq("user_id"), "tms", "tms", Seq("value"))
     }),
 
+    // interval join: every view of the same user in the six hours strictly
+    // before each purchase — the time-bucket-blocked range join (never
+    // the per-user nested loop a raw inequality join plans)
+    "events_interval_join" -> ((s, dir) => {
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tms"),
+          round(col("value"), 6).as("value"))
+      graft.pipeline.EventOps.intervalJoin(purchases, views, Seq("user_id"),
+        "tms", "tms", loMs = -21600000L, hiMs = -1L, Seq("view_id", "value"))
+    }),
+
     // gap-based sessionization: 12 h inactivity closes a session; the
     // session assignment (lag + running sum) and the per-session
     // aggregate share one user_id shuffle.
@@ -276,6 +290,18 @@ object RelationalSuite {
           FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rms <= l.tms
           QUALIFY row_number() OVER (PARTITION BY l.event_id
             ORDER BY r.rms DESC NULLS LAST, r.value DESC NULLS LAST) = 1""",
+
+    "events_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                    FROM events WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms,
+                       round(value, 6) AS value
+                FROM events WHERE event_type = 'view')
+          SELECT p.event_id, p.user_id, p.tms,
+                 v.view_id AS matched_view_id, v.value AS matched_value,
+                 v.vms AS matched_tms
+          FROM p JOIN v ON p.user_id = v.user_id
+            AND v.vms BETWEEN p.tms - 21600000 AND p.tms - 1""",
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value

@@ -115,4 +115,50 @@ class EventOpsSpec extends SparkSpec {
     assert(sessPlan.split("Exchange").length - 1 == 1,
       s"sessionize must shuffle exactly once:\n$sessPlan")
   }
+
+  // ---- interval join -----------------------------------------------------
+
+  test("interval join matches brute force, inclusive bounds, no pair dups") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 1000L), (2L, "u", 5000L), (3L, "v", 1000L))
+      .toDF("lid", "k", "tms")
+    val right = Seq((10L, "u", 900L), (11L, "u", 1000L), (12L, "u", 1100L),
+      (13L, "u", 4000L), (14L, "v", 3000L), (15L, "w", 1000L))
+      .toDF("rid", "k", "tms")
+    val got = EventOps.intervalJoin(left, right, Seq("k"), "tms", "tms",
+        loMs = -100L, hiMs = 100L, rightPayload = Seq("rid"))
+      .select("lid", "matched_rid").as[(Long, Long)].collect().sorted.toSeq
+    // brute force: |rts - lts| <= 100 on the same key, bounds inclusive
+    assert(got == Seq((1L, 10L), (1L, 11L), (1L, 12L)))
+    // a window spanning two buckets still yields each pair exactly once;
+    // the w-keyed right row never joins a v-keyed left row
+    val wide = EventOps.intervalJoin(left, right, Seq("k"), "tms", "tms",
+        loMs = -4000L, hiMs = 0L, rightPayload = Seq("rid"))
+      .select("lid", "matched_rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(wide == Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (2L, 13L)))
+  }
+
+  test("interval join is partition-invariant and matches the predicate") {
+    import spark.implicits._
+    val left = (1 to 200).map(i => (i.toLong, s"u${i % 7}", i * 100L))
+      .toDF("lid", "k", "tms")
+    val right = (1 to 300).map(i => (1000L + i, s"u${i % 7}", i * 70L))
+      .toDF("rid", "k", "tms")
+    def run(parts: Int) = EventOps.intervalJoin(left.repartition(parts),
+        right.repartition(parts), Seq("k"), "tms", "tms", -500L, 500L, Seq("rid"))
+      .select("lid", "matched_rid").as[(Long, Long)].collect().toSeq
+    val r1 = run(1)
+    assert(r1.sorted == run(8).sorted && r1.nonEmpty)
+    assert(r1.size == r1.distinct.size, "duplicate pairs emitted")
+    // every emitted pair satisfies the exact range predicate and key match
+    assert(r1.forall { case (l, r) =>
+      val i = r - 1000L
+      (l % 7) == (i % 7) && math.abs(l * 100L - i * 70L) <= 500L })
+    // completeness against a driver-side brute force
+    val ref = for {
+      l <- 1 to 200; r <- 1 to 300
+      if l % 7 == r % 7 && math.abs(l * 100L - r * 70L) <= 500L
+    } yield (l.toLong, 1000L + r)
+    assert(r1.sorted == ref.sorted)
+  }
 }
