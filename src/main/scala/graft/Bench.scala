@@ -51,6 +51,7 @@ object Bench {
     // r6 session 4: point-in-time join + sessionization on events,
     // TF-IDF keywords + exact histogram percentiles on documents
     "events_asof_join", "events_sessionize", "events_interval_join",
+    "events_rolling_agg",
     "text_tfidf_topk", "pipeline_percentiles",
     // r6 session 5: native session windows + BPE train-and-encode +
     // distributed-GD quality classifier
@@ -60,6 +61,7 @@ object Bench {
     // degree-oriented triangle counting + unicode canonicalization
     "text_bm25_topk", "dedup_prefix_jaccard", "graph_triangles",
     "text_unicode_clean", "sketch_cms_tokens", "pipeline_stratified_sample",
+    "pipeline_corpus_diff",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

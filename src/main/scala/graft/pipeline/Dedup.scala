@@ -137,6 +137,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Snapshot diff between two corpus versions: one row per doc_id that
+    * exists in either side, with status `added` (new only), `removed`
+    * (old only), `changed` (both, content fingerprint differs), or
+    * `unchanged`. The audit step an incremental 100 TB pipeline runs
+    * between crawls before deciding what to re-process — content
+    * equality by [[TextAnalysis.fingerprint]] (whitespace-normalized
+    * md5), never by byte-comparing text across the join. One full outer
+    * hash join on the id; only (id, fingerprint) pairs shuffle. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    // explicit presence markers: a null-TEXT doc has a null fingerprint,
+    // which must not read as "row absent" in the outer join
+    val o = oldDocs.select(col(idCol).as("__id"), fp.as("__ofp"), lit(1).as("__op"))
+    val n = newDocs.select(col(idCol).as("__id"), fp.as("__nfp"), lit(1).as("__np"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          // null-safe: two null-text docs are content-equal
+          .when(col("__ofp") <=> col("__nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Exact Jaccard similarity self-join with PREFIX FILTERING (AllPairs /
     * PPJoin, Bayardo et al. WWW'07) — the scale path past the plain
     * inverted index above: two documents with Jaccard ≥ t must share at

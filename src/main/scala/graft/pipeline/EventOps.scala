@@ -131,6 +131,27 @@ object EventOps {
     * same-bucket near-misses — never the per-key cross product. Hot
     * (key, bucket) cells are data skew the same way any equi-join key
     * is, so AQE skew-join handles them. */
+  /** Trailing time-window aggregates per key: for every event, the count
+    * and value-sum of the SAME key's events in `[ts − windowMs, ts]`
+    * (inclusive — a RANGE frame, so simultaneous events always aggregate
+    * together regardless of physical order). Sums run in integer
+    * micro-units (value pre-rounded to 6 decimals) so the window total is
+    * independent of accumulation order — the same engine-portability
+    * trick as BM25 scoring. One hash shuffle on the key; the frame
+    * arithmetic is narrow within each partition. */
+  def rollingAgg(events: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, windowMs: Long): DataFrame = {
+    require(windowMs > 0, "rollingAgg: windowMs must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsMsCol).cast("long"))
+      .rangeBetween(-windowMs, 0)
+    events
+      .withColumn("__vmicro",
+        round(col(valueCol) * lit(1000000.0)).cast("long"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_micro", sum(col("__vmicro")).over(w))
+      .drop("__vmicro")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsMs: String, rightTsMs: String, loMs: Long, hiMs: Long,
       rightPayload: Seq[String]): DataFrame = {

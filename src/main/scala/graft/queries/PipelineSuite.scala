@@ -405,6 +405,18 @@ object PipelineSuite {
         dim = 64, iters = 2, lr = 5.0)
     }),
 
+    // snapshot diff between two derived corpus versions: "old" lacks
+    // every 7th doc, "new" rewrites every 11th — statuses added /
+    // removed / changed / unchanged must all be non-vacuous
+    "pipeline_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldC = d.filter(col("doc_id") % 7 =!= 0)
+      val newC = d.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      Dedup.corpusDiff(oldC, newC)
+    }),
+
     // count-min sketch over the token stream (d=4, w=512): the full
     // counter table is an integer aggregation over md5 buckets, so the
     // sketch AND the min-over-depths estimates for the top-20 vocabulary
@@ -1272,6 +1284,23 @@ object PipelineSuite {
           SELECT CAST(p.p AS DOUBLE) AS p, min(cu.v) AS value
           FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
           GROUP BY p.p""",
+
+    "pipeline_corpus_diff" ->
+      """WITH f AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+          o AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 <> 0),
+          n AS (SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN
+                    md5(regexp_replace(lower(trim(text || ' v2')), '\s+', ' ', 'g'))
+                  ELSE fp END AS fp
+                FROM f JOIN documents USING (doc_id))
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.fp = n.fp THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
 
     "sketch_cms_tokens" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))

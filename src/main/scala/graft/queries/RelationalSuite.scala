@@ -161,6 +161,16 @@ object RelationalSuite {
         "tms", "tms", loMs = -21600000L, hiMs = -1L, Seq("view_id", "value"))
     }),
 
+    // trailing 6 h per-user activity profile at every event (RANGE frame
+    // — simultaneous events aggregate together on both engines; sums in
+    // integer micro-units for accumulation-order independence)
+    "events_rolling_agg" -> ((s, dir) => {
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
+      graft.pipeline.EventOps.rollingAgg(ev, "user_id", "tms", "value",
+          windowMs = 21600000L)
+        .select("event_id", "user_id", "tms", "n_window", "sum_micro")
+    }),
+
     // gap-based sessionization: 12 h inactivity closes a session; the
     // session assignment (lag + running sum) and the per-session
     // aggregate share one user_id shuffle.
@@ -290,6 +300,17 @@ object RelationalSuite {
           FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rms <= l.tms
           QUALIFY row_number() OVER (PARTITION BY l.event_id
             ORDER BY r.rms DESC NULLS LAST, r.value DESC NULLS LAST) = 1""",
+
+    "events_rolling_agg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+                      CAST(round(value * 1000000) AS BIGINT) AS vmicro
+                    FROM events)
+          SELECT event_id, user_id, tms,
+                 count(*) OVER w AS n_window,
+                 CAST(sum(vmicro) OVER w AS BIGINT) AS sum_micro
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tms
+                       RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)""",
 
     "events_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms

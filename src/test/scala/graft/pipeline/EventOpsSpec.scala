@@ -116,6 +116,29 @@ class EventOpsSpec extends SparkSpec {
       s"sessionize must shuffle exactly once:\n$sessPlan")
   }
 
+  // ---- rolling window aggregates -----------------------------------------
+
+  test("rolling agg matches brute force; RANGE frame includes ts ties") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u", 1000L, 1.5), (2L, "u", 1500L, 2.0), (3L, "u", 1500L, 0.25),
+      (4L, "u", 3000L, 1.0), (5L, "v", 1000L, 9.0))
+      .toDF("event_id", "k", "tms", "value")
+    val got = EventOps.rollingAgg(ev, "k", "tms", "value", windowMs = 1000L)
+      .select("event_id", "n_window", "sum_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val rows = Seq((1L, "u", 1000L, 1.5), (2L, "u", 1500L, 2.0),
+      (3L, "u", 1500L, 0.25), (4L, "u", 3000L, 1.0), (5L, "v", 1000L, 9.0))
+    val ref = rows.map { case (id, k, t, _) =>
+      val in = rows.filter { case (_, k2, t2, _) => k2 == k && t2 >= t - 1000 && t2 <= t }
+      id -> ((in.size.toLong, in.map(r => math.round(r._4 * 1e6)).sum))
+    }.toMap
+    // events 2 and 3 share ts=1500: the RANGE frame gives BOTH rows the
+    // same totals (all three u-events), regardless of physical order
+    assert(got == ref)
+    assert(got(2L) == got(3L))
+  }
+
   // ---- interval join -----------------------------------------------------
 
   test("interval join matches brute force, inclusive bounds, no pair dups") {

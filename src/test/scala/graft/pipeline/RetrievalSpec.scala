@@ -160,6 +160,23 @@ class RetrievalSpec extends SparkSpec {
     assert(run(8).size == 21)
   }
 
+  // ---- corpus snapshot diff ----------------------------------------------
+
+  test("corpusDiff classifies added/removed/changed/unchanged, null-text safe") {
+    val oldC = Seq((1L, "same text"), (2L, "will change"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newC = Seq((1L, "same text"), (2L, "did change"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldC, newC).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+    // whitespace/case normalization rides the fingerprint
+    val ws = Dedup.corpusDiff(
+      Seq((9L, "A  b")).toDF("doc_id", "text"),
+      Seq((9L, "a b ")).toDF("doc_id", "text")).as[(Long, String)].head()
+    assert(ws == ((9L, "unchanged")))
+  }
+
   // ---- unicode canonicalization ------------------------------------------
 
   test("unicodeClean composes NFC and strips control characters") {
