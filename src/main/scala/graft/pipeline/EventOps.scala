@@ -152,6 +152,34 @@ object EventOps {
       .drop("__vmicro")
   }
 
+  /** LIVE interval join — the same pairing contract as [[intervalJoin]]
+    * on an unbounded stream, via Spark's native stream-stream inner join
+    * with an event-time range condition. The range condition plus the
+    * two watermarks are what make the join's state BOUNDED: each side
+    * keeps only rows inside the other's reachable window (Spark evicts
+    * beyond `watermark` + the range span), so state is
+    * O(rate × (horizon + span)), not the stream. Timestamp columns are
+    * event-time `TimestampType`; right payload arrives `matched_`-
+    * prefixed, the matched right timestamp as `matched_<rightTsCol>`. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, loMs: Long, hiMs: Long,
+      watermark: String, rightPayload: Seq[String]): DataFrame = {
+    require(hiMs >= loMs, s"intervalJoinStream: hiMs $hiMs must be >= loMs $loMs")
+    require(keys.nonEmpty, "intervalJoinStream: at least one key column")
+    val matchedTs = "matched_" + rightTsCol
+    val lw = left.withWatermark(leftTsCol, watermark)
+    val rw = right.select(
+        (keys.map(c => col(c).as("__r_" + c)) :+ col(rightTsCol).as(matchedTs)) ++
+          rightPayload.map(c => col(c).as("matched_" + c)): _*)
+      .withWatermark(matchedTs, watermark)
+    // literal DayTimeInterval bounds — the analyzer recognizes them as a
+    // watermark range constraint and derives the state-eviction horizon
+    val cond = keys.map(c => col(c) === col("__r_" + c)).reduce(_ && _) &&
+      col(matchedTs) >= col(leftTsCol) + lit(java.time.Duration.ofMillis(loMs)) &&
+      col(matchedTs) <= col(leftTsCol) + lit(java.time.Duration.ofMillis(hiMs))
+    lw.join(rw, cond, "inner").drop(keys.map("__r_" + _): _*)
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsMs: String, rightTsMs: String, loMs: Long, hiMs: Long,
       rightPayload: Seq[String]): DataFrame = {

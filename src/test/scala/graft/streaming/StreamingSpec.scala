@@ -60,6 +60,48 @@ class StreamingSpec extends SparkSpec {
     ist.foreach { case (w, vs) => vs.foreach(v => assert(relSet.contains((w, v)))) }
   }
 
+  test("live interval join agrees with the batch formulation and spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Long)] // (id, key, secs)
+    val rMem = MemoryStream[(Long, String, Long)]
+    val l = lMem.toDF().toDF("lid", "k", "secs")
+      .withColumn("lts", timestamp_seconds(col("secs"))).drop("secs")
+    val r = rMem.toDF().toDF("rid", "k", "secs")
+      .withColumn("rts", timestamp_seconds(col("secs"))).drop("secs")
+    val joined = graft.pipeline.EventOps.intervalJoinStream(
+      // delay 10 s: batch-2 rows at t=11 s must not be late vs the
+      // batch-1 watermark (inner-join emission itself never waits)
+      l, r, Seq("k"), "lts", "rts", loMs = -2000L, hiMs = 2000L,
+      watermark = "10 seconds", rightPayload = Seq("rid"))
+      .select("lid", "matched_rid")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // matches within one batch AND across batches (state carries rows)
+      lMem.addData((1L, "u", 10L), (2L, "u", 100L))
+      rMem.addData((10L, "u", 9L), (11L, "u", 12L), (12L, "v", 10L))
+      q.processAllAvailable()
+      rMem.addData((13L, "u", 101L)) // joins the batch-1 left row
+      lMem.addData((3L, "u", 11L))   // joins batch-1 right rows
+      q.processAllAvailable()
+      val got = spark.table("ivjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch ground truth via the bucket-blocked formulation on epoch-ms
+      val lb = Seq((1L, "u", 10000L), (2L, "u", 100000L), (3L, "u", 11000L))
+        .toDF("lid", "k", "tms")
+      val rb = Seq((10L, "u", 9000L), (11L, "u", 12000L), (12L, "v", 10000L),
+        (13L, "u", 101000L)).toDF("rid", "k", "tms")
+      val ref = graft.pipeline.EventOps.intervalJoin(lb, rb, Seq("k"),
+          "tms", "tms", -2000L, 2000L, Seq("rid"))
+        .select("lid", "matched_rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, s"live $got vs batch $ref")
+      assert(got.contains((2L, 13L)) && got.contains((3L, 11L)),
+        "cross-batch matches missing")
+    } finally q.stop()
+  }
+
   test("DSTREAM reports deletions at the following firing (r2s.rs:40-52)") {
     val events = Seq((0L, "x"), (1L, "x"), (5L, "y")).toDF("secs", "v")
       .withColumn("ts", timestamp_seconds(col("secs")))
