@@ -61,7 +61,7 @@ object Bench {
     // degree-oriented triangle counting + unicode canonicalization
     "text_bm25_topk", "dedup_prefix_jaccard", "graph_triangles",
     "text_unicode_clean", "sketch_cms_tokens", "pipeline_stratified_sample",
-    "pipeline_corpus_diff",
+    "pipeline_corpus_diff", "dedup_containment",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

@@ -217,6 +217,53 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT join: pairs where C(a→b) = |A∩B| / |A| ≥ t —
+    * "document a's shingle set is mostly inside b" (quote, excerpt, and
+    * copy detection; subset-shaped, so Jaccard misses it whenever b is
+    * much larger than a). `contained` is the probe side (the snippets /
+    * suspected excerpts), `corpus` the haystack; ids must not clash in
+    * meaning — output is (`containedIdCol`, `corpusIdCol`, containment).
+    *
+    * Prefix filter, one-sided: overlap ≥ ⌈t·|A|⌉ forces at least one of
+    * a's (|A| − ⌈t·|A|⌉ + 1) first-by-any-order shingles to hit B —
+    * recall-complete for ANY global order because the corpus side stays
+    * FULL. The order used is corpus document frequency (rare-first), the
+    * choice that minimizes candidate fanout: a probe's prefix joins the
+    * corpus posting lists of its RAREST shingles. Verification is the
+    * same in-row array intersect as [[prefixJaccardPairs]]; the ≥ t
+    * decision never divides. */
+  def containmentPairs(contained: DataFrame, corpus: DataFrame, k: Int = 3,
+      threshold: Double = 0.9, containedIdCol: String = "probe_id",
+      corpusIdCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs threshold $threshold must be in (0, 1]")
+    val shA = shingles(contained.withColumnRenamed(containedIdCol, "doc_id")
+      .select(col("doc_id"), col(textCol)), k).withColumnRenamed("id", "pid")
+    val shB = shingles(corpus.select(col(corpusIdCol).as("doc_id"), col(textCol)), k)
+    val dfB = shB.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val perProbe = Window.partitionBy("pid").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = shA
+      // corpus-absent shingles carry df 0 — harmless for recall (any
+      // order is complete) and they join no postings anyway
+      .join(dfB, Seq("shingle"), "left_outer")
+      .na.fill(0L, Seq("df"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("pid")))
+      .withColumn("pos", row_number().over(perProbe))
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("pid", "shingle")
+    val cand = prefix.join(shB, Seq("shingle"))
+      .select("pid", "id").distinct()
+    val setsA = shA.groupBy("pid").agg(collect_set(col("shingle")).as("set_a"))
+    val setsB = shB.groupBy("id").agg(collect_set(col("shingle")).as("set_b"))
+    cand.join(setsA, "pid").join(setsB, "id")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .filter(col("inter").cast(DoubleType) >= lit(threshold) * size(col("set_a")))
+      .select(col("pid").as(containedIdCol), col("id").as(corpusIdCol),
+        round(col("inter").cast(DoubleType) / size(col("set_a")).cast(DoubleType), 6)
+          .as("containment"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic 64-bit mix of a shingle under permutation seed i

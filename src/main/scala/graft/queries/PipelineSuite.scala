@@ -405,6 +405,19 @@ object PipelineSuite {
         dim = 64, iters = 2, lr = 5.0)
     }),
 
+    // excerpt/quote detection: the first-30-token snippet of every 50th
+    // document probed against the full corpus at 90% shingle
+    // containment — each snippet must at least rediscover its source
+    // (Jaccard misses subset pairs when the source is much longer)
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val snippets = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("probe_id"),
+          array_join(slice(TextAnalysis.tokens(trim(col("text"))), 1, 30), " ")
+            .as("text"))
+      Dedup.containmentPairs(snippets, d, k = 3, threshold = 0.9)
+    }),
+
     // snapshot diff between two derived corpus versions: "old" lacks
     // every 7th doc, "new" rewrites every 11th — statuses added /
     // removed / changed / unchanged must all be non-vacuous
@@ -1284,6 +1297,30 @@ object PipelineSuite {
           SELECT CAST(p.p AS DOUBLE) AS p, min(cu.v) AS value
           FROM p CROSS JOIN n JOIN cu ON cu.cum >= CEIL(p.p * n.n)
           GROUP BY p.p""",
+
+    // ground truth: full inverted index over snippet and corpus
+    // shingles, containment decided by the same cross-multiply
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+          sn AS (SELECT doc_id AS pid, w[1:30] AS w FROM t WHERE doc_id % 50 = 0),
+          sa0 AS (SELECT pid,
+                    list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                  FROM sn WHERE len(w) >= 3),
+          sa AS (SELECT DISTINCT pid, unnest(shs) AS shingle FROM sa0),
+          sb0 AS (SELECT doc_id AS id,
+                    list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                  FROM t WHERE len(w) >= 3),
+          sb AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM sb0),
+          na AS (SELECT pid, COUNT(*) AS n_a FROM sa GROUP BY pid),
+          cm AS (SELECT sa.pid, sb.id, COUNT(*) AS inter
+                 FROM sa JOIN sb USING (shingle) GROUP BY 1, 2)
+          SELECT cm.pid AS probe_id, cm.id AS doc_id,
+                 ROUND(CAST(inter AS DOUBLE) / CAST(na.n_a AS DOUBLE), 6)
+                   AS containment
+          FROM cm JOIN na USING (pid)
+          WHERE CAST(inter AS DOUBLE) >= 0.9 * na.n_a""",
 
     "pipeline_corpus_diff" ->
       """WITH f AS (SELECT doc_id,

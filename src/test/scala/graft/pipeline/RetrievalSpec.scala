@@ -160,6 +160,31 @@ class RetrievalSpec extends SparkSpec {
     assert(run(8).size == 21)
   }
 
+  // ---- containment join --------------------------------------------------
+
+  test("containment pairs equal brute force; subset pairs Jaccard misses") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "x y z q r s"),
+      (3L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "a b c d e"),   // prefix of docs 1/3: containment 1.0
+      (200L, "a b c x y z"), // mixed: shares only {a b c} with 1/3
+      (300L, "zz zz zz")     // nowhere
+    ).toDF("probe_id", "text")
+    val got = Dedup.containmentPairs(probes, corpus, k = 3, threshold = 0.9)
+      .select("probe_id", "doc_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((100L, 1L, 1.0), (100L, 3L, 1.0)))
+    // the found pair has tiny Jaccard (3 of 14 shingles): the symmetric
+    // join would require threshold <= 0.22 to see it at all
+    val jac = Dedup.prefixJaccardPairs(
+      corpus.unionByName(probes.withColumnRenamed("probe_id", "doc_id")),
+      k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists(p => p._1 == 100L || p._2 == 100L))
+  }
+
   // ---- corpus snapshot diff ----------------------------------------------
 
   test("corpusDiff classifies added/removed/changed/unchanged, null-text safe") {
