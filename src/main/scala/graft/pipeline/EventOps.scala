@@ -116,21 +116,6 @@ object EventOps {
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 6).as("sum_value"))
 
-  /** Interval (range) join: every (left, right) pair sharing `keys` with
-    * `rightTs ∈ [leftTs + loMs, leftTs + hiMs]` (inclusive, epoch-ms
-    * arithmetic). Inner-join semantics, one output row per pair; right
-    * payload columns arrive prefixed `matched_`.
-    *
-    * Scale shape — TIME-BUCKET BLOCKING, the standard fix for Spark
-    * planning a raw time-inequality join as a per-key nested loop (every
-    * left row × every right row of the key before filtering): with
-    * bucket width W = hi − lo + 1, a left row's window spans AT MOST two
-    * buckets, so the left side explodes into ≤2 probe rows and the join
-    * becomes a pure equi-join on (keys, bucket) with the exact range
-    * test as a cheap post-filter. Join fanout is true matches plus
-    * same-bucket near-misses — never the per-key cross product. Hot
-    * (key, bucket) cells are data skew the same way any equi-join key
-    * is, so AQE skew-join handles them. */
   /** Trailing time-window aggregates per key: for every event, the count
     * and value-sum of the SAME key's events in `[ts − windowMs, ts]`
     * (inclusive — a RANGE frame, so simultaneous events always aggregate
@@ -180,6 +165,21 @@ object EventOps {
     lw.join(rw, cond, "inner").drop(keys.map("__r_" + _): _*)
   }
 
+  /** Interval (range) join: every (left, right) pair sharing `keys` with
+    * `rightTs ∈ [leftTs + loMs, leftTs + hiMs]` (inclusive, epoch-ms
+    * arithmetic). Inner-join semantics, one output row per pair; right
+    * payload columns arrive prefixed `matched_`.
+    *
+    * Scale shape — TIME-BUCKET BLOCKING, the standard fix for Spark
+    * planning a raw time-inequality join as a per-key nested loop (every
+    * left row × every right row of the key before filtering): with
+    * bucket width W = hi − lo + 1, a left row's window spans AT MOST two
+    * buckets, so the left side explodes into ≤2 probe rows and the join
+    * becomes a pure equi-join on (keys, bucket) with the exact range
+    * test as a cheap post-filter. Join fanout is true matches plus
+    * same-bucket near-misses — never the per-key cross product. Hot
+    * (key, bucket) cells are data skew the same way any equi-join key
+    * is, so AQE skew-join handles them. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsMs: String, rightTsMs: String, loMs: Long, hiMs: Long,
       rightPayload: Seq[String]): DataFrame = {

@@ -1335,7 +1335,7 @@ object PipelineSuite {
           SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                  CASE WHEN o.doc_id IS NULL THEN 'added'
                       WHEN n.doc_id IS NULL THEN 'removed'
-                      WHEN o.fp = n.fp THEN 'unchanged'
+                      WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
                       ELSE 'changed' END AS status
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
 

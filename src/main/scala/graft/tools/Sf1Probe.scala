@@ -39,7 +39,11 @@ object Sf1Probe {
     // counting (wedge joins — the one with real output growth), CMS
     // (bounded d×w agg)
     "text_bm25_topk", "dedup_prefix_jaccard", "graph_triangles",
-    "sketch_cms_tokens")
+    "sketch_cms_tokens",
+    // r6 session 6 (cont.): bucket-blocked range join, RANGE-frame
+    // rolling aggregates, one-sided containment, snapshot diff
+    "events_interval_join", "events_rolling_agg", "dedup_containment",
+    "pipeline_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
