@@ -36,34 +36,49 @@ object GraphOps {
     // LogicalRDD does not expose the partitioning to the optimizer, so
     // the per-round joins re-shuffled anyway and the upfront exchanges
     // were pure cost. The simple form below is the fast one.)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    // the static sides are read every round — always materialize them
+    // once (cheap; the per-ROUND checkpoint is what the flag gates)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
     // nodes joined with outdeg once: dangling nodes carry outdeg null
-    val base0 = nodes.join(outdeg, Seq("node"), "left_outer")
-    val base = if (checkpoint) base0.localCheckpoint() else base0
+    val base = nodes.join(outdeg, Seq("node"), "left_outer").localCheckpoint()
     val n = base.count().toDouble
     require(n > 0, "pageRank: empty graph")
     var pr = base.withColumn("pr", lit(1.0 / n))
-    if (checkpoint) pr = pr.localCheckpoint()
+    // whether pr is a loop-round checkpoint of its OWN (safe to drop):
+    // the round-0 frame derives from base, whose LogicalRDD leaves
+    // unpersistCheckpoint would otherwise destroy mid-iteration
+    var prOwnCheckpoint = false
     for (_ <- 1 to iters) {
+      // dangling mass as a LAZY broadcast 1-row aggregate, not a driver
+      // head(): the old per-round collect forced two actions per round
+      // and measured 5.2-5.6 s warm at sf0.1/3 iters vs 3.9-4.3 s for
+      // this one-action form (bit-identical results — same IEEE ops)
       val dangling = pr.filter(col("outdeg").isNull)
-        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dang"))
       val contribs = e.join(pr.filter(col("outdeg").isNotNull), e("src") === pr("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
       val next = base.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .withColumn("pr", lit((1.0 - damping) / n) +
-          lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
-        .drop("__in")
+          lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dang") / lit(n)))
+        .drop("__in", "__dang")
       val prev = pr
+      val prevOwn = prOwnCheckpoint
+      // without per-round checkpoints the plan doubles per round (pr
+      // feeds both the dangling aggregate and the contribution join) —
+      // fine at the entry's 3 iterations (ReusedExchange dedupes), the
+      // flag exists for deep iteration counts
       pr = if (checkpoint) next.localCheckpoint() else next
+      prOwnCheckpoint = checkpoint
       // Dataset.unpersist is a no-op for checkpoint blocks (it only
       // uncaches CacheManager entries); drop the backing RDD directly
-      if (checkpoint) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
+      if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }

@@ -192,7 +192,9 @@ object RelationalSuite {
           (col("l_partkey") * 4 + 1).as("dst"))
         .unionAll(li.select((col("l_partkey") * 4 + 1).as("src"),
           (col("l_suppkey") * 4 + 2).as("dst")))
-      graft.pipeline.GraphOps.pageRank(edges, iters = 3)
+      // 3 iterations: the one-action no-round-checkpoint form (measured
+      // fastest; deep iteration counts would flip the flag back on)
+      graft.pipeline.GraphOps.pageRank(edges, iters = 3, checkpoint = false)
     }),
 
     // per-node triangle counts over the order-part-supplier co-occurrence
