@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, KmvDistinct, NfcNormalize, QtComponent}
+import graft.functions.{CosineSimilarity, HllDistinct, KmvDistinct, NfcNormalize, QtComponent}
 
 /** Session-extensions entry point: installs graft's native Catalyst
   * functions at session BUILD time via
@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_distinct",
         "kmv_distinct(hash, k[, domainBits]) - KMV distinct-count sketch"),
       KmvDistinct.builder _))
+
+    ext.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct",
+        "hll_distinct(hash, p[, domainBits]) - HyperLogLog distinct-count sketch"),
+      HllDistinct.builder _))
   }
 }

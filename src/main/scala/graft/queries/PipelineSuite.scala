@@ -445,6 +445,27 @@ object PipelineSuite {
         .select("token", "cnt", "cms_est", "rank")
     }),
 
+    // HyperLogLog distinct-count sketch (custom TypedImperativeAggregate,
+    // m=512 one-byte registers) per source: linear-counting regime on
+    // distinct tokens (~tens ≪ 2.5m) AND raw-estimator regime on token
+    // occurrences (thousands), beside the exact counts. The dyadic
+    // register sum Σ2^(52−Mj) is an exact BIGINT, so the estimate is one
+    // deterministic division — bit-reproducible in DuckDB from the same
+    // md5-60 hashes.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      graft.functions.HllDistinct.register(s)
+      val tok = docs(s, dir).select(col("source"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(trim(lower(col("text"))))).as(Seq("pos", "tok")))
+      val occ = concat_ws("#", col("tok"), col("doc_id"), col("pos"))
+      tok.groupBy("source").agg(
+        countDistinct(col("tok")).as("n_tok_exact"),
+        round(graft.functions.HllDistinct(Dedup.md5Hash60(col("tok")), 9), 4)
+          .as("hll_tok"),
+        count(lit(1)).as("n_occ_exact"),
+        round(graft.functions.HllDistinct(Dedup.md5Hash60(occ), 9), 4)
+          .as("hll_occ"))
+    }),
+
     // BM25 lexical retrieval: every 100th document's first 5 tokens form
     // a query; top-10 per query by integer micro-unit score (per-term
     // quantisation before the sum → float-order-independent totals)
@@ -1362,6 +1383,65 @@ object PipelineSuite {
                   GROUP BY kb.token)
           SELECT t20.token, t20.cnt, est.cms_est, CAST(t20.rank AS INT) AS rank
           FROM t20 JOIN est USING (token)""",
+
+    // HLL mirror: registers from j = h % 512, rho = 52 − bitlength(h//512)
+    // (bin() gives the minimal binary string on both engines; w=0 is the
+    // all-zero-suffix special case), dyadic BIGINT register sum, then the
+    // identical alpha/linear-counting op chain as the aggregate's eval
+    "sketch_hll_distinct" ->
+      """WITH t AS (SELECT source, doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          o AS (SELECT source, doc_id, generate_subscripts(w, 1) - 1 AS pos,
+                  unnest(w) AS tok
+                FROM t),
+          ht AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM o),
+          ho AS (SELECT source,
+                   ('0x' || substr(md5(tok || '#' || doc_id || '#' || pos), 1, 15))::BIGINT AS h
+                 FROM o),
+          rt AS (SELECT source, h % 512 AS j,
+                   max(CASE WHEN h // 512 = 0 THEN 52
+                       ELSE 52 - length(bin(h // 512)) END) AS mj
+                 FROM ht GROUP BY 1, 2),
+          ro AS (SELECT source, h % 512 AS j,
+                   max(CASE WHEN h // 512 = 0 THEN 52
+                       ELSE 52 - length(bin(h // 512)) END) AS mj
+                 FROM ho GROUP BY 1, 2),
+          srcs AS (SELECT DISTINCT source FROM t),
+          grid AS (SELECT source, i.i AS j FROM srcs, range(512) i(i)),
+          st AS (SELECT grid.source,
+                   sum(1::BIGINT << (52 - COALESCE(mj, 0))) AS s,
+                   sum(CASE WHEN COALESCE(mj, 0) = 0 THEN 1 ELSE 0 END) AS v
+                 FROM grid LEFT JOIN rt ON grid.source = rt.source AND grid.j = rt.j
+                 GROUP BY 1),
+          so AS (SELECT grid.source,
+                   sum(1::BIGINT << (52 - COALESCE(mj, 0))) AS s,
+                   sum(CASE WHEN COALESCE(mj, 0) = 0 THEN 1 ELSE 0 END) AS v
+                 FROM grid LEFT JOIN ro ON grid.source = ro.source AND grid.j = ro.j
+                 GROUP BY 1),
+          et AS (SELECT source,
+                   CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512
+                          * 4503599627370496.0 / CAST(s AS DOUBLE) <= 2.5 * 512
+                          AND v > 0
+                     THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                     ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512
+                          * 4503599627370496.0 / CAST(s AS DOUBLE) END AS est
+                 FROM st),
+          eo AS (SELECT source,
+                   CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512
+                          * 4503599627370496.0 / CAST(s AS DOUBLE) <= 2.5 * 512
+                          AND v > 0
+                     THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                     ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512
+                          * 4503599627370496.0 / CAST(s AS DOUBLE) END AS est
+                 FROM so),
+          ex AS (SELECT source, count(DISTINCT tok) AS n_tok_exact,
+                   count(*) AS n_occ_exact
+                 FROM o GROUP BY source)
+          SELECT ex.source, n_tok_exact, ROUND(et.est, 4) AS hll_tok,
+                 n_occ_exact, ROUND(eo.est, 4) AS hll_occ
+          FROM ex JOIN et USING (source) JOIN eo USING (source)""",
 
     // BM25 mirror: every arithmetic step is the identical IEEE op chain
     // (k1+1 and 1-b written as the same sums the plan folds; avgdl is an
