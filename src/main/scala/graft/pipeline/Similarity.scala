@@ -157,6 +157,62 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Distributed Lloyd's k-means whose TRAINING is hash-checkable — the
+    * exact-arithmetic twin of [[trainCentroids]] (whose float `avg`
+    * centroids are summation-order-dependent, so only its downstream
+    * rankings can be oracle-checked, never the centroids themselves).
+    *
+    * Components quantize to integer micro-units (floor(v·10⁶)), so
+    * per-round distances are exact BIGINT sums and the centroid update
+    * is a FLOOR-division mean on the same grid: every round is
+    * bit-reproducible in ANSI SQL (the oracle unrolls the rounds as
+    * CTEs). Assignment ties break to the lowest cid; a cluster that
+    * loses all members keeps its previous centroid (n = 0 in the
+    * output).
+    *
+    * Scale shape per round: one broadcast of k·dim centroid rows, one
+    * (id, cid) distance aggregation, one (cid, pos) sum — no global
+    * windows, no driver-side loops over data. Returns
+    * (cid, pos, cq, n) long-format centroids after `iters` rounds.
+    *
+    * |xq| ≤ ~2²¹ micro-units and d² ≤ dim·(2·2²¹)² ≈ 2⁵⁰ keep every
+    * sum far from BIGINT range; the floor division computes as
+    * (s − pmod(s, n)) / n, exact because s − pmod is divisible and
+    * < 2⁵³ (double division of exactly divisible longs is exact). */
+  def kmeansMicro(corpus: DataFrame, nClusters: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nClusters >= 1 && iters >= 1, "kmeansMicro needs k >= 1, iters >= 1")
+    val x = corpus.select(col(idCol).as("id"),
+      posexplode(transform(col(vecCol),
+        v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("pos", "xq")))
+    // hash-seeded slots, min id per slot — same discipline as
+    // trainCentroids but md5-portable so the oracle reproduces the seeds
+    val seedIds = corpus.select(col(idCol).as("id"),
+        pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
+          lit(nClusters.toLong)).cast(IntegerType).as("cid"))
+      .groupBy("cid").agg(min(col("id")).as("id"))
+    var cent = x.join(broadcast(seedIds), "id")
+      .select(col("cid"), col("pos"), col("xq").as("cq"))
+    var sizes: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = x.join(broadcast(cent), "pos")
+        .groupBy("id", "cid")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+        .groupBy("id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val sums = x.join(assigned, "id")
+        .groupBy("cid", "pos").agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+      cent = cent.as("o").join(sums.as("u"), Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"),
+          coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
+            .cast(LongType), col("o.cq")).as("cq"))
+      sizes = sums.filter(col("pos") === 0).select(col("cid"), col("n"))
+    }
+    cent.join(sizes, Seq("cid"), "left_outer")
+      .select(col("cid"), col("pos"), col("cq"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Symmetric int8 quantization: per-vector scale = maxAbs/127 (1.0 for
     * an all-zero vector), q_i = floor(v_i/scale + 0.5) clamped to
     * [-127, 127]. The 100 TB story: 4× less candidate/state volume at

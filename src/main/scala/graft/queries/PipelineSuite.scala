@@ -375,6 +375,15 @@ object PipelineSuite {
       graft.pipeline.RandomProjection.jlProject(emb(s, dir), dIn = 64, dOut = 16)
         .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))),
 
+    // distributed Lloyd's k-means whose TRAINING hash-checks: integer
+    // micro-unit quantization + floor-division centroid means keep every
+    // round exact, so the oracle unrolls both rounds as CTEs and the
+    // final centroids (not just a downstream ranking) must match
+    "similarity_kmeans" -> ((s, dir) =>
+      Similarity.kmeansMicro(emb(s, dir), nClusters = 8, iters = 2)
+        .select(col("cid"), col("pos").cast("long").as("pos"),
+          col("cq"), col("n"))),
+
     // KMV distinct-count sketch (custom TypedImperativeAggregate) per
     // source: exact path on tokens (~31 distinct < k) AND estimator path
     // on token×doc pairs (~600 distinct > k), beside the exact counts.
@@ -1109,6 +1118,42 @@ object PipelineSuite {
                 FROM embeddings, range(64) i(i))
           SELECT vec_id, j, ROUND(sum(v * sgn) / sqrt(16.0), 6) AS p
           FROM x JOIN s USING (i) GROUP BY vec_id, j""",
+
+    // both Lloyd rounds unrolled: micro-unit quantization, md5-seeded
+    // slots, argmin assignment (d2 then cid), floor-division centroid
+    // mean via subtract-pmod (exactly divisible, so // is exact), empty
+    // clusters keep the previous round's centroid
+    "similarity_kmeans" ->
+      """WITH x AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 8 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),
+          d1 AS (SELECT x.id, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 USING (pos) GROUP BY 1, 2),
+          a1 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 USING (id) GROUP BY 1, 2),
+          c1 AS (SELECT c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 USING (pos) GROUP BY 1, 2),
+          a2 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 USING (id) GROUP BY 1, 2),
+          c2 AS (SELECT c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.pos = s2.pos),
+          sz AS (SELECT cid, n FROM s2 WHERE pos = 0)
+          SELECT c2.cid, c2.pos, c2.cq, COALESCE(sz.n, 0) AS n
+          FROM c2 LEFT JOIN sz USING (cid)""",
 
     // k-th smallest distinct md5-60 hash per source reproduces the KMV
     // estimate exactly; below k the sketch is exact (= max(rn))

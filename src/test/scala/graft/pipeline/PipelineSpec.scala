@@ -84,6 +84,48 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("kmeansMicro: exactness (partition invariance), descent, blob geometry") {
+    // exact arithmetic → identical output for any physical partitioning
+    val a = Similarity.kmeansMicro(emb.repartition(1), nClusters = 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Similarity.kmeansMicro(emb.repartition(16), nClusters = 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+    // cluster sizes account for every vector; at most k clusters
+    val n = emb.count()
+    assert(a.filter(_._2 == 0).toSeq.map(_._4).sum == n)
+    assert(a.map(_._1).size <= 4)
+
+    // Lloyd descent: reassign-WCSS against the output centroids must not
+    // grow with more rounds (floor-mean is within 1 micro-unit per
+    // component of the true minimizer, so allow 1% slack)
+    def wcss(iters: Int): Double = {
+      val cent = Similarity.kmeansMicro(emb, nClusters = 4, iters = iters)
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+      val xs = emb.select("embedding").collect()
+        .map(_.getSeq[Float](0).map(v => math.floor(v * 1000000.0).toLong))
+      xs.map { x =>
+        cent.values.map(c => c.zip(x).map { case (ci, xi) =>
+          val d = (xi - ci).toDouble; d * d }.sum).min
+      }.sum
+    }
+    val (j1, j2) = (wcss(1), wcss(2))
+    assert(j2 <= j1 * 1.01, s"WCSS grew: $j1 -> $j2")
+
+    // two well-separated synthetic blobs: every non-empty centroid must
+    // land inside one blob's value range, never between them
+    val blobs = ((0 until 20).map(i => (i.toLong, Seq.fill(4)(0.1f + 0.001f * i))) ++
+      (0 until 20).map(i => (100L + i, Seq.fill(4)(5.0f + 0.001f * i))))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.kmeansMicro(blobs, nClusters = 4, iters = 3)
+      .filter(col("n") > 0).collect().map(_.getLong(2))
+    assert(cs.nonEmpty)
+    cs.foreach(c => assert(c < 200000L || c > 4800000L,
+      s"centroid component $c sits between the blobs"))
+  }
+
   test("multimodal: payload round-trip, stub decode shape, frame sampling") {
     val media = Multimodal.fromText(docs.limit(50), "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
