@@ -83,6 +83,91 @@ object GraphOps {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Connected components: (node, component) where component is the
+    * MINIMUM node id reachable from `node` over the undirected graph —
+    * the deterministic survivor contract [[Dedup.nearDupClusters]] uses.
+    *
+    * Scale shape — hash-min with POINTER DOUBLING: each round first
+    * pulls the smallest label one hop away (the O(|E|) propagation
+    * step), then shortcuts every label to its label's label (the
+    * O(|V|) path-compression join). Doubling collapses a diameter-D
+    * chain in O(log D) rounds where plain propagation (the near-dup
+    * clusterer, tuned for shallow dedup components) needs D — the
+    * difference between 20 and 10⁶ shuffles on a path graph at scale.
+    * Labels only ever decrease and stay node ids of the same component,
+    * so the fixpoint of (propagate ∘ shortcut) is the plain-propagation
+    * fixpoint: the component minimum. Throws on non-convergence rather
+    * than returning silently inconsistent labels. */
+  def connectedComponents(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxRounds: Int = 50): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
+      .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
+    val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint()
+    var lbl = und.groupBy("v").agg(least(min(col("u")), col("v")).as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = und.join(lbl.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy("v").agg(min(col("lbl")).as("nlbl"))
+      val stepped = lbl.join(viaNeighbor, Seq("v"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: lbl'(v) = min(lbl(v), lbl(lbl(v))) — labels are
+      // node ids of the same component, so the shortcut stays in-component
+      val next = stepped.as("a")
+        .join(stepped.select(col("v").as("lbl"), col("lbl").as("lbl2")).as("b"),
+          Seq("lbl"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.select(col("v"), col("lbl").as("nl"))
+        .join(lbl, Seq("v")).filter(col("nl") =!= col("lbl")).count()
+      graft.reasoner.Reasoner.unpersistCheckpoint(lbl)
+      lbl = next
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: did not converge in $maxRounds doubling rounds")
+    lbl.select(col("v").as("node"), col("lbl").as("component"))
+  }
+
+  /** Multi-source BFS hop distances: (node, dist) for every node within
+    * `maxHops` undirected hops of the `sources` frame (one `node`
+    * column), dist = the minimum hop count (sources at 0).
+    *
+    * Scale shape — frontier expansion: round h joins the CURRENT
+    * frontier (nodes first reached at h−1) against the edge list and
+    * anti-joins the visited set, so each edge is traversed at most once
+    * per endpoint discovery and the per-round shuffle is O(frontier
+    * out-degree), never O(|V|). Bounded depth keeps the plan finite on
+    * a giant component — the k-hop-neighborhood query shape. */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0, s"bfsDistances maxHops $maxHops must be >= 0")
+    val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
+      .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
+    val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint()
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val reached = und.join(frontier.select(col("node").as("v")), "v")
+        .select(col("u").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      frontier = reached.localCheckpoint()
+      val prev = visited
+      visited = prev.unionByName(frontier).localCheckpoint()
+      graft.reasoner.Reasoner.unpersistCheckpoint(prev)
+      h += 1
+    }
+    visited
+  }
+
   /** Per-node triangle counts (node, triangles) over the undirected
     * simple graph induced by `edges` (direction, duplicates, and
     * self-loops are dropped first).

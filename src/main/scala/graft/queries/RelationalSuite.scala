@@ -209,6 +209,37 @@ object RelationalSuite {
         .unionAll(li.select((col("l_orderkey") * 4).as("src"),
           (col("l_suppkey") * 4 + 2).as("dst")))
       graft.pipeline.GraphOps.triangleCounts(edges)
+    }),
+
+    // connected components over a SPARSE order-part subgraph (qty > 48
+    // keeps the bipartite graph subcritical — mean-degree product < 1 at
+    // every scale factor, so components stay small and the recursive-CTE
+    // oracle stays cheap); component = min reachable node id via
+    // hash-min pointer doubling
+    "graph_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
+      val edges = li.select((col("l_orderkey") * 4).as("src"),
+        (col("l_partkey") * 4 + 1).as("dst"))
+      val cc = graft.pipeline.GraphOps.connectedComponents(edges)
+      cc.groupBy("component").agg(count(lit(1)).as("csize"))
+        .join(cc, Seq("component"))
+        .select(col("node"), col("component"), col("csize"))
+    }),
+
+    // 2-hop BFS neighborhood of the first five supplier nodes over the
+    // full (dense) co-occurrence graph — bounded-depth frontier
+    // expansion, min hop count per reached node
+    "graph_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select((col("l_orderkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .unionAll(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_suppkey") * 4 + 2).as("dst")))
+        .unionAll(li.select((col("l_orderkey") * 4).as("src"),
+          (col("l_suppkey") * 4 + 2).as("dst")))
+      val sources = t(s, dir, "supplier").filter(col("s_suppkey") < 5)
+        .select((col("s_suppkey") * 4 + 2).as("node"))
+      graft.pipeline.GraphOps.bfsDistances(edges, sources, maxHops = 2)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -392,5 +423,37 @@ object RelationalSuite {
                   JOIN e e2 ON e2.u = e1.v
                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
           c AS (SELECT unnest([x, y, z]) AS node FROM tri)
-          SELECT node, count(*) AS triangles FROM c GROUP BY node""")
+          SELECT node, count(*) AS triangles FROM c GROUP BY node""",
+
+    // ground truth: full reachability closure (cheap because the qty>48
+    // subgraph is subcritical), component = min reachable node incl self
+    "graph_components" ->
+      """WITH RECURSIVE e0 AS (SELECT l_orderkey * 4 AS src, l_partkey * 4 + 1 AS dst
+                               FROM lineitem WHERE l_quantity > 48),
+          e AS (SELECT DISTINCT src AS v, dst AS u FROM e0
+                UNION SELECT DISTINCT dst, src FROM e0),
+          r(v, u) AS (SELECT DISTINCT v, v FROM e
+                      UNION
+                      SELECT r.v, e.u FROM r JOIN e ON r.u = e.v),
+          comp AS (SELECT v AS node, min(u) AS component FROM r GROUP BY v),
+          sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+          SELECT node, comp.component, csize FROM comp JOIN sz USING (component)""",
+
+    // ground truth: bounded-depth path enumeration, min hop count per
+    // node (sources at 0); depth cap matches the entry's maxHops
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (SELECT l_orderkey * 4 AS src, l_partkey * 4 + 1 AS dst
+                               FROM lineitem
+                               UNION ALL
+                               SELECT l_partkey * 4 + 1, l_suppkey * 4 + 2 FROM lineitem
+                               UNION ALL
+                               SELECT l_orderkey * 4, l_suppkey * 4 + 2 FROM lineitem),
+          e AS (SELECT DISTINCT src AS v, dst AS u FROM e0 WHERE src <> dst
+                UNION SELECT DISTINCT dst, src FROM e0 WHERE src <> dst),
+          s AS (SELECT s_suppkey * 4 + 2 AS node FROM supplier WHERE s_suppkey < 5),
+          b(node, dist) AS (SELECT node, 0 FROM s
+                            UNION ALL
+                            SELECT e.u, b.dist + 1 FROM b JOIN e ON b.node = e.v
+                            WHERE b.dist < 2)
+          SELECT node, CAST(min(dist) AS INT) AS dist FROM b GROUP BY node""")
 }

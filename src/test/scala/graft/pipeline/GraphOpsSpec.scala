@@ -82,6 +82,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains("e")) // pendant node touches no triangle
   }
 
+  test("connected components: multi-component correctness vs brute force") {
+    // two paths, a triangle, a reversed duplicate, a self-loop
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (20L, 21L),
+      (21L, 22L), (22L, 20L), (5L, 5L))
+    val got = GraphOps.connectedComponents(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: pointer doubling collapses a long chain") {
+    // a 200-node path has diameter 199: plain one-hop propagation needs
+    // ~199 rounds, so convergence within 12 doubling rounds PROVES the
+    // shortcut step is doing the work
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(chain, maxRounds = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("bfs distances: min hops, depth bound, unreachable absent") {
+    //  0-1-2-3-4 path plus a detached pair 10-11
+    val es = ((0L until 4L).map(i => (i, i + 1)) :+ (10L, 11L)).toDF("src", "dst")
+    val src = Seq(0L).toDF("node")
+    val got = GraphOps.bfsDistances(es, src, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2)) // 3, 4, 10, 11 absent
+    // two sources: dist is the MINIMUM over sources
+    val got2 = GraphOps.bfsDistances(es, Seq(0L, 4L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got2(2L) == 2 && got2(3L) == 1 && got2(4L) == 0)
+    // maxHops = 0 returns exactly the source set
+    assert(GraphOps.bfsDistances(es, src, maxHops = 0)
+      .as[(Long, Int)].collect().toMap == Map(0L -> 0))
+  }
+
   test("triangle-free graph yields no rows; hub skew handled") {
     // star graph: hub h connected to 50 leaves — zero triangles, and the
     // degree orientation must not enumerate the hub's deg^2 wedge pairs
