@@ -267,6 +267,16 @@ object PipelineSuite {
         .select(col("doc_id"), round(col("nll"), 6).as("nll"))
     }),
 
+    // trigram stupid-backoff LM (trained on even docs, scored on all, so
+    // every backoff level INCLUDING OOV fires on the odd docs): per-doc
+    // Σ floor(−ln(s)·10⁶) integer micro-units — order-independent, so
+    // training counts AND the four-level backoff scoring hash-check
+    "lm_nll_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.LanguageModel.trigramBackoffNll(
+        d, d.filter(col("doc_id") % 2 === 0))
+    }),
+
     // Lee et al.-style passage dedup: token 8-grams repeated across >= 2
     // documents are scrubbed from every document (47 docs change at
     // sf0.01); the cleaned text is hash-checked end-to-end
@@ -1018,6 +1028,54 @@ object PipelineSuite {
                  GROUP BY dg.doc_id)
           SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
           FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // the backoff mirror: α and α² written as ::DOUBLE products (a bare
+    // 0.16 literal would be exact DECIMAL, not the float product the
+    // Scala side computes); every ratio is the identical IEEE op chain
+    "lm_nll_trigram" ->
+      """WITH tw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE doc_id % 2 = 0),
+          t3 AS (SELECT unnest(CASE WHEN len(w) >= 3
+                   THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                   ELSE [] END) AS gram FROM tw),
+          c3 AS (SELECT gram, count(*) AS c3 FROM t3 GROUP BY gram),
+          t2 AS (SELECT unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                   ELSE [] END) AS gram FROM tw),
+          c2 AS (SELECT gram, count(*) AS c2 FROM t2 GROUP BY gram),
+          t1 AS (SELECT unnest(w) AS gram FROM tw),
+          c1 AS (SELECT gram, count(*) AS c1 FROM t1 GROUP BY gram),
+          tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+                         CAST(count(*) AS DOUBLE) AS v FROM c1),
+          dw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents),
+          dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                   THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                   ELSE [] END) AS gram FROM dw),
+          dk AS (SELECT doc_id, gram,
+                   p[1] || ' ' || p[2] AS pre, p[2] || ' ' || p[3] AS suf,
+                   p[2] AS w2, p[3] AS w3
+                 FROM (SELECT doc_id, gram, string_split(gram, ' ') AS p FROM dg)),
+          sc AS (SELECT dk.doc_id, CAST(floor((CASE
+                   WHEN g3.c3 IS NOT NULL
+                     THEN -ln(CAST(g3.c3 AS DOUBLE) / CAST(p2.c2 AS DOUBLE))
+                   WHEN s2.c2 IS NOT NULL
+                     THEN -ln(0.4::DOUBLE * (CAST(s2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)))
+                   WHEN u3.c1 IS NOT NULL
+                     THEN -ln((0.4::DOUBLE * 0.4::DOUBLE) * (CAST(u3.c1 AS DOUBLE) / tot.n))
+                   ELSE -ln((0.4::DOUBLE * 0.4::DOUBLE) / (tot.n + tot.v)) END)
+                   * 1000000.0) AS BIGINT) AS m
+                 FROM dk CROSS JOIN tot
+                   LEFT JOIN c3 g3 ON dk.gram = g3.gram
+                   LEFT JOIN c2 p2 ON dk.pre = p2.gram
+                   LEFT JOIN c2 s2 ON dk.suf = s2.gram
+                   LEFT JOIN c1 u2 ON dk.w2 = u2.gram
+                   LEFT JOIN c1 u3 ON dk.w3 = u3.gram),
+          ag AS (SELECT doc_id, count(*) AS n_tri,
+                   CAST(sum(m) AS BIGINT) AS nll_micro FROM sc GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(ag.n_tri, 0) AS n_tri,
+                 COALESCE(ag.nll_micro, 0) AS nll_micro
+          FROM documents d LEFT JOIN ag USING (doc_id)""",
 
     "dedup_passage_scrub" ->
       """WITH lt AS (SELECT doc_id,

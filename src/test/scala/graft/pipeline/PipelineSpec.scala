@@ -433,6 +433,32 @@ class PipelineSpec extends SparkSpec {
     assert(score(0L) < score(1L))
   }
 
+  test("trigram stupid backoff: all four levels fire with the right ratios") {
+    import spark.implicits._
+    // train "a b c a b c": c3("a b c")=2, c2("a b")=2,("b c")=2,("c a")=1,
+    // c1(a)=c1(b)=c1(c)=2, N=6, V=3
+    val train = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (0L, "a b c"), // trigram level: 2/2 = 1 -> nll 0
+      (1L, "x b c"), // bigram level: 0.4 * c2("b c")/c1(b) = 0.4
+      (2L, "b c c"), // unigram level: 0.16 * c1(c)/N
+      (3L, "b c x"), // OOV level: 0.16 / (N + V)
+      (4L, "a")      // no trigram -> (0, 0)
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.trigramBackoffNll(score, train)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def micro(nll: Double): Long = math.floor(nll * 1000000.0).toLong
+    val a2 = 0.4 * 0.4
+    assert(got(0L) == ((1L, 0L)))
+    assert(got(1L) == ((1L, micro(-math.log(0.4 * (2.0 / 2.0))))))
+    assert(got(2L) == ((1L, micro(-math.log(a2 * (2.0 / 6.0))))))
+    assert(got(3L) == ((1L, micro(-math.log(a2 / 9.0)))))
+    assert(got(4L) == ((0L, 0L)))
+    // damping orders the levels: deeper backoff always costs more here
+    assert(got(0L)._2 < got(1L)._2 && got(1L)._2 < got(2L)._2 &&
+      got(2L)._2 < got(3L)._2)
+  }
+
   test("semantic dedup keeps the min-id representative per embedding group") {
     import spark.implicits._
     // a ≈ b (same direction), c orthogonal, d in another block entirely
