@@ -213,6 +213,62 @@ object Similarity {
       .select(col("cid"), col("pos"), col("cq"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011) — the
+    * standard billion-scale memory/bandwidth reduction: the vector
+    * splits into `m` subspaces, each sub-vector is replaced by the id
+    * of its nearest per-subspace k-means centroid (codes: m bytes per
+    * vector instead of dim floats), and a query scores a vector by
+    * ASYMMETRIC DISTANCE (ADC): per-subspace distance TABLES to all
+    * ksub centroids are computed once per query, and each candidate
+    * costs m table lookups, never a dim-length dot product.
+    *
+    * Built on [[kmeansMicro]] per subspace, so codebook TRAINING,
+    * encoding, and ADC ranking are all exact integer arithmetic on the
+    * micro-unit grid — the DuckDB oracle reproduces the whole pipeline
+    * (training rounds included, keyed by subspace) bit-for-bit.
+    *
+    * Scale shape: the codebook (m·ksub·dsub rows) and the per-query
+    * distance tables (m·ksub rows per query) broadcast; candidates
+    * stream through an (m, cid) equi-join — no n×m float scan.
+    * Returns (qid, nid, dist, rank): squared-L2 ADC distance in
+    * micro-units², rank ascending with nid tie-break. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, dsub: Int = 16, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dsub >= 1 && ksub >= 2, "pqTopK needs m, dsub >= 1, ksub >= 2")
+    // per-subspace codebooks from the SAME md5-seeded slots (the seed
+    // hash ignores the subspace, so one oracle seed table serves all m)
+    val centroids = (0 until m).map { mi =>
+      kmeansMicro(
+        corpus.select(col(idCol),
+          slice(col(vecCol), mi * dsub + 1, dsub).as(vecCol)),
+        ksub, iters, idCol, vecCol)
+        .select(lit(mi).as("m"), col("cid"), col("pos"), col("cq"))
+    }.reduce(_ unionByName _)
+    def subRows(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+          .as(Seq("gpos", "xq")))
+        .select(col(outId), floor(col("gpos") / lit(dsub)).cast(IntegerType).as("m"),
+          pmod(col("gpos"), lit(dsub)).as("pos"), col("xq"))
+    val codes = subRows(corpus, "nid").join(broadcast(centroids), Seq("m", "pos"))
+      .groupBy("nid", "m", "cid")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      .groupBy("nid", "m")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val dt = subRows(queries, "qid").join(broadcast(centroids), Seq("m", "pos"))
+      .groupBy("qid", "m", "cid")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val scored = codes.join(broadcast(dt), Seq("m", "cid"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(sum(col("d2")).as("dist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dist", "rank")
+  }
+
   /** Symmetric int8 quantization: per-vector scale = maxAbs/127 (1.0 for
     * an all-zero vector), q_i = floor(v_i/scale + 0.5) clamped to
     * [-127, 127]. The 100 TB story: 4× less candidate/state volume at

@@ -385,6 +385,14 @@ object PipelineSuite {
       graft.pipeline.RandomProjection.jlProject(emb(s, dir), dIn = 64, dOut = 16)
         .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))),
 
+    // product-quantization ANN on top of the exact k-means: per-subspace
+    // codebooks (4×16 dims, 16 codes), integer ADC distance tables —
+    // training, encoding, and ranking all hash-check
+    "similarity_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 10)
+    }),
+
     // distributed Lloyd's k-means whose TRAINING hash-checks: integer
     // micro-unit quantization + floor-division centroid means keep every
     // round exact, so the oracle unrolls both rounds as CTEs and the
@@ -1176,6 +1184,57 @@ object PipelineSuite {
                 FROM embeddings, range(64) i(i))
           SELECT vec_id, j, ROUND(sum(v * sgn) / sqrt(16.0), 6) AS p
           FROM x JOIN s USING (i) GROUP BY vec_id, j""",
+
+    // the whole PQ pipeline unrolled: the same two Lloyd rounds as
+    // similarity_kmeans but keyed by subspace m (one shared seed table —
+    // the seed hash ignores the subspace), then codes = per-(id, m)
+    // argmin, ADC tables per query, and the summed-lookup ranking
+    "similarity_pq_topk" ->
+      """WITH x AS (SELECT vec_id AS id,
+                      (generate_subscripts(embedding, 1) - 1) // 16 AS m,
+                      (generate_subscripts(embedding, 1) - 1) % 16 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 16 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT x.m, sd.cid, x.pos, x.xq AS cq FROM sd JOIN x ON sd.id = x.id),
+          d1 AS (SELECT x.id, x.m, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 ON x.m = c0.m AND x.pos = c0.pos GROUP BY 1, 2, 3),
+          a1 AS (SELECT id, m, cid FROM (SELECT id, m, cid,
+                   row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT a1.m, a1.cid, x.pos, CAST(sum(x.xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 ON x.id = a1.id AND x.m = a1.m GROUP BY 1, 2, 3),
+          c1 AS (SELECT c0.m, c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.m = s1.m AND c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, x.m, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 ON x.m = c1.m AND x.pos = c1.pos GROUP BY 1, 2, 3),
+          a2 AS (SELECT id, m, cid FROM (SELECT id, m, cid,
+                   row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT a2.m, a2.cid, x.pos, CAST(sum(x.xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 ON x.id = a2.id AND x.m = a2.m GROUP BY 1, 2, 3),
+          c2 AS (SELECT c1.m, c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.m = s2.m AND c1.cid = s2.cid AND c1.pos = s2.pos),
+          codes AS (SELECT id AS nid, m, cid FROM (SELECT dd.id, dd.m, dd.cid,
+                      row_number() OVER (PARTITION BY dd.id, dd.m ORDER BY dd.d2, dd.cid) AS rn
+                    FROM (SELECT x.id, x.m, c2.cid, sum((xq - cq) * (xq - cq)) AS d2
+                          FROM x JOIN c2 ON x.m = c2.m AND x.pos = c2.pos
+                          GROUP BY 1, 2, 3) dd)
+                    WHERE rn = 1),
+          dt AS (SELECT x.id AS qid, c2.m, c2.cid, sum((x.xq - c2.cq) * (x.xq - c2.cq)) AS d2
+                 FROM x JOIN c2 ON x.m = c2.m AND x.pos = c2.pos
+                 WHERE x.id < 10 GROUP BY 1, 2, 3),
+          sc AS (SELECT dt.qid, codes.nid, CAST(sum(dt.d2) AS BIGINT) AS dist
+                 FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid
+                 WHERE dt.qid <> codes.nid GROUP BY 1, 2),
+          r AS (SELECT qid, nid, dist,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+                FROM sc)
+          SELECT qid, nid, dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
 
     // both Lloyd rounds unrolled: micro-unit quantization, md5-seeded
     // slots, argmin assignment (d2 then cid), floor-division centroid

@@ -84,6 +84,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("pqTopK: reasonable recall vs brute force, exact partition invariance") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // 4 subspaces × 16 codes on 64 dims is a coarse quantizer; the point
+    // here is a sanity floor, the exactness guarantee is the oracle's
+    assert(recall > 0.2, s"PQ recall $recall")
+    // exact integer arithmetic → identical output under repartitioning
+    val a = Similarity.pqTopK(emb.repartition(1), queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val b = Similarity.pqTopK(emb.repartition(16), queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("kmeansMicro: exactness (partition invariance), descent, blob geometry") {
     // exact arithmetic → identical output for any physical partitioning
     val a = Similarity.kmeansMicro(emb.repartition(1), nClusters = 4, iters = 2)
