@@ -62,6 +62,10 @@ object Bench {
     "text_bm25_topk", "dedup_prefix_jaccard", "graph_triangles",
     "text_unicode_clean", "sketch_cms_tokens", "pipeline_stratified_sample",
     "pipeline_corpus_diff", "dedup_containment",
+    // r6 session 7: HLL sketch + exact-arithmetic k-means + PQ ANN +
+    // pointer-doubling components + bounded BFS + stupid-backoff LM
+    "sketch_hll_distinct", "similarity_kmeans", "similarity_pq_topk",
+    "graph_components", "graph_bfs_hops", "lm_nll_trigram",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
