@@ -66,6 +66,7 @@ object Bench {
     // pointer-doubling components + bounded BFS + stupid-backoff LM
     "sketch_hll_distinct", "similarity_kmeans", "similarity_pq_topk",
     "graph_components", "graph_bfs_hops", "lm_nll_trigram",
+    "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

@@ -377,6 +377,22 @@ object PipelineSuite {
           array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
     }),
 
+    // BPE merge TRAINING hash-checked: the first 3 learned merges over
+    // the top-200 word histogram. The oracle unrolls each round in SQL —
+    // lead()-paired symbol counts, (count desc, pair asc) argmax, and
+    // greedy left-to-right merge application via run-parity selection
+    // (consecutive overlapping matches — only possible when lhs = rhs —
+    // group into runs; odd positions within a run merge, evens are
+    // consumed). Training itself, not just the encode, is the checked
+    // artifact.
+    "pipeline_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Bpe.train(docs(s, dir), numMerges = 3, maxWords = 200)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+
     // Johnson–Lindenstrauss ±1 projection 64→16 over the embeddings
     // table: hash-seeded sign matrix inlined as plan literals, per-row
     // HOF arithmetic — exchange-free (plan-pinned in the spec). Long
@@ -392,6 +408,17 @@ object PipelineSuite {
       val e = emb(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 10)
     }),
+
+    // z-order (Morton) layout key over lineitem's two scan dimensions:
+    // statically-unrolled bit interleave, per-row codegen arithmetic —
+    // the clustering key behind zorderBy's range-partitioned write
+    // (pruning behavior itself is pinned by LayoutSpec; this entry
+    // hash-checks the curve mapping)
+    "pipeline_zorder" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rowid"),
+        graft.pipeline.Layout.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("z"))),
 
     // distributed Lloyd's k-means whose TRAINING hash-checks: integer
     // micro-unit quantization + floor-division centroid means keep every
@@ -1173,6 +1200,67 @@ object PipelineSuite {
                  COALESCE(sc.logw, 0.0) AS logw
           FROM documents d LEFT JOIN sc USING (doc_id)""",
 
+    // the 3 training rounds unrolled: per round, lead()-adjacent pair
+    // counts weighted by word count, (count desc, pair asc) argmax with
+    // the >= 2 floor, then greedy merge application — match runs found
+    // by i − row_number(), odd parity within a run merges, the i + 1
+    // symbol each consumes is dropped, positions renumbered
+    "pipeline_bpe_train" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(lower(trim(text))), '\s+')) AS word
+                       FROM documents),
+          h AS (SELECT word, count(*) AS c FROM toks WHERE len(word) >= 1
+                GROUP BY word
+                QUALIFY row_number() OVER (ORDER BY count(*) DESC, word ASC) <= 200),
+          s1p AS (SELECT word AS wid, c, unnest(range(1, len(word) + 1)) AS i FROM h),
+          s1 AS (SELECT wid, c, i, substr(wid, CAST(i AS INT), 1) AS sym FROM s1p),
+          pr1 AS (SELECT wid, c, i, sym,
+                    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
+                  FROM s1),
+          b1 AS (SELECT sym AS a, nxt AS b FROM pr1 WHERE nxt IS NOT NULL
+                 GROUP BY sym, nxt HAVING sum(c) >= 2
+                 ORDER BY sum(c) DESC, sym ASC, nxt ASC LIMIT 1),
+          m1 AS (SELECT wid, i,
+                   row_number() OVER (PARTITION BY wid, run ORDER BY i) % 2 AS par
+                 FROM (SELECT pr1.wid, pr1.i,
+                         pr1.i - row_number() OVER (PARTITION BY pr1.wid ORDER BY pr1.i) AS run
+                       FROM pr1, b1 WHERE pr1.sym = b1.a AND pr1.nxt = b1.b)),
+          sel1 AS (SELECT wid, i FROM m1 WHERE par = 1),
+          s2 AS (SELECT wid, c, row_number() OVER (PARTITION BY wid ORDER BY i) AS i, sym
+                 FROM (SELECT s.wid, s.c, s.i, b1.a || b1.b AS sym
+                       FROM s1 s JOIN sel1 t ON s.wid = t.wid AND s.i = t.i, b1
+                       UNION ALL
+                       SELECT s.wid, s.c, s.i, s.sym FROM s1 s
+                       WHERE NOT EXISTS (SELECT 1 FROM sel1 t
+                             WHERE t.wid = s.wid AND (t.i = s.i OR t.i = s.i - 1)))),
+          pr2 AS (SELECT wid, c, i, sym,
+                    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
+                  FROM s2),
+          b2 AS (SELECT sym AS a, nxt AS b FROM pr2 WHERE nxt IS NOT NULL
+                 GROUP BY sym, nxt HAVING sum(c) >= 2
+                 ORDER BY sum(c) DESC, sym ASC, nxt ASC LIMIT 1),
+          m2 AS (SELECT wid, i,
+                   row_number() OVER (PARTITION BY wid, run ORDER BY i) % 2 AS par
+                 FROM (SELECT pr2.wid, pr2.i,
+                         pr2.i - row_number() OVER (PARTITION BY pr2.wid ORDER BY pr2.i) AS run
+                       FROM pr2, b2 WHERE pr2.sym = b2.a AND pr2.nxt = b2.b)),
+          sel2 AS (SELECT wid, i FROM m2 WHERE par = 1),
+          s3 AS (SELECT wid, c, row_number() OVER (PARTITION BY wid ORDER BY i) AS i, sym
+                 FROM (SELECT s.wid, s.c, s.i, b2.a || b2.b AS sym
+                       FROM s2 s JOIN sel2 t ON s.wid = t.wid AND s.i = t.i, b2
+                       UNION ALL
+                       SELECT s.wid, s.c, s.i, s.sym FROM s2 s
+                       WHERE NOT EXISTS (SELECT 1 FROM sel2 t
+                             WHERE t.wid = s.wid AND (t.i = s.i OR t.i = s.i - 1)))),
+          pr3 AS (SELECT wid, c, i, sym,
+                    lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
+                  FROM s3),
+          b3 AS (SELECT sym AS a, nxt AS b FROM pr3 WHERE nxt IS NOT NULL
+                 GROUP BY sym, nxt HAVING sum(c) >= 2
+                 ORDER BY sum(c) DESC, sym ASC, nxt ASC LIMIT 1)
+          SELECT CAST(1 AS INT) AS rank, a AS lhs, b AS rhs FROM b1
+          UNION ALL SELECT CAST(2 AS INT), a, b FROM b2
+          UNION ALL SELECT CAST(3 AS INT), a, b FROM b3""",
+
     // same md5-60-seeded sign matrix, same per-coordinate sums
     "similarity_jl_project" ->
       """WITH s AS (SELECT i.i, j.j,
@@ -1184,6 +1272,15 @@ object PipelineSuite {
                 FROM embeddings, range(64) i(i))
           SELECT vec_id, j, ROUND(sum(v * sgn) / sqrt(16.0), 6) AS p
           FROM x JOIN s USING (i) GROUP BY vec_id, j""",
+
+    // same statically-unrolled Morton interleave, as a list
+    // comprehension over the 16 bit positions
+    "pipeline_zorder" ->
+      """SELECT l_orderkey * 8 + l_linenumber AS rowid,
+                CAST(list_sum([(((l_partkey >> i) & 1) << (2 * i))
+                             + (((l_suppkey >> i) & 1) << (2 * i + 1))
+                               FOR i IN range(16)]) AS BIGINT) AS z
+         FROM lineitem""",
 
     // the whole PQ pipeline unrolled: the same two Lloyd rounds as
     // similarity_kmeans but keyed by subspace m (one shared seed table —

@@ -240,9 +240,46 @@ object RelationalSuite {
       val sources = t(s, dir, "supplier").filter(col("s_suppkey") < 5)
         .select((col("s_suppkey") * 4 + 2).as("node"))
       graft.pipeline.GraphOps.bfsDistances(edges, sources, maxHops = 2)
+    }),
+
+    // Bloom-pruned semi join: customers with at least one URGENT order.
+    // The build side's keys fold into Spark's native bloom_filter_agg
+    // (one tiny binary sketch, broadcast as a one-row cross join) and
+    // might_contain prunes the probe side BEFORE the shuffle — the
+    // 100 TB runtime-filter pattern (a probe row whose key the bloom has
+    // never seen is dropped at the scan, never shuffled). False
+    // positives only cost pruning efficiency: the exact left-semi join
+    // behind the filter confirms every survivor, so the result — and
+    // the DuckDB EXISTS oracle — stays exact.
+    "q_bloom_semijoin" -> ((s, dir) => {
+      graft.functions.BloomFns.register(s)
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").createOrReplaceTempView("g_bloom_urgent")
+      t(s, dir, "customer").createOrReplaceTempView("g_bloom_cust")
+      // might_contain requires the sketch as a scalar subquery (or
+      // constant) — Spark plans it as its own tiny subquery stage whose
+      // result feeds the probe-side filter, exactly how its internal
+      // runtime row-filter rewrite injects blooms
+      s.sql(
+        """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+           FROM g_bloom_cust
+           WHERE graft_might_contain(
+                   (SELECT graft_bloom_agg(o_custkey, 100000L, 800000L)
+                    FROM g_bloom_urgent), c_custkey)
+             AND EXISTS (SELECT 1 FROM g_bloom_urgent u
+                         WHERE u.o_custkey = c_custkey)""")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the bloom prefilter is pruning-only, so the oracle is the plain
+    // exact semi join
+    "q_bloom_semijoin" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')""",
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 ROUND(SUM(l_quantity), 4) AS sum_qty,
