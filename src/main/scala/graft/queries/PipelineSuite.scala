@@ -35,8 +35,13 @@ object PipelineSuite {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)),
 
+    // repartition first: the single-file testdata parquet is ONE input
+    // split, and the shingle explode + 32-hash aggregation is the
+    // per-row-heavy stage that must start parallel
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
+      Dedup.minHashLshPairs(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, checkpointSigs = true)),
 
     // the SAME banded-LSH pipeline with engine-portable md5-60 hashes:
@@ -45,7 +50,9 @@ object PipelineSuite {
     // LSH shape (the xxhash64 entry above stays the throughput default
     // and a rows-only check)
     "dedup_minhash_lsh_portable" -> ((s, dir) =>
-      Dedup.minHashLshPairs(docs(s, dir), k = 3, numHashes = 32, bands = 8,
+      Dedup.minHashLshPairs(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, checkpointSigs = true, portableHashes = true)),
 
     // md5-derived 60-bit token hash so DuckDB reproduces the signatures
@@ -82,7 +89,9 @@ object PipelineSuite {
     // integer arithmetic (the per-vector scales cancel), so the ranking
     // is bit-reproducible in DuckDB — 4x less candidate volume at scale
     "similarity_int8_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
+      // single-file embeddings parquet = one split; the per-row integer
+      // dot products against every broadcast query are the heavy stage
+      val e = emb(s, dir).repartition(s.sparkContext.defaultParallelism)
       Similarity.int8TopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
