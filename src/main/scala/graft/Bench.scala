@@ -113,6 +113,8 @@ object Bench {
     // listed in the JSON, and fail the process.
     val failedQ = scala.collection.mutable.LinkedHashMap[String, String]()
     val timed = selected.map { name =>
+      // chronological rep times — kept unsorted in "rep_times" so a big
+      // max is attributable (rep 1 = JIT warm-up vs late-rep GC drift)
       val runs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -123,19 +125,24 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         System.gc() // drive the weak-ref ContextCleaner between queries
         if (ok) Some(secs) else None
-      }.sorted
+      }
       (name, runs)
     }.filter(_._2.nonEmpty)
     val results = ("_load_quads", loadSecs) +:
-      timed.map { case (n, runs) => n -> runs(runs.size / 2) }
+      timed.map { case (n, runs) =>
+        val s = runs.sorted; n -> s(s.size / 2) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spread = timed.map { case (n, runs) =>
-      "\"" + n + "\":{\"min\":" + runs.head + ",\"max\":" + runs.last + "}"
+      val s = runs.sorted
+      "\"" + n + "\":{\"min\":" + s.head + ",\"max\":" + s.last + "}"
+    }.mkString("{", ",", "}")
+    val repTimes = timed.map { case (n, runs) =>
+      "\"" + n + "\":" + runs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = failedQ.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._1 != "_load_quads").map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout of long runs gets tail-truncated by the capture (ADVICE r5) —
     // the full line also lands in a file the round can always recompute from
