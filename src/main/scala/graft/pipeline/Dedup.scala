@@ -295,10 +295,29 @@ object Dedup {
     pmod(lit(a) * pmod(md5Hash60(c), lit(MhPrime)) + lit(b), lit(MhPrime))
   }
 
+  /** Distinct k-shingle ARRAY per document (the pre-explode form of
+    * [[shingles]]): docs shorter than k shingle to an empty array. */
+  private[pipeline] def shingleArray(k: Int, textCol: String): Column = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    array_distinct(when(n >= k,
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType))))
+  }
+
   /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins.
     * The portable family materializes the per-shingle base hash ONCE as
     * a column so the 32 permutations are integer ops over it (no
-    * reliance on codegen subexpression elimination deduping 32 md5s). */
+    * reliance on codegen subexpression elimination deduping 32 md5s).
+    * A shuffle-free per-row HOF formulation was tried and measured
+    * SLOWER (CollapseProject inlines the base-hash array into every
+    * permutation, and higher-order lambdas evaluate interpreted, outside
+    * whole-stage codegen) — the explode keeps the hashing codegen'd and
+    * the min aggregation is map-side partial, so the shuffle ships one
+    * 32-long row per (doc, reducer). [[minHashSignaturesNarrow]] remains
+    * for the STREAMING leg, where statelessness, not per-core
+    * throughput, is the constraint. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       idCol: String = "doc_id", textCol: String = "text",
       portableHashes: Boolean = false): DataFrame = {
@@ -314,6 +333,23 @@ object Dedup {
     val aggs = (0 until numHashes).map(i => min(hash(i)).as(s"h$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Shuffle-free MinHash signatures: the same (id, sig) as
+    * [[minHashSignatures]] — xxhash64 family — computed per row as
+    * `array_min(transform(shingleArray, ...))`, no explode, no
+    * aggregation. Slower per core than the explode form (interpreted
+    * lambdas), but STATELESS: usable inside a streaming select where an
+    * aggregation would demand watermarked state, and in any narrow
+    * pipeline stage that must not introduce an exchange. */
+  def minHashSignaturesNarrow(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s32 = array((0 until numHashes).map(i =>
+      array_min(transform(col("__sh"), s => mh(s, i)))): _*)
+    docs.withColumn("__sh", shingleArray(k, textCol))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("sig", s32)
+      .drop("__sh")
   }
 
   /** LSH candidate pairs: band the signature, bucket-join, estimate
@@ -373,6 +409,96 @@ object Dedup {
           c => c)).cast(DoubleType) / numHashes, 6))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Per-arrival state of one LSH (band, bucket) cell: (id, tsMs, sig)
+    * of the docs whose band signature hashed here and are still inside
+    * the horizon. Timestamps ride along because EventTimeTimeout alone
+    * cannot enforce the horizon — a key that keeps receiving data never
+    * times out, so staleness is pruned at arrival time too. */
+  private[pipeline] case class MhBucketState(docs: List[(Long, Long, Seq[Long])])
+
+  private[pipeline] case class MhArrival(band: Int, bucket: Long, id: Long,
+      ts: java.sql.Timestamp, tsMs: Long, sig: Seq[Long])
+
+  /** STREAMING MinHash-LSH near-dup pairs over a live document feed —
+    * the streaming leg of [[minHashLshPairs]]: per-row narrow signatures
+    * ([[minHashSignaturesNarrow]] — no aggregation state), band buckets
+    * exploded to (band, bucket) keys, then `flatMapGroupsWithState`
+    * keyed by the bucket. Each cell's state is the docs previously
+    * hashed into it within the event-time `horizon`; a new arrival
+    * emits (id_a, id_b, est_jaccard ≥ threshold) against the stored
+    * docs (and its same-micro-batch peers, processed in (ts, id)
+    * order), then joins the state. The horizon is enforced twice: docs
+    * older than `arrival − horizon` are PRUNED at arrival time (an
+    * EventTimeTimeout alone cannot bound a key that keeps receiving
+    * data), and idle cells are cleared via EventTimeTimeout once the
+    * watermark passes their last arrival + horizon — so memory is
+    * bounded by the horizon's bucket-occupancy rate, not the stream's
+    * history, the same bound streamingExactDedup gets from
+    * dropDuplicatesWithinWatermark.
+    *
+    * A pair caught by several bands is emitted once per catching band
+    * (streaming cannot globally dropDuplicates without a second
+    * stateful stage); consumers that need multiplicity-free pairs
+    * dedupe downstream. Batch/stream agreement on the pair SET is
+    * pinned by StreamingSpec against [[minHashLshPairs]] (uncapped). */
+  def streamingMinHashPairs(docs: DataFrame, tsCol: String, horizon: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val horizonMs = graft.streaming.StreamOps.durationSeconds(horizon) * 1000L
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = minHashSignaturesNarrow(docs, k, numHashes, idCol, textCol)
+    // the watermarked timestamp column must SURVIVE the projection into
+    // the stateful operator, or the event-time timeout is rejected
+    val banded = sigs.withWatermark(tsCol, horizon)
+      .select(col(idCol).cast(LongType).as("id"),
+        // no cast: casting mints a fresh attribute WITHOUT the watermark
+        // metadata, and the event-time timeout is then rejected
+        col(tsCol).as("ts"),
+        unix_millis(col(tsCol)).as("tsMs"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("pos").cast(IntegerType).as("band"), col("col").as("bucket"),
+        col("id"), col("ts"), col("tsMs"), col("sig"))
+      .as[MhArrival]
+    banded.groupByKey(a => (a.band, a.bucket))
+      .flatMapGroupsWithState[MhBucketState, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, arrivals, state: GroupState[MhBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var stored = state.getOption.map(_.docs).getOrElse(Nil)
+            // (ts, id) order makes same-micro-batch processing replayable
+            val newDocs = arrivals.toSeq.sortBy(a => (a.tsMs, a.id))
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            var maxTs = Long.MinValue
+            newDocs.foreach { a =>
+              maxTs = math.max(maxTs, a.tsMs)
+              stored = stored.filter(_._2 >= a.tsMs - horizonMs)
+              if (!stored.exists(_._1 == a.id)) {
+                stored.foreach { case (oid, _, osig) =>
+                  val matches = osig.iterator.zip(a.sig.iterator).count { case (x, y) => x == y }
+                  val est = matches.toDouble / numHashes
+                  if (est >= threshold)
+                    out += ((math.min(oid, a.id), math.max(oid, a.id),
+                      math.rint(est * 1e6) / 1e6))
+                }
+                if (stored.size < maxBucketSize) stored ::= ((a.id, a.tsMs, a.sig))
+              }
+            }
+            state.update(MhBucketState(stored))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
   }
 
   // ---- SimHash ------------------------------------------------------------

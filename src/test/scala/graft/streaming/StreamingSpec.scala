@@ -199,4 +199,48 @@ class StreamingSpec extends SparkSpec {
       assert(batchGot == got, s"batch $batchGot != streaming $got")
     } finally sq.stop()
   }
+
+  test("streaming minhash-lsh pairs equal uncapped batch pairs; horizon prunes") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("tms", "doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("tms")))
+    val pairs = Dedup.streamingMinHashPairs(stream, "ts", "10 seconds",
+      k = 2, numHashes = 32, bands = 8, threshold = 0.5)
+    val sink = s"smh_${System.nanoTime()}"
+    val sq = pairs.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val base = 1000000L
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "the quick brown fox jumps over the lazy cat"
+    val t3 = "the quick brown fox jumps over the lazy dog again"
+    // 1/2 near-dup in ONE micro-batch, 3 near-dups them from a LATER
+    // batch inside the horizon, 9 unrelated; 50 advances the watermark;
+    // 4 repeats doc 1's text AFTER the horizon → its stored peers are
+    // pruned at arrival, no pair
+    val batches = Seq(
+      Seq((base + 0L, 1L, t1), (base + 100L, 2L, t2),
+        (base + 200L, 9L, "completely different words entirely unrelated here")),
+      Seq((base + 300L, 3L, t3)),
+      Seq((base + 60000L, 50L, "advance the watermark far beyond them all")),
+      Seq((base + 70000L, 4L, t1)),
+      Seq((base + 300000L, 51L, "sentinel text to flush everything out")))
+    try {
+      batches.foreach { b => mem.addData(b); sq.processAllAvailable() }
+      val got = spark.table(sink).select("id_a", "id_b", "est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch leg over the in-horizon docs, uncapped (the streaming
+      // multi-band multiplicity collapses under toSet)
+      val batchPairs = Dedup.minHashLshPairs(
+          batches.take(2).flatten.toDF("tms", "doc_id", "text"),
+          k = 2, numHashes = 32, bands = 8, threshold = 0.5,
+          maxBucketSize = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batchPairs.nonEmpty, "batch leg found no pairs — test is vacuous")
+      assert(got == batchPairs, s"stream $got != batch $batchPairs")
+      assert(!got.exists(p => p._2 == 4L),
+        s"doc 4 arrived after the horizon and must not pair: $got")
+    } finally sq.stop()
+  }
 }
