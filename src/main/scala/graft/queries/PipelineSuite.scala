@@ -386,6 +386,17 @@ object PipelineSuite {
           array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"))
     }),
 
+    // multimodal ingestion manifest hash-checked: documents wrapped as
+    // binary payloads with typed metadata (Multimodal.mediaSchema), the
+    // manifest = per-asset byte count + content digest — the catalog row
+    // a 100 TB media lake keeps per object; decode/resize stay spec-side
+    // (PipelineSpec), the PLUMBING is oracle-checked here
+    "multimodal_manifest" -> ((s, dir) =>
+      graft.pipeline.Multimodal.fromText(docs(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))),
+
     // BPE merge TRAINING hash-checked: the first 3 learned merges over
     // the top-200 word histogram. The oracle unrolls each round in SQL —
     // lead()-paired symbol counts, (count desc, pair asc) argmax, and
@@ -1208,6 +1219,15 @@ object PipelineSuite {
           SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
                  COALESCE(sc.logw, 0.0) AS logw
           FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // DuckDB's md5(varchar) digests the UTF-8 bytes = Spark's
+    // md5(text cast to binary); octet_length over the same encoding
+    "multimodal_manifest" ->
+      """SELECT doc_id AS media_id,
+                'application/octet-stream' AS mime,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS payload_md5
+         FROM documents""",
 
     // the 3 training rounds unrolled: per round, lead()-adjacent pair
     // counts weighted by word count, (count desc, pair asc) argmax with

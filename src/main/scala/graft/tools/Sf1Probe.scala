@@ -43,7 +43,16 @@ object Sf1Probe {
     // r6 session 6 (cont.): bucket-blocked range join, RANGE-frame
     // rolling aggregates, one-sided containment, snapshot diff
     "events_interval_join", "events_rolling_agg", "dedup_containment",
-    "pipeline_corpus_diff")
+    "pipeline_corpus_diff",
+    // r6 session 7: HLL (bounded register state), exact k-means + PQ ANN
+    // (per-round centroid joins — corpus side grows, codebook doesn't),
+    // pointer-doubling components / bounded BFS / trigram LM (key-range
+    // driven), bloom semi join (sketch build + pruned probe), z-order
+    // (narrow bit math — the scan line), BPE merge training (histogram
+    // shuffle; merge rounds are vocabulary-sized, corpus-independent)
+    "sketch_hll_distinct", "similarity_kmeans", "similarity_pq_topk",
+    "graph_components", "graph_bfs_hops", "lm_nll_trigram",
+    "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -109,6 +118,43 @@ object Sf1Probe {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(cp.toLong * 100000000L))
       }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+    }
+    if (!new java.io.File(s"$bigDir/orders.parquet/_SUCCESS").exists()) {
+      println("[sf1-probe] synthesizing 10x orders + full-schema customer …")
+      // orders: 10 copies, per-copy custkeys offset into the 10x customer
+      // key range (referential integrity preserved — the bloom build side
+      // and the probe side scale together)
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cMax = spark.read.parquet(s"$sfDir/customer.parquet")
+        .agg(max(col("c_custkey"))).first().getLong(0)
+      (0 until 10).map { cp =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(cp.toLong * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(cp.toLong * cMax))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+      // the original slim synthetic customer lacks c_name, which the
+      // bloom semi-join projects — rewrite with the full column set
+      spark.range(1, cMax * 10 + 1).select(col("id").as("c_custkey"),
+          concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+          pmod(col("id"), lit(25L)).cast("int").as("c_nationkey"),
+          (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 100.0
+            - 1000.0).as("c_acctbal"),
+          element_at(typedLit(Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+            "HOUSEHOLD", "FURNITURE")),
+            (pmod(col("id"), lit(5L)) + 1).cast("int")).as("c_mktsegment"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
+    }
+    if (!new java.io.File(s"$bigDir/supplier.parquet/_SUCCESS").exists()) {
+      println("[sf1-probe] synthesizing 10x supplier …")
+      // key range only — the BFS sources filter and the co-occurrence
+      // tagging need s_suppkey/s_nationkey, nothing else
+      val sMax = spark.read.parquet(s"$sfDir/supplier.parquet")
+        .agg(max(col("s_suppkey"))).first().getLong(0)
+      spark.range(1, sMax * 10 + 1).select(col("id").as("s_suppkey"),
+          pmod(col("id"), lit(25L)).cast("int").as("s_nationkey"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$bigDir/supplier.parquet")
     }
     if (!new java.io.File(s"$bigDir/embeddings.parquet/_SUCCESS").exists()) {
       println("[sf1-probe] synthesizing 10x embeddings …")
