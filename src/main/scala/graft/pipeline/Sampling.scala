@@ -233,6 +233,37 @@ object Sampling {
     ranked.withColumn("pick", col("__rn")).drop("__hv", "__rn", "__ns", "__thr")
   }
 
+  /** Quality-ranked per-group cap: keep the `n` best rows of every group
+    * under an arbitrary ordering (quality desc, freshness desc, …) — the
+    * ranked-retention counterpart to [[stratifiedSample]]'s uniform quota,
+    * and the shape of a web-corpus "domain cap" (keep the N
+    * highest-quality pages per domain). Because the ordering is
+    * data-dependent, the hash-threshold prefilter above can't bound the
+    * window input; the skew guard is instead a two-phase rank. Phase 1
+    * ranks within (group, salt-cell) — `salts` deterministic cells per
+    * group, hashed off `keyCol` — and keeps each cell's local top n, so
+    * a 100 TB hot group funnels at most `salts`·n rows (not its whole
+    * mass) into phase 2's per-group window. The result is identical to a
+    * single global window: every global top-n row is necessarily in its
+    * own cell's top n. `orderCols` + the `keyCol` tiebreak must be a
+    * total order or ranks aren't reproducible.
+    *
+    * Output: input columns + `cap_rank` (1-based within group). */
+  def topNPerGroup(df: DataFrame, n: Int, groupCol: String,
+      orderCols: Seq[Column], keyCol: String, salts: Int = 16): DataFrame = {
+    require(n >= 1, s"topNPerGroup n $n must be >= 1")
+    require(salts >= 1, s"topNPerGroup salts $salts must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val order = orderCols :+ col(keyCol).asc
+    val cell = Window.partitionBy(col(groupCol),
+      hashBucket(col(keyCol), salts, "cap")).orderBy(order: _*)
+    val local = df.withColumn("__lr", row_number().over(cell))
+      .filter(col("__lr") <= n).drop("__lr")
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
+    local.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= n)
+  }
+
   private def md5Hash60OfKey(key: Column, salt: String): Column =
     Dedup.md5Hash60(concat(lit(salt), key.cast("string")))
 }

@@ -569,6 +569,13 @@ object PipelineSuite {
           strataCol = "source", keyCol = "doc_id")
         .select("doc_id", "source", "pick")),
 
+    // ranked domain cap: the 50 longest docs per source (two-phase
+    // skew-safe rank; result provably equals the single global window)
+    "pipeline_source_cap" -> ((s, dir) =>
+      Sampling.topNPerGroup(docs(s, dir), n = 50, groupCol = "source",
+          orderCols = Seq(col("n_chars").desc), keyCol = "doc_id")
+        .select("doc_id", "source", "n_chars", "cap_rank")),
+
     // unicode canonicalization: the corpus is ASCII, so each row is
     // seeded with a deterministic non-NFC suffix — "cafe"+COMBINING
     // ACUTE (composes to the precomposed e-acute), ANGSTROM SIGN (an
@@ -1794,6 +1801,14 @@ object PipelineSuite {
                   row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
                 FROM h)
           SELECT doc_id, source, CAST(rn AS INT) AS pick FROM r WHERE rn <= 20""",
+
+    "pipeline_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+               FROM documents)
+         SELECT doc_id, source, n_chars, CAST(rn AS INT) AS cap_rank
+         FROM r WHERE rn <= 50""",
 
     // same seed codepoints built with chr() so the oracle file stays
     // ASCII: 769 = COMBINING ACUTE, 8491 = ANGSTROM SIGN, 7 = BEL

@@ -160,6 +160,40 @@ class RetrievalSpec extends SparkSpec {
     assert(run(8).size == 21)
   }
 
+  // ---- ranked per-group cap ----------------------------------------------
+
+  test("topNPerGroup equals the single global window on skewed groups") {
+    // hot group of 500 vs tiny groups; duplicate order values force the
+    // key tiebreak to matter
+    val df = ((1 to 500).map(i => (i.toLong, "hot", (i % 7).toLong)) ++
+      (501 to 503).map(i => (i.toLong, "cold", 1L)))
+      .toDF("doc_id", "source", "score")
+    val got = Sampling.topNPerGroup(df, n = 10, groupCol = "source",
+      orderCols = Seq(col("score").desc), keyCol = "doc_id", salts = 4)
+      .select("doc_id", "source", "cap_rank")
+      .as[(Long, String, Int)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= 10).select("doc_id", "source", "cap_rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._2 == "cold") == 3) // short group kept whole
+  }
+
+  test("topNPerGroup is partition- and salt-count-invariant") {
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 2}", (i % 11).toLong))
+      .toDF("doc_id", "source", "score")
+    def run(parts: Int, salts: Int) =
+      Sampling.topNPerGroup(df.repartition(parts), n = 8, groupCol = "source",
+        orderCols = Seq(col("score").desc), keyCol = "doc_id", salts = salts)
+        .select("doc_id", "source", "cap_rank")
+        .as[(Long, String, Int)].collect().toSet
+    assert(run(1, 1) == run(8, 16))
+    assert(run(1, 1).size == 16)
+  }
+
   // ---- containment join --------------------------------------------------
 
   test("containment pairs equal brute force; subset pairs Jaccard misses") {
