@@ -52,7 +52,10 @@ object Sf1Probe {
     // shuffle; merge rounds are vocabulary-sized, corpus-independent)
     "sketch_hll_distinct", "similarity_kmeans", "similarity_pq_topk",
     "graph_components", "graph_bfs_hops", "lm_nll_trigram",
-    "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train")
+    "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train",
+    // r6 session 8: ranked domain cap (two-phase window — the salt-cell
+    // rank bounds the hot-group funnel; exponent should track the scan)
+    "pipeline_source_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -89,7 +92,9 @@ object Sf1Probe {
         docs.select((col("doc_id") + lit(cp.toLong * 10000000L)).as("doc_id"),
           shuffleWords(col("text"), col("doc_id") + lit(cp * 7919)).as("text"),
           col("source"))
-      }.reduce(_ unionByName _).repartition(32)
+      }.reduce(_ unionByName _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
       // ts via the schema-adaptive reader (epoch-ms axis), written back as
@@ -164,6 +169,17 @@ object Sf1Probe {
           col("embedding"), col("label"))
       }.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
+
+    // upgrade guard: 10x documents written by earlier probe runs lack
+    // n_chars (the ranked domain cap's order column) — add it in place
+    if (new java.io.File(s"$bigDir/documents.parquet/_SUCCESS").exists() &&
+        !spark.read.parquet(s"$bigDir/documents.parquet").columns.contains("n_chars")) {
+      println("[sf1-probe] upgrading 10x documents with n_chars …")
+      val up = spark.read.parquet(s"$bigDir/documents.parquet")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .localCheckpoint() // break lineage so the same path can be overwritten
+      up.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     }
 
     val all = graft.SparkEntry.queries
