@@ -201,4 +201,41 @@ object EventOps {
       .withColumn(matchedTs, col("__rts"))
       .drop("__bucket", "__lts", "__rts")
   }
+
+  /** First-touch funnel over an ordered stage list: per key, `t_<stage0>`
+    * is the key's earliest stage-0 event, and each later `t_<stageI>` is
+    * its earliest stage-i event STRICTLY after `t_<stageI-1>` (the
+    * classic product-analytics conversion funnel — simultaneous events
+    * don't advance a stage). Keys that never reach stage 0 are dropped;
+    * later stages are null once the chain breaks. `stages_reached`
+    * counts the non-null prefix.
+    *
+    * Scale shape: ONE hash shuffle on the key. Each stage time is an
+    * unordered (whole-partition frame) conditional window min — the
+    * stacked Window operators all share the same partitioning, and the
+    * final per-key collapse is a groupBy on that same key, so Catalyst
+    * plans a single Exchange for the whole chain; no sort-heavy ordered
+    * frames, no per-stage join cascade. */
+  def funnel(events: DataFrame, keyCol: String, tsMsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: at least one stage")
+    require(stages.distinct.size == stages.size, "funnel: stages must be distinct")
+    val w = Window.partitionBy(keyCol)
+    val ts = col(tsMsCol).cast("long")
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val cond = if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && ts > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, ts)).over(w))
+    }
+    val tCols = stages.indices.map(i => min(col(s"__t$i")).as(s"t_${stages(i)}"))
+    // fold ascending so the LAST stage's check lands outermost — the
+    // nulls chain, so the first non-null test from the top wins
+    val reached = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t_${stages(i)}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    staged.groupBy(col(keyCol))
+      .agg(tCols.head, tCols.tail: _*)
+      .filter(col(s"t_${stages.head}").isNotNull)
+      .withColumn("stages_reached", reached)
+  }
 }

@@ -171,6 +171,15 @@ object RelationalSuite {
         .select("event_id", "user_id", "tms", "n_window", "sum_micro")
     }),
 
+    // first-touch conversion funnel view → click → purchase: each stage
+    // time is the user's earliest such event strictly after the previous
+    // stage's time; one user_id shuffle for the whole chain
+    "events_funnel" -> ((s, dir) => {
+      val ev = graft.streaming.EventsReader.eventsMs(s, dir)
+      graft.pipeline.EventOps.funnel(ev, "user_id", "tms", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
     // gap-based sessionization: 12 h inactivity closes a session; the
     // session assignment (lag + running sum) and the per-session
     // aggregate share one user_id shuffle.
@@ -393,6 +402,22 @@ object RelationalSuite {
                  v.vms AS matched_tms
           FROM p JOIN v ON p.user_id = v.user_id
             AND v.vms BETWEEN p.tms - 21600000 AND p.tms - 1""",
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events),
+          a AS (SELECT user_id, min(tms) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+          b AS (SELECT e.user_id, min(tms) AS t_click FROM e
+                JOIN a USING (user_id)
+                WHERE event_type = 'click' AND tms > t_view GROUP BY 1),
+          c AS (SELECT e.user_id, min(tms) AS t_purchase FROM e
+                JOIN b USING (user_id)
+                WHERE event_type = 'purchase' AND tms > t_click GROUP BY 1)
+          SELECT a.user_id, t_view, t_click, t_purchase,
+                 CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                           WHEN t_click IS NOT NULL THEN 2
+                           ELSE 1 END AS INT) AS stages_reached
+          FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)""",
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value

@@ -184,4 +184,40 @@ class EventOpsSpec extends SparkSpec {
     } yield (l.toLong, 1000L + r)
     assert(r1.sorted == ref.sorted)
   }
+
+  test("funnel: strict stage order, chain breaks null out, prefix count") {
+    val ev = Seq(
+      // user 1: clean view(10) → click(20) → purchase(30)
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE the first view doesn't count; no later click
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 30L, "purchase"),
+      // user 3: simultaneous view+click — strict > means click not reached
+      (3L, 10L, "view"), (3L, 10L, "click"),
+      // user 4: never views (purchase only) → dropped entirely
+      (4L, 10L, "purchase"),
+      // user 5: earliest view wins; first click after THAT view, purchase
+      // between view and click must not count
+      (5L, 10L, "view"), (5L, 12L, "purchase"), (5L, 15L, "click"),
+      (5L, 40L, "view"), (5L, 50L, "purchase")
+    ).toDF("user_id", "tms", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "tms", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "t_view", "t_click", "t_purchase", "stages_reached")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) == ((Some(10L), None, None, 1)))
+    assert(out(3L) == ((Some(10L), None, None, 1)))
+    assert(!out.contains(4L))
+    assert(out(5L) == ((Some(10L), Some(15L), Some(50L), 3)))
+    assert(out.size == 4)
+  }
+
+  test("funnel plans one exchange for the whole stage chain") {
+    val ev = Seq((1L, 10L, "view")).toDF("user_id", "tms", "event_type")
+    val plan = EventOps.funnel(ev, "user_id", "tms", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }
