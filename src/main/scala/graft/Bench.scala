@@ -67,6 +67,8 @@ object Bench {
     "sketch_hll_distinct", "similarity_kmeans", "similarity_pq_topk",
     "graph_components", "graph_bfs_hops", "lm_nll_trigram",
     "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train",
+    // r6 session 8: ranked domain cap + first-touch funnel
+    "pipeline_source_cap", "events_funnel",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
