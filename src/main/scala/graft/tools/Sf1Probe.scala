@@ -54,8 +54,9 @@ object Sf1Probe {
     "graph_components", "graph_bfs_hops", "lm_nll_trigram",
     "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train",
     // r6 session 8: ranked domain cap (two-phase window — the salt-cell
-    // rank bounds the hot-group funnel; exponent should track the scan)
-    "pipeline_source_cap")
+    // rank bounds the hot-group funnel; exponent should track the scan),
+    // first-touch funnel (one user_id shuffle, unordered window mins)
+    "pipeline_source_cap", "events_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
