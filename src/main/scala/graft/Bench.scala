@@ -18,6 +18,12 @@ object Bench {
     "sparql_scan", "sparql_bgp_join", "sparql_star_join",
     "sparql_filter_arith", "sparql_groupby_agg", "sparql_orderby_limit",
     "sparql_subquery", "sparql_union", "sparql_distinct",
+    // r7: WatDiv-shaped workload (the reference's only published bench,
+    // README.md:1036-1055) — linear / star / snowflake / complex families
+    "sparql_watdiv_l1", "sparql_watdiv_l2", "sparql_watdiv_l3",
+    "sparql_watdiv_s1", "sparql_watdiv_s2",
+    "sparql_watdiv_f1", "sparql_watdiv_f2",
+    "sparql_watdiv_c1", "sparql_watdiv_c2", "sparql_watdiv_c3",
     // reasoner fixpoint
     "datalog_closure_seminaive",
     // streaming (batch window semantics + distributed RSP plane)

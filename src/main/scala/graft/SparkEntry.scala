@@ -13,6 +13,7 @@ object SparkEntry {
   private def suites: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.SparqlSuite.queries, graft.queries.SparqlSuite.oracleSql),
+      (graft.queries.WatDivSuite.queries, graft.queries.WatDivSuite.oracleSql),
       (graft.queries.PipelineSuite.queries, graft.queries.PipelineSuite.oracleSql),
       (graft.queries.ReasonerSuite.queries, graft.queries.ReasonerSuite.oracleSql),
       (graft.queries.StreamSuite.queries, graft.queries.StreamSuite.oracleSql),

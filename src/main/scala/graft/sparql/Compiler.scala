@@ -349,7 +349,7 @@ class Compiler(store: QuadStore) {
     * direct and encoded BGP paths, so a heuristic change cannot make the
     * two pick different join orders. After each pick, its variables (plus
     * the GRAPH variable, which every scan binds) become bound. */
-  private def greedyOrder(patterns: Seq[TriplePattern], scope: GraphSpec,
+  private[graft] def greedyOrder(patterns: Seq[TriplePattern], scope: GraphSpec,
       initialBound: Set[String]): Seq[TriplePattern] = {
     var remaining = patterns.toList
     var bound = initialBound

@@ -239,6 +239,63 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no pushed group limit:\n$p")
   }
 
+  test("watdiv c3: 12-pattern snowflake starts at a constant-object scan, never cartesian") {
+    import graft.sparql.Ast._
+    // the C3 source order deliberately lists the unselective hub patterns
+    // first and the two constant-object patterns last (WatDivSuite); the
+    // greedy pre-pass must invert that — start at a constant-object scan
+    // (reference: bound-position index discounts, cost/estimator.rs:70-78)
+    // and keep every later pick connected to the bound set, so a 12-way
+    // self-join chain never plans a cartesian product at ANY corpus size
+    def tp(s: Term, p: String, o: Term) = TriplePattern(s, Iri(p), o)
+    val c3 = Seq(
+      tp(Var("li"), "lineitem#l_orderkey", Var("ord")),
+      tp(Var("li"), "lineitem#l_partkey", Var("p")),
+      tp(Var("li"), "lineitem#l_suppkey", Var("sup")),
+      tp(Var("ord"), "orders#o_custkey", Var("c")),
+      tp(Var("p"), "part#p_brand", Var("brand")),
+      tp(Var("sup"), "supplier#s_name", Var("sname")),
+      tp(Var("c"), "customer#c_name", Var("cname")),
+      tp(Var("c"), "customer#c_nationkey", Var("n")),
+      tp(Var("n"), "nation#n_regionkey", Var("r")),
+      tp(Var("r"), "region#r_name", Var("rname")),
+      tp(Var("ord"), "orders#o_orderstatus", Lit("F")),
+      tp(Var("p"), "part#p_type", Lit("MEDIUM")))
+    val compiler = new graft.sparql.Compiler(
+      graft.relational.Triplizer.cachedStore(spark, sf()))
+    val order = compiler.greedyOrder(c3, DefaultGraph, Set.empty)
+    def isConstObj(t: TriplePattern) = t.o match {
+      case _: Var => false; case _ => true
+    }
+    assert(isConstObj(order.head),
+      s"planner did not start at a constant-object pattern: ${order.head}")
+    // connectivity: each pick after the first shares a variable with the
+    // accumulated bound set (no cross joins anywhere in the chain)
+    var bound = Set.empty[String]
+    order.foreach { t =>
+      val vs = Seq(t.s, t.p, t.o).collect { case Var(n) => n }.toSet
+      assert(bound.isEmpty || (vs & bound).nonEmpty,
+        s"disconnected pick $t with bound=$bound")
+      bound ++= vs
+    }
+    // and the realized physical plan agrees: equi-joins only
+    val p = plan("sparql_watdiv_c3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian/nested-loop in watdiv C3 plan:\n$p")
+  }
+
+  test("watdiv: dimension tails broadcast; linear chain plans no cartesian") {
+    // nation/region tail joins are dimension-sized at every scale factor —
+    // the L1 chain must realize them as broadcasts, never shuffling the
+    // orders-side quads more than once per hop
+    val p = plan("sparql_watdiv_l1")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in watdiv L1 chain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in watdiv L1 plan:\n$p")
+    val f2 = plan("sparql_watdiv_f2")
+    assert(!f2.contains("CartesianProduct") && !f2.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in watdiv F2 plan:\n$f2")
+  }
+
   test("unicode clean and CMS build stay shuffle-minimal") {
     val p = plan("text_unicode_clean")
     assert(!p.contains("Exchange"), s"unicode clean introduced a shuffle:\n$p")
