@@ -129,10 +129,13 @@ object StreamSuite {
     // 10×-density window-plane bench entry (VERDICT r5 item 6): the
     // regular stream_* entries finish in ~1-2 s at sf0.1, dominated by
     // fixed job overhead, so window-plane regressions hide under noise.
-    // Same span, 10× events (ids shifted, ts jittered ±13 ms/copy — the
+    // Same span, 10× events (ids shifted, ts jittered +13 ms/copy — the
     // Sf1Probe replication), full distributed BGP + ISTREAM diff.
-    // Deterministic → stable rows-only check; no DuckDB oracle (the
-    // synthesized feed never exists as a table on the oracle side).
+    // r7: HASH-CHECKED — the copy expansion is deterministic arithmetic
+    // over the events table, so the DuckDB oracle rebuilds the exact
+    // dense feed with an unnest(0..9) cross join and runs the same
+    // ISTREAM consecutive-fired-close diff as stream_window_istream
+    // (closing the last bench-headline rows-only gap, VERDICT r6 item 3).
     "stream_window_istream_dense" -> ((s, dir) =>
       new DistributedRsp(s, windowBgpQuery.copy(kind = graft.sparql.Ast.IStream))
         .emissions(denseEventTriples(s, dir))
@@ -434,6 +437,35 @@ object StreamSuite {
                              event_type,
                              CAST(epoch_ms(ts) AS BIGINT) AS tms
                       FROM events),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev)),
+          rel AS (SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+                  FROM ev JOIN fired f
+                    ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+                  WHERE ev.event_type = 'purchase'),
+          seq AS (SELECT close, LAG(close) OVER (ORDER BY close) AS prev
+                  FROM fired)
+          SELECT r.close, r.e, r.u
+          FROM rel r JOIN seq s ON r.close = s.close
+          WHERE s.prev IS NULL OR NOT EXISTS (
+            SELECT 1 FROM rel p
+            WHERE p.close = s.prev AND p.e = r.e AND p.u = r.u)""",
+
+    // same ISTREAM oracle over the SQL-rebuilt 10x dense feed (copy cp:
+    // event_id + cp*1e8, user_id + cp*1e6, tms + cp*13 — exactly
+    // denseEventTriples0's arithmetic)
+    "stream_window_istream_dense" ->
+      s"""WITH ev0 AS (SELECT event_id, user_id, event_type,
+                              CAST(epoch_ms(ts) AS BIGINT) AS tms0
+                       FROM events),
+          ev AS (SELECT 'event/' || CAST(event_id + cp.cp * 100000000 AS VARCHAR) AS eid,
+                        'user/' || CAST(user_id + cp.cp * 1000000 AS VARCHAR) AS uid,
+                        event_type,
+                        tms0 + cp.cp * 13 AS tms
+                 FROM ev0,
+                      (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS cp) cp),
           fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
                     FROM ev
                     WHERE (tms - 1) - ((tms - 1) % 3600000) >=
