@@ -390,14 +390,31 @@ object Dedup {
     * aggregation would demand watermarked state, and in any narrow
     * pipeline stage that must not introduce an exchange. */
   def minHashSignaturesNarrow(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHashes: Boolean = false): DataFrame = {
+    def perm(s: Column, i: Int): Column =
+      if (portableHashes) {
+        val (a, b) = mhCoeffs(i)
+        pmod(lit(a) * pmod(md5Hash60(s), lit(MhPrime)) + lit(b), lit(MhPrime))
+      } else mh(s, i)
     val s32 = array((0 until numHashes).map(i =>
-      array_min(transform(col("__sh"), s => mh(s, i)))): _*)
+      array_min(transform(col("__sh"), s => perm(s, i)))): _*)
     docs.withColumn("__sh", shingleArray(k, textCol))
       .filter(size(col("__sh")) > 0)
       .withColumn("sig", s32)
       .drop("__sh")
   }
+
+  /** Band → bucket key, shared by the batch and streaming LSH legs so a
+    * replayed feed lands in bit-identical buckets: portable = md5-60
+    * over "band:<b>:<sig slice csv>" (DuckDB closed form), default =
+    * codegen'd xxhash64 of the slice. */
+  private def bandBucketCol(portableHashes: Boolean, rows: Int)(b: Column): Column =
+    if (portableHashes)
+      md5Hash60(concat(lit("band:"), b.cast(StringType), lit(":"),
+        array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          _.cast(StringType)), ",")))
+    else xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)))
 
   /** LSH candidate pairs: band the signature, bucket-join, estimate
     * similarity as matching-minhash fraction; keep ≥ threshold.
@@ -427,12 +444,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigs0 = minHashSignatures(docs, k, numHashes, idCol, textCol, portableHashes)
     val sigs = if (checkpointSigs) sigs0.localCheckpoint() else sigs0
-    def bandBucket(b: Column): Column =
-      if (portableHashes)
-        md5Hash60(concat(lit("band:"), b.cast(StringType), lit(":"),
-          array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            _.cast(StringType)), ",")))
-      else xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)))
+    def bandBucket(b: Column): Column = bandBucketCol(portableHashes, rows)(b)
     // Catalyst has no common-subplan reuse across self-join sides, so the
     // signature pipeline appears twice in the physical plan (lazy mode).
     val bandedAll = sigs.select(col("id"), col("sig"),
@@ -489,18 +501,35 @@ object Dedup {
     * (streaming cannot globally dropDuplicates without a second
     * stateful stage); consumers that need multiplicity-free pairs
     * dedupe downstream. Batch/stream agreement on the pair SET is
-    * pinned by StreamingSpec against [[minHashLshPairs]] (uncapped). */
+    * pinned by StreamingSpec against [[minHashLshPairs]] (uncapped),
+    * and the driver entry `dedup_minhash_stream` replays the corpus
+    * (portable hashes) against the batch DuckDB oracle.
+    *
+    * `maxBucketSize` semantics differ from the batch cap (ADVICE r6):
+    * once a cell holds `maxBucketSize` docs, LATER arrivals still pair
+    * against the stored docs but are not stored themselves — which docs
+    * survive is ARRIVAL-ORDER dependent (first-seen wins), unlike the
+    * batch cap's deterministic smallest-ids rule. On a hot cell the two
+    * legs can therefore disagree on pairs among the capped tail; sizing
+    * the cap above the horizon's worst bucket occupancy (or exact-dedup
+    * upstream — hot cells are usually byte-dup floods) keeps the legs
+    * identical, which is how the parity spec and driver entry run.
+    *
+    * `portableHashes` selects the md5-60 universal-hash family and the
+    * md5 band buckets — bit-identical to the batch portable leg, so a
+    * replayed feed is DuckDB-checkable; default stays xxhash64. */
   def streamingMinHashPairs(docs: DataFrame, tsCol: String, horizon: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096, portableHashes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val horizonMs = graft.streaming.StreamOps.durationSeconds(horizon) * 1000L
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = minHashSignaturesNarrow(docs, k, numHashes, idCol, textCol)
+    val sigs = minHashSignaturesNarrow(docs, k, numHashes, idCol, textCol,
+      portableHashes)
     // the watermarked timestamp column must SURVIVE the projection into
     // the stateful operator, or the event-time timeout is rejected
     val banded = sigs.withWatermark(tsCol, horizon)
@@ -509,8 +538,8 @@ object Dedup {
         // metadata, and the event-time timeout is then rejected
         col(tsCol).as("ts"),
         unix_millis(col(tsCol)).as("tsMs"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bandBucketCol(portableHashes, rows)(b))))
       .select(col("pos").cast(IntegerType).as("band"), col("col").as("bucket"),
         col("id"), col("ts"), col("tsMs"), col("sig"))
       .as[MhArrival]

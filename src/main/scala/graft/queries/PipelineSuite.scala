@@ -55,6 +55,41 @@ object PipelineSuite {
         k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, checkpointSigs = true, portableHashes = true)),
 
+    // STREAMING LSH leg replay (r7, VERDICT r6 item 8): the corpus fed
+    // through the flatMapGroupsWithState bucket state machine in five
+    // deterministic micro-batches (ts = epoch + doc_id ms; horizon far
+    // beyond the feed span so nothing is pruned; portable hashes) — the
+    // emitted pair set, multi-band multiplicity collapsed, must
+    // hash-match the SAME DuckDB oracle as the batch portable leg. The
+    // driver-side collect here is the REPLAY HARNESS (MemoryStream takes
+    // local data by design), not the operator: the state machine itself
+    // runs distributed, keyed by (band, bucket).
+    "dedup_minhash_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = MemoryStream[(Long, Long, String)]
+      val feed = mem.toDF().toDF("tms", "doc_id", "text")
+        .withColumn("ts", timestamp_millis(col("tms")))
+      val pairs = Dedup.streamingMinHashPairs(feed, "ts", "30 days",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        portableHashes = true)
+      val sink = s"dms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sq = pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val base = 1700000000000L
+        val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { g =>
+          mem.addData(g.toSeq.map { case (id, tx) => (base + id, id, tx) })
+          sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      s.table(sink).select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates("id_a", "id_b")
+    }),
+
     // md5-derived 60-bit token hash so DuckDB reproduces the signatures
     // bit-for-bit; the oracle brute-forces all pairs, so it also proves
     // the segment blocking is recall-complete at this radius
@@ -606,6 +641,40 @@ object PipelineSuite {
       s"($i, ${a}, ${b})"
     }.mkString(", ")
 
+  private val portableLshSql: String =
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+          shl AS (SELECT DISTINCT doc_id AS id,
+                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+                 FROM t WHERE len(w) >= 3),
+          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM shl),
+          base AS (SELECT id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+                   FROM e),
+          coeff(i, a, b) AS (VALUES $mhCoeffValues),
+          mh AS (SELECT id, c.i AS i,
+                   min((c.a * h0 + c.b) % 2147483647) AS h
+                 FROM base, coeff c GROUP BY id, c.i),
+          sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY id),
+          band AS (SELECT id, sig, rb.range AS b,
+                   ('0x' || substr(md5('band:' || CAST(rb.range AS VARCHAR) || ':' ||
+                      array_to_string(list_transform(sig[rb.range*4+1 : rb.range*4+4],
+                        x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
+                   FROM sig, range(8) rb),
+          capped AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY b, bucket ORDER BY id) AS rn
+                   FROM band) WHERE rn <= 4096),
+          cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                     a.sig AS sig_a, b2.sig AS sig_b
+                   FROM capped a JOIN capped b2
+                     ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id)
+          SELECT id_a, id_b,
+                 round(CAST(len(list_filter(range(1, 33),
+                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+          FROM cand
+          WHERE CAST(len(list_filter(range(1, 33),
+                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5"""
+
   /** Shared DuckDB mirrors of langId / qualityScore, reused by the
     * standalone text entries and the corpus-filter composition. */
   private val langIdSql: String = {
@@ -671,40 +740,12 @@ object PipelineSuite {
     // the full portable-hash LSH pipeline in SQL: shingles → 32 md5-60
     // minhashes → 8 band buckets (md5-60 over the band's joined sig
     // slice) → 4096-cap → bucket-join candidates → matching-fraction
-    // estimate; mirrors Dedup.minHashLshPairs(portableHashes = true)
-    "dedup_minhash_lsh_portable" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
-          shl AS (SELECT DISTINCT doc_id AS id,
-                   list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
-                 FROM t WHERE len(w) >= 3),
-          e AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM shl),
-          base AS (SELECT id, shingle,
-                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
-                   FROM e),
-          coeff(i, a, b) AS (VALUES $mhCoeffValues),
-          mh AS (SELECT id, c.i AS i,
-                   min((c.a * h0 + c.b) % 2147483647) AS h
-                 FROM base, coeff c GROUP BY id, c.i),
-          sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY id),
-          band AS (SELECT id, sig, rb.range AS b,
-                   ('0x' || substr(md5('band:' || CAST(rb.range AS VARCHAR) || ':' ||
-                      array_to_string(list_transform(sig[rb.range*4+1 : rb.range*4+4],
-                        x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
-                   FROM sig, range(8) rb),
-          capped AS (SELECT * FROM (
-                   SELECT *, ROW_NUMBER() OVER (PARTITION BY b, bucket ORDER BY id) AS rn
-                   FROM band) WHERE rn <= 4096),
-          cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
-                     a.sig AS sig_a, b2.sig AS sig_b
-                   FROM capped a JOIN capped b2
-                     ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id)
-          SELECT id_a, id_b,
-                 round(CAST(len(list_filter(range(1, 33),
-                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) AS est_jaccard
-          FROM cand
-          WHERE CAST(len(list_filter(range(1, 33),
-                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5""",
+    // estimate; mirrors Dedup.minHashLshPairs(portableHashes = true).
+    // The SAME SQL checks the streaming replay entry: with a horizon
+    // beyond the feed span and an unhit cap, the state machine must
+    // emit exactly the batch pair set.
+    "dedup_minhash_lsh_portable" -> portableLshSql,
+    "dedup_minhash_stream" -> portableLshSql,
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
