@@ -261,6 +261,24 @@ object SparqlSuite {
           BIND(MD5(?n) AS ?h5)
           BIND(SHA256(?n) AS ?h256) }""")),
 
+    // language-tag builtins (r7, VERDICT r6 item 5) over the reference's
+    // tag-appended literal storage: STRLANG mints tagged alternate
+    // labels in an INSERT…WHERE BIND, LANG recovers the tag, and
+    // LANGMATCHES("en") basic-filters en-GB in and fr out
+    "sparql_builtin_lang" -> ((s, dir) => {
+      val store = Triplizer.isolatedStore(s, dir, defaultGraph = true)
+      val c = new Compiler(store)
+      c.execute("""
+        INSERT { ?n <alt/label> ?lbl }
+        WHERE { ?n <nation#n_name> ?nm . ?n <nation#n_regionkey> ?r .
+                BIND(STRLANG(LCASE(?nm), IF(?r = <region/2>, "en-GB", "fr")) AS ?lbl) }""")
+      c.select("""
+        SELECT ?n ?lbl ?lang WHERE {
+          ?n <alt/label> ?lbl .
+          BIND(LANG(?lbl) AS ?lang)
+          FILTER(LANGMATCHES(LANG(?lbl), "en")) }""")
+    }),
+
     "sparql_group_concat" -> ((s, dir) =>
       engine(s, dir).select("""
         SELECT ?seg (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) (SAMPLE(?name) AS ?first)
@@ -648,6 +666,12 @@ object SparqlSuite {
       """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
                 md5(c_name) AS h5, sha256(c_name) AS h256
          FROM customer""",
+
+    "sparql_builtin_lang" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+                lower(n_name) || '@en-GB' AS lbl,
+                'en-GB' AS lang
+         FROM nation WHERE n_regionkey = 2""",
 
     "sparql_group_concat" ->
       """SELECT c_mktsegment AS seg,

@@ -809,10 +809,31 @@ class Compiler(store: QuadStore) {
         case "SHA1" => sha1(s0)
         case "SHA256" => sha2(s0, 256)
         case "SHA512" => sha2(s0, 512)
+        // language-tag builtins (§17.4.2.2/2.3, §17.4.3.10) over the
+        // reference's tag-appended storage (`sparql_database.rs:1628-1656`:
+        // "lex"@en is stored as `lex@en`, datatypes stripped): LANG
+        // recovers the suffix only when it has language-tag SHAPE
+        // (letters, then -alnum subtags, at end of value) so values with
+        // a natural '@' (emails) yield "" — the storage's inherent
+        // ambiguity resolved conservatively; STRLANG appends per the
+        // same policy. LANGMATCHES is RFC 4647 basic filtering.
+        case "LANG" => regexp_extract(s0, "@([A-Za-z]+(-[A-Za-z0-9]+)*)$", 1)
+        case "STRLANG" => concat(s0, lit("@"), s1)
+        case "LANGMATCHES" =>
+          when(langMatchesC(s0, s1), lit("true")).otherwise(lit("false"))
         case udfName if store.udfs.contains(udfName) =>
           call_udf(udfName, array(cs.map(_.cast(StringType)): _*))
         case other => throw new IllegalArgumentException(s"unknown function $other")
       }
+  }
+
+  /** RFC 4647 basic filtering (SPARQL §17.4.3.10): "*" matches any
+    * non-empty tag; otherwise the range equals the tag or is a proper
+    * hyphen-delimited prefix of it, case-insensitively. */
+  private def langMatchesC(tag: Column, range: Column): Column = {
+    val t = lower(tag); val r = lower(range)
+    when(r === "*", t =!= "")
+      .otherwise(t === r || t.startsWith(concat(r, lit("-"))))
   }
 
   def compileCond(df: DataFrame, c: Condition): Column = c match {
@@ -845,6 +866,8 @@ class Compiler(store: QuadStore) {
               .otherwise(lit("")), s1)
           else s1
           regexp_like(s0, pat)
+        // native predicate form (no string round-trip in FILTER position)
+        case "LANGMATCHES" => langMatchesC(s0, s1)
         case other => throw new IllegalArgumentException(s"unknown filter function $other")
       }
     case Cmp(op, l, r) =>

@@ -166,6 +166,7 @@ class SparqlParser extends RegexParsers {
           | "ABS" | "CEIL" | "FLOOR" | "ROUND" | "COALESCE"
           | "MD5" | "SHA1" | "SHA256" | "SHA512"
           | "REGEX" | "BOUND" | "ISNUMERIC" | "ISBLANK" | "SAMETERM"
+          | "LANG" | "LANGMATCHES" | "STRLANG"
           // aggregates appear as Func inside HAVING — normalize case so
           // the case-sensitive rewriteHaving recognizes `count(?e)` too
           | "COUNT" | "SUM" | "MIN" | "MAX" | "AVG" | "GROUP_CONCAT" | "SAMPLE") => u

@@ -43,6 +43,27 @@ class CompilerSpec extends SparkSpec {
     assert(r == Seq(Seq("s2")))
   }
 
+  test("LANG/LANGMATCHES/STRLANG over tag-appended storage (sparql_database.rs:1628-1656)") {
+    // tagged literals are stored as lex@tag; LANG recovers only
+    // tag-SHAPED suffixes (an email's @domain has a dot → "")
+    val st = store(("a", "label", "hello@en"), ("b", "label", "salut@fr-CA"),
+      ("c", "label", "plain"), ("d", "label", "user@example.com"))
+    assert(rows(st, """SELECT ?s ?l WHERE { ?s <label> ?v . BIND(LANG(?v) AS ?l) }""").toSet ==
+      Set(Seq("a", "en"), Seq("b", "fr-CA"), Seq("c", ""), Seq("d", "")))
+    // basic filtering: range matches exactly or as hyphen prefix, case-
+    // insensitively; "*" matches any non-empty tag
+    assert(rows(st, """SELECT ?s WHERE { ?s <label> ?v . FILTER(LANGMATCHES(LANG(?v), "FR")) }""") ==
+      Seq(Seq("b")))
+    assert(rows(st, """SELECT ?s WHERE { ?s <label> ?v . FILTER(LANGMATCHES(LANG(?v), "*")) }""").toSet ==
+      Set(Seq("a"), Seq("b")))
+    // STRLANG appends per the storage policy; parser accepts "lit"@tag
+    assert(rows(st, """SELECT ?t WHERE { <a> <label> ?v . BIND(STRLANG("bye", "en-GB") AS ?t) }""") ==
+      Seq(Seq("bye@en-GB")))
+    // tagged-literal CONSTANT in a pattern round-trips through the parser
+    assert(rows(st, """SELECT ?s WHERE { ?s <label> "hello"@en }""") ==
+      Seq(Seq("a")))
+  }
+
   test("numeric-else-lexical comparison (types.rs:349-371)") {
     val st = store(("a", "p", "9"), ("b", "p", "10"), ("c", "p", "x10"))
     // numeric when both parse: 9 < 10 numerically (lexically "9" > "10")
