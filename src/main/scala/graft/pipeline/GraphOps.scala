@@ -25,7 +25,14 @@ object GraphOps {
     * ever materializes on the driver; iterations are O(|E|) shuffles.
     *
     * Returns (node, pr) with pr rounded to 6 decimals — deterministic,
-    * so an unrolled-SQL mirror reproduces it bit-for-bit. */
+    * so an unrolled-SQL mirror reproduces it bit-for-bit.
+    *
+    * EAGER: the edge/base tables are localCheckpoint-ed up front (they
+    * are read every round), so calling this materializes work even
+    * before the result is consumed. With `checkpoint = true` (default)
+    * those static blocks are dropped before returning — the result is
+    * its own checkpoint; with `checkpoint = false` the returned plan
+    * still reads them, so the blocks live until driver GC (ADVICE r6). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
       checkpoint: Boolean = true): DataFrame = {
@@ -80,7 +87,14 @@ object GraphOps {
       // uncaches CacheManager entries); drop the backing RDD directly
       if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
     }
-    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    val out = pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    // the statics are dead once pr is its own checkpoint (every round of
+    // the default path re-checkpoints); lazy mode still reads them
+    if (prOwnCheckpoint) {
+      graft.reasoner.Reasoner.unpersistCheckpoint(e)
+      graft.reasoner.Reasoner.unpersistCheckpoint(base)
+    }
+    out
   }
 
   /** Connected components: (node, component) where component is the
@@ -130,6 +144,8 @@ object GraphOps {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: did not converge in $maxRounds doubling rounds")
+    // lbl is its own checkpoint — the undirected edge blocks are dead
+    graft.reasoner.Reasoner.unpersistCheckpoint(und)
     lbl.select(col("v").as("node"), col("lbl").as("component"))
   }
 
@@ -159,12 +175,20 @@ object GraphOps {
         .select(col("u").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
+      val prevFrontier = frontier
       frontier = reached.localCheckpoint()
       val prev = visited
       visited = prev.unionByName(frontier).localCheckpoint()
       graft.reasoner.Reasoner.unpersistCheckpoint(prev)
+      // rounds ≥ 2 leave a dead frontier checkpoint behind (round 1's
+      // "frontier" IS the initial visited, dropped just above)
+      if (prevFrontier ne prev) graft.reasoner.Reasoner.unpersistCheckpoint(prevFrontier)
       h += 1
     }
+    // visited is its own checkpoint — edge blocks and the last frontier
+    // (already folded into visited) are dead
+    graft.reasoner.Reasoner.unpersistCheckpoint(und)
+    if (frontier ne visited) graft.reasoner.Reasoner.unpersistCheckpoint(frontier)
     visited
   }
 
@@ -192,7 +216,9 @@ object GraphOps {
     // every consumer. Materializing was measured SLOWER at sf0.1 (warm
     // reps 6.2-7.3 s vs 3.7-6.0 s): two extra actions + block writes buy
     // nothing the exchange reuse doesn't. `checkpoint` stays for callers
-    // composing this into multi-action pipelines.
+    // composing this into multi-action pipelines — note the returned
+    // plan READS those checkpoint blocks, so they live until driver GC
+    // reclaims the frames (the price of lazy composability; ADVICE r6).
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))

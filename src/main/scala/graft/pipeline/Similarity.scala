@@ -179,6 +179,27 @@ object Similarity {
     * sum far from BIGINT range; the floor division computes as
     * (s − pmod(s, n)) / n, exact because s − pmod is divisible and
     * < 2⁵³ (double division of exactly divisible longs is exact). */
+  /** Hash-seeded cluster slots (min id per slot, md5-portable — the
+    * oracle reproduces the seeds): the deterministic seeding
+    * [[kmeansMicro]] and [[pqTopK]] share. A slot no id hashes into
+    * would silently train FEWER than k centroids (ADVICE r6) — fail
+    * loudly instead, mirroring stratifiedSample's under-sampling guard.
+    * An empty slot has probability ≈ k·(1−1/k)ⁿ, negligible when
+    * k ≪ n, so a failure means k is too close to the corpus size.
+    * Eager (k-row checkpoint + count); also saves the lazy plan's
+    * second corpus scan through the seed groupBy. */
+  private def seedSlots(corpus: DataFrame, idCol: String, k: Int): DataFrame = {
+    val seeds = corpus.select(col(idCol).as("id"),
+        pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
+          lit(k.toLong)).cast(IntegerType).as("cid"))
+      .groupBy("cid").agg(min(col("id")).as("id"))
+      .localCheckpoint()
+    val filled = seeds.count()
+    require(filled == k, s"k-means seeding filled $filled of $k slots — " +
+      "nClusters/ksub too close to the corpus size for hash seeding")
+    seeds
+  }
+
   def kmeansMicro(corpus: DataFrame, nClusters: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       /** Materialize the exploded corpus once and each round's k·dim
@@ -194,12 +215,7 @@ object Similarity {
         v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
         .as(Seq("pos", "xq")))
     val x = if (checkpoint) x0.localCheckpoint() else x0
-    // hash-seeded slots, min id per slot — same discipline as
-    // trainCentroids but md5-portable so the oracle reproduces the seeds
-    val seedIds = corpus.select(col(idCol).as("id"),
-        pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
-          lit(nClusters.toLong)).cast(IntegerType).as("cid"))
-      .groupBy("cid").agg(min(col("id")).as("id"))
+    val seedIds = seedSlots(corpus, idCol, nClusters)
     var cent = x.join(broadcast(seedIds), "id")
       .select(col("cid"), col("pos"), col("xq").as("cq"))
     var centOwn = false
@@ -268,10 +284,7 @@ object Similarity {
     // one exploded (id, m, pos, xq) table serves training AND encoding;
     // checkpointed so neither re-reads the source
     val x = subRows(corpus, "id").localCheckpoint()
-    val seedIds = corpus.select(col(idCol).as("id"),
-        pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
-          lit(ksub.toLong)).cast(IntegerType).as("cid"))
-      .groupBy("cid").agg(min(col("id")).as("id"))
+    val seedIds = seedSlots(corpus, idCol, ksub)
     var cent = x.join(broadcast(seedIds), "id")
       .select(col("m"), col("cid"), col("pos"), col("xq").as("cq"))
     var centOwn = false

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, MetadataBuilder}
 
 /** Mergeable frequency sketches over keyed columns (beyond-reference:
   * the corpus-profiling counterpart of [[graft.functions.KmvDistinct]]'s
@@ -28,11 +28,16 @@ object Sketches {
     * unlikely. Output is at most d·w rows regardless of input size. */
   def countMin(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && w >= 1, s"countMin d=$d, w=$w must be >= 1")
+    // the build parameters ride on the depth column's metadata (survives
+    // parquet round-trips) so a mismatched estimate read fails loudly
+    // instead of silently understating (ADVICE r6) — values unchanged
+    val params = new MetadataBuilder().putLong("cms_d", d).putLong("cms_w", w).build()
     df.select(col(keyCol).as("__k"))
       .filter(col("__k").isNotNull) // a null key has no frequency to count
       .select(explode(depthBuckets(d, w)).as("db"))
       .select(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
       .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("depth", col("depth").as("depth", params))
   }
 
   /** (depth, bucket) pairs for the current row's `__k`, one per depth. */
@@ -51,6 +56,16 @@ object Sketches {
     * large key sets stream narrowly against the broadcast counters. */
   def countMinEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
       d: Int = 4, w: Int = 1024): DataFrame = {
+    // a sketch built by countMin carries its (d, w) in column metadata;
+    // reading it with different parameters coalesces missing buckets to
+    // 0 under the min — a silent understatement, so refuse loudly.
+    // Sketches from other producers (no metadata) stay caller-checked.
+    cms.schema.find(_.name == "depth").map(_.metadata).foreach { m =>
+      if (m.contains("cms_d"))
+        require(m.getLong("cms_d") == d && m.getLong("cms_w") == w,
+          s"countMinEstimate(d=$d, w=$w) against a sketch built with " +
+            s"d=${m.getLong("cms_d")}, w=${m.getLong("cms_w")}")
+    }
     val kq = keys.select(col(keyCol).as("__k")).filter(col("__k").isNotNull).distinct()
       .select(col("__k"), explode(depthBuckets(d, w)).as("db"))
       .select(col("__k"), col("db.depth").as("depth"), col("db.bucket").as("bucket"))

@@ -142,6 +142,15 @@ class PipelineSpec extends SparkSpec {
     assert(cs.nonEmpty)
     cs.foreach(c => assert(c < 200000L || c > 4800000L,
       s"centroid component $c sits between the blobs"))
+
+    // hash seeding with k near the corpus size can leave a slot empty —
+    // must fail loudly, not silently train fewer centroids (ADVICE r6):
+    // 3 ids into 64 slots always misses some
+    val tiny = (0 until 3).map(i => (i.toLong, Seq.fill(4)(0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansMicro(tiny, nClusters = 64, iters = 1).collect())
+    assert(e.getMessage.contains("of 64 slots"))
   }
 
   test("multimodal: payload round-trip, stub decode shape, frame sampling") {

@@ -43,6 +43,32 @@ class SketchesSpec extends SparkSpec {
     assert(sums.toSeq == Seq.fill(4)(16L))
   }
 
+  test("mismatched estimate parameters are refused via carried metadata") {
+    val cms = Sketches.countMin(df, "k", d = 4, w = 1024)
+    // wrong w or d would coalesce missing buckets to 0 under the min —
+    // a silent understatement; the carried (d, w) metadata rejects it
+    val e1 = intercept[IllegalArgumentException](
+      Sketches.countMinEstimate(cms, Seq("a").toDF("k"), "k", d = 4, w = 512))
+    assert(e1.getMessage.contains("built with d=4, w=1024"))
+    intercept[IllegalArgumentException](
+      Sketches.countMinEstimate(cms, Seq("a").toDF("k"), "k", d = 2, w = 1024))
+    // a foreign sketch without metadata stays caller-checked (no throw)
+    val foreign = cms.select(col("depth").cast("int").as("depth"), col("bucket"), col("cnt"))
+    Sketches.countMinEstimate(foreign, Seq("a").toDF("k"), "k", d = 2, w = 512).collect()
+  }
+
+  test("metadata survives a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    Sketches.countMin(df, "k", d = 4, w = 1024).write.mode("overwrite")
+      .parquet(s"$dir/cms")
+    val back = spark.read.parquet(s"$dir/cms")
+    intercept[IllegalArgumentException](
+      Sketches.countMinEstimate(back, Seq("a").toDF("k"), "k", d = 4, w = 512))
+    val est = Sketches.countMinEstimate(back, Seq("a").toDF("k"), "k", d = 4, w = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") == 7L)
+  }
+
   test("unseen key over a sparse sketch estimates zero") {
     val cms = Sketches.countMin(Seq("only").toDF("k"), "k", d = 4, w = 4096)
     val est = Sketches.countMinEstimate(cms, Seq("absent").toDF("k"),
