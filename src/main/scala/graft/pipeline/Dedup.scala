@@ -613,24 +613,37 @@ object Dedup {
     * radius and stays linear in practice instead of n². */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      hashFn: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs64(simHashSignatures(docs, idCol, textCol, hashFn)
+      .select(col("id"), col("simhash").as("sig")), maxHamming)
+
+  /** Hamming-ball pair join over ANY 64-bit signature column — the
+    * segment-blocking core shared by [[simHashPairs]] (text) and
+    * [[Multimodal.dHashPairs]] (images): `sigs` is (id, sig); the
+    * signature is split into `maxHamming + 1` near-equal bit segments,
+    * so by pigeonhole any pair within `maxHamming` bit flips shares at
+    * least one identical segment — candidate generation is
+    * recall-complete for the requested radius through plain equi-joins
+    * on (segment index, segment value), linear in practice instead of
+    * n². Returns (id_a, id_b, hamming) with id_a < id_b, exact hamming
+    * ≤ `maxHamming`. */
+  private[pipeline] def hammingPairs64(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nSegs = maxHamming + 1
     val widths = Array.tabulate(nSegs)(i => 64 / nSegs + (if (i < 64 % nSegs) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def segment(i: Int): Column = {
       val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
-      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))
     }
-    val sigs = simHashSignatures(docs, idCol, textCol, hashFn)
-    val seg = sigs.select(col("id"), col("simhash"),
+    val seg = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until nSegs).map(segment): _*)))
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     seg.as("a").join(seg.as("b"),
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.sig").as("sh_a"), col("b.sig").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)

@@ -162,6 +162,99 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Difference hash (dHash, Krawetz 2013) of one payload — the standard
+    * perceptual image fingerprint: the image is average-pooled to a 9×8
+    * grayscale grid and bit r·8+c is set iff grid(r, c+1) > grid(r, c),
+    * so the 64 bits encode the horizontal luminance GRADIENT — stable
+    * under re-encode, resize, and small edits, unlike byte digests.
+    *
+    * Payloads ImageIO cannot read (audio/video containers, raw text)
+    * fall back to the same gradient hash over a deterministic BYTE grid:
+    * grid cell i (i = r·9+c) reads byte ⌊i·n/72⌋. The fallback is chosen
+    * to be reproducible in ANSI SQL over ASCII payloads — one character
+    * lookup and one compare per bit — which is what lets the driver
+    * oracle-check the whole near-dup pipeline end-to-end (the IMAGE
+    * path's parity with it is spec-pinned on real PNGs instead, since no
+    * SQL engine decodes PNGs). */
+  def dHashBits(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return 0L
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    val grid = if (img != null) imageGrid(img) else byteGrid(payload)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** 9×8 sample grid over raw bytes: cell i = payload[⌊i·n/72⌋] — the
+    * SQL-reproducible non-image fallback (`ord(substr(t, i*n//72 + 1, 1))`
+    * on ASCII payloads). */
+  private def byteGrid(p: Array[Byte]): Array[Int] = {
+    val n = p.length.toLong
+    Array.tabulate(72)(i => p((i * n / 72).toInt) & 0xFF)
+  }
+
+  /** 9×8 average-pooled integer luminance grid (BT.601 integer weights,
+    * floor mean — deterministic across JVMs). */
+  private def imageGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(72) { i =>
+      val r = i / 9
+      val c = i % 9
+      val x0 = c * w / 9
+      val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+      val y0 = r * h / 8
+      val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+      var sum = 0L
+      var cnt = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          cnt += 1
+          x += 1
+        }
+        y += 1
+      }
+      (sum / cnt).toInt
+    }
+  }
+
+  /** Per-row dHash as a narrow mapPartitions stage: (media_id, dhash). */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val pIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("dhash", LongType)))
+    spark.createDataFrame(
+      media.rdd.mapPartitions(_.map(r =>
+        Row(r.getLong(idIdx), dHashBits(r.getAs[Array[Byte]](pIdx))))),
+      schema)
+  }
+
+  /** Multimodal near-dup pairs: dHash each payload, then the same
+    * pigeonhole segment-blocked hamming join SimHash uses
+    * ([[Dedup.hammingPairs64]]) — recall-complete for the radius, one
+    * equi-join shuffle, no all-pairs. Returns (id_a, id_b, hamming). */
+  def dHashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(
+      imageDHash(media).select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxHamming)
+
   /** Frame sampling for video-ish payloads: split the byte stream into
     * `frameBytes` chunks, keep every `stride`-th chunk. Demonstrates the
     * batch-explode shape without a codec. */

@@ -432,6 +432,26 @@ object PipelineSuite {
           col("meta.n_bytes").as("n_bytes"),
           md5(col("payload")).as("payload_md5"))),
 
+    // multimodal NEAR-DUP pairs hash-checked: dHash (9×8 gradient
+    // fingerprint) + the pigeonhole hamming blocking SimHash uses. Each
+    // document payload is paired with a first-byte-perturbed twin, so
+    // true near-dups exist by construction; text payloads drive the
+    // SQL-reproducible byte-grid fallback (the IMAGE decode path's
+    // parity with this same pairing is spec-pinned on real PNGs — no
+    // SQL engine decodes PNGs). The oracle is the UNFILTERED all-pairs
+    // hamming ground truth, so the blocking join's recall-completeness
+    // is itself the checked property (the dedup_prefix_jaccard
+    // discipline).
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select((col("doc_id") * 2).as("media_id"), col("text"))
+        .unionByName(d.select((col("doc_id") * 2 + 1).as("media_id"),
+          concat(lit("X"), substring(col("text"), 2, Int.MaxValue)).as("text")))
+      graft.pipeline.Multimodal.dHashPairs(
+        graft.pipeline.Multimodal.fromText(corpus, "media_id", "text"),
+        maxHamming = 3)
+    }),
+
     // BPE merge TRAINING hash-checked: the first 3 learned merges over
     // the top-200 word histogram. The oracle unrolls each round in SQL —
     // lead()-paired symbol counts, (count desc, pair asc) argmax, and
@@ -1276,6 +1296,35 @@ object PipelineSuite {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS payload_md5
          FROM documents""",
+
+    // the byte-grid dHash unrolled: 9×8 sample grid (cell i reads byte
+    // ⌊i·n/72⌋ — ord == byte on the ASCII corpus), gradient bit r·8+c
+    // set iff cell(r,c+1) > cell(r,c) (bit 63 spelled as the sign-bit
+    // constant: DuckDB refuses the overflowing 1<<63), then ALL-PAIRS
+    // hamming ≤ 3 — the unfiltered ground truth the blocked join must
+    // reproduce exactly
+    "multimodal_phash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id * 2 AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id * 2 + 1 AS id, 'X' || substr(text, 2) AS text FROM documents),
+         cells AS (
+           SELECT id, i, ord(substr(text, i * length(text) // 72 + 1, 1)) AS v
+           FROM corpus, range(0, 72) t(i)),
+         bits AS (
+           SELECT l.id, (l.i // 9) * 8 + (l.i % 9) AS j
+           FROM cells l JOIN cells r ON r.id = l.id AND r.i = l.i + 1
+           WHERE l.i % 9 <= 7 AND r.v > l.v),
+         hashes AS (
+           SELECT c.id,
+                  COALESCE(bit_or(CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                       ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END), 0) AS dhash
+           FROM corpus c LEFT JOIN bits b ON b.id = c.id
+           GROUP BY c.id)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         FROM hashes a JOIN hashes b ON a.id < b.id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
 
     // the 3 training rounds unrolled: per round, lead()-adjacent pair
     // counts weighted by word count, (count desc, pair asc) argmax with

@@ -171,6 +171,62 @@ class PipelineSpec extends SparkSpec {
       Multimodal.sampleFrames(media, frameBytes = 16, stride = 0))
   }
 
+  test("dHash: perceptual near-dup on real PNGs, re-encode stable") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // horizontal gradient, the same gradient with a dark patch, and a
+    // vertical gradient (orthogonal structure)
+    val base = png(64, 48)((x, _) => x * 3)
+    val patched = png(64, 48)((x, y) => if (x >= 40 && x < 48 && y < 12) 0 else x * 3)
+    val vert = png(64, 48)((_, y) => y * 4)
+    val media = Seq((0L, base), (1L, patched), (2L, vert))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a pure horizontal gradient sets every gradient bit; a vertical one none
+    assert(hashes(0L) == -1L)
+    assert(hashes(2L) == 0L)
+    val pairs = Multimodal.dHashPairs(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    // perceptual stability: a lossy JPEG re-encode of the SAME pixels
+    // keeps the gradient fingerprint (byte digests would diverge)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.dHashBits(bos.toByteArray) == Multimodal.dHashBits(base))
+  }
+
+  test("hammingPairs64 blocking is recall-complete vs brute force") {
+    // random 64-bit signatures + twins within the radius: the pigeonhole
+    // blocked join must reproduce the unfiltered all-pairs ground truth
+    val rnd = new scala.util.Random(1234)
+    val bases = (0 until 48).map(i => (i.toLong * 2, rnd.nextLong()))
+    val twins = bases.map { case (id, sig) =>
+      val flips = rnd.nextInt(4) // 0..3 bit flips, inside maxHamming = 3
+      val t = (0 until flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (id + 1, t)
+    }
+    val sigs = (bases ++ twins).toDF("id", "sig")
+    val got = Dedup.hammingPairs64(sigs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (bases ++ twins)
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+  }
+
   test("multimodal: REAL image decode via JDK ImageIO in mapPartitions") {
     // 20×10 PNG, left half black, right half white → luminance histogram
     // mass 0.5 in bin 0 and 0.5 in bin 7
