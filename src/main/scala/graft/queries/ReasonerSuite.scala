@@ -68,6 +68,29 @@ object ReasonerSuite {
       chainer.solve(goal).map(_("y")).toList.toDF("y")
     }),
 
+    // the reference's second published benchmark (BASELINE.md row 2,
+    // deep_taxonomy.rs): a depth-10K subclass chain with one individual
+    // at the bottom; the type-propagation rule is auto-evaluated by
+    // single-source-set pointer doubling (~14 driver rounds, not 10K) —
+    // output is the individual's full 10001-class membership set.
+    // tools.DeepTaxonomyProbe records wall time + rounds across depths.
+    "datalog_deep_taxonomy" -> ((s, dir) => {
+      val depth = 10000
+      val sub = s.range(0, depth).select(
+        concat(lit("C"), col("id")).as("s"),
+        lit("rdfs/subClassOf").as("p"),
+        concat(lit("C"), col("id") + 1).as("o"))
+      val inst = s.range(0, 1).select(
+        lit("i").as("s"), lit("rdf/type").as("p"), lit("C0").as("o"))
+      val facts = sub.unionByName(inst)
+      val rule = SparqlParser().parseRule(
+        """RULE <rules/dt> :- CONSTRUCT { ?x <rdf/type> ?d }
+           WHERE { ?x <rdf/type> ?c . ?c <rdfs/subClassOf> ?d }""")
+      new Reasoner(s).materializeSemiNaive(facts, Seq(rule))
+        .filter(col("p") === "rdf/type")
+        .select(col("s").as("x"), col("o").as("cls"))
+    }),
+
     "datalog_hierarchy" -> ((s, dir) => {
       // hierarchical multi-level reasoning (reasoning_experimental.rs):
       // Base holds the triplized nation→region facts; a cross-level rule
@@ -142,6 +165,10 @@ object ReasonerSuite {
            WHERE NOT EXISTS (SELECT 1 FROM orders
                              WHERE o_custkey = c_custkey
                                AND o_orderpriority = '1-URGENT')""",
+      "datalog_deep_taxonomy" ->
+        """SELECT 'i' AS x, 'C' || CAST(range AS VARCHAR) AS cls
+           FROM range(0, 10001)""",
+
       "datalog_hierarchy" ->
         """SELECT 'deductive' AS level,
                   'nation/' || CAST(n_nationkey AS VARCHAR) AS s,

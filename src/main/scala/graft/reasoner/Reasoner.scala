@@ -80,6 +80,43 @@ object Reasoner {
       if ay == mx && sx == ax && sz == mz && Set(ax, ay, mz).size == 3
     } yield TransitiveShape(e, h)
   }
+
+  /** The EYE deep-taxonomy rule shape (`deep_taxonomy.rs:70-94`, the
+    * reference's second published benchmark): the single rule
+    * `type(X,C) ∧ sub(C,D) → type(X,D)` — membership PROPAGATION along a
+    * static hierarchy, not hierarchy closure. Recognizing it matters
+    * because the two generic strategies both degenerate on a deep chain:
+    * linear semi-naive needs one driver-paced round per LEVEL (10K rounds
+    * at depth 10K), and all-pairs doubling of sub* computes a quadratic
+    * closure nobody asked for (50M pairs at 10K, with O(N·4^k) join
+    * intermediates). The single-source-set doubling in
+    * [[Reasoner!.typeClosureByDoubling]] is the O(log depth)-round,
+    * O(N·log N)-work evaluation. */
+  final case class TypePropagationShape(typePred: String, subPred: String)
+
+  def typePropagationShape(rules: Seq[Rule]): Option[TypePropagationShape] = {
+    def v(t: Term): Option[String] =
+      t match { case Var(n) => Some(n); case _ => None }
+    def c(t: Term): Option[String] =
+      t match { case Iri(x) => Some(x); case Lit(x) => Some(x); case _ => None }
+    if (rules.size != 1) return None
+    val r = rules.head
+    if (r.filters.nonEmpty || r.negativePremise.nonEmpty ||
+      r.conclusion.size != 1 || r.premise.size != 2) return None
+    // accept either premise order
+    Seq(r.premise, r.premise.reverse).flatMap { case Seq(pT, pS) =>
+      for {
+        ty <- c(pT.p); sub <- c(pS.p)
+        if ty != sub
+        if c(r.conclusion.head.p).contains(ty)
+        x <- v(pT.s); cc <- v(pT.o)
+        cs <- v(pS.s); d <- v(pS.o)
+        if cc == cs && Set(x, cc, d).size == 3
+        hx <- v(r.conclusion.head.s); hd <- v(r.conclusion.head.o)
+        if hx == x && hd == d
+      } yield TypePropagationShape(ty, sub)
+    }.headOption
+  }
 }
 
 class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
@@ -263,6 +300,17 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       }
     }
 
+    if (enableDoubling) Reasoner.typePropagationShape(rules).foreach { sh =>
+      if (debug) println(s"[reasoner] strategy=type-propagation-doubling(type=${sh.typePred}, sub=${sh.subPred})")
+      val closure = typeClosureByDoubling(
+        facts.filter(col("p") === sh.typePred).select("s", "o"),
+        facts.filter(col("p") === sh.subPred).select("s", "o"),
+        maxRounds, debug)
+      return facts.unionByName(
+          closure.select(col("s"), lit(sh.typePred).as("p"), col("o")))
+        .distinct()
+    }
+
     var delta = facts
     var deltaRows = -1L // unknown on round 0 (delta = full facts)
     var round = 0
@@ -330,6 +378,61 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       round += 1
     }
     t
+  }
+
+  /** Deep-taxonomy evaluation by SINGLE-SOURCE-SET pointer doubling: the
+    * type-propagation fixpoint (type(X,C) ∧ sub(C,D) → type(X,D)) equals
+    * "X is typed at every class reachable from its declared classes via
+    * sub*" — a reachability problem from the type frontier, NOT an
+    * all-pairs closure. Two relations advance together, ⌈log₂ depth⌉
+    * rounds total:
+    *
+    *   R_k — (individual, class) pairs within distance 2^k − 1 of a
+    *         declared class;  R_{k+1} = R_k ∪ R_k ∘ J_k
+    *   J_k — EXACT-2^k-step jumps;  J_{k+1} = J_k ∘ J_k
+    *
+    * Correctness: any distance d decomposes into distinct powers of two
+    * (binary), and processing k ascending applies each power at most
+    * once on top of all smaller sums — after round k, R covers every
+    * distance ≤ 2^{k+1} − 1. Termination on stall is sound because
+    * shortest distances from the frontier form a gapless interval (a
+    * shortest path's predecessor is one closer), so an empty doubling
+    * interval means the maximum distance is already covered; an empty
+    * J_k (no 2^k-path anywhere) likewise. Work per round is O(|R| + |J|)
+    * — for chain/tree taxonomies J stays |E|-sized, so the total is
+    * O(N·log N) with O(log N) driver-paced rounds, vs the reference's
+    * per-level semi-naive (`deep_taxonomy.rs:103-113` — fast in-memory,
+    * but 10K sequential rounds on a cluster is scheduling death) and vs
+    * all-pairs doubling's O(N·4^k) join intermediates. tools.
+    * DeepTaxonomyProbe records wall time + rounds at depths 10..10K
+    * (BASELINE.md row 2 parity). */
+  private def typeClosureByDoubling(types: DataFrame, sub: DataFrame,
+      maxRounds: Int, debug: Boolean): DataFrame = {
+    var r = types.distinct().localCheckpoint()
+    var j = sub.distinct().localCheckpoint()
+    var n = r.count()
+    var jn = j.count()
+    var round = 0
+    while (round < math.min(maxRounds, 64) && jn > 0) {
+      val tRound = System.nanoTime()
+      val stepped = r.as("l").join(j.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"))
+      val nextR = r.unionByName(stepped).distinct().localCheckpoint()
+      val n2 = nextR.count()
+      Reasoner.unpersistCheckpoint(r)
+      r = nextR
+      if (debug) println(f"[reasoner] type-doubling round $round: typed=$n2, jumps=$jn, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      if (n2 == n) { Reasoner.unpersistCheckpoint(j); return r }
+      n = n2
+      val jj = j.as("l").join(j.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"))
+        .distinct().localCheckpoint()
+      Reasoner.unpersistCheckpoint(j)
+      j = jj
+      jn = j.count()
+      round += 1
+    }
+    r
   }
 
   /** Materialize into a store's default graph (API parity with the

@@ -89,6 +89,50 @@ class DoublingSpec extends SparkSpec {
     assert(fast.contains(Seq("n0", "h", "n9")))
   }
 
+  private val dtRule = Rule("r/dt",
+    Seq(TriplePattern(Var("x"), Iri("type"), Var("c")),
+      TriplePattern(Var("c"), Iri("sub"), Var("d"))), Nil, Nil,
+    Seq(TriplePattern(Var("x"), Iri("type"), Var("d"))))
+
+  test("type-propagation doubling ≡ linear on random DAGs and diamonds") {
+    // deep-taxonomy shape (deep_taxonomy.rs): membership propagation
+    // along sub*, evaluated by single-source-set pointer doubling — must
+    // equal the generic per-level fixpoint on cyclic random graphs, with
+    // multiple individuals and mid-hierarchy declared types
+    for (seed <- Seq(5, 6, 7)) {
+      val rnd = new Random(seed)
+      val subs = (1 to 14).map(_ => (s"c${rnd.nextInt(8)}", "sub", s"c${rnd.nextInt(8)}"))
+      val types = (1 to 4).map(i => (s"i$i", "type", s"c${rnd.nextInt(8)}"))
+      val df = QuadStore.fromTriples(spark, (subs ++ types).distinct)
+        .quads.select("s", "p", "o")
+      val fast = new Reasoner(spark, enableDoubling = true)
+        .materializeSemiNaive(df, Seq(dtRule)).collect().map(_.toSeq).toSet
+      val slow = new Reasoner(spark, enableDoubling = false)
+        .materializeSemiNaive(df, Seq(dtRule)).collect().map(_.toSeq).toSet
+      assert(fast == slow, s"divergence on seed $seed")
+    }
+  }
+
+  test("type-propagation shape detection: fires on the DT rule, refuses near-misses") {
+    assert(Reasoner.typePropagationShape(Seq(dtRule)).contains(
+      Reasoner.TypePropagationShape("type", "sub")))
+    // swapped premise order still recognized
+    assert(Reasoner.typePropagationShape(Seq(dtRule.copy(
+      premise = dtRule.premise.reverse))).isDefined)
+    // conclusion through a DIFFERENT predicate is not propagation
+    assert(Reasoner.typePropagationShape(Seq(dtRule.copy(
+      conclusion = Seq(TriplePattern(Var("x"), Iri("other"), Var("d")))))).isEmpty)
+    // same predicate both premises = transitive step, not propagation
+    assert(Reasoner.typePropagationShape(Seq(dtRule.copy(
+      premise = Seq(TriplePattern(Var("x"), Iri("type"), Var("c")),
+        TriplePattern(Var("c"), Iri("type"), Var("d")))))).isEmpty)
+    // a filter disqualifies
+    assert(Reasoner.typePropagationShape(Seq(dtRule.copy(
+      filters = Seq(Cmp("!=", ETerm(Var("x")), ETerm(Var("d"))))))).isEmpty)
+    // two rules disqualify (interplay could feed sub)
+    assert(Reasoner.typePropagationShape(Seq(dtRule, tcRules("EH").head)).isEmpty)
+  }
+
   test("min-max semiring doubling ≡ linear annotated semi-naive") {
     for (seed <- Seq(3, 4)) {
       val edges = randomEdges(seed, 12, 6).distinct
