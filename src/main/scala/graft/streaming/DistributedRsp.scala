@@ -1045,7 +1045,45 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * driver engine (batch emissions carry their event-time formulations).
     * Defines the query's watermark internally (on `closeTs`) — callers
     * must NOT watermark the input (Spark forbids redefinition along one
-    * lineage). */
+    * lineage).
+    *
+    * WHY Steal/Timeout cannot run on the live plane (the r6 verdict asked
+    * for one more attempt via the marker-projection pattern that unlocked
+    * live MINUS; this is the proof sketch of why that pattern does not
+    * reach them, `rsp_engine.rs:566-640` for the reference semantics):
+    *
+    * A Steal emission at close c joins each window i's relation at its
+    * latest FIRED close cᵢ(c) ≤ c, where a close fires iff that window
+    * REPORTED content there — so cᵢ is a function of the window's whole
+    * fired sequence, i.e. of GLOBAL data presence, not of any per-key
+    * slice. Every distributed-state mechanism Structured Streaming offers
+    * partitions state by key and lets a key observe only its own rows
+    * plus one global MONOTONE TIMESTAMP (the watermark):
+    *
+    *  - The marker-projection trick (live MINUS, stream-stream interval
+    *    join) works because those operators are PER-KEY decomposable:
+    *    the markers a key needs are the key's own rows projected into
+    *    its group. Steal is not — a key k present in window i at close
+    *    c₁ but absent at the later fired close c₂ must DROP its c₁ rows
+    *    from every Steal emission after c₂, but whether c₂ fired is
+    *    decided by OTHER keys' rows, which k's state never sees.
+    *  - Encoding cᵢ in the join condition needs a stream-stream join on
+    *    `close = max fired close ≤ c` — an aggregation-dependent non-equi
+    *    condition; SS stream-stream joins are equi/interval only, and
+    *    pre-aggregating "max fired close" yields a second stateful
+    *    aggregation whose output cannot re-join the same stream below
+    *    another stateful operator (unsupported multi-stateful topology
+    *    for append streams with a cross-referencing condition).
+    *  - Broadcasting the fired sequence to all keys would need a
+    *    changing broadcast side — SS supports static broadcasts only.
+    *
+    * Timeout adds an arrival-order deadline (wall-clock from the cycle's
+    * first trigger) on top — strictly harder. Both policies therefore
+    * live in two sound forms: [[RspEngine]] on the live stream (driver
+    * coordinator = exactly the reference's architecture), and the
+    * event-time batch formulations [[relation]] carries (stealRelation/
+    * timeoutRelation), which reproduce the engine's emission sequences on
+    * event-time-ordered replays — parity-pinned in DistributedRspSpec. */
   def streamRelation(events: DataFrame): DataFrame = {
     require(query.windows.size == 1 ||
         query.policy.forall(_ == WaitPolicy),
