@@ -13,12 +13,21 @@ import graft.rdfio.RdfIO
 object RdfIOSuite {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Second leg: LANG-TAGGED literals (r7 — the tag-appended storage's
+    // round-trip: `lex@en-GB` serializes as `"lex"@en-GB` and reads back
+    // tag-appended; subtagged + bare tags both exercised, and the writer
+    // re-attaches exactly the suffix shape LANG() recovers).
     "rdfio_nt_roundtrip" -> ((s, dir) => {
       val n = s.read.parquet(s"$dir/nation.parquet")
       val triples = n.select(
         concat(lit("nation/"), col("n_nationkey")).as("s"),
         lit("nation#n_name").as("p"),
         col("n_name").as("o"))
+        .unionByName(n.select(
+          concat(lit("nation/"), col("n_nationkey")).as("s"),
+          lit("nation#label").as("p"),
+          concat(lower(col("n_name")),
+            when(col("n_regionkey") === 2, lit("@en-GB")).otherwise(lit("@fr"))).as("o")))
       val path = "/tmp/graft_rdfio_rt/" + new java.io.File(dir).getName
       RdfIO.writeNTriples(triples, path)
       RdfIO.readNTriples(s, path).select("s", "p", "o")
@@ -76,6 +85,12 @@ object RdfIOSuite {
     "rdfio_nt_roundtrip" ->
       """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
                 'nation#n_name' AS p, n_name AS o
+         FROM nation
+         UNION ALL
+         SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                'nation#label' AS p,
+                lower(n_name) ||
+                  CASE WHEN n_regionkey = 2 THEN '@en-GB' ELSE '@fr' END AS o
          FROM nation""",
     "rdfio_turtle_roundtrip" ->
       """SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS s,

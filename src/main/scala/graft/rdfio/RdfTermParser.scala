@@ -143,6 +143,12 @@ final class RdfTermParser(s: String) {
   * other objects are written as quoted literals. */
 object RdfTermWriter {
   private val iriLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:.*$".r
+  // language-tag-shaped suffix: letters, then -alnum subtags, at end of
+  // value — the SAME shape LANG() recovers (Compiler), so a stored
+  // tag-appended literal serializes back to `"lex"@tag` for exactly the
+  // suffixes LANG() would report, and both resolve the storage's
+  // inherent '@' ambiguity identically
+  private val langSuffix = "@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$".r
 
   def isIriLike(t: String): Boolean =
     t.startsWith("_:") || iriLike.matches(t) || t.contains('/') || t.contains('#')
@@ -171,11 +177,10 @@ object RdfTermWriter {
       case None =>
         if (t.startsWith("_:")) t
         else if (isIriLike(t)) s"<$t>"
-        else {
-          val at = t.lastIndexOf('@')
-          if (at > 0 && at == t.length - 3 && t.substring(at + 1).forall(_.isLetter))
-            "\"" + escape(t.substring(0, at)) + "\"" + t.substring(at)
-          else "\"" + escape(t) + "\""
+        else langSuffix.findFirstMatchIn(t) match {
+          case Some(m) if m.start > 0 =>
+            "\"" + escape(t.substring(0, m.start)) + "\"" + t.substring(m.start)
+          case _ => "\"" + escape(t) + "\""
         }
     }
 }

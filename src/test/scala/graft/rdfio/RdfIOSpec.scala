@@ -94,6 +94,28 @@ class RdfIOSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("writer re-attaches exactly the lang-tag shapes LANG() recovers") {
+    // subtagged, bare, and NON-tag '@' suffixes (emails, trailing digits
+    // in the first subtag position) — writer and LANG() must agree on
+    // which suffixes are tags (the storage's '@' ambiguity, resolved
+    // identically on both paths)
+    assert(RdfTermWriter.write("duck@en") == "\"duck\"@en")
+    assert(RdfTermWriter.write("duck@en-GB") == "\"duck\"@en-GB")
+    assert(RdfTermWriter.write("duck@zh-Hant-TW") == "\"duck\"@zh-Hant-TW")
+    assert(RdfTermWriter.write("a@b@fr") == "\"a@b\"@fr")
+    assert(RdfTermWriter.write("duck@e2") == "\"duck@e2\"")       // digit in primary subtag
+    assert(RdfTermWriter.write("user@host1") == "\"user@host1\"") // email-ish
+    assert(RdfTermWriter.write("@en") == "\"@en\"")               // empty lexical stays literal
+    // and the round-trip through the reader restores the stored form
+    val dir = java.nio.file.Files.createTempDirectory("ntlang").toString + "/nt"
+    import spark.implicits._
+    val tagged = Seq(("s/1", "p/label", "duck@en-GB"), ("s/2", "p/label", "duck@e2"))
+      .toDF("s", "p", "o")
+    RdfIO.writeNTriples(tagged, dir)
+    assert(RdfIO.readNTriples(spark, dir).collect().map(_.toSeq).toSet ==
+      tagged.collect().map(_.toSeq).toSet)
+  }
+
   test("n-quads round-trip preserves graphs") {
     val df = RdfIO.readNQuads(spark, res("graphs.nq"))
     val out = java.nio.file.Files.createTempDirectory("nqout").toString + "/nq"
