@@ -21,8 +21,11 @@ object Bench {
     // r7: WatDiv-shaped workload (the reference's only published bench,
     // README.md:1036-1055) — linear / star / snowflake / complex families
     "sparql_watdiv_l1", "sparql_watdiv_l2", "sparql_watdiv_l3",
-    "sparql_watdiv_s1", "sparql_watdiv_s2",
-    "sparql_watdiv_f1", "sparql_watdiv_f2",
+    "sparql_watdiv_l4", "sparql_watdiv_l5",
+    "sparql_watdiv_s1", "sparql_watdiv_s2", "sparql_watdiv_s3",
+    "sparql_watdiv_s4", "sparql_watdiv_s5", "sparql_watdiv_s6",
+    "sparql_watdiv_s7",
+    "sparql_watdiv_f1", "sparql_watdiv_f2", "sparql_watdiv_f3",
     "sparql_watdiv_c1", "sparql_watdiv_c2", "sparql_watdiv_c3",
     // reasoner fixpoint
     "datalog_closure_seminaive",

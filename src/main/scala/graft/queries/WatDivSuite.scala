@@ -12,7 +12,9 @@ import graft.sparql.Compiler
   * `kolibrie/examples/sparql_syntax/n_triples_data/n_triple_10M.rs:12-25`).
   * Those query SHAPES — linear paths of 3-5 hops, 5-7-pattern subject
   * stars, snowflakes (several star hubs chained by FK hops), and complex
-  * 8-12-pattern mixes — are exactly where a BGP planner either pays off
+  * 8-12-pattern mixes — all 18 published query slots covered (r7:
+  * L4/L5, S3-S7, F3 complete the families) — are exactly where a BGP
+  * planner either pays off
   * or face-plants: source-order joins on a 12-pattern snowflake start
   * from the least selective scan and drag the full corpus through every
   * hop. This suite expresses the four families over the triplized TPC-H
@@ -66,6 +68,28 @@ object WatDivSuite {
           ?sup <supplier#s_nationkey> ?n .
           ?n <nation#n_name> "NATION_7" }""")),
 
+    // L4: 4 hops lineitem→orders→customer→nation, constant tail — the
+    // longest FORWARD chain whose selective end is the far tail, so the
+    // planner must start at the tail and walk the chain backwards
+    "sparql_watdiv_l4" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?li ?o WHERE {
+          ?li <lineitem#l_orderkey> ?o .
+          ?o <orders#o_custkey> ?c .
+          ?c <customer#c_nationkey> ?n .
+          ?n <nation#n_name> "NATION_12" }""")),
+
+    // L5: 5 hops through the supplier leg, constant at the HEAD, tail
+    // projected — the mirror of L2's direction
+    "sparql_watdiv_l5" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?li ?rname WHERE {
+          ?li <lineitem#l_linestatus> "O" .
+          ?li <lineitem#l_suppkey> ?sup .
+          ?sup <supplier#s_nationkey> ?n .
+          ?n <nation#n_regionkey> ?r .
+          ?r <region#r_name> ?rname }""")),
+
     // --- S: subject stars (5-7 patterns on one hub) ----------------------
     // S1: 7-pattern star on the lineitem hub, one constant object
     "sparql_watdiv_s1" -> ((s, dir) =>
@@ -89,6 +113,56 @@ object WatDivSuite {
           ?o <orders#o_orderdate> ?od .
           ?o <orders#o_orderpriority> "1-URGENT" .
           FILTER(?tp > 100000.0) }""")),
+
+    // S3: 5-pattern star on the part hub, constant type + numeric FILTER
+    // over a star attribute
+    "sparql_watdiv_s3" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?p ?name ?brand ?size ?rp WHERE {
+          ?p <part#p_name> ?name .
+          ?p <part#p_brand> ?brand .
+          ?p <part#p_type> "ECONOMY" .
+          ?p <part#p_size> ?size .
+          ?p <part#p_retailprice> ?rp .
+          FILTER(?size > 25) }""")),
+
+    // S4: customer star, constant segment + negative-balance FILTER (the
+    // rare-value direction: 24 of 1500 customers at sf0.01)
+    "sparql_watdiv_s4" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?c ?cname ?bal ?n WHERE {
+          ?c <customer#c_name> ?cname .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_mktsegment> "MACHINERY" .
+          ?c <customer#c_nationkey> ?n .
+          FILTER(?bal < 0.0) }""")),
+
+    // S5: supplier star with a high-balance FILTER (9 suppliers)
+    "sparql_watdiv_s5" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?sup ?sname ?bal ?n WHERE {
+          ?sup <supplier#s_name> ?sname .
+          ?sup <supplier#s_acctbal> ?bal .
+          ?sup <supplier#s_nationkey> ?n .
+          FILTER(?bal > 9000.0) }""")),
+
+    // S6: 3-pattern orders star, TWO constant objects on one subject —
+    // the doubly-bound hub shape (WatDiv's small stars)
+    "sparql_watdiv_s6" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?o ?od WHERE {
+          ?o <orders#o_orderstatus> "P" .
+          ?o <orders#o_orderpriority> "3-MEDIUM" .
+          ?o <orders#o_orderdate> ?od }""")),
+
+    // S7: 3-pattern lineitem star, two constants — same shape at the
+    // fact-table hub, where the doubly-constant star is most selective
+    "sparql_watdiv_s7" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?li ?sd WHERE {
+          ?li <lineitem#l_returnflag> "A" .
+          ?li <lineitem#l_linestatus> "F" .
+          ?li <lineitem#l_shipdate> ?sd }""")),
 
     // --- F: snowflakes (two+ star hubs chained by FK hops) ---------------
     // F1: lineitem hub → orders hub + part hub, constants on both leaves
@@ -116,6 +190,20 @@ object WatDivSuite {
           ?n <nation#n_regionkey> ?r .
           ?r <region#r_name> "EUROPE" .
           ?p <part#p_brand> ?brand }""")),
+
+    // F3: part hub + lineitem hub + orders hub, constants on the part
+    // leaf (brand) and the orders leaf (status) — both leaves selective,
+    // the planner picks the more selective one to seed
+    "sparql_watdiv_f3" -> ((s, dir) =>
+      engine(s, dir).select("""
+        SELECT ?li ?pname ?size ?od WHERE {
+          ?li <lineitem#l_partkey> ?p .
+          ?li <lineitem#l_orderkey> ?ord .
+          ?p <part#p_name> ?pname .
+          ?p <part#p_size> ?size .
+          ?p <part#p_brand> "Brand#11" .
+          ?ord <orders#o_orderdate> ?od .
+          ?ord <orders#o_orderstatus> "O" }""")),
 
     // --- C: complex mixes (8-12 patterns) --------------------------------
     // C1: 10 patterns — lineitem star + orders + customer star + nation,
@@ -204,6 +292,63 @@ object WatDivSuite {
          JOIN supplier ON s_suppkey = l_suppkey
          JOIN nation ON n_nationkey = s_nationkey
          WHERE n_name = 'NATION_7'""",
+
+    "sparql_watdiv_l4" ->
+      s"""SELECT $liSubj AS li, 'orders/' || CAST(l_orderkey AS VARCHAR) AS o
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         WHERE n_name = 'NATION_12'""",
+
+    "sparql_watdiv_l5" ->
+      s"""SELECT $liSubj AS li, r_name AS rname
+         FROM lineitem
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN region ON r_regionkey = n_regionkey
+         WHERE l_linestatus = 'O'""",
+
+    "sparql_watdiv_s3" ->
+      """SELECT 'part/' || CAST(p_partkey AS VARCHAR) AS p,
+                p_name AS name, p_brand AS brand,
+                CAST(p_size AS VARCHAR) AS size,
+                CAST(p_retailprice AS VARCHAR) AS rp
+         FROM part WHERE p_type = 'ECONOMY' AND p_size > 25""",
+
+    "sparql_watdiv_s4" ->
+      """SELECT 'customer/' || CAST(c_custkey AS VARCHAR) AS c,
+                c_name AS cname, CAST(c_acctbal AS VARCHAR) AS bal,
+                'nation/' || CAST(c_nationkey AS VARCHAR) AS n
+         FROM customer
+         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0.0""",
+
+    "sparql_watdiv_s5" ->
+      """SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS sup,
+                s_name AS sname, CAST(s_acctbal AS VARCHAR) AS bal,
+                'nation/' || CAST(s_nationkey AS VARCHAR) AS n
+         FROM supplier WHERE s_acctbal > 9000.0""",
+
+    "sparql_watdiv_s6" ->
+      """SELECT 'orders/' || CAST(o_orderkey AS VARCHAR) AS o,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+         FROM orders
+         WHERE o_orderstatus = 'P' AND o_orderpriority = '3-MEDIUM'""",
+
+    "sparql_watdiv_s7" ->
+      s"""SELECT $liSubj AS li,
+                strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS sd
+         FROM lineitem
+         WHERE l_returnflag = 'A' AND l_linestatus = 'F'""",
+
+    "sparql_watdiv_f3" ->
+      s"""SELECT $liSubj AS li, p_name AS pname,
+                CAST(p_size AS VARCHAR) AS size,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         WHERE p_brand = 'Brand#11' AND o_orderstatus = 'O'""",
 
     "sparql_watdiv_s1" ->
       s"""SELECT $liSubj AS li,
