@@ -314,6 +314,17 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     var delta = facts
     var deltaRows = -1L // unknown on round 0 (delta = full facts)
     var round = 0
+    // Deep-fixpoint lineage control: `facts` grows by one union node per
+    // round, and past ~a few hundred rounds the PLAN TREE itself is the
+    // scale killer — Catalyst's optimizer recursion over a 1000-deep
+    // union chain dies before any task runs (observed: depth-1000 linear
+    // taxonomy probe). Collapse the lineage every `ckEvery` rounds with a
+    // localCheckpoint; prior facts-checkpoint blocks and all folded delta
+    // checkpoints (except the live one feeding the next round's join) are
+    // dead at that point and dropped eagerly.
+    val ckEvery = 64
+    var lastFactsCk: DataFrame = null
+    var foldedDeltas = List.empty[DataFrame]
     while (round < maxRounds) {
       val tRound = System.nanoTime()
       val smallDelta = deltaRows >= 0 && deltaRows <= broadcastDeltaMaxRows
@@ -340,7 +351,18 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       if (debug) println(f"[reasoner] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
       facts = facts.unionByName(delta)
+      foldedDeltas ::= delta
       round += 1
+      if (round % ckEvery == 0) {
+        val ck = facts.localCheckpoint()
+        if (lastFactsCk != null) Reasoner.unpersistCheckpoint(lastFactsCk)
+        // every folded delta except the newest (it feeds the next round's
+        // join) is now covered by the facts checkpoint
+        foldedDeltas.drop(1).foreach(Reasoner.unpersistCheckpoint)
+        foldedDeltas = foldedDeltas.take(1)
+        facts = ck
+        lastFactsCk = ck
+      }
     }
     facts
   }
