@@ -188,11 +188,12 @@ object Dedup {
     * soup), and no recall-losing `maxDf` cap is needed: the result is the
     * EXACT pair set at the threshold.
     *
-    * The global order is the (df, shingle) pair itself — an order KEY
-    * needs no global rank assignment, so there is no vocabulary-wide
-    * single-partition window: per-doc prefixes come from a window
-    * partitioned BY DOC. Verification joins candidate pairs to the two
-    * per-doc shingle arrays (collect_set keyed by id) and intersects
+    * The global order is the (df', shingle-hash) pair itself — an order
+    * KEY needs no global rank assignment, and df' comes from a BROADCAST
+    * hot-vocabulary map, so per-doc prefixes are selected IN-ROW and the
+    * full posting relation never reaches an exchange (inline comments
+    * below give the shuffle accounting). Verification joins candidate
+    * pairs to the two per-doc hashed shingle arrays and intersects
     * in-row; the ≥ t decision is exact integer cross-multiplication.
     * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]].
     *
@@ -222,18 +223,110 @@ object Dedup {
     * threshold (α' ≤ α — pruning with a smaller floor is always
     * recall-safe). */
   def prefixJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Hot-vocabulary budget for the broadcast df map (see below).
+        * Kept small on purpose: the TakeOrdered that selects the map
+        * merges `#partitions × cap` rows on the driver, and every
+        * shingle OUTSIDE the map costs only candidate-pruning quality
+        * (treated as df = 1), never recall. */
+      hotVocabCap: Int = 1 << 16): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"prefixJaccardPairs threshold $threshold must be in (0, 1]")
-    val sh = shingles(docs, k, idCol, textCol)
-    val withDf = sh.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("shingle")))
-    val perDoc = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = withDf
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("pos", row_number().over(perDoc))
-      .filter(col("pos") <= col("n_sh") - ceilMulExact(threshold, col("n_sh")) + 1)
-      .select("id", "shingle", "n_sh", "pos")
+    // Full postings NEVER shuffle (the r6 form shuffled the exploded
+    // (doc, shingle-string) relation three times — df window, per-doc
+    // window, collect_set — ~90 GB at the 100× probe point, which filled
+    // local disk before the candidate join even ran). Instead:
+    //  1. shingle arrays stay IN-ROW, hashed to 64-bit (xxhash64) — the
+    //     only full-posting explode feeds a map-side partial COUNT over
+    //     longs, so the df shuffle is per-partition-distinct vocab;
+    //  2. the rare-first order comes from a BROADCAST map of the df≥2
+    //     vocabulary (capped at `hotVocabCap` hottest, logged if it
+    //     truncates): order key o(h) = (df'(h), h) with df'(h) = 1 for
+    //     anything outside the map. ANY total order common to both join
+    //     sides keeps the prefix + positional filters recall-complete —
+    //     df is purely a candidate-minimization heuristic, and shingles
+    //     below the cap have near-floor df anyway, so the pruning loss
+    //     from truncation is marginal while correctness never depends
+    //     on the cap;
+    //  3. per-doc sort + prefix slice happen in-row (one deterministic
+    //     UDF over the hashed array — a broadcast-map lookup inside an
+    //     array sort has no built-in form); only PREFIX postings, as
+    //     16-byte hashed rows, ever reach an exchange;
+    //  4. verification intersects the per-doc HASHED arrays. Exactness
+    //     is therefore modulo 64-bit shingle-hash collisions: for a
+    //     V-shingle vocabulary the expected collision count is V²/2⁶⁵
+    //     (~0.03 at V = 10⁹ — zero in practice at any tested scale, and
+    //     the driver oracle's string-exact ground truth has hash-matched
+    //     every run since the switch).
+    // Measured trade at sf0.1 (stage decomposition): tokenize+checkpoint
+    // 2.5 s, sampled df 0.6, prefix 0.3, candidate join 1.4, verify 0.9
+    // ≈ 5.7 s vs the r6 window plan's 3.6 s — the +2 s is materialization
+    // barriers replacing posting-volume shuffles, bought back a thousand
+    // times over once posting volume outgrows cluster shuffle capacity
+    // (the r6 plan moved ~90 GB at the 100× probe point and died; this
+    // one moves prefix postings + two array-table joins only).
+    // Materialized ONCE: with no exchange left in the shingle pipeline
+    // there is no ReusedExchange point, so without this the tokenize +
+    // shingle + hash work would re-run for every consumer (df job, both
+    // candidate-join sides, both verify sides — measured ~3× the total).
+    // The operator is already eager — the hot-df map collect below forces
+    // a pass regardless — so the checkpoint costs one corpus-sized
+    // (id, array<long>) materialization, reused by all five readers.
+    val arr = docs.select(col(idCol).as("id"),
+        transform(shingleArray(k, textCol), s => xxhash64(s)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    // df from a 10% document sample: a mostly-unique vocabulary makes the
+    // exact-df aggregation vocabulary-sized (its partial agg reduces
+    // nothing), yet the map only needs the shingles hot enough to matter
+    // for ordering — and a shingle hot in the corpus is hot in a sample.
+    // Sampling is deterministic (fixed seed over the checkpoint's fixed
+    // partitioning), and a missed/extra hot entry shifts only candidate
+    // volume, never the verified output.
+    val dfAgg = arr.sample(withReplacement = false, 0.1, seed = 421017L)
+      .select(explode(col("sh")).as("shh"))
+      .groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L)
+    val hotRows = dfAgg.orderBy(col("df").desc, col("shh").asc)
+      .limit(hotVocabCap + 1).collect()
+    if (hotRows.length > hotVocabCap)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"prefixJaccardPairs: df map truncated " +
+        s"at $hotVocabCap entries; candidate pruning degrades gracefully, " +
+        "recall is unaffected")
+    val hotMap = hotRows.take(hotVocabCap)
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hotB = docs.sparkSession.sparkContext.broadcast(hotMap)
+    // Per-doc order-and-slice, primitive-sorted: shingles outside the hot
+    // map all carry df' = 1, so they order among themselves by hash alone
+    // (one unboxed Arrays.sort); only the doc's HOT shingles (usually a
+    // handful) pay a boxed (df, h) sort. A single tuple-keyed sortBy over
+    // the whole array measured ~3× slower end-to-end at sf0.1.
+    val prefixUdf = udf((sh: Seq[Long], pfxLen: Int) => {
+      val m = hotB.value
+      val rare = Array.newBuilder[Long]
+      var hot = List.empty[(Long, Long)]
+      sh.foreach { h =>
+        m.get(h) match {
+          case Some(d) => hot = (d, h) :: hot
+          case None => rare += h
+        }
+      }
+      val r = rare.result(); java.util.Arrays.sort(r)
+      val out = new Array[Long](math.min(pfxLen, sh.length))
+      var i = 0
+      while (i < out.length && i < r.length) { out(i) = r(i); i += 1 }
+      val hs = hot.sorted.iterator
+      while (i < out.length) { out(i) = hs.next()._2; i += 1 }
+      out
+    })
+    val prefix = arr
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .withColumn("pfx", prefixUdf(col("sh"),
+        (col("n_sh") - ceilMulExact(threshold, col("n_sh")) + 1).cast(IntegerType)))
+      .select(col("id"), col("n_sh"), posexplode(col("pfx")))
+      .select(col("id"), col("n_sh"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("shh"))
     // AllPairs size filter rides the candidate join: J(A,B) ≤ min/max of
     // the set sizes, so J ≥ t already implies t·|A| ≤ |B| ≤ |A|/t —
     // incompatible-size pairs are pruned before they exist (safe: only
@@ -243,13 +336,13 @@ object Dedup {
     val alpha = ((lit(tNum) * (col("a.n_sh") + col("b.n_sh")) +
       lit(1000000L + tNum - 1)) / lit(1000000L + tNum)).cast(LongType)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        col("a.shh") === col("b.shh") && col("a.id") < col("b.id") &&
           col("b.n_sh").cast(DoubleType) >= lit(threshold) * col("a.n_sh") &&
           col("a.n_sh").cast(DoubleType) >= lit(threshold) * col("b.n_sh") &&
           least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) +
             lit(1L) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("set"))
+    val sets = arr.select(col("id"), col("sh").as("set"))
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
@@ -686,9 +779,11 @@ object Dedup {
         .localCheckpoint()
       val changed = next.select(col("v"), col("lbl").as("nl"))
         .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
+      graft.reasoner.Reasoner.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       round += 1
+      graft.reasoner.Reasoner.maybeReclaimShuffles(round)
     }
     // a component with graph diameter > maxRounds (a long pairwise chain)
     // would otherwise return inconsistent cluster_ids silently, breaking

@@ -141,6 +141,7 @@ object GraphOps {
       lbl = next
       converged = changed == 0
       round += 1
+      graft.reasoner.Reasoner.maybeReclaimShuffles(round)
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: did not converge in $maxRounds doubling rounds")

@@ -313,6 +313,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         fastPathDepth = 0
       }
       round += 1
+      Reasoner.maybeReclaimShuffles(round)
     }
     lastConverged = false
     facts
@@ -361,6 +362,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       t = next.select("s", "o", "tag")
       if (changed == 0) { lastConverged = true; return t }
       round += 1
+      Reasoner.maybeReclaimShuffles(round)
     }
     t
   }

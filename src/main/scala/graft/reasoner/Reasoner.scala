@@ -41,6 +41,20 @@ object Reasoner {
       case _ => ()
     }
 
+  /** Long fixpoints also leak shuffle FILES: ContextCleaner deletes a
+    * round's shuffle directories only when driver GC collects the
+    * ShuffleDependency, and on a large mostly-idle heap that may be
+    * never — the 100× closure probe filled 78 GB of /tmp with dead
+    * per-round shuffle files before any single job needed more than a
+    * few GB live. Once a round's frame is checkpointed, the shuffles
+    * that COMPUTED it are unreachable; a periodic collector nudge lets
+    * ContextCleaner reclaim them while the loop is still running. Every
+    * 8 rounds: a full GC on this heap is hundreds of ms, round cost at
+    * the scales where this matters is seconds. */
+  private val reclaimEvery = 8
+  def maybeReclaimShuffles(round: Int): Unit =
+    if (round > 0 && round % reclaimEvery == 0) System.gc()
+
   /** Detected transitive-closure rule shape: a two-rule set
     * `{ H(x,y) ← E(x,y);  H(x,z) ← P₁(x,y), P₂(y,z) }` with constant
     * predicates, `P₁P₂ ∈ {EH, HE, HH}`, no filters/negation/quoted terms,
@@ -353,6 +367,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       facts = facts.unionByName(delta)
       foldedDeltas ::= delta
       round += 1
+      Reasoner.maybeReclaimShuffles(round)
       if (round % ckEvery == 0) {
         val ck = facts.localCheckpoint()
         if (lastFactsCk != null) Reasoner.unpersistCheckpoint(lastFactsCk)
@@ -398,6 +413,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       if (n2 == n) return t
       n = n2
       round += 1
+      Reasoner.maybeReclaimShuffles(round)
     }
     t
   }
@@ -453,6 +469,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       j = jj
       jn = j.count()
       round += 1
+      Reasoner.maybeReclaimShuffles(round)
     }
     r
   }
