@@ -78,6 +78,11 @@ object Bench {
     "q_bloom_semijoin", "pipeline_zorder", "pipeline_bpe_train",
     // r6 session 8: ranked domain cap + first-touch funnel
     "pipeline_source_cap", "events_funnel",
+    // r7: deep-taxonomy doubling (the reference's second published
+    // claim), dHash multimodal near-dup, streaming LSH replay, and the
+    // oracle-checked portable IVF twin
+    "datalog_deep_taxonomy", "multimodal_phash_pairs",
+    "dedup_minhash_stream", "similarity_ivf_portable",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

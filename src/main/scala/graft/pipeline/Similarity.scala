@@ -403,4 +403,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
+
+  /** Engine-portable IVF top-k — the oracle-checkable twin of [[ivfTopK]]
+    * (which stays rows-only: its [[trainCentroids]] averages in floats and
+    * seeds with xxhash64, both engine-specific). This variant makes every
+    * stage cross-engine exact, the same move that turned MinHash-LSH from
+    * rows-only into a hash-checked pipeline
+    * ([[Dedup.minHashLshPairs]]'s portable-hash leg):
+    *
+    *  - coarse quantizer = [[kmeansMicro]] (md5-seeded slots, Lloyd rounds
+    *    in exact integer micro-unit arithmetic — already reproduced CTE-
+    *    for-CTE by the `similarity_kmeans` DuckDB oracle);
+    *  - list assignment and probe selection rank by integer squared-L2 in
+    *    micro-units (BIGINT sums, ties to the lowest cid) instead of float
+    *    cosine — deterministic on both engines by construction;
+    *  - in-list scoring is the same round-6 cosine every other similarity
+    *    entry hash-checks (IEEE ops in identical order on both engines).
+    *
+    * Scale shape is identical to [[ivfTopK]]: centroids (k·dim rows) and
+    * the probe table (queries × nProbe) broadcast; the corpus moves
+    * through one (id, cid) assignment shuffle and one per-query top-k
+    * window over probed lists only — never n×m. Returns
+    * (qid, nid, cos, rank). */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    // k·dim rows; checkpointed so the three consumers below (corpus
+    // assignment, query probing) don't each re-run the Lloyd chain
+    val cent = kmeansMicro(corpus, nClusters, iters = 2, idCol, vecCol)
+      .select(col("cid"), col("pos"), col("cq")).localCheckpoint()
+    def micro(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+          .as(Seq("pos", "xq")))
+    def nearest(df: DataFrame, outId: String): DataFrame =
+      micro(df, outId).join(broadcast(cent), "pos")
+        .groupBy(outId, "cid")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val codes = nearest(corpus, "nid")
+      .groupBy("nid")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val probes = nearest(queries, "qid")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val indexed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(codes, "nid")
+    val qSide = probes
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid")
+    val scored = indexed.join(broadcast(qSide), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    // cent's checkpoint blocks (k·dim longs) stay resident until driver
+    // GC — model-sized, the documented tradeoff kmeansMicro also makes
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
 }

@@ -154,6 +154,17 @@ object PipelineSuite {
         nClusters = 16, nProbe = 16)
     }),
 
+    // the PARTIAL-probe IVF result itself, hash-checked: kmeansMicro
+    // training + integer-L2 assignment/probing are cross-engine exact,
+    // so the oracle replays the whole pipeline (the float-trained
+    // similarity_ivf_topk above stays rows-only — this is its portable
+    // twin, the same move dedup_minhash_lsh_portable makes for LSH)
+    "similarity_ivf_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKPortable(e, e.filter(col("vec_id") < 10), k = 5,
+        nClusters = 16, nProbe = 4)
+    }),
+
     // end-to-end corpus selection, the composition a training-data run
     // actually executes: language gate ∧ quality floor ∧ exact-dedup
     // survivorship, in one narrow pass over the documents
@@ -899,6 +910,61 @@ object PipelineSuite {
           r AS (SELECT qid, nid, cos,
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
                 FROM s)
+          SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
+
+    // the similarity_kmeans Lloyd CTEs at k=16, then IVF on top: codes =
+    // argmin-centroid per vector, probes = 4 nearest centroids per query
+    // (integer micro-unit L2, ties to the lowest cid — exactly the Spark
+    // side's min_by/row_number ordering), scored by the shared round-6
+    // cosine within probed lists only
+    "similarity_ivf_portable" ->
+      """WITH x AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 16 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),
+          d1 AS (SELECT x.id, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 USING (pos) GROUP BY 1, 2),
+          a1 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 USING (id) GROUP BY 1, 2),
+          c1 AS (SELECT c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 USING (pos) GROUP BY 1, 2),
+          a2 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 USING (id) GROUP BY 1, 2),
+          c2 AS (SELECT c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.pos = s2.pos),
+          dd AS (SELECT x.id, c2.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c2 USING (pos) GROUP BY 1, 2),
+          codes AS (SELECT id AS nid, cid FROM (SELECT id, cid,
+                      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM dd)
+                    WHERE rn = 1),
+          probes AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+                     FROM dd WHERE id < 10)
+                     WHERE rn <= 4),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sc AS (SELECT p.qid, codes.nid,
+                   ROUND(list_dot_product(a.v, b.v) /
+                     sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
+                 FROM probes p JOIN codes USING (cid)
+                   JOIN e a ON a.vec_id = p.qid
+                   JOIN e b ON b.vec_id = codes.nid
+                 WHERE p.qid <> codes.nid),
+          r AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                FROM sc)
           SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
 
     "similarity_topk" ->

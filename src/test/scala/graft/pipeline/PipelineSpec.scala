@@ -84,6 +84,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall")
   }
 
+  test("ivfTopKPortable: recall floor and exact partition invariance") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKPortable(emb, queries, k = 5,
+        nClusters = 8, nProbe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"portable IVF recall $recall")
+    // integer training + integer probe ranking → bit-identical output
+    // regardless of physical layout (the property the oracle leans on)
+    val a = Similarity.ivfTopKPortable(emb.repartition(1), queries, k = 5,
+        nClusters = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Similarity.ivfTopKPortable(emb.repartition(16), queries, k = 5,
+        nClusters = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("pqTopK: reasonable recall vs brute force, exact partition invariance") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
