@@ -48,10 +48,17 @@ object Reasoner {
     * per-round shuffle files before any single job needed more than a
     * few GB live. Once a round's frame is checkpointed, the shuffles
     * that COMPUTED it are unreachable; a periodic collector nudge lets
-    * ContextCleaner reclaim them while the loop is still running. Every
-    * 8 rounds: a full GC on this heap is hundreds of ms, round cost at
-    * the scales where this matters is seconds. */
-  private val reclaimEvery = 8
+    * ContextCleaner reclaim them while the loop is still running. The
+    * period is a latency/space trade: a System.gc() on a grown 64 g heap
+    * is 0.5-1.5 s, which DOUBLED the ~10-round sf0.1 closures when the
+    * nudge fired at round 8 (measured r7: seminaive 3.6 → 5.2 s; back
+    * at 3.8-4.5 with the nudge deferred) — while the shuffle-file leak
+    * only threatens fixpoints that run HUNDREDS of rounds (the 78 GB
+    * probe was a depth-1000+ chain). Firing first at round 16 keeps
+    * short closures GC-free and bounds a long loop's dead-file window
+    * at 16 rounds' worth — a few GB at the scales where rounds are
+    * expensive. */
+  private val reclaimEvery = 16
   def maybeReclaimShuffles(round: Int): Unit =
     if (round > 0 && round % reclaimEvery == 0) System.gc()
 
