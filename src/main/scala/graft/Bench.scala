@@ -118,6 +118,21 @@ object Bench {
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
     val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
+    // Untimed warm-up of one representative entry per heavy family
+    // (multi-way join, streaming plane, fixpoint, wide per-row codegen):
+    // a fresh JVM front-loads 30-60 s of JIT/heap growth onto whichever
+    // heavy query runs FIRST, and with only a handful of reps that
+    // warm-up bled into entry MEDIANS (observed: the same entry at
+    // 14.8/10.5/2.8 s first-in-family vs 1.1 s isolated-warm). The
+    // reference's WatDiv harness also times only post-warm-up runs
+    // (n_triple_10M.rs: 20 runs per query). Cost reported separately.
+    val tWarm = System.nanoTime()
+    Seq("sparql_watdiv_s1", "stream_window_istream",
+        "datalog_closure_seminaive", "dedup_minhash_lsh")
+      .filter(selected.contains)
+      .foreach(n => try all(n)(spark, sfDir).count()
+                    catch { case _: Throwable => () })
+    val warmSecs = (System.nanoTime() - tWarm) / 1e9
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single
     // runs conflate plan cost with JVM/GC noise — the r4 artifact recorded
     // a 42% "regression" on sparql_filter_arith that was run-to-run
@@ -158,7 +173,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = failedQ.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._1 != "_load_quads").map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"warmup_sec":$warmSecs,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout of long runs gets tail-truncated by the capture (ADVICE r5) —
     // the full line also lands in a file the round can always recompute from
