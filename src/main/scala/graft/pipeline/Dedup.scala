@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -763,11 +764,11 @@ object Dedup {
     val fwd = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
     val edges = fwd.unionByName(
         fwd.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointSevered()
     // labels start at min(self, direct neighbors); each round pulls the
     // smallest label visible one hop away, until no label changes
     var labels = edges.groupBy("v")
-      .agg(least(min(col("u")), col("v")).as("lbl")).localCheckpoint()
+      .agg(least(min(col("u")), col("v")).as("lbl")).localCheckpointSevered()
     val maxRounds = 64
     var round = 0
     var converged = false
@@ -776,7 +777,7 @@ object Dedup {
         .groupBy("v").agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(viaNeighbor, Seq("v"), "left_outer")
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpointSevered()
       val changed = next.select(col("v"), col("lbl").as("nl"))
         .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
       graft.reasoner.Reasoner.unpersistCheckpoint(labels)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -81,7 +82,7 @@ object GraphOps {
       // feeds both the dangling aggregate and the contribution join) —
       // fine at the entry's 3 iterations (ReusedExchange dedupes), the
       // flag exists for deep iteration counts
-      pr = if (checkpoint) next.localCheckpoint() else next
+      pr = if (checkpoint) next.localCheckpointSevered() else next
       prOwnCheckpoint = checkpoint
       // Dataset.unpersist is a no-op for checkpoint blocks (it only
       // uncaches CacheManager entries); drop the backing RDD directly
@@ -118,9 +119,9 @@ object GraphOps {
     val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
       .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointSevered()
     var lbl = und.groupBy("v").agg(least(min(col("u")), col("v")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpointSevered()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -134,7 +135,7 @@ object GraphOps {
         .join(stepped.select(col("v").as("lbl"), col("lbl").as("lbl2")).as("b"),
           Seq("lbl"), "left_outer")
         .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpointSevered()
       val changed = next.select(col("v"), col("lbl").as("nl"))
         .join(lbl, Seq("v")).filter(col("nl") =!= col("lbl")).count()
       graft.reasoner.Reasoner.unpersistCheckpoint(lbl)
@@ -166,9 +167,9 @@ object GraphOps {
     val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
       .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointSevered()
     var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint()
+      .withColumn("dist", lit(0)).localCheckpointSevered()
     var frontier = visited
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -177,9 +178,9 @@ object GraphOps {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
       val prevFrontier = frontier
-      frontier = reached.localCheckpoint()
+      frontier = reached.localCheckpointSevered()
       val prev = visited
-      visited = prev.unionByName(frontier).localCheckpoint()
+      visited = prev.unionByName(frontier).localCheckpointSevered()
       graft.reasoner.Reasoner.unpersistCheckpoint(prev)
       // rounds ≥ 2 leave a dead frontier checkpoint behind (round 1's
       // "frontier" IS the initial visited, dropped just above)

@@ -1,5 +1,6 @@
 package graft.reasoner
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -224,7 +225,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       maxRounds: Int): DataFrame = {
     val debug = sys.env.contains("GRAFT_REASONER_DEBUG")
     var facts = facts0.groupBy("s", "p", "o")
-      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpointSevered()
 
     // Strategy choice, mirroring [[Reasoner.materializeSemiNaive]]: a
     // transitive-closure rule shape over a closed semiring is evaluated by
@@ -286,7 +287,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         .filter(col("__ftag").isNull || col("tag") =!= col("__ftag"))
         .withColumn("__retag", col("__ftag").isNotNull)
         .select("s", "p", "o", "tag", "__retag")
-        .localCheckpoint()
+        .localCheckpointSevered()
       deltaRows = improved.count()
       if (debug) println(f"[annotated] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
@@ -304,12 +305,12 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         facts = facts.unionByName(delta)
         fastPathDepth += 1
         if (fastPathDepth >= fastPathCheckpointEvery) {
-          facts = facts.localCheckpoint()
+          facts = facts.localCheckpointSevered()
           fastPathDepth = 0
         }
       } else {
         facts = facts.join(delta, Seq("s", "p", "o"), "left_anti")
-          .unionByName(delta).localCheckpoint()
+          .unionByName(delta).localCheckpointSevered()
         fastPathDepth = 0
       }
       round += 1
@@ -326,7 +327,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
   private def closureByDoubling(edges: DataFrame, maxRounds: Int,
       debug: Boolean): DataFrame = {
     var t = edges.groupBy("s", "o")
-      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpointSevered()
     var round = 0
     lastConverged = false
     while (round < math.min(maxRounds, 64)) {
@@ -350,7 +351,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
             .otherwise(semiring.plusPair(col("__htag"), col("__old"))))
         .withColumn("__chg", col("__old").isNull || col("tag") =!= col("__old"))
         .select("s", "o", "tag", "__chg")
-        .localCheckpoint()
+        .localCheckpointSevered()
       val changed = next.filter(col("__chg")).count()
       if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       // the previous round's checkpoint blocks are dead once `next` is
@@ -370,14 +371,14 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
   private def materializeJacobi(facts0: DataFrame, rules: Seq[Rule],
       maxRounds: Int): DataFrame = {
     val base = facts0.groupBy("s", "p", "o")
-      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpoint()
+      .agg(semiring.plusAgg(col("tag")).as("tag")).localCheckpointSevered()
     var facts = base
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
       lastRounds = round
       val derived = rules.map(r => applyRule(facts, r)).reduce(merge)
-      val next = merge(base, derived).localCheckpoint()
+      val next = merge(base, derived).localCheckpointSevered()
       // stability check: a monotone semiring's tags only grow, so the
       // iteration has converged when no fact is new or re-tagged
       val improved = next.as("n").join(facts.as("f"),
@@ -429,7 +430,7 @@ class CrossWindowReasoner(
   def onTagged(tagged: DataFrame, nowMs: Long): DataFrame = {
     val live: DataFrame =
       if (!incremental) {
-        contents += tagged.localCheckpoint()
+        contents += tagged.localCheckpointSevered()
         val base = (contents.toSeq ++ staticFacts.map(tagStatic)).reduce(_ unionByName _)
         reasoner.materialize(base.filter(col("tag") > nowMs), rules)
       } else {
@@ -439,7 +440,7 @@ class CrossWindowReasoner(
         }
         reasoner.materialize(base.filter(col("tag") > nowMs), rules)
       }
-    val checkpointed = live.localCheckpoint()
+    val checkpointed = live.localCheckpointSevered()
     state = Some(checkpointed)
     checkpointed
   }

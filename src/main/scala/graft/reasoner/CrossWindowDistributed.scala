@@ -1,5 +1,6 @@
 package graft.reasoner
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -111,7 +112,7 @@ object CrossWindowDistributed {
         lit(Double.MaxValue).as("tag")))))
     var facts = static.fold(visible)(visible.unionByName(_))
       .groupBy("step", "s", "p", "o").agg(semiring.plusAgg(col("tag")).as("tag"))
-      .localCheckpoint()
+      .localCheckpointSevered()
     // a NON-recursive rule set needs exactly ruleChainDepth rounds — run
     // them without the per-round convergence action (each action is a
     // whole Spark job; on the common non-recursive case this halves the
@@ -120,7 +121,7 @@ object CrossWindowDistributed {
       case Some(depth) =>
         (0 until depth).foreach { _ =>
           facts = mergeK(facts, rules.map(applyRuleK(facts, _)).reduce(mergeK))
-            .localCheckpoint()
+            .localCheckpointSevered()
         }
         return facts
       case None => () // recursive: fall through to the checked fixpoint
@@ -136,7 +137,7 @@ object CrossWindowDistributed {
         .filter(col("__old").isNull || col("tag") > col("__old"))
         .drop("__old")
       if (improved.isEmpty) return facts
-      facts = mergeK(facts, improved).localCheckpoint()
+      facts = mergeK(facts, improved).localCheckpointSevered()
       round += 1
     }
     throw new IllegalStateException(

@@ -1,5 +1,6 @@
 package graft.reasoner
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -103,7 +104,7 @@ class ReasoningHierarchy(spark: SparkSession) {
           saturated.join(before, Seq("s", "p", "o"), "left_anti")
         }
       val cross = applyCrossLevelRules(level)
-      inferred += level -> within.unionByName(cross).distinct().localCheckpoint()
+      inferred += level -> within.unionByName(cross).distinct().localCheckpointSevered()
     }
     inferred.result()
   }
@@ -129,7 +130,7 @@ class ReasoningHierarchy(spark: SparkSession) {
       val fresh = freshLazy.sparkSession.createDataFrame(
         freshLazy.localCheckpoint().rdd, freshLazy.schema)
       levelFacts(target) =
-        levelFacts(target).unionByName(fresh).distinct().localCheckpoint()
+        levelFacts(target).unionByName(fresh).distinct().localCheckpointSevered()
       produced = produced.unionByName(fresh)
     }
     produced.distinct()

@@ -1,5 +1,6 @@
 package graft.reasoner
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,6 +41,25 @@ object Reasoner {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** `localCheckpoint` for FIXPOINT rounds: severed from the origin
+    * plan's statistics/constraints ([[org.apache.spark.sql.graft.CheckpointBridge]]).
+    * Spark 4's checkpoint leaf carries the origin stats forward, and
+    * size-only stats MULTIPLY across joins — so a checkpoint-per-round
+    * loop doubles the `sizeInBytes` BigInt's bit length every round:
+    * the depth-100 linear taxonomy probe measured 0.3 s rounds
+    * exploding to 276 s by round 25 (the optimizer multiplying
+    * million-bit integers) and BigInteger overflow soon after. Loop
+    * code hints its broadcasts explicitly, so the severed leaf's
+    * `defaultSizeInBytes` costs nothing. */
+  def ckRound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.CheckpointBridge.localCheckpointSevered(df)
+
+  /** Syntax for [[ckRound]]: `df.localCheckpointSevered()` — drop-in for
+    * `localCheckpoint()` at fixpoint-round call sites. */
+  implicit class RoundCheckpointOps(private val df: org.apache.spark.sql.DataFrame) {
+    def localCheckpointSevered(): org.apache.spark.sql.DataFrame = ckRound(df)
+  }
 
   /** Long fixpoints also leak shuffle FILES: ContextCleaner deletes a
     * round's shuffle directories only when driver GC collects the
@@ -239,7 +259,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
   /** Naive fixpoint: apply all rules to all facts until no new facts. */
   def materializeNaive(facts0: DataFrame, rules: Seq[Rule],
       maxRounds: Int = 1000): DataFrame = {
-    var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
+    var facts = facts0.select("s", "p", "o").distinct().localCheckpointSevered()
     var size = facts.count()
     var round = 0
     var changed = true
@@ -247,7 +267,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       val derived = rules.map { r =>
         instantiateHead(r, evalBody(r, facts, None, defaultCond))
       }.reduce(_ unionByName _)
-      val next = facts.unionByName(derived).distinct().localCheckpoint()
+      val next = facts.unionByName(derived).distinct().localCheckpointSevered()
       val n = next.count()
       // eagerly drop the superseded round's blocks — the weak-ref
       // ContextCleaner rarely fires on an idle heap (same hygiene as
@@ -301,7 +321,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     }
 
     val debug = sys.env.contains("GRAFT_REASONER_DEBUG")
-    var facts = facts0.select("s", "p", "o").distinct().localCheckpoint()
+    var facts = facts0.select("s", "p", "o").distinct().localCheckpointSevered()
 
     // Strategy choice (optimizer-style — same declarative rules, different
     // physical plan): a transitive-closure rule set over a base with no
@@ -367,7 +387,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       // distinct() after the anti-join: the join already hash-partitioned
       // the derived side on (s,p,o), so the aggregate adds no exchange.
       delta = derived.join(known, Seq("s", "p", "o"), "left_anti")
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointSevered()
       deltaRows = delta.count()
       if (debug) println(f"[reasoner] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
@@ -376,7 +396,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       round += 1
       Reasoner.maybeReclaimShuffles(round)
       if (round % ckEvery == 0) {
-        val ck = facts.localCheckpoint()
+        val ck = Reasoner.ckRound(facts)
         if (lastFactsCk != null) Reasoner.unpersistCheckpoint(lastFactsCk)
         // every folded delta except the newest (it feeds the next round's
         // join) is now covered by the facts checkpoint
@@ -404,14 +424,14 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     // frames trip Catalyst's Union constraint rewrite on shared
     // attribute ids. log₂(depth) rounds keeps the total re-shuffle at
     // O(|closure| · log depth) either way.
-    var t = edges.distinct().localCheckpoint()
+    var t = edges.distinct().localCheckpointSevered()
     var n = t.count()
     var round = 0
     while (round < math.min(maxRounds, 64)) {
       val tRound = System.nanoTime()
       val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      val next = t.unionByName(hop).distinct().localCheckpoint()
+      val next = t.unionByName(hop).distinct().localCheckpointSevered()
       val n2 = next.count()
       // drop the superseded round's blocks (AnnotatedReasoner hygiene)
       Reasoner.unpersistCheckpoint(t)
@@ -453,8 +473,8 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     * (BASELINE.md row 2 parity). */
   private def typeClosureByDoubling(types: DataFrame, sub: DataFrame,
       maxRounds: Int, debug: Boolean): DataFrame = {
-    var r = types.distinct().localCheckpoint()
-    var j = sub.distinct().localCheckpoint()
+    var r = types.distinct().localCheckpointSevered()
+    var j = sub.distinct().localCheckpointSevered()
     var n = r.count()
     var jn = j.count()
     var round = 0
@@ -462,7 +482,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       val tRound = System.nanoTime()
       val stepped = r.as("l").join(j.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      val nextR = r.unionByName(stepped).distinct().localCheckpoint()
+      val nextR = r.unionByName(stepped).distinct().localCheckpointSevered()
       val n2 = nextR.count()
       Reasoner.unpersistCheckpoint(r)
       r = nextR
@@ -471,7 +491,7 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       n = n2
       val jj = j.as("l").join(j.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointSevered()
       Reasoner.unpersistCheckpoint(j)
       j = jj
       jn = j.count()

@@ -1,5 +1,6 @@
 package graft.sparql
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -521,7 +522,7 @@ class Compiler(store: QuadStore) {
     * count fixes. log₂(diameter) driver-paced rounds — a 10K-deep chain
     * closes in 14 rounds (same scaling argument as DoublingSpec). */
   private def pathClosure(edges: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    var r = edges.distinct().localCheckpoint()
+    var r = edges.distinct().localCheckpointSevered()
     var n = r.count()
     var done = false
     while (!done) {
@@ -529,7 +530,7 @@ class Compiler(store: QuadStore) {
           r.withColumnRenamed("__po", "__m")
             .join(r.withColumnRenamed("__ps", "__m"), extra :+ "__m", "inner")
             .select((extra.map(col) :+ col("__ps") :+ col("__po")): _*))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointSevered()
       val m = next.count()
       done = m == n
       n = m

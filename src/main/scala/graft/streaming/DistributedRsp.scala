@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -250,14 +251,14 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     val keys = Seq("close") ++
       (if (content.columns.contains("closeTs")) Seq("closeTs") else Nil)
     var facts = content.select((keys ++ Seq("s", "p", "o")).map(col): _*)
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointSevered()
     var round = 0
     while (round < 32) {
       val derived = rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _)
       val delta = derived.join(facts, facts.columns.toSeq, "left_anti")
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointSevered()
       if (delta.isEmpty) return facts
-      facts = facts.unionByName(delta).localCheckpoint()
+      facts = facts.unionByName(delta).localCheckpointSevered()
       round += 1
     }
     throw new IllegalStateException(
@@ -458,7 +459,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     require(!edges.isStreaming,
       "arbitrary-length paths need a fixpoint; a micro-batch stream cannot " +
         "loop — use the batch emissions or RspEngine")
-    var r = edges.distinct().localCheckpoint()
+    var r = edges.distinct().localCheckpointSevered()
     var n = r.count()
     var done = false
     while (!done) {
@@ -466,7 +467,7 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
           r.withColumnRenamed("__po", "__m")
             .join(r.withColumnRenamed("__ps", "__m"), ck :+ "__m", "inner")
             .select((ck.map(col) :+ col("__ps") :+ col("__po")): _*))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointSevered()
       val m = next.count()
       done = m == n
       n = m
@@ -767,19 +768,19 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       .filter(col("__k") === perFired.size).select("p", "n").localCheckpoint()
     val e0 = perFired.map(_.agg(min("close").as("__m"))).reduce(_ unionByName _)
       .agg(max("__m").as("__c"))
-    var reach = e0.localCheckpoint()
+    var reach = e0.localCheckpointSevered()
     var n = reach.count()
     var grew = true
     while (grew) {
       val stepped = reach.join(hop, reach("__c") === hop("p"))
         .select(col("n").as("__c"))
-      val merged = reach.unionByName(stepped).distinct().localCheckpoint()
+      val merged = reach.unionByName(stepped).distinct().localCheckpointSevered()
       val m = merged.count()
       grew = m > n
       if (grew) {
         reach = merged; n = m
         hop = hop.as("a").join(hop.as("b"), col("a.n") === col("b.p"))
-          .select(col("a.p").as("p"), col("b.n").as("n")).localCheckpoint()
+          .select(col("a.p").as("p"), col("b.n").as("n")).localCheckpointSevered()
       }
     }
     reach
