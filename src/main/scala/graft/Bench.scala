@@ -83,6 +83,8 @@ object Bench {
     // oracle-checked portable IVF twin
     "datalog_deep_taxonomy", "multimodal_phash_pairs",
     "dedup_minhash_stream", "similarity_ivf_portable",
+    // r7 session 2: PassJoin segment-blocked Levenshtein join
+    "dedup_editdistance",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

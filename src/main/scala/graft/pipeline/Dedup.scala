@@ -405,6 +405,126 @@ object Dedup {
           .as("containment"))
   }
 
+  // ---- edit-distance similarity join --------------------------------------
+
+  /** Character-level near-dup pairs within Levenshtein distance
+    * `maxDist`, via PassJoin-style segment blocking (Li, Deng & Feng,
+    * "PASS-JOIN: A Partition-based Method for Similarity Joins",
+    * VLDB 2011) — the character-edit counterpart of the token-level
+    * [[prefixJaccardPairs]]: catches typo/OCR/whitespace dups whose
+    * shingle sets still look similar but whose byte forms differ by a
+    * handful of single-character edits.
+    *
+    * Blocking: each indexed doc is split into `maxDist + 1` disjoint
+    * even segments; by pigeonhole, `maxDist` edits leave at least one
+    * segment untouched, and the untouched segment appears in the other
+    * doc shifted by at most `maxDist` positions. Candidates are
+    * therefore an EQUI-join of (indexed length, segment index, segment
+    * text) against probe substrings extracted at the segment's expected
+    * position ± `maxDist` — constant fanout per doc
+    * ((2d+1)·(d+1)·(2d+1) probe keys, d+1 index keys), never an n²
+    * cross join, and recall-complete for the requested radius (the
+    * position window is the SUPERSET of PassJoin's multi-match-aware
+    * window). Survivors are verified with Spark's banded
+    * `levenshtein(l, r, threshold)` — O(d·n) per pair, codegen'd.
+    * Docs shorter than `maxDist + 1` chars (empty segments would break
+    * the pigeonhole) go through a separate length-bucket equi-join —
+    * pairs they participate in can only involve docs of length
+    * ≤ 2·maxDist, so that leg is corpus-tiny unless the corpus is
+    * degenerate (a flood of near-empty docs belongs to [[exactDedup]],
+    * run it first — the same caveat as the other candidate joins).
+    *
+    * Output: (id_a < id_b, edit_dist ≤ maxDist), one row per pair. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val nseg = d + 1
+    val base = docs.select(col(idCol).cast(LongType).as("id"),
+      col(textCol).as("t"), length(col(textCol)).cast(IntegerType).as("len"))
+    // products stay < 2^31 (i ≤ d+1, l = a string length), so the
+    // floor-of-double division is exact
+    def segStart(i: Column, l: Column): Column =
+      floor(i.cast(DoubleType) * l / nseg).cast(IntegerType)
+
+    // index side: the d+1 disjoint even segments of every long-enough doc
+    val idx = base.filter(col("len") >= nseg)
+      .select(col("id").as("id_s"), col("t").as("t_s"), col("len").as("len_s"),
+        explode(transform(sequence(lit(0), lit(d)), i => {
+          val p = segStart(i, col("len"))
+          val e = segStart(i + 1, col("len"))
+          struct(i.cast(IntegerType).as("i"),
+            col("t").substr(p + 1, e - p).as("seg"))
+        })).as("x"))
+      .select(col("id_s"), col("t_s"), col("len_s"),
+        col("x.i").as("i"), col("x.seg").as("seg"))
+
+    // probe side: only the LONGER side probes (a pair of unequal lengths
+    // is found exactly once, probing the longer against the shorter's
+    // segments; equal lengths are de-duped by id in the join), so the
+    // candidate indexed lengths are l ∈ [len−d, len] ∩ [nseg, ∞). The
+    // position window is PassJoin's tight multi-match-aware one: an
+    // untouched segment's start shift δ obeys |δ| ≤ e_pre and
+    // |δ − Δ| ≤ e_post with e_pre + e_post ≤ d (Δ = len_r − l), i.e.
+    // |δ| + |δ − Δ| ≤ d — (d−|Δ|+1)-wide instead of 2d+1, and still
+    // recall-complete. Together: ≤ (d+1)·(d+1)(d+2)/2 probe keys per doc
+    // (75 at d=4, vs 405 for the loose two-sided window).
+    val lengths = when(col("len") >= nseg,
+        sequence(greatest(col("len") - d, lit(nseg)), col("len")))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val probe = base
+      .select(col("id").as("id_r"), col("len").as("len_r"),
+        explode(flatten(flatten(transform(lengths, l =>
+          transform(sequence(lit(0), lit(d)), i => {
+            val p = segStart(i, l)
+            val segLen = segStart(i + 1, l) - p
+            val bigDelta = col("len") - l
+            transform(sequence(lit(-d), lit(d)), delta => {
+              val s = p + delta
+              when(abs(delta) + abs(delta - bigDelta) <= d &&
+                  s >= 0 && s + segLen <= col("len") && segLen > 0,
+                struct(l.as("l"), i.cast(IntegerType).as("i"),
+                  col("t").substr(s + 1, segLen).as("seg")))
+                .otherwise(lit(null))
+            })
+          }))))).as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("id_r"), col("len_r"),
+        col("k.l").as("l"), col("k.i").as("i"), col("k.seg").as("seg"))
+    // ids-only candidates: texts join back AFTER pair dedup, so the
+    // shuffle carries (id, id) rows, not documents
+    val longCand = probe.join(idx.drop("t_s"),
+        probe("l") === idx("len_s") && probe("i") === idx("i") &&
+          probe("seg") === idx("seg") &&
+          (col("len_s") < col("len_r") || col("id_r") > col("id_s")))
+      .select(col("id_r"), col("id_s"))
+
+    // short leg: indexed docs of length < nseg block on exact length
+    // pairs (|Δlen| ≤ d is necessary for ed ≤ d) — an equi-join on the
+    // candidate length, no cartesian
+    val shortIdx = base.filter(col("len") < nseg)
+      .select(col("id").as("id_s"), col("len").as("len_s"))
+    val shortLens = when(col("len") - d <= nseg - 1,
+        sequence(greatest(col("len") - d, lit(0)), least(col("len") + d, lit(nseg - 1))))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val shortProbe = base
+      .select(col("id").as("id_r"), explode(shortLens).as("l"))
+    val shortCand = shortProbe.join(shortIdx,
+        col("l") === col("len_s") && col("id_r") =!= col("id_s"))
+      .select(col("id_r"), col("id_s"))
+
+    val pairs = longCand.unionByName(shortCand)
+      .select(least(col("id_r"), col("id_s")).as("id_a"),
+        greatest(col("id_r"), col("id_s")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), d).cast(LongType))
+      .filter(col("edit_dist") >= 0) // banded levenshtein: −1 = over budget
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic 64-bit mix of a shingle under permutation seed i
@@ -486,17 +606,16 @@ object Dedup {
   def minHashSignaturesNarrow(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       idCol: String = "doc_id", textCol: String = "text",
       portableHashes: Boolean = false): DataFrame = {
-    def perm(s: Column, i: Int): Column =
-      if (portableHashes) {
-        val (a, b) = mhCoeffs(i)
-        pmod(lit(a) * pmod(md5Hash60(s), lit(MhPrime)) + lit(b), lit(MhPrime))
-      } else mh(s, i)
-    val s32 = array((0 until numHashes).map(i =>
-      array_min(transform(col("__sh"), s => perm(s, i)))): _*)
-    docs.withColumn("__sh", shingleArray(k, textCol))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("sig", s32)
-      .drop("__sh")
+    // One native expression instead of numHashes × |shingles| interpreted
+    // higher-order lambda evaluations: the HOF formulation measured
+    // ~7.5 ms/doc single-core at sf0.1 (37 s for 5000 docs — the
+    // dominant per-micro-batch cost of the streaming LSH replay), ~100×
+    // the compiled kernel. Bit parity with the Column path is pinned by
+    // MinHashSigSpec; the `dedup_minhash_stream` DuckDB oracle checks
+    // the portable family end-to-end.
+    docs.withColumn("sig",
+        graft.functions.MinHashSig.ofColumn(col(textCol), k, numHashes, portableHashes))
+      .filter(size(col("sig")) > 0)
   }
 
   /** Band → bucket key, shared by the batch and streaming LSH legs so a
@@ -564,15 +683,20 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Per-arrival state of one LSH (band, bucket) cell: (id, tsMs, sig)
-    * of the docs whose band signature hashed here and are still inside
-    * the horizon. Timestamps ride along because EventTimeTimeout alone
-    * cannot enforce the horizon — a key that keeps receiving data never
-    * times out, so staleness is pruned at arrival time too. */
-  private[pipeline] case class MhBucketState(docs: List[(Long, Long, Seq[Long])])
+  /** Per-arrival state of one LSH (band, bucket) cell: the docs whose
+    * band signature hashed here and are still inside the horizon, PACKED
+    * as a flat long array of stride-(2+numHashes) records
+    * `[id, tsMs, sig…]`. Timestamps ride along because EventTimeTimeout
+    * alone cannot enforce the horizon — a key that keeps receiving data
+    * never times out, so staleness is pruned at arrival time too. The
+    * packed layout matters: state is re-encoded on every micro-batch a
+    * cell receives data in, and a primitive Array[Long] encodes as one
+    * UnsafeArrayData copy, where the earlier List[(Long, Long,
+    * Seq[Long])] shape paid a reflective nested-encoder walk per doc. */
+  private[pipeline] case class MhBucketState(packed: Array[Long])
 
   private[pipeline] case class MhArrival(band: Int, bucket: Long, id: Long,
-      ts: java.sql.Timestamp, tsMs: Long, sig: Seq[Long])
+      ts: java.sql.Timestamp, tsMs: Long, sig: Array[Long])
 
   /** STREAMING MinHash-LSH near-dup pairs over a live document feed —
     * the streaming leg of [[minHashLshPairs]]: per-row narrow signatures
@@ -643,26 +767,62 @@ object Dedup {
         case (_, arrivals, state: GroupState[MhBucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var stored = state.getOption.map(_.docs).getOrElse(Nil)
+            val stride = 2 + numHashes
             // (ts, id) order makes same-micro-batch processing replayable
-            val newDocs = arrivals.toSeq.sortBy(a => (a.tsMs, a.id))
+            val newDocs = arrivals.toArray.sortBy(a => (a.tsMs, a.id))
+            val prev = state.getOption.map(_.packed).getOrElse(Array.emptyLongArray)
+            val work = java.util.Arrays.copyOf(prev,
+              prev.length + newDocs.length * stride)
+            var n = prev.length / stride
+            // minTs makes the per-arrival horizon prune O(1) when nothing
+            // is stale (the common case) instead of a full-cell scan
+            var minTs = Long.MaxValue
+            var i = 0
+            while (i < n) { minTs = math.min(minTs, work(i * stride + 1)); i += 1 }
             val out = Seq.newBuilder[(Long, Long, Double)]
             var maxTs = Long.MinValue
             newDocs.foreach { a =>
               maxTs = math.max(maxTs, a.tsMs)
-              stored = stored.filter(_._2 >= a.tsMs - horizonMs)
-              if (!stored.exists(_._1 == a.id)) {
-                stored.foreach { case (oid, _, osig) =>
-                  val matches = osig.iterator.zip(a.sig.iterator).count { case (x, y) => x == y }
-                  val est = matches.toDouble / numHashes
-                  if (est >= threshold)
+              val cutoff = a.tsMs - horizonMs
+              if (minTs < cutoff) { // compact the live prefix in place
+                var r = 0; var w = 0; var newMin = Long.MaxValue
+                while (r < n) {
+                  val ts = work(r * stride + 1)
+                  if (ts >= cutoff) {
+                    if (w != r) System.arraycopy(work, r * stride, work, w * stride, stride)
+                    newMin = math.min(newMin, ts); w += 1
+                  }
+                  r += 1
+                }
+                n = w; minTs = newMin
+              }
+              var dup = false; var j = 0
+              while (j < n && !dup) { if (work(j * stride) == a.id) dup = true; j += 1 }
+              if (!dup) {
+                val asig = a.sig
+                var d = 0
+                while (d < n) {
+                  val off = d * stride
+                  var m = 0; var h = 0
+                  while (h < numHashes) { if (work(off + 2 + h) == asig(h)) m += 1; h += 1 }
+                  val est = m.toDouble / numHashes
+                  if (est >= threshold) {
+                    val oid = work(off)
                     out += ((math.min(oid, a.id), math.max(oid, a.id),
                       math.rint(est * 1e6) / 1e6))
+                  }
+                  d += 1
                 }
-                if (stored.size < maxBucketSize) stored ::= ((a.id, a.tsMs, a.sig))
+                if (n < maxBucketSize) {
+                  val off = n * stride
+                  work(off) = a.id; work(off + 1) = a.tsMs
+                  System.arraycopy(asig, 0, work, off + 2, numHashes)
+                  n += 1
+                  minTs = math.min(minTs, a.tsMs)
+                }
               }
             }
-            state.update(MhBucketState(stored))
+            state.update(MhBucketState(java.util.Arrays.copyOf(work, n * stride)))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs + horizonMs)
             out.result().iterator

@@ -69,14 +69,40 @@ object PipelineSuite {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val mem = MemoryStream[(Long, Long, String)]
+      // MemoryStream yields ONE partition per addData block, so without
+      // this the per-row signature stage runs single-threaded per
+      // micro-batch; a real source (Kafka, files) arrives
+      // pre-partitioned. 8 partitions, not the session's 32: a
+      // 1000-doc micro-batch across 32 partitions measures task
+      // scheduling, not the operator (sized-to-batch partitioning is
+      // what a real deployment tunes; the state machine is identical at
+      // any width). Hash-partitioning by doc_id is deterministic, and
+      // the watermark is assigned downstream.
       val feed = mem.toDF().toDF("tms", "doc_id", "text")
+        .repartition(8, col("doc_id"))
         .withColumn("ts", timestamp_millis(col("tms")))
       val pairs = Dedup.streamingMinHashPairs(feed, "ts", "30 days",
         k = 3, numHashes = 32, bands = 8, threshold = 0.5,
         portableHashes = true)
       val sink = s"dms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val sq = pairs.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // Streaming queries clone the session at start, so these two are
+      // captured by THIS query only and restored right after: 8 state
+      // partitions (matching the feed), and no no-data micro-batches —
+      // each processAllAvailable otherwise runs a second, empty trigger
+      // purely to fire event-time timeouts, and this state machine's
+      // timeout path only drops state, never emits (safe to skip; the
+      // horizon-pruning semantics are spec-pinned separately).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val sq =
+        try pairs.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
       try {
         val base = 1700000000000L
         val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
@@ -628,6 +654,14 @@ object PipelineSuite {
       Dedup.prefixJaccardPairs(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism),
         k = 3, threshold = 0.6)),
+
+    // PassJoin segment-blocked Levenshtein join: the oracle is the
+    // brute-force all-pairs ground truth at the radius, so a hash match
+    // also proves the segment blocking + position window lose no pair
+    "dedup_editdistance" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        maxDist = 4)),
 
     // exact-quota stratified carve-out: 20 hash-smallest docs per source
     "pipeline_stratified_sample" -> ((s, dir) =>
@@ -1947,6 +1981,17 @@ object PipelineSuite {
                    / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6) AS jaccard
           FROM cm JOIN sz na ON na.id = id_a JOIN sz nb ON nb.id = id_b
           WHERE CAST(inter AS DOUBLE) >= 0.6 * (na.n_sh + nb.n_sh - inter)""",
+
+    // brute-force banded ground truth (the |Δlen| ≤ 4 prefilter is
+    // implied by ed ≤ 4 — it only speeds DuckDB up, never changes the
+    // result); both engines implement classic unit-cost Levenshtein
+    "dedup_editdistance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.text, b.text) AS edit_dist
+         FROM documents a JOIN documents b
+           ON a.doc_id < b.doc_id
+          AND abs(length(a.text) - length(b.text)) <= 4
+         WHERE levenshtein(a.text, b.text) <= 4""",
 
     "pipeline_stratified_sample" ->
       """WITH h AS (SELECT doc_id, source,

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage decomposition probe for the streaming MinHash replay: how much
+  * of `dedup_minhash_stream` is signature hashing vs state machinery.
+  * Prints the md5 count in the narrow-signature optimized plan (the
+  * CollapseProject-inlining check) and times each stage separately. */
+object MhStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val sigs = graft.pipeline.Dedup.minHashSignaturesNarrow(docs, 3, 32,
+      portableHashes = true)
+    val plan = sigs.queryExecution.optimizedPlan.toString
+    println(s"md5 occurrences in narrow-sig optimized plan: " +
+      "md5".r.findAllIn(plan).length)
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm JIT once
+    sigs.count()
+    time("narrow sigs x1 (batch, 32-way)")(sigs.count())
+    time("narrow sigs x1 (single partition)")(
+      graft.pipeline.Dedup.minHashSignaturesNarrow(docs.coalesce(1), 3, 32,
+        portableHashes = true).count())
+    for (rep <- 1 to 3)
+      time(s"full streaming replay rep$rep")(
+        graft.queries.PipelineSuite.queries("dedup_minhash_stream")(spark, sfDir).count())
+
+    // per-batch decomposition of the replay harness
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(Long, Long, String)]
+      val feed = mem.toDF().toDF("tms", "doc_id", "text")
+        .repartition(8, col("doc_id"))
+        .withColumn("ts", timestamp_millis(col("tms")))
+      val pairs = graft.pipeline.Dedup.streamingMinHashPairs(feed, "ts", "30 days",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, portableHashes = true)
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      val sq = time("writeStream start")(
+        pairs.writeStream.format("memory").queryName("mhprobe")
+          .outputMode("append").start())
+      spark.conf.set("spark.sql.shuffle.partitions", 32)
+      val base = 1700000000000L
+      val rows = docs.select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.grouped(math.max(1, rows.length / 5 + 1)).zipWithIndex.foreach { case (g, i) =>
+        time(s"batch $i addData")(
+          mem.addData(g.toSeq.map { case (id, tx) => (base + id, id, tx) }))
+        time(s"batch $i processAllAvailable")(sq.processAllAvailable())
+      }
+      println("trigger history: " + sq.recentProgress.map(p =>
+        s"#${p.batchId}:${p.durationMs.get("triggerExecution")}ms/${p.numInputRows}r").mkString(" "))
+      sq.stop()
+      println(s"pairs: ${spark.table("mhprobe").dropDuplicates("id_a", "id_b").count()}")
+    }
+    spark.stop()
+  }
+}

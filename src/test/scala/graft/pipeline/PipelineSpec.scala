@@ -25,6 +25,33 @@ class PipelineSpec extends SparkSpec {
       s"LSH missed ${missed.size} of ${exact.size} high-sim pairs")
   }
 
+  test("passjoin edit-distance pairs equal brute force, incl. short-string leg") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps runnin"), // 1 edit
+      (3L, "the quick brown fox Jumps over the lazy dog and keeps sunning"), // 3 edits
+      (4L, "a completely different document about spark physical plans"),
+      (5L, "the quick brown fox leaps over the lazy dog and keeps jogging"), // > 4 edits
+      (6L, "ab"), (7L, "abc"), (8L, "zz"), (9L, ""), (10L, "ab"), // short leg (< d+1 chars)
+      (11L, "the quick brown fox jumps over the lazy dog and keeps running")) // ed 0 vs 1
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = df.select($"doc_id".as("ia"), $"text".as("ta"))
+      .crossJoin(df.select($"doc_id".as("ib"), $"text".as("tb")))
+      .filter($"ia" < $"ib")
+      .withColumn("ed", levenshtein($"ta", $"tb"))
+      .filter($"ed" <= 4)
+      .select($"ia", $"ib", $"ed".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // the fixture really exercises both legs: an ed-0 pair, the 1- and
+    // 3-edit long pairs, and short-leg pairs (incl. the empty string)
+    assert(brute.contains((1L, 11L, 0L)) && brute.contains((1L, 2L, 1L)))
+    assert(brute.contains((6L, 9L, 2L)) && brute.contains((6L, 10L, 0L)))
+    assert(!brute.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("simhash of identical docs is identical; hamming to near-dup small") {
     val base = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
