@@ -567,34 +567,23 @@ object Dedup {
       .otherwise(array().cast(ArrayType(StringType))))
   }
 
-  /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins.
-    * The portable family materializes the per-shingle base hash ONCE as
-    * a column so the 32 permutations are integer ops over it (no
-    * reliance on codegen subexpression elimination deduping 32 md5s).
-    * A shuffle-free per-row HOF formulation was tried and measured
-    * SLOWER (CollapseProject inlines the base-hash array into every
-    * permutation, and higher-order lambdas evaluate interpreted, outside
-    * whole-stage codegen) — the explode keeps the hashing codegen'd and
-    * the min aggregation is map-side partial, so the shuffle ships one
-    * 32-long row per (doc, reducer). [[minHashSignaturesNarrow]] remains
-    * for the STREAMING leg, where statelessness, not per-core
-    * throughput, is the constraint. */
+  /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins,
+    * computed per row by the compiled [[graft.functions.MinHashSig]]
+    * kernel — NO shuffle (the earlier explode + partial-agg form
+    * shipped one 32-long row per (doc, reducer) through an exchange and
+    * still paid per-shingle expression eval; A/B at sf0.1, 32-way:
+    * kernel 0.2-1.0 s vs explode+agg 2.6-3.0 s best-case). An
+    * interpreted per-row HOF formulation sits in between design points
+    * and was the original streaming leg — measured ~7.5 ms/doc
+    * single-core (32 lambda evals per shingle), which is what the
+    * kernel replaces. Bit parity of all three formulations is pinned by
+    * MinHashSigSpec (the explode form lives on there as the
+    * independent reference). */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       idCol: String = "doc_id", textCol: String = "text",
-      portableHashes: Boolean = false): DataFrame = {
-    val sh0 = shingles(docs, k, idCol, textCol)
-    val sh = if (portableHashes)
-      sh0.withColumn("__mhbase", pmod(md5Hash60(col("shingle")), lit(MhPrime)))
-    else sh0
-    def hash(i: Int): Column =
-      if (portableHashes) {
-        val (a, b) = mhCoeffs(i)
-        pmod(lit(a) * col("__mhbase") + lit(b), lit(MhPrime))
-      } else mh(col("shingle"), i)
-    val aggs = (0 until numHashes).map(i => min(hash(i)).as(s"h$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      portableHashes: Boolean = false): DataFrame =
+    minHashSignaturesNarrow(docs, k, numHashes, idCol, textCol, portableHashes)
+      .select(col(idCol).as("id"), col("sig"))
 
   /** Shuffle-free MinHash signatures: the same (id, sig) as
     * [[minHashSignatures]] — xxhash64 family — computed per row as

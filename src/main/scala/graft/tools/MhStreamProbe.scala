@@ -70,3 +70,30 @@ object MhStreamProbe {
     spark.stop()
   }
 }
+/** Batch signature formulation A/B: explode + partial-agg vs the
+  * compiled narrow kernel, both families, sf0.1 corpus. */
+object MhBatchSigProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(32).cache()
+    docs.count()
+    def time(label: String)(f: => Long): Unit = {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    for (portable <- Seq(false, true)) {
+      time(s"explode+agg portable=$portable")(
+        graft.pipeline.Dedup.minHashSignatures(docs, 3, 32, portableHashes = portable).count())
+      time(s"narrow kernel portable=$portable")(
+        graft.pipeline.Dedup.minHashSignaturesNarrow(docs, 3, 32, portableHashes = portable).count())
+    }
+    spark.stop()
+  }
+}

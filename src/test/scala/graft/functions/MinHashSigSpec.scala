@@ -71,13 +71,35 @@ class MinHashSigSpec extends SparkSpec {
     checkParity(portable = false)
   }
 
+  /** The retired explode + partial-agg batch formulation, verbatim —
+    * kept here as the shuffle-based independent reference now that
+    * [[Dedup.minHashSignatures]] runs the compiled kernel. */
+  private def explodeSigs(docs: DataFrame, portable: Boolean): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val sh = docs.select(col("doc_id").as("id"), explode(array_distinct(
+        when(size(toks) >= k, transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast(ArrayType(StringType))))).as("shingle"))
+    val based = if (portable)
+      sh.withColumn("__mhbase", pmod(Dedup.md5Hash60(col("shingle")), lit(MhPrime)))
+    else sh
+    def hash(i: Int) =
+      if (portable) {
+        val (a, b) = Dedup.mhCoeffs(i)
+        pmod(lit(a) * col("__mhbase") + lit(b), lit(MhPrime))
+      } else xxhash64(lit(i), col("shingle"))
+    val aggs = (0 until nh).map(i => min(hash(i)).as(s"h$i"))
+    based.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until nh).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   test("corpus parity with the explode-form batch signatures, both families") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (portable <- Seq(true, false)) {
-      val narrow = Dedup.minHashSignaturesNarrow(docs, k, nh, portableHashes = portable)
-        .select(col("doc_id").cast(LongType), col("sig"))
+      val narrow = Dedup.minHashSignatures(docs, k, nh, portableHashes = portable)
+        .select(col("id").cast(LongType), col("sig"))
         .as[(Long, Seq[Long])].collect().toMap
-      val batch = Dedup.minHashSignatures(docs, k, nh, portableHashes = portable)
+      val batch = explodeSigs(docs, portable)
         .select(col("id").cast(LongType), col("sig"))
         .as[(Long, Seq[Long])].collect().toMap
       assert(narrow.keySet == batch.keySet, s"portable=$portable")
