@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, HllDistinct, KmvDistinct, NfcNormalize, QtComponent}
+import graft.functions.{CosineSimilarity, HllDistinct, KmvDistinct, MinHashSig, NfcNormalize, QtComponent}
 
 /** Session-extensions entry point: installs graft's native Catalyst
   * functions at session BUILD time via
@@ -51,5 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_distinct",
         "hll_distinct(hash, p[, domainBits]) - HyperLogLog distinct-count sketch"),
       HllDistinct.builder _))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(text[, k[, numHashes[, portable]]]) - per-row MinHash signature"),
+      MinHashSig.builder _))
   }
 }

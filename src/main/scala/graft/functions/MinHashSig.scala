@@ -159,4 +159,32 @@ object MinHashSig {
     org.apache.spark.sql.graft.ColumnBridge.column(
       MinHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(text),
         k, numHashes, portable))
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig $what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig $what must be a boolean literal, got $other")
+  }
+
+  /** The ONE SQL builder both registration routes resolve through
+    * ([[KmvDistinct.builder]] pattern): minhash_sig(text[, k[,
+    * numHashes[, portable]]]) with the Dedup-wide defaults. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.nonEmpty && exprs.size <= 4,
+      s"minhash_sig expects (text[, k[, numHashes[, portable]]]), got ${exprs.size} arguments")
+    MinHashSig(exprs.head,
+      if (exprs.size > 1) intArg(exprs(1), "k") else 3,
+      if (exprs.size > 2) intArg(exprs(2), "numHashes") else 32,
+      if (exprs.size > 3) boolArg(exprs(3), "portable") else false)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", builder, "built-in")
 }

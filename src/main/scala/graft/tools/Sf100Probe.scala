@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
 object Sf100Probe {
   val entries = Seq("datalog_closure_seminaive", "prob_minmax_closure",
     "dedup_prefix_jaccard", "graph_triangles", "dedup_minhash_lsh",
-    "stream_window_istream")
+    "stream_window_istream",
+    // r7 session 2: the PassJoin candidate join is the same
+    // hot-key-sensitive shape as prefix-Jaccard — worth both decades
+    "dedup_editdistance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

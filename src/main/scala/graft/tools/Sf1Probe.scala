@@ -56,7 +56,11 @@ object Sf1Probe {
     // r6 session 8: ranked domain cap (two-phase window — the salt-cell
     // rank bounds the hot-group funnel; exponent should track the scan),
     // first-touch funnel (one user_id shuffle, unordered window mins)
-    "pipeline_source_cap", "events_funnel")
+    "pipeline_source_cap", "events_funnel",
+    // r7 session 2: PassJoin edit-distance join (constant per-doc probe
+    // fanout; candidate volume is the property under test — word-shuffled
+    // copies add no cross-copy near-dups, so pairs grow linearly)
+    "dedup_editdistance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -36,6 +36,17 @@ class ExtensionsSpec extends SparkSpec {
     // nfc_normalize: decomposed input composes from pure SQL
     val nfc = fresh.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
     assert(nfc == "caf\u00E9")
+
+    // minhash_sig: per-row signature from pure SQL agrees with the
+    // Scala-side kernel; < k tokens \u2192 empty array
+    val sig = fresh.sql(
+      "SELECT minhash_sig('a b c d', 3, 8, true) AS s").head().getSeq[Long](0)
+    val want = graft.functions.MinHashSig
+      .sig(org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"), 3, 8, true)
+      .toLongArray.toSeq
+    assert(sig == want && sig.length == 8)
+    assert(fresh.sql("SELECT minhash_sig('one two') AS s")
+      .head().getSeq[Long](0).isEmpty)
   }
 
   test("wrong arity from pure SQL fails with a clear message, not an index crash") {

@@ -52,6 +52,25 @@ class PipelineSpec extends SparkSpec {
     assert(!brute.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("edit-distance degenerate corpus: exactDedup-first keeps the join linear") {
+    // a flood of byte-identical docs makes every (length, segment) key's
+    // posting list O(N) and the candidate join quadratic — the SAME
+    // degenerate case as the other candidate joins, with the SAME
+    // documented answer: byte-dups belong to exactDedup, run it first.
+    // This pins the policy: survivors of exactDedup (one per byte-class)
+    // produce the correct pair set with singleton posting lists.
+    val flood = (1L to 200L).map(i => (i, "an identical flooded document body"))
+    val distinctTail = Seq((900L, "a genuinely different trailing document"),
+      (901L, "a genuinely different trailing documents")) // 1 edit apart
+    val df = (flood ++ distinctTail).toDF("doc_id", "text")
+    val survivors = df.join(Dedup.exactDedup(df).select("doc_id"), "doc_id")
+    val pairs = Dedup.editDistancePairs(survivors, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // the flood collapsed to one representative: no flood-internal pairs
+    // survive, only the genuine 1-edit pair
+    assert(pairs == Set((900L, 901L, 1L)))
+  }
+
   test("simhash of identical docs is identical; hamming to near-dup small") {
     val base = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),

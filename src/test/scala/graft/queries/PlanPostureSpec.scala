@@ -218,6 +218,16 @@ class PlanPostureSpec extends SparkSpec {
     assert(globalWindows == 0, s"single-partition window in prefix jaccard:\n$p")
   }
 
+  test("edit distance: segment blocking is an equi-join, no cartesian") {
+    val p = plan("dedup_editdistance")
+    // candidates must pair through the (length, segment index, segment
+    // text) equi-key — never a nested-loop or cartesian pairing, at any
+    // corpus size (both PassJoin legs, including the short-string one,
+    // equi-join; the directional/id predicates ride as join conditions)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in edit-distance plan:\n$p")
+  }
+
   test("triangles: wedge build and closure are equi-joins, no cartesian") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
