@@ -1003,14 +1003,32 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     la.join(ra, cond, "left_anti")
   }
 
+  /** Materialize the diff relation, or leave it lazy (appearing twice in
+    * the anti-join plan, once per side)? Both are correct — the relation
+    * is deterministic event-time math, so the two lazy occurrences agree
+    * — and lazy MEASURED faster on every I/DSTREAM entry
+    * (IstreamDenseProbe, 6 reps each, sf0.1): the 10×-density entry's
+    * ~5M-row relation cost 2.5-15 s/rep checkpointed (RDD-block churn —
+    * the measured source of that entry's 3 → 8 s bench drift) vs a
+    * steady 2.0-2.8 s lazy, ReusedExchange serving the window join's
+    * shuffle to both anti-join sides; the small entries tie. Set
+    * `graft.rsp.diffRelationCheckpoint=true` to materialize anyway
+    * (the right call only when the relation is small but wildly
+    * expensive to recompute — e.g. a static join against a slow
+    * external source). */
+  private def diffRelCheckpoint(df: DataFrame): DataFrame =
+    if (spark.conf.getOption("graft.rsp.diffRelationCheckpoint")
+          .exists(_.toBoolean)) df.localCheckpoint()
+    else df
+
   private def checkpointedRelAndFired(events: DataFrame): (DataFrame, DataFrame) = {
     if (query.windows.size == 1) {
       val w = query.windows.head
       val fired = firedCloses(events, w).localCheckpoint()
       // the diff runs over the FINALIZED relation (incl. the static join) —
       // the engine also diffs emission rows after modifiers, not raw bindings
-      (finalizePerClose(applyStatic(windowRelation(events, w, fired)))
-        .localCheckpoint(), fired)
+      (diffRelCheckpoint(finalizePerClose(applyStatic(windowRelation(events, w, fired)))),
+        fired)
     } else {
       // multi-window: the engine diffs CONSECUTIVE Wait-cycle emissions,
       // so the fired sequence for the lag is the emission schedule and the
@@ -1022,8 +1040,8 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
           "WITH POLICY steal/timeout R2S uses RspEngine")
       val perWindow = checkpointedPerWindow(events)
       val emis = waitEmissionCloses(perWindow.map(_._2)).localCheckpoint()
-      (finalizePerClose(applyStatic(asOfJoined(perWindow, emis)))
-        .localCheckpoint(), emis.withColumnRenamed("__c", "close"))
+      (diffRelCheckpoint(finalizePerClose(applyStatic(asOfJoined(perWindow, emis)))),
+        emis.withColumnRenamed("__c", "close"))
     }
   }
 
