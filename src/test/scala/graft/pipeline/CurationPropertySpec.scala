@@ -48,6 +48,43 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  /** Classic two-row DP Levenshtein — the JVM-side reference. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("edit-distance join ≡ brute force on random corpora and radii") {
+    // 3-char alphabet, lengths 0-12: most strings sit within a few edits
+    // of each other, segments are 1-2 chars (maximally hot candidate
+    // keys), and lengths straddle the short-leg boundary at every radius
+    val charGen = Gen.oneOf('a', 'b', 'c')
+    val sGen = for {
+      n <- Gen.choose(0, 12); cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    for ((seed, d) <- Seq((11L, 1), (12L, 2), (13L, 3), (14L, 4))) {
+      val docs = Gen.listOfN(16, sGen)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"), maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      val ref = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        e = lev(ta, tb) if e <= d
+      } yield (ia, ib, e.toLong)).toSet
+      assert(got == ref, s"seed=$seed d=$d: got ${got.size} vs ${ref.size} pairs")
+    }
+  }
+
   test("containment ≡ brute force on random probe/corpus splits") {
     for ((seed, t) <- Seq((5L, 0.6), (6L, 0.9), (7L, 0.75))) {
       val all = corpus(seed, 16)
