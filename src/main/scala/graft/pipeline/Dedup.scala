@@ -434,7 +434,18 @@ object Dedup {
     * degenerate (a flood of near-empty docs belongs to [[exactDedup]],
     * run it first — the same caveat as the other candidate joins).
     *
-    * Output: (id_a < id_b, edit_dist ≤ maxDist), one row per pair. */
+    * Output: (id_a < id_b, edit_dist ≤ maxDist), one row per pair.
+    *
+    * Design envelope: ABSOLUTE small radii (d ≲ 8). A normalized
+    * threshold (ed ≤ (1−τ)·max(len)) over document-length strings
+    * implies d in the tens-to-hundreds, where PassJoin's
+    * (d+1)·O(d²) probe fanout explodes — the edit-join literature
+    * targets short strings for exactly this reason. Normalized
+    * similarity over long documents is the token-set family's job
+    * ([[prefixJaccardPairs]] exact, [[minHashLshPairs]] approximate):
+    * character edits perturb a bounded number of shingles, so a
+    * Jaccard threshold subsumes large-d normalized edit thresholds at
+    * corpus scale. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
@@ -527,11 +538,9 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  /** Deterministic 64-bit mix of a shingle under permutation seed i
-    * (xxhash64 is codegen'd; (seed, value) gives k independent hashes). */
-  private def mh(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
-
-  /** Engine-portable minhash family: ONE md5-60 base hash per shingle,
+  /** Hash families (both evaluated by the compiled
+    * [[graft.functions.MinHashSig]] kernel): default = xxhash64 with
+    * per-seed prefixes; portable = ONE md5-60 base hash per shingle,
     * then the classic universal-hash permutations
     * h_i = (a_i·(h mod p) + b_i) mod p over the Mersenne prime p = 2³¹−1
     * — 32 cheap integer ops instead of 32 digests (the all-md5 variant
@@ -549,11 +558,6 @@ object Dedup {
       java.lang.Long.parseLong(d.substring(0, 15), 16)
     }
     (Math.floorMod(h(s"mh-a-$i"), MhPrime - 1) + 1, Math.floorMod(h(s"mh-b-$i"), MhPrime))
-  }
-
-  private def mhPortable(c: Column, seed: Int): Column = {
-    val (a, b) = mhCoeffs(seed)
-    pmod(lit(a) * pmod(md5Hash60(c), lit(MhPrime)) + lit(b), lit(MhPrime))
   }
 
   /** Distinct k-shingle ARRAY per document (the pre-explode form of

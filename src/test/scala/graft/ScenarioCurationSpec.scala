@@ -51,11 +51,22 @@ class ScenarioCurationSpec extends SparkSpec {
     val exact = english.join(
       Dedup.exactDedup(english).select("doc_id"), Seq("doc_id"))
 
+    // 4b. character-level typo dedup (PassJoin, d = 4): byte-dups are
+    // gone, but texts a few character edits apart remain — collapse each
+    // edit ball to its min-id representative before the token-level pass
+    // (this corpus may or may not have edit-dups inside the gated subset;
+    // the stage must stay a subset either way)
+    val edClusters = Dedup.nearDupClusters(exact,
+      Dedup.editDistancePairs(exact, maxDist = 4))
+    val typoFree = exact.join(
+      edClusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"))
+
     // 5. near-dup clustering: min-id representative per LSH cluster
-    val pairs = Dedup.minHashLshPairs(exact, k = 3, numHashes = 32,
+    val pairs = Dedup.minHashLshPairs(typoFree, k = 3, numHashes = 32,
       bands = 8, threshold = 0.5)
-    val clusters = Dedup.nearDupClusters(exact, pairs)
-    val reps = exact.join(
+    val clusters = Dedup.nearDupClusters(typoFree, pairs)
+    val reps = typoFree.join(
       clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
       Seq("doc_id"))
 
@@ -84,7 +95,8 @@ class ScenarioCurationSpec extends SparkSpec {
 
     (List(
       "raw" -> ids(raw), "quality" -> ids(quality), "english" -> ids(english),
-      "exact" -> ids(exact), "reps" -> ids(reps), "scrubbed" -> ids(scrubbed),
+      "exact" -> ids(exact), "typoFree" -> ids(typoFree),
+      "reps" -> ids(reps), "scrubbed" -> ids(scrubbed),
       "selected" -> ids(selected), "train" -> ids(train)), packed)
   }
 
