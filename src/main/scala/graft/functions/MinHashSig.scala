@@ -67,8 +67,6 @@ object MinHashSig {
 
   private val MhPrime = 2147483647L // 2^31 − 1, shared with Dedup.MhPrime
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -89,17 +87,9 @@ object MinHashSig {
     xxPrefixCache.computeIfAbsent(numHashes,
       n => Array.tabulate(n)(i => XXH64.hashInt(i, 42L)))
 
-  /** SQL `trim`: strips 0x20 only, unlike Java String.trim's ≤ 0x20. */
-  private def sqlTrim(s: String): String = {
-    var b = 0; var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    if (b == 0 && e == s.length) s else s.substring(b, e)
-  }
-
   /** Static kernel shared by interpreted and generated code. */
   def sig(u: UTF8String, k: Int, numHashes: Int, portable: Boolean): ArrayData = {
-    val toks = ws.split(sqlTrim(u.toString), -1)
+    val toks = TextTok.tokens(u)
     val n = toks.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val mins = Array.fill(numHashes)(Long.MaxValue)

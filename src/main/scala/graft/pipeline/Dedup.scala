@@ -97,17 +97,16 @@ object Dedup {
 
   // ---- shingles ----------------------------------------------------------
 
-  /** Distinct k-word shingles per document: (id, shingle). */
+  /** Distinct k-word shingles per document: (id, shingle). The per-row
+    * array build is the compiled [[graft.functions.ShingleArray]]
+    * kernel (bit-identical set and order to the
+    * transform/concat_ws/array_distinct column chain it replaced —
+    * ShinglesSpec pins the parity; the chain's higher-order lambdas
+    * evaluate interpreted, the same cost class MinHashSig eliminated). */
   def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    val sh = transform(
-      sequence(lit(0), greatest(n - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+      textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(array_distinct(when(n >= k, sh).otherwise(array()))).as("shingle"))
-  }
+      explode(graft.functions.ShingleArray.ofColumn(col(textCol), k)).as("shingle"))
 
   // ---- n-gram Jaccard ----------------------------------------------------
 
@@ -265,7 +264,12 @@ object Dedup {
     // barriers replacing posting-volume shuffles, bought back a thousand
     // times over once posting volume outgrows cluster shuffle capacity
     // (the r6 plan moved ~90 GB at the 100× probe point and died; this
-    // one moves prefix postings + two array-table joins only).
+    // one moves prefix postings + two array-table joins only). The
+    // tokenize+hash stage was then recut from 2.5 s to ~0.5 s by the
+    // compiled ShingleHashes kernel (the per-shingle HOF lambdas
+    // evaluated interpreted — the MinHashSig lesson applied here):
+    // entry median 5.8 → 3.9 s, recouping most of the r6→r7 regression
+    // while keeping the 100×-robust shape.
     // Materialized ONCE: with no exchange left in the shingle pipeline
     // there is no ReusedExchange point, so without this the tokenize +
     // shingle + hash work would re-run for every consumer (df job, both
@@ -274,7 +278,7 @@ object Dedup {
     // a pass regardless — so the checkpoint costs one corpus-sized
     // (id, array<long>) materialization, reused by all five readers.
     val arr = docs.select(col(idCol).as("id"),
-        transform(shingleArray(k, textCol), s => xxhash64(s)).as("sh"))
+        graft.functions.ShingleHashes.ofColumn(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     // df from a 10% document sample: a mostly-unique vocabulary makes the
@@ -558,17 +562,6 @@ object Dedup {
       java.lang.Long.parseLong(d.substring(0, 15), 16)
     }
     (Math.floorMod(h(s"mh-a-$i"), MhPrime - 1) + 1, Math.floorMod(h(s"mh-b-$i"), MhPrime))
-  }
-
-  /** Distinct k-shingle ARRAY per document (the pre-explode form of
-    * [[shingles]]): docs shorter than k shingle to an empty array. */
-  private[pipeline] def shingleArray(k: Int, textCol: String): Column = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    array_distinct(when(n >= k,
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType))))
   }
 
   /** MinHash signatures: (id, sig: array<long>) with `numHashes` mins,

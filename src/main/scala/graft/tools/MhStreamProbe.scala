@@ -97,3 +97,22 @@ object MhBatchSigProbe {
     spark.stop()
   }
 }
+/** One-off codegen health check for the shingle kernels. */
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("== ShingleHashes only ==")
+    docs.select(graft.functions.ShingleHashes.ofColumn(col("text"), 3)).count()
+    println("== ShingleArray only ==")
+    docs.select(graft.functions.ShingleArray.ofColumn(col("text"), 3)).count()
+    println("== MinHashSig only ==")
+    docs.select(graft.functions.MinHashSig.ofColumn(col("text"), 3, 32, true)).count()
+    println("== done (any codegen WARN above came from a kernel) ==")
+    spark.stop()
+  }
+}
