@@ -83,8 +83,9 @@ object Bench {
     // oracle-checked portable IVF twin
     "datalog_deep_taxonomy", "multimodal_phash_pairs",
     "dedup_minhash_stream", "similarity_ivf_portable",
-    // r7 session 2: PassJoin segment-blocked Levenshtein join
-    "dedup_editdistance",
+    // r7 session 2: PassJoin segment-blocked Levenshtein join +
+    // label-free SemDedup (portable k-means cells as the blocks)
+    "dedup_editdistance", "dedup_semdedup_kmeans",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

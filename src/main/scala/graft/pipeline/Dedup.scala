@@ -979,6 +979,37 @@ object Dedup {
 
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * partition column (e.g. label or an LSH bucket) to avoid n² at scale. */
+  /** SemDedup at scale (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): the
+    * published recipe verbatim — k-means the embedding space, then
+    * near-dup WITHIN each cluster — with NO ground-truth crutch: the
+    * blocking structure is the engine-portable
+    * [[Similarity.kmeansMicro]] quantizer (md5 seeds, integer
+    * micro-unit Lloyd rounds) + [[Similarity.assignIntL2]], so DuckDB
+    * replays training, assignment, and the within-cluster cosine pairs
+    * CTE-for-CTE (driver entry `dedup_semdedup_kmeans` hash-checks the
+    * whole pipeline; `dedup_semantic`'s label-blocked form remains as
+    * the oracle of the within-block pairing itself). Cluster-local by
+    * DEFINITION — pairs across cell boundaries are out of scope in the
+    * published method too, which is precisely what makes it linear:
+    * candidate volume is Σ|cell|², bounded by the quantizer, never n².
+    * Output: (cid, id_a < id_b, cos ≥ threshold). */
+  def semDedupPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val cents = Similarity.kmeansMicro(emb, nClusters, iters, idCol, vecCol)
+    val e = emb.join(Similarity.assignIntL2(emb, cents, idCol, vecCol), idCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cid"))
+    e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.cid").as("cid"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), col("cos"))
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       blockCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

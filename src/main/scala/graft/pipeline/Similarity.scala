@@ -71,6 +71,25 @@ object Similarity {
   /** Assign each corpus vector to its nearest centroid: broadcast join +
     * max_by aggregate (one shuffle of (id, cid) pairs; ties break to the
     * lowest cid). */
+  /** Integer-L2 nearest-centroid assignment against [[kmeansMicro]]
+    * centroids (cid, pos, cq) — the SAME micro-unit arithmetic and
+    * (d2, cid) tie-break the training loop uses, so DuckDB replays the
+    * assignment exactly (the engine-portable counterpart of the cosine
+    * [[assign]] below). One broadcast join + two aggregations. */
+  def assignIntL2(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val x = corpus.select(col(idCol).as("id"),
+      posexplode(transform(col(vecCol),
+        v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("pos", "xq")))
+    x.join(broadcast(centroids.select("cid", "pos", "cq")), "pos")
+      .groupBy("id", "cid")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      .groupBy("id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .select(col("id").as(idCol), col("cid"))
+  }
+
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)

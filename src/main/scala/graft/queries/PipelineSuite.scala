@@ -141,6 +141,15 @@ object PipelineSuite {
       Dedup.semanticRepresentatives(emb(s, dir), threshold = 0.35,
         blockCol = "label")),
 
+    // the published SemDedup recipe with NO label crutch: portable
+    // k-means cells as the blocking structure, within-cell cosine pairs.
+    // The oracle replays TRAINING (2 integer Lloyd rounds), the final
+    // integer-L2 assignment, and the pair join — the whole pipeline is
+    // the hash-checked artifact
+    "dedup_semdedup_kmeans" -> ((s, dir) =>
+      Dedup.semDedupPairs(emb(s, dir), threshold = 0.35,
+        nClusters = 8, iters = 2)),
+
     "similarity_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -1594,6 +1603,53 @@ object PipelineSuite {
           sz AS (SELECT cid, n FROM s2 WHERE pos = 0)
           SELECT c2.cid, c2.pos, c2.cq, COALESCE(sz.n, 0) AS n
           FROM c2 LEFT JOIN sz USING (cid)""",
+
+    // the similarity_kmeans CTE chain (seeds → a1 → c1 → a2 → c2)
+    // extended one step: a3 = integer-L2 assignment against the FINAL
+    // centroids, then within-cluster cosine pairs — SemDedup end-to-end
+    "dedup_semdedup_kmeans" ->
+      """WITH x AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 8 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),
+          d1 AS (SELECT x.id, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 USING (pos) GROUP BY 1, 2),
+          a1 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 USING (id) GROUP BY 1, 2),
+          c1 AS (SELECT c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 USING (pos) GROUP BY 1, 2),
+          a2 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 USING (id) GROUP BY 1, 2),
+          c2 AS (SELECT c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.pos = s2.pos),
+          d3 AS (SELECT x.id, c2.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c2 USING (pos) GROUP BY 1, 2),
+          a3 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d3)
+                 WHERE rn = 1)
+          SELECT a3a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                        list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos
+          FROM a3 a3a JOIN a3 a3b ON a3a.cid = a3b.cid AND a3a.id < a3b.id
+          JOIN embeddings a ON a.vec_id = a3a.id
+          JOIN embeddings b ON b.vec_id = a3b.id
+          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                     list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.35 - 5e-7""",
 
     // k-th smallest distinct md5-60 hash per source reproduces the KMV
     // estimate exactly; below k the sketch is exact (= max(rn))

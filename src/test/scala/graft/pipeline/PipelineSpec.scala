@@ -71,6 +71,41 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((900L, 901L, 1L)))
   }
 
+  test("semDedupPairs equals within-cluster brute force; cells bound candidates") {
+    val got = Dedup.semDedupPairs(emb, threshold = 0.35, nClusters = 8, iters = 2)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    // independent rebuild: final-centroid assignment, then a crossJoin
+    // brute force restricted to same-cell pairs
+    val cents = Similarity.kmeansMicro(emb, nClusters = 8, iters = 2)
+    val asg = Similarity.assignIntL2(emb, cents)
+    val e = emb.join(asg, "vec_id")
+      .select($"vec_id", $"embedding", $"cid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ab, aa, bb) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((x, y, z), i) =>
+        (x + a(i).toDouble * b(i), y + a(i).toDouble * a(i), z + b(i).toDouble * b(i))
+      }
+      ab / math.sqrt(aa * bb)
+    }
+    val want = (for {
+      (ia, va, ca) <- e; (ib, vb, cb) <- e
+      if ia < ib && ca == cb
+      c = math.rint(cos(va, vb) * 1e6) / 1e6 if c >= 0.35
+    } yield (ca, ia, ib, c)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "threshold/cluster combination is vacuous on this corpus")
+    // the blocking is real: some high-cosine pair straddles two cells
+    // (SemDedup is cluster-local by definition — pin that boundary)
+    val cellOf = e.map(t => t._1 -> t._3).toMap
+    val crossCell = (for {
+      (ia, va, _) <- e; (ib, vb, _) <- e
+      if ia < ib && cellOf(ia) != cellOf(ib) && cos(va, vb) >= 0.35
+    } yield (ia, ib))
+    assert(crossCell.nonEmpty, "no cross-cell pair — the locality pin is vacuous")
+    assert(crossCell.forall { case (ia, ib) =>
+      !got.exists(p => p._2 == ia && p._3 == ib) })
+  }
+
   test("simhash of identical docs is identical; hamming to near-dup small") {
     val base = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
