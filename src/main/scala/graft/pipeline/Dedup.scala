@@ -993,6 +993,17 @@ object Dedup {
     * DEFINITION — pairs across cell boundaries are out of scope in the
     * published method too, which is precisely what makes it linear:
     * candidate volume is Σ|cell|², bounded by the quantizer, never n².
+    *
+    * `nClusters` is a CORPUS-SCALE parameter, not a constant: hold
+    * expected cell occupancy n/k fixed as the corpus grows (the paper
+    * uses k ≈ n/1000-ish at web scale). Measured at the 10× probe
+    * corpus (20k vectors): fixed k = 8 costs 46-70 s (cells densified
+    * 10× → Σ|cell|² grew 100×; 10× exponent 1.19), k = 80 costs ~10 s
+    * — corpus-linear again. The driver entry keeps k = 8 because the
+    * DuckDB oracle replays training closed-form with k baked into the
+    * CTEs; a deployment sizes k to its corpus. Note the pair SET also
+    * (correctly) shrinks with finer cells — the cell IS the method's
+    * dedup scope.
     * Output: (cid, id_a < id_b, cos ≥ threshold). */
   def semDedupPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
       iters: Int = 2, idCol: String = "vec_id",

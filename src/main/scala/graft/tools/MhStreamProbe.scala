@@ -116,3 +116,25 @@ object CodegenCheck {
     spark.stop()
   }
 }
+/** SemDedup k-scaling check: at 10× corpus with k scaled 10× (constant
+  * expected cell occupancy, the published recipe), the pair join should
+  * return to corpus-linear cost vs the fixed-k entry's Σ|cell|² blowup. */
+object SemDedupScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb10 = spark.read.parquet("/tmp/graft_sf1/embeddings.parquet")
+    println(s"rows: ${emb10.count()}")
+    for (k <- Seq(8, 80); rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.pipeline.Dedup.semDedupPairs(emb10, threshold = 0.35,
+        nClusters = k, iters = 2).count()
+      println(f"k=$k rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -60,7 +60,11 @@ object Sf1Probe {
     // r7 session 2: PassJoin edit-distance join (constant per-doc probe
     // fanout; candidate volume is the property under test — word-shuffled
     // copies add no cross-copy near-dups, so pairs grow linearly)
-    "dedup_editdistance")
+    "dedup_editdistance",
+    // r7 session 2: label-free SemDedup — k-means training is
+    // corpus-linear per round, the pair join Σ|cell|²; the jittered
+    // embedding copies densify every cell 10×, the adversarial direction
+    "dedup_semdedup_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
