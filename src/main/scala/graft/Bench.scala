@@ -121,21 +121,6 @@ object Bench {
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
     val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
-    // Untimed warm-up of one representative entry per heavy family
-    // (multi-way join, streaming plane, fixpoint, wide per-row codegen):
-    // a fresh JVM front-loads 30-60 s of JIT/heap growth onto whichever
-    // heavy query runs FIRST, and with only a handful of reps that
-    // warm-up bled into entry MEDIANS (observed: the same entry at
-    // 14.8/10.5/2.8 s first-in-family vs 1.1 s isolated-warm). The
-    // reference's WatDiv harness also times only post-warm-up runs
-    // (n_triple_10M.rs: 20 runs per query). Cost reported separately.
-    val tWarm = System.nanoTime()
-    Seq("sparql_watdiv_s1", "stream_window_istream",
-        "datalog_closure_seminaive", "dedup_minhash_lsh")
-      .filter(selected.contains)
-      .foreach(n => try all(n)(spark, sfDir).count()
-                    catch { case _: Throwable => () })
-    val warmSecs = (System.nanoTime() - tWarm) / 1e9
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single
     // runs conflate plan cost with JVM/GC noise — the r4 artifact recorded
     // a 42% "regression" on sparql_filter_arith that was run-to-run
@@ -146,9 +131,27 @@ object Bench {
     // as a 7 s "speedup". Failures are now excluded from the total,
     // listed in the JSON, and fail the process.
     val failedQ = scala.collection.mutable.LinkedHashMap[String, String]()
+    // One UNTIMED warm rep per entry, immediately before its timed reps
+    // (VERDICT r7 item 3): the earlier one-entry-per-family warm-up left
+    // every OTHER entry's rep 1 carrying its own plan's JIT/codegen-cache
+    // cost, which with 3 reps lands in the MEDIAN of any sub-second entry
+    // (observed: dedup_exact reps [4.10, 0.59, 0.55] → median 0.59 vs a
+    // 0.24 s honest cost). The reference's WatDiv harness also times only
+    // post-warm-up runs (n_triple_10M.rs: 20 runs per query). Warm-rep
+    // times are recorded per entry ("warm_rep") for attribution; their
+    // sum is "warmup_sec".
+    var warmSecs = 0.0
+    val warmRep = scala.collection.mutable.LinkedHashMap[String, Double]()
     val timed = selected.map { name =>
+      val tw = System.nanoTime()
+      try all(name)(spark, sfDir).count()
+      catch { case _: Throwable => () } // timed reps record the failure
+      val w = (System.nanoTime() - tw) / 1e9
+      warmRep(name) = w; warmSecs += w
+      System.gc()
       // chronological rep times — kept unsorted in "rep_times" so a big
-      // max is attributable (rep 1 = JIT warm-up vs late-rep GC drift)
+      // max is attributable (late-rep GC drift; rep-1 JIT is now absorbed
+      // by the warm rep above)
       val runs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -174,9 +177,11 @@ object Bench {
     val repTimes = timed.map { case (n, runs) =>
       "\"" + n + "\":" + runs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val warmJson = warmRep.map { case (n, w) => "\"" + n + "\":" + w }
+      .mkString("{", ",", "}")
     val failed = failedQ.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._1 != "_load_quads").map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"warmup_sec":$warmSecs,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"warmup_sec":$warmSecs,"warm_rep":$warmJson,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout of long runs gets tail-truncated by the capture (ADVICE r5) —
     // the full line also lands in a file the round can always recompute from

@@ -42,6 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null text → null. */
 final case class MinHashSig(child: Expression, k: Int, numHashes: Int,
     portable: Boolean) extends UnaryExpression {
+  // construction-time guards matching ShingleArray/ShingleHashes: the
+  // expression is SQL-exposed (minhash_sig via GraftExtensions), where
+  // k=0 would quietly hash empty-string shingles and numHashes<=0 would
+  // return an empty sig the size filter then drops (ADVICE r7)
+  require(k >= 1, "k must be >= 1")
+  require(numHashes >= 1, "numHashes must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"

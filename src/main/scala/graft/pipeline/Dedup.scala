@@ -455,7 +455,12 @@ object Dedup {
     require(maxDist >= 1, "maxDist must be >= 1")
     val d = maxDist
     val nseg = d + 1
-    val base = docs.select(col(idCol).cast(LongType).as("id"),
+    // id type is PRESERVED through the pair pipeline (ADVICE r7: an
+    // earlier cast-to-long turned string doc ids into nulls, so the
+    // candidate joins matched nothing and the operator silently returned
+    // empty) — least/greatest and the equi-joins below only need an
+    // orderable type, which every Spark atomic type is.
+    val base = docs.select(col(idCol).as("id"),
       col(textCol).as("t"), length(col(textCol)).cast(IntegerType).as("len"))
     // products stay < 2^31 (i ≤ d+1, l = a string length), so the
     // floor-of-double division is exact
@@ -575,7 +580,15 @@ object Dedup {
     * single-core (32 lambda evals per shingle), which is what the
     * kernel replaces. Bit parity of all three formulations is pinned by
     * MinHashSigSpec (the explode form lives on there as the
-    * independent reference). */
+    * independent reference).
+    *
+    * Contract: ONE signature row per INPUT row — ids are assumed unique
+    * (the corpus invariant every pair operator here shares). A caller
+    * with duplicate ids must pre-aggregate (the retired explode+groupBy
+    * form happened to union duplicate ids' shingle sets; that was an
+    * artifact of its plan, not a supported semantics — downstream
+    * banding would see one id with merged shingles, which is neither
+    * "first wins" nor "rows kept apart"). Dedup ids first. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       idCol: String = "doc_id", textCol: String = "text",
       portableHashes: Boolean = false): DataFrame =

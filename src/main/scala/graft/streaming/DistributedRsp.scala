@@ -1015,11 +1015,25 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     * `graft.rsp.diffRelationCheckpoint=true` to materialize anyway
     * (the right call only when the relation is small but wildly
     * expensive to recompute — e.g. a static join against a slow
-    * external source). */
-  private def diffRelCheckpoint(df: DataFrame): DataFrame =
+    * external source).
+    *
+    * Determinism precondition (ADVICE r7): the lazy form evaluates the
+    * relation twice, once per anti-join side, so correctness requires
+    * the relation to be deterministic. The window/close pipeline built
+    * here is pure event-time math, but a user-supplied static join leg
+    * or UDF could smuggle in a nondeterministic expression — so the
+    * plan is SCANNED for one, and any hit forces the checkpoint path
+    * (single snapshot) regardless of the conf. A static SOURCE whose
+    * contents change mid-query (e.g. a re-read external table) is not
+    * detectable from the plan; callers with mutable sources must set
+    * `graft.rsp.diffRelationCheckpoint=true`. */
+  private def diffRelCheckpoint(df: DataFrame): DataFrame = {
+    lazy val hasNonDeterministic = df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
     if (spark.conf.getOption("graft.rsp.diffRelationCheckpoint")
-          .exists(_.toBoolean)) df.localCheckpoint()
+          .exists(_.toBoolean) || hasNonDeterministic) df.localCheckpoint()
     else df
+  }
 
   private def checkpointedRelAndFired(events: DataFrame): (DataFrame, DataFrame) = {
     if (query.windows.size == 1) {

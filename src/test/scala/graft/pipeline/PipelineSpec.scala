@@ -52,6 +52,19 @@ class PipelineSpec extends SparkSpec {
     assert(!brute.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("edit-distance join preserves non-numeric ids (ADVICE r7)") {
+    // the earlier cast-to-long nulled string ids, so every candidate join
+    // missed and the operator silently returned empty
+    val df = Seq(
+      ("doc-a", "the quick brown fox jumps over the lazy dog and keeps running"),
+      ("doc-b", "the quick brown fox jumps over the lazy dog and keeps runnin"),
+      ("doc-c", "a completely different document about spark physical plans"),
+      ("doc-d", "xy"), ("doc-e", "xz")).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, maxDist = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("doc-a", "doc-b", 1L), ("doc-d", "doc-e", 1L)))
+  }
+
   test("edit-distance degenerate corpus: exactDedup-first keeps the join linear") {
     // a flood of byte-identical docs makes every (length, segment) key's
     // posting list O(N) and the candidate join quadratic — the SAME
