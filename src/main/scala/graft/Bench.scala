@@ -86,6 +86,8 @@ object Bench {
     // r7 session 2: PassJoin segment-blocked Levenshtein join +
     // label-free SemDedup (portable k-means cells as the blocks)
     "dedup_editdistance", "dedup_semdedup_kmeans",
+    // r8: the scaled-k (corpus-linear) SemDedup configuration
+    "dedup_semdedup_scaled",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

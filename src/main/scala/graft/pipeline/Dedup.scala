@@ -1018,6 +1018,30 @@ object Dedup {
     * (correctly) shrinks with finer cells — the cell IS the method's
     * dedup scope.
     * Output: (cid, id_a < id_b, cos ≥ threshold). */
+  /** [[semDedupPairs]] with k sized FROM the corpus: k = ⌈n / targetOccupancy⌉,
+    * holding expected cell occupancy fixed as the corpus grows — the
+    * configuration that keeps SemDedup corpus-LINEAR (candidate volume
+    * Σ|cell|² ≈ n·occupancy when cells stay occupancy-sized, vs growing
+    * ∝ n²/k for any fixed k). Measured (VERDICT r7 item 1, then pinned
+    * by the r8 Sf100Probe leg): fixed k = 8 ran at 10× exponent 1.19
+    * (46-70 s at the 10× corpus — cells densified 10×, Σ|cell|² grew
+    * 100×); this scaled-k form returns to ~linear (see SURVEY §6 for
+    * the probe's recorded per-decade exponents). The count() that sizes
+    * k is one corpus pass — at 100 TB that number usually arrives from
+    * table metadata instead; pass an explicit k to [[semDedupPairs]]
+    * when it does. Driver entry `dedup_semdedup_scaled` hash-checks
+    * this end-to-end (the oracle computes the same k with a scalar
+    * subquery — the CTE chain is k-independent, k only enters the seed
+    * hash's modulus). */
+  def semDedupAutoK(emb: DataFrame, threshold: Double,
+      targetOccupancy: Int = 100, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = emb.count()
+    val k = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+    semDedupPairs(emb, threshold, k, iters, idCol, vecCol)
+  }
+
   def semDedupPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -229,9 +229,18 @@ object GraphOps {
     val e = if (checkpoint) e0.localCheckpoint() else e0
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Join strategy: every join below carries a SHUFFLE_HASH hint on its
+    // bounded side. Without stats Catalyst picks sort-merge, and sorting
+    // the WEDGE stream (|wedges| ≥ |E|, 14M rows at sf0.1 — the r7 probe)
+    // is the operator's dominant cost and its variance amplifier (the
+    // big sort is what a slow host turns into a 15-30 s rep; measured
+    // closure leg 2.8-3.4 s SMJ vs 1.9 s SHJ steady). The hash sides are
+    // bounded by |V| (degree tables) or |E| (the closure's edge side) —
+    // always ≤ the probe side, and per-partition hash tables at 100 TB
+    // stay ~|E|/numPartitions, the same memory class as the SMJ buffers.
     // orient each edge from the lower-(deg, id) endpoint to the higher
-    val du = deg.select(col("node").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du")).hint("shuffle_hash")
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv")).hint("shuffle_hash")
     val oriented0 = e.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
@@ -240,12 +249,15 @@ object GraphOps {
           col("v")).otherwise(col("u")).as("b"))
     // both wedge legs read the oriented table (ReusedExchange by default)
     val oriented = if (checkpoint) oriented0.localCheckpoint() else oriented0
-    // wedges at the pivot a: unordered out-neighbor pairs (b, c)
+    // wedges at the pivot a: unordered out-neighbor pairs (b, c) —
+    // hash-build one |E|-sized side instead of sorting both
     val o1 = oriented.as("o1")
-    val o2 = oriented.select(col("a"), col("b").as("c")).as("o2")
+    val o2 = oriented.select(col("a"), col("b").as("c")).hint("shuffle_hash").as("o2")
     val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
-    // close the wedge against the canonical undirected edge {b, c}
-    val tri = wedges.join(e,
+    // close the wedge against the canonical undirected edge {b, c}:
+    // hash the |E|-sized edge side, STREAM the |E|^1.5-bounded wedges
+    // (never sort them)
+    val tri = wedges.join(e.hint("shuffle_hash"),
       col("u") === col("b") && col("v") === col("c"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))

@@ -150,6 +150,16 @@ object PipelineSuite {
       Dedup.semDedupPairs(emb(s, dir), threshold = 0.35,
         nClusters = 8, iters = 2)),
 
+    // the SCALE configuration of the same pipeline (VERDICT r7 item 1):
+    // k = ceil(n / 100) instead of a constant, holding cell occupancy
+    // fixed as the corpus grows — the form whose candidate volume stays
+    // corpus-linear (Sf100Probe pins the exponents). The oracle computes
+    // the same k with a scalar subquery; the training CTEs are
+    // k-independent (k only enters the seed hash's modulus)
+    "dedup_semdedup_scaled" -> ((s, dir) =>
+      Dedup.semDedupAutoK(emb(s, dir), threshold = 0.35,
+        targetOccupancy = 100, iters = 2)),
+
     "similarity_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -456,9 +466,12 @@ object PipelineSuite {
     // BPE tokenizer: 200 merges trained from the distributed word
     // histogram (corpus touched once; merge loop over the bounded
     // histogram), then distributed encode under the closure-shipped
-    // merge ranks. No SQL oracle — merge application is inherently
-    // iterative; rows-only driver check, semantics pinned by BpeSpec's
-    // classic Sennrich walkthrough.
+    // merge ranks. Oracled end-to-end since r8 (VERDICT r7 item 5):
+    // the DuckDB oracle replays BOTH loops as recursive CTEs — training
+    // one iteration per merge round (argmax pair via a scalar subquery
+    // over the working table, all-occurrence apply via run-parity as a
+    // pure list expression) and encode one iteration per applied merge
+    // (rank-greedy first-position, rank map lookup per adjacent pair).
     "pipeline_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.pipeline.Bpe.train(d, numMerges = 200)
@@ -1496,6 +1509,100 @@ object PipelineSuite {
           UNION ALL SELECT CAST(2 AS INT), a, b FROM b2
           UNION ALL SELECT CAST(3 AS INT), a, b FROM b3""",
 
+    // the WHOLE tokenizer replayed (train 200 merges + rank-greedy
+    // encode) as two recursive CTEs. Training: one iteration per merge
+    // round — the round's argmax pair comes from a scalar subquery over
+    // the working table (count desc, pair asc, stop below 2), and the
+    // left-to-right all-occurrence apply is a pure list expression
+    // (match positions grouped into consecutive runs by p - index;
+    // within a run, alternate positions merge — the same run-parity
+    // trick the 3-round unrolled train oracle uses relationally).
+    // Encode: one iteration per applied merge — adjacent-pair ranks via
+    // a map lookup, merge the FIRST occurrence of the LOWEST rank,
+    // stop when no pair has a rank. Both loops are bounded (200 rounds;
+    // word length), so recursion terminates structurally.
+    "pipeline_bpe_encode" ->
+      """WITH RECURSIVE
+          h AS (SELECT word, count(*) AS c
+                FROM (SELECT unnest(string_split_regex(trim(lower(trim(text))), '\s+')) AS word
+                      FROM documents)
+                WHERE len(word) >= 1 GROUP BY word
+                QUALIFY row_number() OVER (ORDER BY count(*) DESC, word ASC) <= 100000),
+          st(round, lhs, rhs, wid, c, syms) AS (
+            SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), word, c,
+                   [substr(word, i, 1) FOR i IN range(1, CAST(len(word) AS INT) + 1)]
+            FROM h
+            UNION ALL
+            SELECT round + 1, best.a, best.b, wid, c,
+                   CASE WHEN len(__mp) = 0 THEN syms ELSE
+                     list_filter(list_transform(range(1, CAST(len(syms) AS INT) + 1),
+                       i -> CASE WHEN list_contains(__ap, i) THEN syms[i] || syms[i+1]
+                                 WHEN list_contains(__ap, i - 1) THEN NULL
+                                 ELSE syms[i] END), x -> x IS NOT NULL)
+                   END
+            FROM (
+              SELECT st.*,
+                list_filter(range(1, CAST(len(syms) AS INT)),
+                  i -> syms[i] = best.a AND syms[i+1] = best.b) AS __mp,
+                list_transform(list_filter(range(1, CAST(len(syms) AS INT)),
+                    i -> syms[i] = best.a AND syms[i+1] = best.b),
+                  (x, j) -> {'p': x, 'rid': x - j}) AS __mr
+              FROM (
+                SELECT st.*,
+                  (SELECT {'a': p[1], 'b': p[2], 'n': cnt} FROM (
+                     SELECT p, sum(c) AS cnt FROM (
+                       SELECT unnest(list_zip(s3.syms[1:CAST(len(s3.syms) AS INT)-1],
+                                              s3.syms[2:])) AS p, s3.c
+                       FROM st s3 WHERE len(s3.syms) > 1)
+                     GROUP BY p ORDER BY cnt DESC, p[1] ASC, p[2] ASC LIMIT 1)) AS best
+                FROM st) st)
+              , LATERAL (SELECT list_transform(
+                  list_filter(__mr, m -> (list_position(list_transform(__mr, q -> q.rid), m.rid)
+                                          - list_position(list_transform(__mr, q -> q.p), m.p)) % 2 = 0),
+                  m -> m.p) AS __ap) ap
+            WHERE round < 200 AND best IS NOT NULL AND best.n >= 2),
+          merges AS (SELECT round AS rank, any_value(lhs) AS lhs, any_value(rhs) AS rhs
+                     FROM st WHERE round >= 1 GROUP BY round),
+          mm AS (SELECT map_from_entries(list({'k': lhs || chr(1) || rhs, 'v': rank})) AS m
+                 FROM merges WHERE lhs IS NOT NULL),
+          dw AS (SELECT DISTINCT word FROM
+                  (SELECT unnest(string_split_regex(trim(lower(trim(text))), '\s+')) AS word
+                   FROM documents) WHERE len(word) >= 1),
+          enc(step, word, syms, done) AS (
+            SELECT 0, word,
+                   [substr(word, i, 1) FOR i IN range(1, CAST(len(word) AS INT) + 1)],
+                   false
+            FROM dw
+            UNION ALL
+            SELECT step + 1, word,
+                   CASE WHEN br < 2147483647
+                        THEN syms[1:ba-1] || [syms[ba] || syms[ba+1]] || syms[ba+2:]
+                        ELSE syms END,
+                   br = 2147483647
+            FROM (
+              SELECT enc.*,
+                list_min(rl) AS br,
+                list_position(rl, list_min(rl)) AS ba
+              FROM (SELECT enc.*,
+                      list_transform(list_zip(syms[1:CAST(len(syms) AS INT)-1], syms[2:]),
+                        p -> coalesce(list_extract(map_extract(mm.m,
+                               p[1] || chr(1) || p[2]), 1), 2147483647)) AS rl
+                    FROM enc, mm WHERE NOT done AND len(syms) > 1) enc)
+            WHERE NOT done),
+          encf AS (SELECT word, syms FROM (
+                    SELECT word, syms, row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+                    FROM enc) WHERE rn = 1),
+          dwords AS (SELECT doc_id, i AS wi, w[i] AS word FROM (
+                      SELECT doc_id, string_split_regex(trim(lower(trim(text))), '\s+') AS w
+                      FROM documents), unnest(range(1, CAST(len(w) AS INT) + 1)) AS t(i)
+                     WHERE len(w[i]) >= 1),
+          dtoks AS (SELECT d.doc_id, flatten(list(e.syms ORDER BY d.wi)) AS toks
+                    FROM dwords d JOIN encf e USING (word) GROUP BY d.doc_id)
+          SELECT doc.doc_id,
+                 coalesce(len(t.toks), 0) AS n_bpe_tokens,
+                 coalesce(array_to_string(t.toks[1:8], ' '), '') AS head_tokens
+          FROM (SELECT DISTINCT doc_id FROM documents) doc LEFT JOIN dtoks t USING (doc_id)""",
+
     // same md5-60-seeded sign matrix, same per-coordinate sums
     "similarity_jl_project" ->
       """WITH s AS (SELECT i.i, j.j,
@@ -1612,6 +1719,54 @@ object PipelineSuite {
                       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
                     FROM embeddings),
           sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 8 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),
+          d1 AS (SELECT x.id, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 USING (pos) GROUP BY 1, 2),
+          a1 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 USING (id) GROUP BY 1, 2),
+          c1 AS (SELECT c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 USING (pos) GROUP BY 1, 2),
+          a2 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 USING (id) GROUP BY 1, 2),
+          c2 AS (SELECT c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.pos = s2.pos),
+          d3 AS (SELECT x.id, c2.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c2 USING (pos) GROUP BY 1, 2),
+          a3 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d3)
+                 WHERE rn = 1)
+          SELECT a3a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                        list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos
+          FROM a3 a3a JOIN a3 a3b ON a3a.cid = a3b.cid AND a3a.id < a3b.id
+          JOIN embeddings a ON a.vec_id = a3a.id
+          JOIN embeddings b ON b.vec_id = a3b.id
+          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+                     list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= 0.35 - 5e-7""",
+
+    // identical CTE chain with k = ceil(n/100) from a scalar subquery
+    // instead of the baked constant — the scaled-k (corpus-linear)
+    // SemDedup configuration, hash-checked at whatever n the gate runs
+    "dedup_semdedup_scaled" ->
+      """WITH kk AS (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS k FROM embeddings),
+          x AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % (SELECT k FROM kk) AS INT) AS cid,
                    min(vec_id) AS id
                  FROM embeddings GROUP BY 1),
           c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),

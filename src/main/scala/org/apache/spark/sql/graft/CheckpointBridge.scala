@@ -1,11 +1,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** `localCheckpoint` that does NOT carry the origin plan's statistics or
-  * constraints into the checkpointed leaf.
+  * constraints into the checkpointed leaf — it reports the checkpoint's
+  * MEASURED block size instead.
   *
   * Spark's `Dataset.localCheckpoint` builds a [[LogicalRDD]] with
   * `originStats`/`originConstraints` copied from the checkpointed plan
@@ -18,10 +20,26 @@ import org.apache.spark.sql.execution.LogicalRDD
   * time 0.3 s at round 10 → 276 s at round 25 (the optimizer spends it
   * multiplying million-bit integers), and
   * `java.lang.ArithmeticException: BigInteger would overflow supported
-  * range` soon after. The reasoner/graph loops were WRITTEN against the
-  * documented pre-3.2 behavior (checkpoint leaves report
-  * `defaultSizeInBytes`) and hint their broadcasts explicitly, so
-  * severing restores exactly the contract they assume.
+  * range` soon after.
+  *
+  * Severing to NO stats (the r7 form) traded that explosion for a
+  * planning regression: the leaf reported `defaultSizeInBytes`, so
+  * Catalyst stopped broadcasting the node/label-sized relations these
+  * loops join every round — measured r6→r7 creep across the whole
+  * checkpoint-loop family (graph_components 3.26 → 4.15 s,
+  * prob_sdd_wmc 1.73 → 2.26 s; VERDICT r7 item 2). The loops that hint
+  * broadcasts explicitly (semi-naive delta) didn't care, but the
+  * doubling closures and the graph loops rely on the planner.
+  *
+  * The fix is free: `localCheckpoint()` is EAGER, so by the time the
+  * leaf is rebuilt the blocks are materialized and the block manager
+  * knows their exact byte size. That measurement goes in as the leaf's
+  * stats — a CONSTANT per round (no multiplication chain, bit length
+  * bounded by the real data), and an honest broadcast signal. A
+  * partition that spilled reports mem + disk bytes. If storage info is
+  * unavailable (no blocks yet for a LAZY checkpoint, or the RDD was
+  * evicted) the leaf stays statless, which is the conservative r7
+  * behavior.
   *
   * The rebuilt leaf shares the SAME materialized partitions and output
   * attribute ids as the plain checkpoint — only the second (curried)
@@ -32,9 +50,14 @@ object CheckpointBridge {
     ck.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val cs = ck.sparkSession.asInstanceOf[ClassicSession]
+        val measured = cs.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+          .map(b => Statistics(sizeInBytes = BigInt(b)))
         Dataset.ofRows(cs, new LogicalRDD(lr.output, lr.rdd,
           lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
-          lr.stream)(cs, None, None))
+          lr.stream)(cs, measured, None))
       case _ => ck
     }
   }
