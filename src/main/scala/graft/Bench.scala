@@ -86,8 +86,9 @@ object Bench {
     // r7 session 2: PassJoin segment-blocked Levenshtein join +
     // label-free SemDedup (portable k-means cells as the blocks)
     "dedup_editdistance", "dedup_semdedup_kmeans",
-    // r8: the scaled-k (corpus-linear) SemDedup configuration
-    "dedup_semdedup_scaled",
+    // r8: the scaled-k SemDedup configurations (exact-Lloyd cells and
+    // the fully-linear hyperplane cells) + the HTTP protocol smoke
+    "dedup_semdedup_scaled", "dedup_semdedup_lsh", "http_sparql_smoke",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
@@ -121,6 +122,9 @@ object Bench {
     // n_triple_10M.rs:12-25); reported separately as "_load_quads".
     val tLoad = System.nanoTime()
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
+    // the WatDiv S-family reads the subject-bucketed layout — its
+    // one-time write is data loading too (same status as the quads)
+    graft.relational.Triplizer.bucketedStore(spark, sfDir).quads.count()
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
     val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single

@@ -1042,6 +1042,48 @@ object Dedup {
     semDedupPairs(emb, threshold, k, iters, idCol, vecCol)
   }
 
+  /** SemDedup with a HYPERPLANE quantizer — the configuration whose cost
+    * stays corpus-linear INCLUDING the quantizer. The k-means forms
+    * ([[semDedupPairs]]/[[semDedupAutoK]]) are the published recipe
+    * verbatim, but flat Lloyd assignment is O(n·d·k) — with k ∝ n (the
+    * occupancy-fixed scaling that keeps the PAIR stage linear) the
+    * TRAINING stage turns quadratic in corpus size, which is exactly why
+    * web-scale SemDedup deployments quantize approximately (FAISS) rather
+    * than run exact Lloyd at full k. Here the cell is a random-hyperplane
+    * sign pattern ([[Similarity.lshBuckets]], single band of
+    * b = ⌈log₂⌈n/occupancy⌉⌉ bits, the md5-derived dyadic planes the
+    * `similarity_lsh_topk` oracle already replays bit-for-bit): signature
+    * cost O(n·d·log k), pair candidates Σ|cell|² ≈ n·occupancy — both
+    * corpus-linear up to the log factor, the Sf100Probe-pinned exponent.
+    * Trade vs k-means cells: hyperplane cells are data-oblivious, so a
+    * corpus concentrated in one halfspace yields hotter cells (k-means
+    * adapts, LSH doesn't) — same SemDedup semantics per cell either way
+    * (the cell IS the method's dedup scope).
+    * Output: (cell, id_a < id_b, cos ≥ threshold). */
+  def semDedupLshPairs(emb: DataFrame, threshold: Double,
+      targetOccupancy: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val n = emb.count()
+    val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    // smallest b with 2^b >= cells (≥ 1 so the blocking never degenerates
+    // to one all-pairs cell); the oracle computes the same b by integer
+    // comparison, never floating log2
+    val b = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, cells - 1)))
+    val cellOf = Similarity.lshBuckets(emb, nPlanes = b, bands = 1, idCol, vecCol, dim)
+      .select(col("id"), col("bval").as("cell"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cellOf, "id")
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.cell").as("cell"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), col("cos"))
+  }
+
   def semDedupPairs(emb: DataFrame, threshold: Double, nClusters: Int = 8,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -37,63 +37,60 @@ object WatDivSuite {
   private def engine(spark: SparkSession, sfDir: String): Compiler =
     new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = true))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The 18 published query slots as raw SPARQL text — one map so the
+    * entries, the bucketed-layout A/B probe, and any future engine all
+    * run the SAME workload text. */
+  val sparqlText: Map[String, String] = Map(
     // --- L: linear paths (bound endpoint, 3-5 FK hops) -------------------
     // L1: 3 hops, constant tail — orders placed from region ASIA
-    "sparql_watdiv_l1" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_l1" -> """
         SELECT ?o ?c WHERE {
           ?o <orders#o_custkey> ?c .
           ?c <customer#c_nationkey> ?n .
           ?n <nation#n_regionkey> ?r .
-          ?r <region#r_name> "ASIA" }""")),
+          ?r <region#r_name> "ASIA" }""",
 
     // L2: 5 hops head-to-tail — returned lineitems up the full FK chain
     // to their region name (constant at the HEAD, chain walked forward)
-    "sparql_watdiv_l2" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_l2" -> """
         SELECT ?li ?rname WHERE {
           ?li <lineitem#l_returnflag> "R" .
           ?li <lineitem#l_orderkey> ?o .
           ?o <orders#o_custkey> ?c .
           ?c <customer#c_nationkey> ?n .
           ?n <nation#n_regionkey> ?r .
-          ?r <region#r_name> ?rname }""")),
+          ?r <region#r_name> ?rname }""",
 
     // L3: 3 hops through the supplier leg, constant tail mid-chain
-    "sparql_watdiv_l3" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_l3" -> """
         SELECT ?li ?sup WHERE {
           ?li <lineitem#l_suppkey> ?sup .
           ?sup <supplier#s_nationkey> ?n .
-          ?n <nation#n_name> "NATION_7" }""")),
+          ?n <nation#n_name> "NATION_7" }""",
 
     // L4: 4 hops lineitem→orders→customer→nation, constant tail — the
     // longest FORWARD chain whose selective end is the far tail, so the
     // planner must start at the tail and walk the chain backwards
-    "sparql_watdiv_l4" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_l4" -> """
         SELECT ?li ?o WHERE {
           ?li <lineitem#l_orderkey> ?o .
           ?o <orders#o_custkey> ?c .
           ?c <customer#c_nationkey> ?n .
-          ?n <nation#n_name> "NATION_12" }""")),
+          ?n <nation#n_name> "NATION_12" }""",
 
     // L5: 5 hops through the supplier leg, constant at the HEAD, tail
     // projected — the mirror of L2's direction
-    "sparql_watdiv_l5" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_l5" -> """
         SELECT ?li ?rname WHERE {
           ?li <lineitem#l_linestatus> "O" .
           ?li <lineitem#l_suppkey> ?sup .
           ?sup <supplier#s_nationkey> ?n .
           ?n <nation#n_regionkey> ?r .
-          ?r <region#r_name> ?rname }""")),
+          ?r <region#r_name> ?rname }""",
 
     // --- S: subject stars (5-7 patterns on one hub) ----------------------
     // S1: 7-pattern star on the lineitem hub, one constant object
-    "sparql_watdiv_s1" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s1" -> """
         SELECT ?li ?q ?price ?disc ?tax ?ls ?sd WHERE {
           ?li <lineitem#l_quantity> ?q .
           ?li <lineitem#l_extendedprice> ?price .
@@ -101,73 +98,66 @@ object WatDivSuite {
           ?li <lineitem#l_tax> ?tax .
           ?li <lineitem#l_returnflag> "A" .
           ?li <lineitem#l_linestatus> ?ls .
-          ?li <lineitem#l_shipdate> ?sd }""")),
+          ?li <lineitem#l_shipdate> ?sd }""",
 
     // S2: 5-pattern star on orders + numeric FILTER over a star attribute
-    "sparql_watdiv_s2" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s2" -> """
         SELECT ?o ?c ?st ?tp ?od WHERE {
           ?o <orders#o_custkey> ?c .
           ?o <orders#o_orderstatus> ?st .
           ?o <orders#o_totalprice> ?tp .
           ?o <orders#o_orderdate> ?od .
           ?o <orders#o_orderpriority> "1-URGENT" .
-          FILTER(?tp > 100000.0) }""")),
+          FILTER(?tp > 100000.0) }""",
 
     // S3: 5-pattern star on the part hub, constant type + numeric FILTER
     // over a star attribute
-    "sparql_watdiv_s3" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s3" -> """
         SELECT ?p ?name ?brand ?size ?rp WHERE {
           ?p <part#p_name> ?name .
           ?p <part#p_brand> ?brand .
           ?p <part#p_type> "ECONOMY" .
           ?p <part#p_size> ?size .
           ?p <part#p_retailprice> ?rp .
-          FILTER(?size > 25) }""")),
+          FILTER(?size > 25) }""",
 
     // S4: customer star, constant segment + negative-balance FILTER (the
     // rare-value direction: 24 of 1500 customers at sf0.01)
-    "sparql_watdiv_s4" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s4" -> """
         SELECT ?c ?cname ?bal ?n WHERE {
           ?c <customer#c_name> ?cname .
           ?c <customer#c_acctbal> ?bal .
           ?c <customer#c_mktsegment> "MACHINERY" .
           ?c <customer#c_nationkey> ?n .
-          FILTER(?bal < 0.0) }""")),
+          FILTER(?bal < 0.0) }""",
 
     // S5: supplier star with a high-balance FILTER (9 suppliers)
-    "sparql_watdiv_s5" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s5" -> """
         SELECT ?sup ?sname ?bal ?n WHERE {
           ?sup <supplier#s_name> ?sname .
           ?sup <supplier#s_acctbal> ?bal .
           ?sup <supplier#s_nationkey> ?n .
-          FILTER(?bal > 9000.0) }""")),
+          FILTER(?bal > 9000.0) }""",
 
     // S6: 3-pattern orders star, TWO constant objects on one subject —
     // the doubly-bound hub shape (WatDiv's small stars)
-    "sparql_watdiv_s6" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s6" -> """
         SELECT ?o ?od WHERE {
           ?o <orders#o_orderstatus> "P" .
           ?o <orders#o_orderpriority> "3-MEDIUM" .
-          ?o <orders#o_orderdate> ?od }""")),
+          ?o <orders#o_orderdate> ?od }""",
 
     // S7: 3-pattern lineitem star, two constants — same shape at the
     // fact-table hub, where the doubly-constant star is most selective
-    "sparql_watdiv_s7" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_s7" -> """
         SELECT ?li ?sd WHERE {
           ?li <lineitem#l_returnflag> "A" .
           ?li <lineitem#l_linestatus> "F" .
-          ?li <lineitem#l_shipdate> ?sd }""")),
+          ?li <lineitem#l_shipdate> ?sd }""",
 
     // --- F: snowflakes (two+ star hubs chained by FK hops) ---------------
     // F1: lineitem hub → orders hub + part hub, constants on both leaves
-    "sparql_watdiv_f1" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_f1" -> """
         SELECT ?li ?q ?st ?brand WHERE {
           ?li <lineitem#l_orderkey> ?ord .
           ?li <lineitem#l_partkey> ?p .
@@ -175,12 +165,11 @@ object WatDivSuite {
           ?ord <orders#o_orderstatus> ?st .
           ?ord <orders#o_orderpriority> "2-HIGH" .
           ?p <part#p_brand> ?brand .
-          ?p <part#p_type> "PROMO" }""")),
+          ?p <part#p_type> "PROMO" }""",
 
     // F2: 8 patterns — lineitem hub → supplier→nation→region tail + part
     // leaf, constant at the deepest tail
-    "sparql_watdiv_f2" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_f2" -> """
         SELECT ?li ?sname ?nname ?brand WHERE {
           ?li <lineitem#l_suppkey> ?sup .
           ?li <lineitem#l_partkey> ?p .
@@ -189,13 +178,12 @@ object WatDivSuite {
           ?n <nation#n_name> ?nname .
           ?n <nation#n_regionkey> ?r .
           ?r <region#r_name> "EUROPE" .
-          ?p <part#p_brand> ?brand }""")),
+          ?p <part#p_brand> ?brand }""",
 
     // F3: part hub + lineitem hub + orders hub, constants on the part
     // leaf (brand) and the orders leaf (status) — both leaves selective,
     // the planner picks the more selective one to seed
-    "sparql_watdiv_f3" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_f3" -> """
         SELECT ?li ?pname ?size ?od WHERE {
           ?li <lineitem#l_partkey> ?p .
           ?li <lineitem#l_orderkey> ?ord .
@@ -203,13 +191,12 @@ object WatDivSuite {
           ?p <part#p_size> ?size .
           ?p <part#p_brand> "Brand#11" .
           ?ord <orders#o_orderdate> ?od .
-          ?ord <orders#o_orderstatus> "O" }""")),
+          ?ord <orders#o_orderstatus> "O" }""",
 
     // --- C: complex mixes (8-12 patterns) --------------------------------
     // C1: 10 patterns — lineitem star + orders + customer star + nation,
     // IRI-constant object deep in the chain
-    "sparql_watdiv_c1" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_c1" -> """
         SELECT ?li ?q ?tp ?cname ?nname WHERE {
           ?li <lineitem#l_orderkey> ?ord .
           ?li <lineitem#l_quantity> ?q .
@@ -220,11 +207,10 @@ object WatDivSuite {
           ?c <customer#c_name> ?cname .
           ?c <customer#c_nationkey> ?n .
           ?n <nation#n_name> ?nname .
-          ?n <nation#n_regionkey> <region/2> }""")),
+          ?n <nation#n_regionkey> <region/2> }""",
 
     // C2: customer star + 2-hop tail + OPTIONAL order leg + FILTER
-    "sparql_watdiv_c2" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_c2" -> """
         SELECT ?c ?cname ?bal ?nname ?ordp WHERE {
           ?c <customer#c_name> ?cname .
           ?c <customer#c_acctbal> ?bal .
@@ -235,14 +221,13 @@ object WatDivSuite {
           ?r <region#r_name> "AFRICA" .
           OPTIONAL { ?ordp <orders#o_custkey> ?c .
                      ?ordp <orders#o_orderpriority> "1-URGENT" }
-          FILTER(?bal > 0.0) }""")),
+          FILTER(?bal > 0.0) }""",
 
     // C3: 12 patterns, four hubs (lineitem, orders, part, supplier) plus
     // the customer→nation→region chain — the planner stress shape: source
     // order deliberately lists the unselective hub patterns FIRST and the
     // two constant-object patterns LAST
-    "sparql_watdiv_c3" -> ((s, dir) =>
-      engine(s, dir).select("""
+    "sparql_watdiv_c3" -> """
         SELECT ?li ?brand ?sname ?cname ?rname WHERE {
           ?li <lineitem#l_orderkey> ?ord .
           ?li <lineitem#l_partkey> ?p .
@@ -255,7 +240,35 @@ object WatDivSuite {
           ?n <nation#n_regionkey> ?r .
           ?r <region#r_name> ?rname .
           ?ord <orders#o_orderstatus> "F" .
-          ?p <part#p_type> "MEDIUM" }""")))
+          ?p <part#p_type> "MEDIUM" }""")
+
+  /** The S-family routes through the subject-BUCKETED quad layout
+    * (VERDICT r7 item 6), the rest stays on the plain store — a measured
+    * split, not a blanket switch (tools.WatDivBucketProbe, sf0.1, 5 reps
+    * per store per slot): the pure subject stars win (S1 1.31 → 1.01 s =
+    * 1.30×, S7 0.69 → 0.47 s = 1.47×; S2/S6 a wash — their FILTER or
+    * double-constant shape leaves little exchange to kill), while the
+    * multi-hub chains REGRESS on the bucketed table (C1 0.62×, C3 0.44×:
+    * their joins hop across different subjects, where preserving the
+    * 32-bucket partitioning only denies AQE its coalescing/broadcast
+    * freedom). S1 does not halve because its residual cost is the seven
+    * p-filtered scans of the quad table, not the join exchange — the
+    * bucketed layout removes the exchanges (plan-pinned in
+    * PlanPostureSpec) but each pattern still reads its predicate's rows. */
+  private val bucketedSlots: Set[String] = Set(
+    "sparql_watdiv_s1", "sparql_watdiv_s2", "sparql_watdiv_s3",
+    "sparql_watdiv_s4", "sparql_watdiv_s5", "sparql_watdiv_s6",
+    "sparql_watdiv_s7")
+
+  private def bucketedEngine(spark: SparkSession, sfDir: String): Compiler =
+    new Compiler(Triplizer.bucketedStore(spark, sfDir, defaultGraph = true))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sparqlText.map { case (name, text) =>
+      name -> ((s: SparkSession, dir: String) =>
+        (if (bucketedSlots(name)) bucketedEngine(s, dir) else engine(s, dir))
+          .select(text))
+    }
 
   /** DuckDB mirror of Triplizer's lineitem row-fingerprint subject (keep
     * in sync with SparqlSuite.liSubj / Triplizer.subjectCol). */

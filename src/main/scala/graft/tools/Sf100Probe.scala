@@ -50,13 +50,19 @@ object Sf100Probe {
     // round's one perf-weak mark — this leg pins the scaled-k fix), and
     // the heaviest WatDiv star
     "graph_components", "graph_pagerank", "graph_bfs_hops",
-    "prob_sdd_wmc", "dedup_semdedup_scaled", "sparql_watdiv_s1")
+    "prob_sdd_wmc", "dedup_semdedup_scaled", "dedup_semdedup_lsh",
+    "sparql_watdiv_s1")
 
-  /** Entries whose 100× point needs the 1B-quad triplization (~40 GB of
-    * /tmp parquet + comparable shuffle) — skipped unless
-    * SF100_PROBE_HEAVY=1, so the default probe stays inside the
-    * container's disk envelope. Their 10× exponent still prints. */
-  val heavy100x = Set("sparql_watdiv_s1")
+  /** Entries whose 100× point is out of the default probe's envelope —
+    * skipped unless SF100_PROBE_HEAVY=1; their 10× exponent still
+    * prints. sparql_watdiv_s1: the 1B-quad triplization (~40 GB of /tmp
+    * parquet + comparable shuffle) busts the container's disk.
+    * dedup_semdedup_scaled: flat Lloyd assignment is O(n·d·k) and the
+    * scaled configuration sets k ∝ n, so the 100× point is ~25B
+    * assignment rows per pass — the MEASURED reason the hyperplane
+    * variant (dedup_semdedup_lsh, linear, probed at both decades)
+    * exists. */
+  val heavy100x = Set("sparql_watdiv_s1", "dedup_semdedup_scaled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -84,6 +84,37 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((900L, 901L, 1L)))
   }
 
+  test("semDedupLshPairs equals within-cell brute force; b sized from n") {
+    val got = Dedup.semDedupLshPairs(emb, threshold = 0.35, targetOccupancy = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // independent rebuild: same plane family via lshBuckets single-band,
+    // then a crossJoin brute force restricted to same-cell pairs
+    val n = emb.count()
+    val cells = math.max(1L, (n + 99) / 100)
+    val b = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, cells - 1)))
+    assert((1L << b) >= cells && (b == 1 || (1L << (b - 1)) < cells),
+      s"b=$b is not the smallest with 2^b >= $cells")
+    val cellOf = Similarity.lshBuckets(emb, nPlanes = b, bands = 1)
+      .select(col("id"), col("bval").as("cell"))
+    val e = emb.join(cellOf, col("vec_id") === col("id"))
+      .select($"vec_id", $"embedding", $"cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+    def cos(a: Seq[Float], bb: Seq[Float]): Double = {
+      val (ab, aa, b2) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((x, y, z), i) =>
+        (x + a(i).toDouble * bb(i), y + a(i).toDouble * a(i), z + bb(i).toDouble * bb(i))
+      }
+      ab / math.sqrt(aa * b2)
+    }
+    val want = (for {
+      x <- e; y <- e
+      if x._3 == y._3 && x._1 < y._1
+      c = cos(x._2, y._2)
+      if math.floor(c * 1e6 + 0.5) / 1e6 >= 0.35
+    } yield (x._3, x._1, y._1, math.floor(c * 1e6 + 0.5) / 1e6)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    assert(got.nonEmpty, "fixture should contain same-cell near-dups")
+  }
+
   test("semDedupPairs equals within-cluster brute force; cells bound candidates") {
     val got = Dedup.semDedupPairs(emb, threshold = 0.35, nClusters = 8, iters = 2)
       .as[(Int, Long, Long, Double)].collect().toSet

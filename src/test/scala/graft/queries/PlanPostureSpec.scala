@@ -294,6 +294,22 @@ class PlanPostureSpec extends SparkSpec {
       s"cartesian/nested-loop in watdiv C3 plan:\n$p")
   }
 
+  test("watdiv s1 routes through the bucketed layout: bucketed scans, no star-join exchange") {
+    // the S-family reads the subject-bucketed quad table (r8, measured
+    // A/B in WatDivSuite.bucketedSlots' scaladoc). At the spec's tiny
+    // scale Catalyst rightly prefers broadcast joins and disables the
+    // bucketed read ("Bucketed: false (disabled by query planner)");
+    // what must hold at EVERY size is: the scans read the bucketed
+    // catalog table, and the star chain never plans a SHUFFLE exchange —
+    // broadcasts at small sizes, co-located sorted-bucket joins beyond
+    // the broadcast threshold (that regime is pinned with broadcasts
+    // disabled by the "bucketed quad table" test above)
+    val p = plan("sparql_watdiv_s1")
+    assert(p.contains("graft_quads_s_"), s"S1 not reading the bucketed table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"S1 star join planned a shuffle:\n$p")
+  }
+
   test("watdiv: dimension tails broadcast; linear chain plans no cartesian") {
     // nation/region tail joins are dimension-sized at every scale factor —
     // the L1 chain must realize them as broadcasts, never shuffling the
