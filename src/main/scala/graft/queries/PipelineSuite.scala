@@ -94,14 +94,27 @@ object PipelineSuite {
       // horizon-pruning semantics are spec-pinned separately).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val prevCksum = s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
       s.conf.set("spark.sql.shuffle.partitions", 8)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // Spark 4.1 checksums every checkpoint file write by default
+      // (ChecksumCheckpointFileManager: one checksum companion file +
+      // thread per write). Durability verification is pure overhead for
+      // this REPLAY's ephemeral per-run checkpoint — measured ~10% of
+      // the entry, on top of a per-file fsync cost that tripled on a
+      // slow-sync host (r8 bisect). A production deployment with a
+      // durable checkpoint decides this conf for itself.
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       val sq =
         try pairs.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         finally {
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
           s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+          prevCksum match {
+            case Some(v) => s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
+            case None => s.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+          }
         }
       try {
         val base = 1700000000000L

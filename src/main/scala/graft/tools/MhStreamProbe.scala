@@ -64,6 +64,12 @@ object MhStreamProbe {
       }
       println("trigger history: " + sq.recentProgress.map(p =>
         s"#${p.batchId}:${p.durationMs.get("triggerExecution")}ms/${p.numInputRows}r").mkString(" "))
+      // full per-phase durations: where did the trigger time go
+      // (addBatch = job execution; queryPlanning = analyzer/optimizer;
+      // walCommit/commitOffsets = checkpoint io; getBatch = source)
+      sq.recentProgress.foreach(p =>
+        println(s"  #${p.batchId} rows=${p.numInputRows} " + p.durationMs.entrySet()
+          .toArray.map(_.toString).sorted.mkString(" ")))
       sq.stop()
       println(s"pairs: ${spark.table("mhprobe").dropDuplicates("id_a", "id_b").count()}")
     }
