@@ -36,17 +36,25 @@ object GraphOps {
     * still reads them, so the blocks live until driver GC (ADVICE r6). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      /** Hash-partition the edge table by `src` BEFORE its one-time
+        * checkpoint, so the per-iteration contribution join reuses that
+        * partitioning instead of re-shuffling |E| rows every round. The
+        * r6 measurement said this DOUBLED wall at sf0.1 (the checkpoint
+        * leaf hid the partitioning); re-measured r8
+        * (PageRankPartProbe): it now wins at EVERY probe point — sf0.1
+        * 2.15 → 1.85 s, 10× 4.2 → 2.8 s, 100× 26-31 → 17-21 s
+        * (per-decade exponents 0.51/1.17 → 0.18/0.79, the one
+        * superlinear graph probe number gone) — so it is the default.
+        * The flag remains for callers whose edge frame is already
+        * partitioned by src. */
+      prePartition: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRank iters $iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping $damping must be in (0, 1)")
-    // (measured: pre-repartitioning the static sides by join key before
-    // the checkpoint DOUBLED the wall time at sf0.1 — the checkpointed
-    // LogicalRDD does not expose the partitioning to the optimizer, so
-    // the per-round joins re-shuffled anyway and the upfront exchanges
-    // were pure cost. The simple form below is the fast one.)
     // the static sides are read every round — always materialize them
     // once (cheap; the per-ROUND checkpoint is what the flag gates)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (prePartition) e0.repartition(col("src")) else e0)
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
