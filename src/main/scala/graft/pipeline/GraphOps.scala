@@ -126,8 +126,13 @@ object GraphOps {
       maxRounds: Int = 50): DataFrame = {
     val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
       .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
+    // the undirected table is joined on u EVERY round — partition it by
+    // the join key once, before the checkpoint, so the per-round
+    // propagation join reuses the partitioning instead of re-shuffling
+    // |E| rows per round (the pageRank prePartition result applied here;
+    // the distinct() alone would leave it partitioned by (v, u))
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpointSevered()
+      .distinct().repartition(col("u")).localCheckpointSevered()
     var lbl = und.groupBy("v").agg(least(min(col("u")), col("v")).as("lbl"))
       .localCheckpointSevered()
     var round = 0
@@ -174,8 +179,10 @@ object GraphOps {
     require(maxHops >= 0, s"bfsDistances maxHops $maxHops must be >= 0")
     val fwd = edges.select(col(srcCol).as("v"), col(dstCol).as("u"))
       .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
+    // frontier expansion joins und on v every hop — partition by the
+    // join key once (same prePartition rationale as pageRank/components)
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpointSevered()
+      .distinct().repartition(col("v")).localCheckpointSevered()
     var visited = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpointSevered()
     var frontier = visited
