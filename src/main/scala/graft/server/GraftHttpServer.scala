@@ -152,6 +152,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
 
   def start(requestedPort: Int = 0): this.type = {
     server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
+    server.createContext("/", rootHandler)
     server.createContext("/query", queryHandler)
     server.createContext("/rsp-query", rspQueryHandler)
     server.createContext("/rsp/register", rspRegisterHandler)
@@ -169,6 +170,25 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     sessions.clear()
     if (server != null) server.stop(0)
   }
+
+  /** `GET /` serves the embedded [[Playground]] page (the reference ships
+    * `web/playground.html` against the same endpoints). The JDK server
+    * routes by LONGEST prefix, so this context only sees paths no other
+    * context claims — anything but the root itself is a 404 here. */
+  private def rootHandler: HttpHandler = (exchange: HttpExchange) =>
+    try {
+      val path = exchange.getRequestURI.getPath
+      (exchange.getRequestMethod, path) match {
+        case ("OPTIONS", _) => respond(exchange, 204, "")
+        case ("GET", "/" | "/index.html") =>
+          respondHtml(exchange, 200, Playground.html)
+        case (_, "/" | "/index.html") =>
+          respond(exchange, 405, error("Method Not Allowed"))
+        case _ => respond(exchange, 404, error("Not Found"))
+      }
+    } catch {
+      case e: Exception => respond(exchange, 500, error(e.getMessage))
+    }
 
   private def queryHandler: HttpHandler = (exchange: HttpExchange) =>
     try {
@@ -470,10 +490,14 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     n.toString
   }
 
-  private def respond(exchange: HttpExchange, code: Int, body: String): Unit = {
+  private def respondHtml(exchange: HttpExchange, code: Int, body: String): Unit =
+    respond(exchange, code, body, contentType = "text/html; charset=utf-8")
+
+  private def respond(exchange: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     val headers = exchange.getResponseHeaders
-    headers.add("Content-Type", "application/json")
+    headers.add("Content-Type", contentType)
     headers.add("Access-Control-Allow-Origin", "*")
     headers.add("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
     headers.add("Access-Control-Allow-Headers", "Content-Type")

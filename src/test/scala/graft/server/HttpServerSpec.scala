@@ -88,6 +88,34 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET / serves the embedded playground; unknown paths 404") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val page = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      // the page must drive the same endpoints the reference playground does
+      // (playground.html:2396/:2576/:2779 + the SSE channel)
+      for (wired <- Seq("fetch('/query'", "fetch('/rsp/register'",
+          "fetch('/rsp/push'", "EventSource('/rsp/events/"))
+        assert(page.body().contains(wired), s"playground missing $wired")
+
+      val missing = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/nope"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() == 404)
+      val wrongMethod = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrongMethod.statusCode() == 405)
+    } finally srv.stop()
+  }
+
   test("POST /rsp-query: one-shot RSP over posted events (main.rs:1127-1260)") {
     val srv = new GraftHttpServer(spark).start()
     try {
