@@ -45,13 +45,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * attribute ids as the plain checkpoint — only the second (curried)
   * constructor argument list changes, no data moves. */
 object CheckpointBridge {
+  /** A/B escape hatch for the measured-stats leaf (−Dgraft.checkpoint
+    * .measuredStats=false reverts to the statless r7 severing). */
+  private def measuredStatsEnabled: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.checkpoint.measuredStats", "true"))
+
   def localCheckpointSevered(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     ck.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val cs = ck.sparkSession.asInstanceOf[ClassicSession]
-        val measured = cs.sparkContext.getRDDStorageInfo
-          .find(_.id == lr.rdd.id)
+        val measured = if (!measuredStatsEnabled) None else
+          cs.sparkContext.getRDDStorageInfo(_.id == lr.rdd.id)
+          .headOption
           .map(i => i.memSize + i.diskSize)
           .filter(_ > 0L)
           .map(b => Statistics(sizeInBytes = BigInt(b)))
