@@ -122,11 +122,14 @@ object Bench {
     // n_triple_10M.rs:12-25); reported separately as "_load_quads".
     val tLoad = System.nanoTime()
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
-    // the WatDiv S-family reads the subject-bucketed layout — its
-    // one-time write is data loading too (same status as the quads)
-    graft.relational.Triplizer.bucketedStore(spark, sfDir).quads.count()
-    val loadSecs = (System.nanoTime() - tLoad) / 1e9
     val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
+    // the WatDiv S-family reads the subject-bucketed layout — its
+    // one-time write is data loading too (same status as the quads), but
+    // only when a selected entry actually reads it (an `only` run of
+    // non-WatDiv entries must not pay the bucketBy write)
+    if (selected.exists(graft.queries.WatDivSuite.bucketedSlots))
+      graft.relational.Triplizer.bucketedStore(spark, sfDir).quads.count()
+    val loadSecs = (System.nanoTime() - tLoad) / 1e9
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single
     // runs conflate plan cost with JVM/GC noise — the r4 artifact recorded
     // a 42% "regression" on sparql_filter_arith that was run-to-run

@@ -214,13 +214,22 @@ object PipelineSuite {
       val rec = ivf.select(col("qid"), col("nid"))
         .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg((count(lit(1)) / 5.0).as("recall_at_5"))
-      val out = ivf.join(rec, Seq("qid"), "left_outer")
-        .withColumn("recall_at_5", coalesce(col("recall_at_5"), lit(0.0)))
-        .localCheckpoint()
-      val pooled = out.agg(avg(col("recall_at_5"))).first().getDouble(0)
+      // pooled recall = mean over QUERIES (a query whose probed cells
+      // returned nothing counts as 0, and a short result list is not
+      // under-weighted the way a result-ROW average would); the collect
+      // is |q| rows. No localCheckpoint: the floor check recomputes the
+      // small IVF pipeline once instead of pinning blocks that outlive
+      // the entry (the session-drag class SessionDragProbe hunts).
+      val perQuery = q.select(col("vec_id").as("qid"))
+        .join(rec, Seq("qid"), "left_outer")
+        .select(coalesce(col("recall_at_5"), lit(0.0)).as("r"))
+        .collect().map(_.getDouble(0))
+      require(perQuery.nonEmpty, "similarity_ivf_topk: empty query set")
+      val pooled = perQuery.sum / perQuery.length
       require(pooled >= 0.6,
         f"similarity_ivf_topk recall@5 = $pooled%.3f fell below the 0.6 floor")
-      out
+      ivf.join(rec, Seq("qid"), "left_outer")
+        .withColumn("recall_at_5", coalesce(col("recall_at_5"), lit(0.0)))
     }),
 
     // random-hyperplane LSH ANN: deterministic md5-derived planes, so the

@@ -18,6 +18,11 @@ import graft.sparql.Compiler
   */
 object SparqlSuite {
 
+  /** One process-wide client for the HTTP smoke entry: each HttpClient
+    * owns a selector thread + executor that linger until GC, so a
+    * per-invocation client accumulates threads across bench reps. */
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
   private def engine(spark: SparkSession, sfDir: String): Compiler =
     new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = true))
 
@@ -130,7 +135,7 @@ object SparqlSuite {
           ?c <customer#c_acctbal> ?bal .
           ?c <customer#c_mktsegment> ?seg .
           FILTER(?bal > 5000.0 && ?seg = "BUILDING") }""")
-        val resp = java.net.http.HttpClient.newHttpClient().send(
+        val resp = httpClient.send(
           java.net.http.HttpRequest
             .newBuilder(new java.net.URI(s"http://localhost:${srv.port}/query"))
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))

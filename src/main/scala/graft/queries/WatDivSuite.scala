@@ -255,7 +255,7 @@ object WatDivSuite {
     * p-filtered scans of the quad table, not the join exchange — the
     * bucketed layout removes the exchanges (plan-pinned in
     * PlanPostureSpec) but each pattern still reads its predicate's rows. */
-  private val bucketedSlots: Set[String] = Set(
+  val bucketedSlots: Set[String] = Set(
     "sparql_watdiv_s1", "sparql_watdiv_s2", "sparql_watdiv_s3",
     "sparql_watdiv_s4", "sparql_watdiv_s5", "sparql_watdiv_s6",
     "sparql_watdiv_s7")

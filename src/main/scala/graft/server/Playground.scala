@@ -99,6 +99,9 @@ WHERE { WINDOW &lt;w&gt; { ?s &lt;http://ex/p&gt; ?o } }</textarea>
 </div>
 </main>
 <script>
+function esc(s) {
+  return String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;');
+}
 function show(p) {
   document.querySelectorAll('.pane').forEach(function (e) {
     e.classList.remove('active');
@@ -112,14 +115,13 @@ function renderTable(rows) {
     if (vars.indexOf(kv[0]) < 0) vars.push(kv[0]);
   }); });
   var h = '<table><tr>' + vars.map(function (v) {
-    return '<th>?' + v + '</th>';
+    return '<th>?' + esc(v) + '</th>';
   }).join('') + '</tr>';
   rows.forEach(function (r) {
     var m = {};
     r.forEach(function (kv) { m[kv[0]] = kv[1]; });
     h += '<tr>' + vars.map(function (v) {
-      return '<td>' + (m[v] === undefined || m[v] === null ? '' : String(m[v])
-        .replace(/&/g, '&amp;').replace(/</g, '&lt;')) + '</td>';
+      return '<td>' + (m[v] === undefined || m[v] === null ? '' : esc(m[v])) + '</td>';
     }).join('') + '</tr>';
   });
   return h + '</table>';
@@ -135,12 +137,12 @@ async function runQuery() {
       headers: { 'Content-Type': 'application/json' },
       body: JSON.stringify(body) });
     var j = await resp.json();
-    if (!resp.ok) { out.innerHTML = '<p class="err">' + (j.error || resp.status) + '</p>'; return; }
+    if (!resp.ok) { out.innerHTML = '<p class="err">' + esc(j.error || resp.status) + '</p>'; return; }
     var r = j.results[0];
     document.getElementById('qtime').textContent =
       r.data.length + ' rows · ' + r.execution_time_ms + ' ms';
     out.innerHTML = renderTable(r.data);
-  } catch (e) { out.innerHTML = '<p class="err">' + e + '</p>'; }
+  } catch (e) { out.innerHTML = '<p class="err">' + esc(e) + '</p>'; }
 }
 var sse = null;
 async function rspRegister() {
