@@ -89,6 +89,8 @@ object Bench {
     // r8: the scaled-k SemDedup configurations (exact-Lloyd cells and
     // the fully-linear hyperplane cells) + the HTTP protocol smoke
     "dedup_semdedup_scaled", "dedup_semdedup_lsh", "http_sparql_smoke",
+    // r8 session 2: composed IVF-PQ (coarse cells + residual codes)
+    "similarity_ivfpq_topk",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",

