@@ -79,10 +79,10 @@ object Playground {
 </div>
 <div id="pane-rsp" class="pane">
   <h2>1. Register RSP-QL query &rarr; POST /rsp/register</h2>
-  <textarea id="rspq" rows="7">REGISTER RSTREAM &lt;out&gt; AS
-SELECT ?s ?o
-FROM NAMED WINDOW &lt;w&gt; ON STREAM &lt;s1&gt; [RANGE 10 STEP 10]
-WHERE { WINDOW &lt;w&gt; { ?s &lt;http://ex/p&gt; ?o } }</textarea>
+  <textarea id="rspq" rows="7">REGISTER RSTREAM &lt;http://out&gt; AS
+SELECT *
+FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms]
+WHERE { WINDOW :w { ?s &lt;http://ex/p&gt; ?o . } }</textarea>
   <div class="row">
     <button onclick="rspRegister()">Register</button>
     <span id="rspsess" class="muted"></span>
