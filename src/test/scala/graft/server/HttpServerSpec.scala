@@ -116,6 +116,25 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("python client end-to-end (python/graft_client.py smoke)") {
+    val py = Seq("/usr/bin/env", "which", "python3")
+    val havePython =
+      try new ProcessBuilder(py: _*).start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(havePython, "python3 not on PATH")
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      val proc = new ProcessBuilder("python3", "python/graft_client.py",
+          s"http://localhost:${srv.port}")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      assert(rc == 0, s"python smoke rc=$rc:\n$out")
+      assert(out.contains("smoke OK"), out)
+    } finally srv.stop()
+  }
+
   test("POST /rsp-query: one-shot RSP over posted events (main.rs:1127-1260)") {
     val srv = new GraftHttpServer(spark).start()
     try {
