@@ -51,7 +51,10 @@ object Sf100Probe {
     // the heaviest WatDiv star
     "graph_components", "graph_pagerank", "graph_bfs_hops",
     "prob_sdd_wmc", "dedup_semdedup_scaled", "dedup_semdedup_lsh",
-    "sparql_watdiv_s1")
+    "sparql_watdiv_s1",
+    // r8 session 2: composed IVF-PQ — fixed nCells, so cells grow
+    // linearly and the ADC join volume is (probed fraction)·n·m lookups
+    "similarity_ivfpq_topk")
 
   /** Entries whose 100× point is out of the default probe's envelope —
     * skipped unless SF100_PROBE_HEAVY=1; their 10× exponent still
