@@ -30,3 +30,40 @@ object IvfPqBreakdown {
     spark.stop()
   }
 }
+
+/** kmeansMicro internals: where the ~2-3 s 1× constant goes. */
+object KmeansBreakdown {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stage] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    t("warm") { Similarity.kmeansMicro(e, 8, 2).count() }
+    (1 to 3).foreach { i =>
+      t(s"kmeansMicro k=8 rep$i") { Similarity.kmeansMicro(e, 8, 2).count() }
+    }
+    import org.apache.spark.sql.types.LongType
+    val x = t("x explode+checkpoint") {
+      e.select(col("vec_id").as("id"),
+        posexplode(transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1000000.0)).cast(LongType)))
+          .as(Seq("pos", "xq"))).localCheckpoint()
+    }
+    t("one assignment round (agg only)") {
+      val cent = x.limit(512).select(lit(0).as("cid"), col("pos"), col("xq").as("cq"))
+      x.join(broadcast(cent), "pos")
+        .groupBy("id", "cid")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+        .groupBy("id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid")).count()
+    }
+    spark.stop()
+  }
+}
