@@ -235,6 +235,15 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"closure is not a semi join:\n$p")
   }
 
+  test("ivfpq: codebook/table sides broadcast, code lookup is an equi-join, no cartesian") {
+    val p = plan("similarity_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the ADC scoring join must be a hash lookup on (cell, subspace,
+    // code) — a sort of the code table would be the 100× bottleneck
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+  }
+
   test("stratified sample: rank window partitions by stratum with a group limit") {
     // the broadcast prefilter join runs inside the operator's eager
     // survivor materialization (localCheckpoint), so the visible plan is
