@@ -55,6 +55,12 @@ object GraphOps {
     // the static sides are read every round — always materialize them
     // once (cheap; the per-ROUND checkpoint is what the flag gates)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // repartition(col) — NOT repartition(n, col): AQE coalesces the keyed
+    // exchange by bytes, down to ONE partition for the sf0.1 graph
+    // entries, and that is measured-correct — a numbered pin (32) ran
+    // ~25% SLOWER at 1× (32 tasks × rounds of scheduling overhead on a
+    // 48K-row table) and a wash at the 100× probe (AQE already picks
+    // partition counts by size there). Let AQE size the exchange.
     val e = (if (prePartition) e0.repartition(col("src")) else e0)
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))

@@ -67,3 +67,29 @@ object KmeansBreakdown {
     spark.stop()
   }
 }
+
+/** Prints the realized partition count of connectedComponents' undirected
+  * table across repeated constructions (AQE may coalesce the keyed
+  * repartition differently per run — the suspected source of the
+  * bimodal per-session graph_components wall). */
+object UndPartsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // same construction as the graph_components entry's edge table
+    val co = li.filter(col("l_quantity") > 48).select((col("l_orderkey") * 4).as("src"), (col("l_partkey") * 4 + 1).as("dst"))
+    (1 to 3).foreach { i =>
+      val fwd = co.select(col("src").as("v"), col("dst").as("u"))
+        .filter(col("v").isNotNull && col("u").isNotNull && col("v") =!= col("u"))
+      val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
+        .distinct().repartition(col("u")).localCheckpoint()
+      println(s"[undparts] run $i: ${und.rdd.getNumPartitions} partitions, ${und.count()} rows")
+    }
+    spark.stop()
+  }
+}
