@@ -155,6 +155,15 @@ def _smoke(base_url):
                                         "z": "http://ex/c"}, inferred
     print("rule-inferred rows:", inferred)
 
+    oneshot = c.rsp_query(
+        "REGISTER RSTREAM <http://out> AS SELECT * "
+        "FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms] "
+        "WHERE { WINDOW :w { ?s <http://ex/p> ?o . } }",
+        [("s1", 5, "<http://ex/a> <http://ex/p> <http://ex/b> ."),
+         ("s1", 15, "<http://ex/c> <http://ex/p> <http://ex/d> .")])
+    assert oneshot and oneshot[0].get("s") == "http://ex/a", oneshot
+    print("one-shot rsp rows:", oneshot)
+
     sid, streams = c.rsp_register(
         "REGISTER RSTREAM <http://out> AS SELECT * "
         "FROM NAMED WINDOW :w ON ?stream [RANGE 10 ms STEP 10 ms] "
