@@ -187,6 +187,8 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
         case _ => respond(exchange, 404, error("Not Found"))
       }
     } catch {
+      case _: BodyTooLarge =>
+        respond(exchange, 413, error("Request body too large"))
       case e: Exception => respond(exchange, 500, error(e.getMessage))
     }
 
@@ -206,7 +208,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
             case None => respond(exchange, 400, error("No queries provided"))
           }
         case "POST" =>
-          val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val body = readBody(exchange)
           val parsed: Either[String, JsonNode] =
             try Right(mapper.readTree(body))
             catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
@@ -233,6 +235,8 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
         case _ => respond(exchange, 404, error("Not Found"))
       }
     } catch {
+      case _: BodyTooLarge =>
+        respond(exchange, 413, error("Request body too large"))
       case e: Exception => respond(exchange, 500, error(e.getMessage))
     }
 
@@ -246,7 +250,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
       exchange.getRequestMethod match {
         case "OPTIONS" => respond(exchange, 204, "")
         case "POST" =>
-          val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val body = readBody(exchange)
           val parsed: Either[String, JsonNode] =
             try Right(mapper.readTree(body))
             catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
@@ -295,11 +299,35 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
         case _ => respond(exchange, 404, error("Not Found"))
       }
     } catch {
+      case _: BodyTooLarge =>
+        respond(exchange, 413, error("Request body too large"))
       case e: Exception => respond(exchange, 500, error(e.getMessage))
     }
 
+  /** Request-body cap (default 64 MB, `-Dgraft.http.maxBodyBytes`): the
+    * JDK server otherwise buffers arbitrarily large POSTs on the heap —
+    * the same hardening posture as the session cap. A request over the
+    * limit answers 413 (each handler maps [[BodyTooLarge]] below). */
+  private val maxBodyBytes: Long =
+    java.lang.Long.getLong("graft.http.maxBodyBytes", 64L * 1024 * 1024)
+
+  private final class BodyTooLarge extends Exception
+
+  private def readBody(exchange: HttpExchange): String = {
+    val in = exchange.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](65536)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size() > maxBodyBytes) throw new BodyTooLarge
+      n = in.read(chunk)
+    }
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
   private def jsonBody(exchange: HttpExchange): Either[String, JsonNode] = {
-    val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val body = readBody(exchange)
     try Right(mapper.readTree(body))
     catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
   }
@@ -365,7 +393,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
         }
         case _ => respond(exchange, 404, error("Not Found"))
       }
-    } catch { case e: Exception => respond(exchange, 500, error(e.getMessage)) }
+    } catch {
+      case _: BodyTooLarge =>
+        respond(exchange, 413, error("Request body too large"))
+      case e: Exception => respond(exchange, 500, error(e.getMessage))
+    }
 
   /** `POST /rsp/push` (`main.rs:775-859` rsp_push). */
   private def rspPushHandler: HttpHandler = (exchange: HttpExchange) =>
@@ -395,7 +427,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
         }
         case _ => respond(exchange, 404, error("Not Found"))
       }
-    } catch { case e: Exception => respond(exchange, 500, error(e.getMessage)) }
+    } catch {
+      case _: BodyTooLarge =>
+        respond(exchange, 413, error("Request body too large"))
+      case e: Exception => respond(exchange, 500, error(e.getMessage))
+    }
 
   /** `GET /rsp/events/<session_id>` — SSE (`main.rs:829-908`): rows as
     * `data:` lines, push boundaries as `event: firing`; holds the

@@ -116,6 +116,27 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("oversized POST bodies answer 413, not an OOM-bound buffer") {
+    System.setProperty("graft.http.maxBodyBytes", "1024")
+    try {
+      val srv = new GraftHttpServer(spark).start()
+      try {
+        val big = post(srv.port,
+          s"""{"sparql": "SELECT ?s WHERE { ?s <p> ?o }", "rdf": "${"x" * 4096}"}""")
+        assert(big.statusCode() == 413, s"got ${big.statusCode()}")
+        assert(mapper.readTree(big.body()).get("error").asText()
+          .contains("too large"))
+        // a small request on the same server still works
+        val q = java.net.URLEncoder.encode("SELECT ?s WHERE { ?s <p> ?o }", "UTF-8")
+        val ok = client.send(
+          HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query?query=$q"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(ok.statusCode() == 200)
+      } finally srv.stop()
+    } finally System.clearProperty("graft.http.maxBodyBytes")
+  }
+
   test("python client end-to-end (python/graft_client.py smoke)") {
     val py = Seq("/usr/bin/env", "which", "python3")
     val havePython =
