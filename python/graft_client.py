@@ -63,11 +63,15 @@ class GraftClient:
         return [dict(pair for pair in row) for row in data]
 
     def queries(self, sparqls, **kw):
-        """Run several queries in one request; list of row-lists."""
+        """Run several queries in one request; list of row-lists.
+        Accepts the same rdf/format/rules keywords as query()."""
         body = {"queries": list(sparqls)}
         if kw.get("rdf") is not None:
             body["rdf"] = kw["rdf"]
             body["format"] = kw.get("format") or "ntriples"
+        rules = kw.get("rules")
+        if rules is not None:
+            body["rule" if isinstance(rules, str) else "rules"] = rules
         out = self._post("/query", body)
         by_index = sorted(out["results"], key=lambda r: r["query_index"])
         return [[dict(p for p in row) for row in r["data"]] for r in by_index]

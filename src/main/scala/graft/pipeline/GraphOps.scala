@@ -149,7 +149,10 @@ object GraphOps {
     // (a per-round shuffle at scale). DECIMAL(38,0) keeps the sum exact:
     // |V|·max(id) ≤ 10¹⁰·2⁶³ ≈ 10²⁹ ≪ 10³⁸.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first().getDecimal(0)
+      // coalesce: sum over ZERO rows is null — an empty edge set must
+      // converge on the first round (sum 0 == 0), not NPE in compareTo
+      df.agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).first().getDecimal(0)
     var prevSum = lblSum(lbl)
     var round = 0
     var converged = false

@@ -293,6 +293,11 @@ object Similarity {
       m: Int = 4, dsub: Int = 16, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dsub >= 1 && ksub >= 2, "pqTopK needs m, dsub >= 1, ksub >= 2")
+    // same m·dsub tiling contract as ivfPqTopK: the split is dsub-driven,
+    // so a mismatched m would silently train a different code count
+    val pqDim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(pqDim == m * dsub,
+      s"pqTopK: vector dim $pqDim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
     def subRows(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId),
         posexplode(transform(col(vecCol),
@@ -514,6 +519,14 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && m >= 1 && dsub >= 1 && ksub >= 2,
       "ivfPqTopK needs nCells, nProbe, m, dsub >= 1, ksub >= 2")
+    // m is a CONTRACT, not just documentation: the subspace split is
+    // driven by dsub, so a dim that isn't exactly m·dsub would silently
+    // train a different code count than the caller asked for (and a
+    // ragged final subspace) — fail loudly instead. One head() on a
+    // 1-row projection.
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim == m * dsub,
+      s"ivfPqTopK: vector dim $dim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
     // coarse quantizer: integer Lloyd, 2 rounds (the oracle unrolls 2)
     val cent = kmeansMicro(corpus, nCells, iters = 2, idCol, vecCol)
       .select(col("cid").as("cell"), col("pos"), col("cq")).localCheckpoint()
@@ -522,16 +535,22 @@ object Similarity {
         posexplode(transform(col(vecCol),
           v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
           .as(Seq("pos", "xq")))
+    // ONE exploded corpus table serves cell assignment AND the residual
+    // build (pqTopK's pattern) — without it each consumer re-scans the
+    // source and re-runs the explode projection
+    val xc = micro(corpus, "id").localCheckpoint()
     def nearestCell(df: DataFrame, outId: String): DataFrame =
       micro(df, outId).join(broadcast(cent), "pos")
         .groupBy(outId, "cell")
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
     // corpus → cell (one shuffle; this IS the inverted-list structure)
-    val cells = nearestCell(corpus, "id")
+    val cells = xc.join(broadcast(cent), "pos")
+      .groupBy("id", "cell")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
       .groupBy("id")
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     // residual rows, split into m subspaces of dsub components each
-    val xr = micro(corpus, "id").join(cells, "id")
+    val xr = xc.join(cells, "id")
       .join(broadcast(cent), Seq("cell", "pos"))
       .select(col("id"), col("cell"),
         floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),

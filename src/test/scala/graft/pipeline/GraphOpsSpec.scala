@@ -92,6 +92,15 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: empty and all-self-loop edge sets converge empty") {
+    // the checksum convergence test must treat the null sum of an empty
+    // label table as 0 (regression: NPE in compareTo), not crash
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponents(empty).count() == 0)
+    val loops = Seq((7L, 7L), (9L, 9L)).toDF("src", "dst")
+    assert(GraphOps.connectedComponents(loops).count() == 0)
+  }
+
   test("connected components: pointer doubling collapses a long chain") {
     // a 200-node path has diameter 199: plain one-hop propagation needs
     // ~199 rounds, so convergence within 12 doubling rounds PROVES the
