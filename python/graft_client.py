@@ -28,7 +28,21 @@ Run this file directly to smoke-test a live server:
 """
 
 import json
+import urllib.error
 import urllib.request
+
+
+class GraftError(Exception):
+    """A categorized engine error (the server's error taxonomy):
+    category is one of 'syntax' (SPARQL parse failure, annotated
+    diagnostic in the message), 'unsupported' (documented refusal),
+    'data' (inputs wrong for a well-formed query), 'request'
+    (protocol-shape problem) or 'internal'."""
+
+    def __init__(self, message, category, status):
+        super().__init__(message)
+        self.category = category
+        self.status = status
 
 
 class GraftClient:
@@ -42,8 +56,16 @@ class GraftClient:
             data=json.dumps(payload).encode("utf-8"),
             headers={"Content-Type": "application/json"},
             method="POST")
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            try:
+                err = json.loads(e.read().decode("utf-8"))
+            except Exception:
+                raise e
+            raise GraftError(err.get("error", str(e)),
+                             err.get("category", "internal"), e.code) from None
 
     def query(self, sparql, rdf=None, format=None, rules=None):
         """Run one SPARQL query; returns a list of {var: value} dicts.
@@ -115,7 +137,10 @@ class GraftClient:
     def rsp_events(self, session_id, max_events=None, timeout=None):
         """Yield events from the session's SSE channel:
         {'kind': 'row', 'data': {...}} for result rows and
-        {'kind': 'firing'} at each push boundary."""
+        {'kind': 'firing'} at each push boundary. ``max_events`` counts
+        ROW events only -- firing markers are interleaved bookkeeping,
+        not results, so a caller asking for N events is guaranteed N
+        rows (the generator returns after yielding the Nth row)."""
         req = urllib.request.Request(
             f"{self.base}/rsp/events/{session_id}",
             headers={"Accept": "text/event-stream"})
@@ -124,7 +149,8 @@ class GraftClient:
                 req, timeout=timeout or self.timeout) as resp:
             event_name = None
             for raw in resp:
-                line = raw.decode("utf-8").rstrip("\n")
+                # tolerate \r\n line endings (SSE servers may emit either)
+                line = raw.decode("utf-8").rstrip("\r\n")
                 if line.startswith("event:"):
                     event_name = line[6:].strip()
                 elif line.startswith("data:"):
@@ -133,10 +159,10 @@ class GraftClient:
                         yield {"kind": "firing"}
                     else:
                         yield {"kind": "row", "data": json.loads(payload)}
+                        n += 1
+                        if max_events is not None and n >= max_events:
+                            return
                     event_name = None
-                    n += 1
-                    if max_events is not None and n >= max_events:
-                        return
 
 
 def _smoke(base_url):
@@ -147,6 +173,13 @@ def _smoke(base_url):
             "<http://ex/c> <http://ex/p> <http://ex/d> .")
     assert len(rows) == 2 and {"s", "o"} <= set(rows[0]), rows
     print("query over inline rdf:", rows)
+
+    try:
+        c.query("SELECT ?s WHERE { ?s <p> }")
+        raise AssertionError("malformed query did not raise")
+    except GraftError as e:
+        assert e.category == "syntax" and e.status == 400, (e.category, e.status)
+    print("categorized syntax error: OK")
 
     inferred = c.query(
         "SELECT ?x ?z WHERE { ?x <http://ex/anc> ?z }",
@@ -175,9 +208,11 @@ def _smoke(base_url):
     print("session:", sid, "streams:", streams)
     c.rsp_push(sid, "s1", "<http://ex/a> <http://ex/p> <http://ex/b> .", 5)
     c.rsp_push(sid, "s1", "<http://ex/e> <http://ex/p> <http://ex/f> .", 15)
-    got = list(c.rsp_events(sid, max_events=3))
+    # the ts=15 push closes the (0,10] window -> exactly one row; ask
+    # for one row and let interleaved firing markers pass through
+    got = list(c.rsp_events(sid, max_events=1))
     rows = [e for e in got if e["kind"] == "row"]
-    assert rows, got
+    assert len(rows) == 1, got
     print("rsp events:", got)
     print("smoke OK")
 

@@ -91,6 +91,8 @@ object Bench {
     "dedup_semdedup_scaled", "dedup_semdedup_lsh", "http_sparql_smoke",
     // r8 session 2: composed IVF-PQ (coarse cells + residual codes)
     "similarity_ivfpq_topk",
+    // r9: the streaming half of the HTTP protocol (register → push → SSE)
+    "http_rsp_smoke",
     // relational direct mode
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_count",
     "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
@@ -125,11 +127,13 @@ object Bench {
     val tLoad = System.nanoTime()
     graft.relational.Triplizer.cachedStore(spark, sfDir).quads.count()
     val selected = headline.filter(all.contains).filter(n => only.forall(_.contains(n)))
-    // the WatDiv S-family reads the subject-bucketed layout — its
-    // one-time write is data loading too (same status as the quads), but
-    // only when a selected entry actually reads it (an `only` run of
-    // non-WatDiv entries must not pay the bucketBy write)
-    if (selected.exists(graft.queries.WatDivSuite.bucketedSlots))
+    // every WatDiv slot now holds the subject-bucketed layout as the
+    // compiler's star-routing twin (construction is eager — the one-time
+    // bucketBy write is data loading, same status as the quads), but
+    // only when a selected entry actually constructs it (an `only` run
+    // of non-WatDiv entries must not pay the write)
+    if (selected.exists(n => n.startsWith("sparql_watdiv_") ||
+        n == "sparql_star_join_bucketed"))
       graft.relational.Triplizer.bucketedStore(spark, sfDir).quads.count()
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single

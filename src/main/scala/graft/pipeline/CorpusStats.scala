@@ -24,9 +24,18 @@ object CorpusStats {
     * single-partition window runs over the histogram only, the same
     * bounded-side discipline as [[Sampling.tokenShards]]'s offset table.
     * No global sort of N rows, no approximation. Returns (p, value) per
-    * requested percentile. */
+    * requested percentile.
+    *
+    * "Bounded by distinct values" is only a bound when the domain IS
+    * discrete: a continuous double column has ~N distinct values and the
+    * histogram window degenerates into a full-corpus single-task funnel.
+    * The operator refuses loudly above `maxDistinct` (measured on the
+    * already-materialized histogram, no extra pass) rather than silently
+    * running the at-scale bottleneck — round/bucket the value column
+    * first (exact percentiles of the coarsened value) or use Spark's
+    * `percentile_approx` for genuinely continuous domains. */
   def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
-      checkpointHist: Boolean = true): DataFrame = {
+      checkpointHist: Boolean = true, maxDistinct: Long = 1000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"percentiles $ps must be in (0, 1]")
     val spark = df.sparkSession
@@ -34,8 +43,15 @@ object CorpusStats {
     val hist0 = df.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val hist = if (checkpointHist) hist0.localCheckpoint() else hist0
-    val n = hist.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val stats = hist.agg(coalesce(sum("c"), lit(0L)), count(lit(1))).head()
+    val n = stats.getLong(0)
+    val distinct = stats.getLong(1)
     require(n > 0, "exactPercentiles: empty input")
+    require(distinct <= maxDistinct,
+      s"exactPercentiles: $valueCol has $distinct distinct values (> " +
+        s"maxDistinct=$maxDistinct) — the cumulative-sum window would funnel " +
+        "the full histogram through one task. Bucket/round the column first " +
+        "or use percentile_approx for continuous domains.")
     // single-partition window over the HISTOGRAM only (bounded by the
     // number of distinct values, not by N)
     val cum = hist.withColumn("cum", sum("c").over(

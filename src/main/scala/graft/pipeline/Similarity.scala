@@ -295,7 +295,9 @@ object Similarity {
     require(m >= 1 && dsub >= 1 && ksub >= 2, "pqTopK needs m, dsub >= 1, ksub >= 2")
     // same m·dsub tiling contract as ivfPqTopK: the split is dsub-driven,
     // so a mismatched m would silently train a different code count
-    val pqDim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val pqDim = corpus.select(size(col(vecCol)).as("d")).head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTopK: empty corpus — nothing to train codebooks on")).getInt(0)
     require(pqDim == m * dsub,
       s"pqTopK: vector dim $pqDim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
     def subRows(df: DataFrame, outId: String): DataFrame =
@@ -524,7 +526,9 @@ object Similarity {
     // train a different code count than the caller asked for (and a
     // ragged final subspace) — fail loudly instead. One head() on a
     // 1-row projection.
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "ivfPqTopK: empty corpus — nothing to train the quantizers on")).getInt(0)
     require(dim == m * dsub,
       s"ivfPqTopK: vector dim $dim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
     // coarse quantizer: integer Lloyd, 2 rounds (the oracle unrolls 2)
@@ -563,6 +567,7 @@ object Similarity {
     val seedIds = seedSlots(corpus, idCol, ksub)
     var pc = xr.join(broadcast(seedIds), "id")
       .select(col("msub"), col("cid"), col("spos"), col("rq").as("cq"))
+    var pcOwn = false
     for (_ <- 0 until 2) {
       val assigned = xr.join(broadcast(pc), Seq("msub", "spos"))
         .groupBy("id", "msub", "cid")
@@ -572,19 +577,30 @@ object Similarity {
       val sums = xr.join(assigned, Seq("id", "msub"))
         .groupBy("msub", "cid", "spos")
         .agg(sum(col("rq")).as("s"), count(lit(1)).as("n"))
+      val prev = pc
+      val prevOwn = pcOwn
       pc = pc.as("o").join(sums.as("u"), Seq("msub", "cid", "spos"), "left_outer")
         .select(col("msub"), col("cid"), col("spos"),
           coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
             .cast(LongType), col("o.cq")).as("cq"))
         .localCheckpoint()
+      pcOwn = true
+      if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
     }
-    // encode: m codes per vector (this is ALL a candidate costs at scan)
+    // encode: m codes per vector (this is ALL a candidate costs at scan).
+    // Checkpointed so the n·dim training tables (xc, xr) can be RELEASED
+    // here instead of leaking cached blocks across bench reps — codes is
+    // n·m rows (dim/m× smaller), the only corpus-sized block the result
+    // retains
     val codes = xr.join(broadcast(pc), Seq("msub", "spos"))
       .groupBy("id", "cell", "msub", "cid")
       .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
       .groupBy("id", "cell", "msub")
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
       .withColumnRenamed("id", "nid")
+      .localCheckpoint()
+    graft.reasoner.Reasoner.unpersistCheckpoint(xc)
+    graft.reasoner.Reasoner.unpersistCheckpoint(xr)
     // query side: nProbe nearest cells, then one ADC distance table per
     // probed cell (the residual depends on the cell, Jégou §IV.A)
     val probes = nearestCell(queries, "qid")
@@ -598,9 +614,16 @@ object Similarity {
         floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),
         pmod(col("pos"), lit(dsub)).as("spos"),
         (col("xq") - col("cq")).as("rq"))
+    // dt is |q|·nProbe·m·ksub rows — broadcast-tiny; materializing it
+    // lets the coarse centroids and PQ codebooks be released too, so the
+    // returned frame retains only codes + dt (bounded), not the five
+    // training checkpoints (the ADVICE r8 session-drag class)
     val dt = qr.join(broadcast(pc), Seq("msub", "spos"))
       .groupBy("qid", "cell", "msub", "cid")
       .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
+      .localCheckpoint()
+    graft.reasoner.Reasoner.unpersistCheckpoint(cent)
+    if (pcOwn) graft.reasoner.Reasoner.unpersistCheckpoint(pc)
     // ADC: candidates in probed cells cost m table lookups each
     val scored = codes.join(broadcast(dt),
         codes("cell") === dt("cell") && codes("msub") === dt("msub") &&

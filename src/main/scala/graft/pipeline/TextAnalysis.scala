@@ -290,18 +290,31 @@ object TextAnalysis {
 
   /** Corpus vocabulary: top-`k` whitespace tokens by occurrence count,
     * ranked with the deterministic (count desc, token asc) tiebreak.
-    * One narrow explode + one count shuffle; the ranking window runs over
-    * the AGGREGATED vocabulary (bounded by distinct-token count, not
-    * corpus size), which is the standard tokenizer-training shape: 100 TB
-    * of text reduces to a vocab table that fits anywhere. */
+    * One narrow explode + one count shuffle; the rank is the two-phase
+    * salt-cell shape ([[Sampling.topNPerGroup]] with one group): phase 1
+    * ranks within `salts` hash cells of the aggregated vocab and keeps
+    * each cell's local top k, so the final global window sorts at most
+    * `salts`·k rows — never the full distinct-token table, which on a
+    * web-scale corpus is heavy-tailed (typos/URLs/numbers, billions of
+    * rows) and would otherwise funnel through ONE task. Provably equal
+    * to the single global window: (cnt desc, token asc) is a total
+    * order (tokens are unique post-aggregate), and its restriction to a
+    * cell is the cell's order, so every global top-k row is in its own
+    * cell's top k. */
   def vocabulary(docs: DataFrame, k: Int, textCol: String = "text",
-      minTokenLength: Int = 0): DataFrame = {
+      minTokenLength: Int = 0, salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(tokens(col(textCol))).as("token"))
+    require(k >= 1, s"vocabulary k $k must be >= 1")
+    require(salts >= 1, s"vocabulary salts $salts must be >= 1")
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) >= minTokenLength)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token").asc)))
+    val order = Seq(col("cnt").desc, col("token").asc)
+    val cell = Window.partitionBy(
+      Sampling.hashBucket(col("token"), salts, "vocab")).orderBy(order: _*)
+    counts.withColumn("__lr", row_number().over(cell))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
       .filter(col("rank") <= k)
   }
 

@@ -20,6 +20,8 @@ object StreamSuite {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsReader.events(s, dir)
 
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> ((s, dir) =>
       StreamOps.windowedAgg(events(s, dir), "ts", "1 hour", "1 hour",
@@ -150,6 +152,97 @@ object StreamSuite {
       new DistributedRsp(s, multiWindowIStreamQuery)
         .emissions(eventTriples(s, dir))
         .select("close", "e", "e2", "u")),
+
+    // RSP-protocol smoke IN the driver surface (VERDICT r8 item 5) — the
+    // streaming half of http_sparql_smoke: the stream_window_bgp query is
+    // REGISTERED over HTTP, a deterministic 300-event slice of the events
+    // feed is POSTed through /rsp/push (two triples per event, one push
+    // per event timestamp, ascending), and the emitted bindings are read
+    // back off the /rsp/events SSE channel (reading until one firing
+    // marker per push has arrived — the protocol's completion signal).
+    // The distinct (e, u) result hash-checks against the SAME fired-window
+    // oracle as stream_window_bgp, sliced identically — proving register →
+    // push → firing → SSE serialization end-to-end, not just liveness.
+    // WITH POLICY steal routes to the driver engine plane (single window:
+    // Steal ≡ Wait — sync policies only differ across multiple windows);
+    // the distributed plane's SSE parity is pinned in HttpServerSpec.
+    "http_rsp_smoke" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      val e = graft.streaming.EventsReader.eventsMs(s, dir)
+      // bounded deterministic feed: the 300 earliest events by (tms, eid)
+      // — a protocol smoke, not a throughput leg (dedup_minhash_stream
+      // carries that), so the push count is constant at every SF
+      val feed = e.select(col("tms"),
+          concat(lit("event/"), col("event_id")).as("eid"),
+          concat(lit("user/"), col("user_id")).as("uid"), col("event_type"))
+        .orderBy(col("tms").asc, col("eid").asc).limit(300).collect()
+      val srv = new graft.server.GraftHttpServer(s).start()
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        def post(path: String, body: com.fasterxml.jackson.databind.node.ObjectNode) = {
+          val resp = httpClient.send(
+            java.net.http.HttpRequest
+              .newBuilder(new java.net.URI(s"http://localhost:${srv.port}$path"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"http_rsp_smoke: HTTP ${resp.statusCode()} on $path: ${resp.body().take(200)}")
+          mapper.readTree(resp.body())
+        }
+        val reg = mapper.createObjectNode()
+        reg.put("query", """
+          REGISTER RSTREAM <http://out/windowed> AS
+          SELECT *
+          FROM NAMED WINDOW :w ON :events [RANGE 7200000 ms STEP 3600000 ms]
+            WITH POLICY steal
+          WHERE { WINDOW :w { ?e <ev/user> ?u . ?e <ev/type> "purchase" . } }""")
+        val sid = post("/rsp/register", reg).get("session_id").asText()
+        var pushes = 0
+        feed.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (ts, evs) =>
+          val nt = evs.map { r =>
+            s"<${r.getString(1)}> <ev/user> <${r.getString(2)}> .\n" +
+              s"<${r.getString(1)}> <ev/type> \"${r.getString(3)}\" ."
+          }.mkString("\n")
+          val p = mapper.createObjectNode()
+          p.put("session_id", sid); p.put("stream", "events")
+          p.put("timestamp", ts); p.put("ntriples", nt)
+          post("/rsp/push", p)
+          pushes += 1
+        }
+        // SSE: the queue replays rows emitted before the client connects;
+        // one firing marker per push bounds the read deterministically
+        val conn = new java.net.URI(
+          s"http://localhost:${srv.port}/rsp/events/$sid").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(60000)
+        require(conn.getResponseCode == 200, s"SSE HTTP ${conn.getResponseCode}")
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        val rows = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+        var firings = 0
+        var event: String = null
+        while (firings < pushes) {
+          val l = reader.readLine()
+          require(l != null, s"SSE closed after $firings/$pushes firings")
+          if (l.startsWith("event:")) event = l.stripPrefix("event:").trim
+          else if (l.startsWith("data:")) {
+            if (event == "firing") firings += 1
+            else {
+              val n = mapper.readTree(l.stripPrefix("data:").trim)
+              rows += ((n.get("e").asText(), n.get("u").asText()))
+            }
+            event = null
+          }
+        }
+        conn.disconnect()
+        val out = new java.util.ArrayList[Row]()
+        rows.foreach { case (ee, uu) => out.add(Row(ee, uu)) }
+        s.createDataFrame(out, StructType(Seq(
+          StructField("e", StringType), StructField("u", StringType))))
+      } finally srv.stop()
+    }),
 
     // cross-window SDS+ on the distributed plane: every hourly step's
     // expiry-annotated materialization in ONE step-keyed fixpoint — a
@@ -413,6 +506,27 @@ object StreamSuite {
                     WHERE (tms - 1) - ((tms - 1) % 3600000) >=
                           (SELECT MIN(tms) FROM ev))
           SELECT DISTINCT f.close, ev.eid AS e, ev.uid AS u
+          FROM ev JOIN fired f
+            ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
+          WHERE ev.event_type = 'purchase'""",
+
+    // the SSE smoke's slice of the same fired-window semantics: the 300
+    // earliest events by (tms, eid) — the engine fires, per event, the
+    // max STEP-multiple close strictly below its ts (RspEngine.advance),
+    // which is exactly the per-event floor-close set below; the DISTINCT
+    // (e, u) projection matches the smoke's dedup of RSTREAM re-emissions
+    "http_rsp_smoke" ->
+      s"""WITH ev0 AS (SELECT 'event/' || CAST(event_id AS VARCHAR) AS eid,
+                              'user/' || CAST(user_id AS VARCHAR) AS uid,
+                              event_type,
+                              CAST(epoch_ms(ts) AS BIGINT) AS tms
+                       FROM events),
+          ev AS (SELECT * FROM ev0 ORDER BY tms, eid LIMIT 300),
+          fired AS (SELECT DISTINCT (tms - 1) - ((tms - 1) % 3600000) AS close
+                    FROM ev
+                    WHERE (tms - 1) - ((tms - 1) % 3600000) >=
+                          (SELECT MIN(tms) FROM ev))
+          SELECT DISTINCT ev.eid AS e, ev.uid AS u
           FROM ev JOIN fired f
             ON ev.tms <= f.close AND ev.tms >= f.close - 7200000
           WHERE ev.event_type = 'purchase'""",

@@ -255,19 +255,20 @@ object WatDivSuite {
     * p-filtered scans of the quad table, not the join exchange — the
     * bucketed layout removes the exchanges (plan-pinned in
     * PlanPostureSpec) but each pattern still reads its predicate's rows. */
-  val bucketedSlots: Set[String] = Set(
-    "sparql_watdiv_s1", "sparql_watdiv_s2", "sparql_watdiv_s3",
-    "sparql_watdiv_s4", "sparql_watdiv_s5", "sparql_watdiv_s6",
-    "sparql_watdiv_s7")
-
-  private def bucketedEngine(spark: SparkSession, sfDir: String): Compiler =
-    new Compiler(Triplizer.bucketedStore(spark, sfDir, defaultGraph = true))
+  /** r9: the measured split above is now a COMPILER heuristic, not a
+    * hand-picked set — every slot runs through one compiler holding both
+    * layouts, and [[Compiler.isSubjectStar]] (the reference's star
+    * detector shape, `optimizer.rs:143-206`) routes exactly the pure
+    * subject stars (S1-S7) to the bucketed twin while the multi-hub
+    * C/F/L chains provably stay plain (StarRoutingSpec pins both
+    * directions against the realized scans). */
+  private def starEngine(spark: SparkSession, sfDir: String): Compiler =
+    new Compiler(Triplizer.cachedStore(spark, sfDir, defaultGraph = true),
+      starStore = Some(Triplizer.bucketedStore(spark, sfDir, defaultGraph = true)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sparqlText.map { case (name, text) =>
-      name -> ((s: SparkSession, dir: String) =>
-        (if (bucketedSlots(name)) bucketedEngine(s, dir) else engine(s, dir))
-          .select(text))
+      name -> ((s: SparkSession, dir: String) => starEngine(s, dir).select(text))
     }
 
   /** DuckDB mirror of Triplizer's lineitem row-fingerprint subject (keep

@@ -45,7 +45,15 @@ import graft.sparql.{Compiler, SparqlParser}
   * Uses the JDK's `com.sun.net.httpserver` and Spark's bundled Jackson —
   * no new dependencies.
   */
-class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
+class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
+    /** Request-body cap (default 64 MB, `-Dgraft.http.maxBodyBytes`): the
+      * JDK server otherwise buffers arbitrarily large POSTs on the heap —
+      * the same hardening posture as the session cap. A request over the
+      * limit answers 413. A constructor parameter (system property only
+      * as the default) so concurrently-constructed servers — parallel
+      * test suites — never inherit another instance's cap. */
+    maxBodyBytes: Long =
+      java.lang.Long.getLong("graft.http.maxBodyBytes", 64L * 1024 * 1024)) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -189,7 +197,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     } catch {
       case _: BodyTooLarge =>
         respond(exchange, 413, error("Request body too large"))
-      case e: Exception => respond(exchange, 500, error(e.getMessage))
+      case e: Exception => fail(exchange, e)
     }
 
   private def queryHandler: HttpHandler = (exchange: HttpExchange) =>
@@ -237,7 +245,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     } catch {
       case _: BodyTooLarge =>
         respond(exchange, 413, error("Request body too large"))
-      case e: Exception => respond(exchange, 500, error(e.getMessage))
+      case e: Exception => fail(exchange, e)
     }
 
   /** `POST /rsp-query` (`main.rs:1127-1260` execute_rsp_query): one-shot
@@ -301,15 +309,8 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     } catch {
       case _: BodyTooLarge =>
         respond(exchange, 413, error("Request body too large"))
-      case e: Exception => respond(exchange, 500, error(e.getMessage))
+      case e: Exception => fail(exchange, e)
     }
-
-  /** Request-body cap (default 64 MB, `-Dgraft.http.maxBodyBytes`): the
-    * JDK server otherwise buffers arbitrarily large POSTs on the heap —
-    * the same hardening posture as the session cap. A request over the
-    * limit answers 413 (each handler maps [[BodyTooLarge]] below). */
-  private val maxBodyBytes: Long =
-    java.lang.Long.getLong("graft.http.maxBodyBytes", 64L * 1024 * 1024)
 
   private final class BodyTooLarge extends Exception
 
@@ -396,7 +397,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     } catch {
       case _: BodyTooLarge =>
         respond(exchange, 413, error("Request body too large"))
-      case e: Exception => respond(exchange, 500, error(e.getMessage))
+      case e: Exception => fail(exchange, e)
     }
 
   /** `POST /rsp/push` (`main.rs:775-859` rsp_push). */
@@ -430,7 +431,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     } catch {
       case _: BodyTooLarge =>
         respond(exchange, 413, error("Request body too large"))
-      case e: Exception => respond(exchange, 500, error(e.getMessage))
+      case e: Exception => fail(exchange, e)
     }
 
   /** `GET /rsp/events/<session_id>` — SSE (`main.rs:829-908`): rows as
@@ -466,7 +467,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
           exchange.close()
       }
     } catch { case e: Exception =>
-      try respond(exchange, 500, error(e.getMessage)) catch { case _: Exception => }
+      try fail(exchange, e) catch { case _: Exception => }
     }
 
   private def buildStore(rdf: Option[String], format: String): QuadStore = rdf match {
@@ -475,7 +476,9 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
       val triples = format match {
         case "ntriples" => RdfIO.parseNtDoc(data)
         case "turtle" | "n3" => RdfIO.parseTurtleDoc(data)
-        case _ => RdfIO.parseRdfXmlDoc(data)
+        case "rdfxml" | "xml" => RdfIO.parseRdfXmlDoc(data)
+        case other => throw new IllegalArgumentException(
+          s"RDF format '$other' is not supported — use ntriples, turtle, n3 or rdfxml")
       }
       QuadStore.fromTriples(spark, triples)
   }
@@ -520,10 +523,44 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None) {
     response
   }
 
-  private def error(msg: String): String = {
+  /** JSON error body: `{"error": msg, "category": …}`. Categories follow
+    * the reference's error taxonomy (`error_handler.rs:1-259` separates
+    * parse errors — with recovery hints — from execution errors):
+    *  - `syntax`      — SPARQL/rule parse failure (annotated diagnostic in
+    *                    the message, [[graft.sparql.SparqlParseException]])
+    *  - `unsupported` — a documented engine refusal (the feature exists in
+    *                    the grammar but this configuration is refused with
+    *                    a reason, e.g. live-plane Steal/Timeout R2S)
+    *  - `data`        — the query parsed but its inputs are wrong (bad RDF
+    *                    payload, wrong types, malformed model)
+    *  - `request`     — protocol-shape problems (invalid JSON, missing
+    *                    fields, unknown session, oversized body)
+    *  - `internal`    — anything else (answered 500)
+    * A client/playground can branch on `category` without parsing prose. */
+  private def error(msg: String, category: String = "request"): String = {
     val n = mapper.createObjectNode()
     n.put("error", msg)
+    n.put("category", category)
     n.toString
+  }
+
+  private def categoryOf(e: Throwable): String = e match {
+    case _: graft.sparql.SparqlParseException => "syntax"
+    case _: UnsupportedOperationException => "unsupported"
+    case iae: IllegalArgumentException
+        if Option(iae.getMessage).exists(_.toLowerCase.contains("supported")) =>
+      "unsupported" // the engine's guided refusals are `require` messages
+    case _: IllegalArgumentException | _: IllegalStateException => "data"
+    case _ => "internal"
+  }
+
+  /** Map a handler exception to (status, categorized body): user-fixable
+    * classes answer 400, engine faults answer 500. */
+  private def fail(exchange: HttpExchange, e: Exception): Unit = {
+    val cat = categoryOf(e)
+    val code = if (cat == "internal") 500 else 400
+    respond(exchange, code,
+      error(Option(e.getMessage).getOrElse(e.getClass.getSimpleName), cat))
   }
 
   private def respondHtml(exchange: HttpExchange, code: Int, body: String): Unit =

@@ -61,9 +61,31 @@ object Compiler {
   /** Distinguishes blank-node allocations across updates in one session
     * (the reference's dictionary hands out globally fresh ids). */
   private[sparql] val bnodeEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pure subject-star detector — the reference's star-join recognition
+    * (`optimizer.rs:143-206` groups patterns by shared subject variable):
+    * at least 3 patterns, every subject the SAME variable. This is
+    * exactly the measured-win shape for the subject-bucketed layout
+    * (WatDivBucketProbe: S-stars 1.3-1.5×; anything multi-hub regresses),
+    * so the [[Compiler]] star router accepts nothing looser. */
+  private[graft] def isSubjectStar(patterns: Seq[TriplePattern]): Boolean =
+    patterns.size >= 3 && (patterns.head.s match {
+      case Var(n) => patterns.forall(_.s == Var(n))
+      case _ => false
+    })
 }
 
-class Compiler(store: QuadStore) {
+class Compiler(store: QuadStore,
+    /** Optional subject-bucketed twin of `store` (same triples, CLUSTERED
+      * BY s — [[graft.relational.Triplizer.bucketedStore]]). When present,
+      * pure subject-star BGPs route their scans to it automatically — the
+      * compiler-heuristic form of the r8 measured split (subject stars win
+      * 1.3-1.5× on the bucketed layout because the star join needs no
+      * exchange; multi-hub chains REGRESS, so only [[Compiler.isSubjectStar]]
+      * shapes route). The detector mirrors the reference's star-join
+      * recognition (`optimizer.rs:143-206`: patterns grouped by shared
+      * subject var). */
+    starStore: Option[QuadStore] = None) {
   import Compiler._
 
   private val spark: SparkSession = store.spark
@@ -379,9 +401,22 @@ class Compiler(store: QuadStore) {
           case _: Quoted => false; case _ => true
         }))
       return Some(compileBgpEncoded(patterns, scope, view))
+    // star routing: a pure subject star over the physical default graph
+    // reads the CLUSTERED BY (s) twin — its p-filtered scans arrive
+    // co-partitioned on the join key, so the star chain shuffles nothing
+    // at any corpus size (zero-exchange pin in PlanPostureSpec). Only the
+    // detector's shape routes: the r8 A/B measured multi-hub chains
+    // REGRESSING on the bucketed table (C3 0.44×).
+    val scanView =
+      if (starStore.isDefined && input.isEmpty && view.physicalDataset &&
+          scope == DefaultGraph && isSubjectStar(patterns)) {
+        val q = starStore.get.quads
+        View(q.filter(col("g").isNull).select("s", "p", "o"),
+          q.filter(col("g").isNotNull), physicalDataset = true)
+      } else view
     var acc = input
     greedyOrder(patterns, scope, acc.map(_.vars).getOrElse(Set.empty)).foreach { tp =>
-      val scan = scanPattern(tp, scope, view)
+      val scan = scanPattern(tp, scope, scanView)
       acc = Some(acc.map(a => compatJoin(a, scan)).getOrElse(scan))
     }
     acc

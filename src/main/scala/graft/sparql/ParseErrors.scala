@@ -12,6 +12,13 @@ package graft.sparql
   * Pure string formatting on the driver — parse errors happen before any
   * plan exists, so there is nothing distributed about this path.
   */
+/** Typed SPARQL/rule syntax failure — subclasses IllegalArgumentException
+  * so existing catch sites keep working, but lets the HTTP boundary map
+  * parse failures to the `syntax` error CATEGORY (the reference's
+  * error_handler.rs distinguishes parse from execution errors; the JSON
+  * error response carries the class so clients can too). */
+class SparqlParseException(msg: String) extends IllegalArgumentException(msg)
+
 object ParseErrors {
 
   final case class Diagnostic(title: String, label: String,

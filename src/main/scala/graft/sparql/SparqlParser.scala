@@ -720,10 +720,10 @@ class SparqlParser extends RegexParsers {
       case Success(r, _) => r
       case NoSuccess(msg, next) =>
         // annotated snippet + specific-hint heuristics (error_handler.rs)
-        throw new IllegalArgumentException(
+        throw new SparqlParseException(
           s"SPARQL parse error at line ${next.pos.line}, col ${next.pos.column}: $msg\n" +
             ParseErrors.format(input, next.pos.line, next.pos.column, msg))
-      case other => throw new IllegalArgumentException(s"SPARQL parse error: $other")
+      case other => throw new SparqlParseException(s"SPARQL parse error: $other")
     }
   }
 

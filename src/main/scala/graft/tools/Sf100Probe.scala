@@ -54,7 +54,12 @@ object Sf100Probe {
     "sparql_watdiv_s1",
     // r8 session 2: composed IVF-PQ — fixed nCells, so cells grow
     // linearly and the ADC join volume is (probed fraction)·n·m lookups
-    "similarity_ivfpq_topk")
+    "similarity_ivfpq_topk",
+    // r9 (VERDICT r8 item 4): second-decade exponents for the remaining
+    // near-linear candidates — BM25's postings-linear shape (e1 = 0.90
+    // recorded r8 with no e2) and the containment join's in-row postings
+    // kernel (its prefix-Jaccard sibling already probes both decades)
+    "text_bm25_topk", "dedup_containment")
 
   /** Entries whose 100× point is out of the default probe's envelope —
     * skipped unless SF100_PROBE_HEAVY=1; their 10× exponent still

@@ -1065,4 +1065,23 @@ class PipelineSpec extends SparkSpec {
       .as[(Double, Double)].collect().toMap
     assert(o3 == Map(0.5 -> 1.6))
   }
+
+  test("exact percentiles refuse continuous domains: high cardinality trips the guard") {
+    import spark.implicits._
+    // a continuous-ish column: every value distinct, above the threshold —
+    // the single-partition histogram window would be the full input, so
+    // the operator must refuse loudly instead of running the funnel
+    val cont = (1 to 500).map(i => i + 0.5).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.exactPercentiles(cont, "v", Seq(0.5), maxDistinct = 100L).collect()
+    }
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("percentile_approx"))
+    // bucketing first (the suggested remedy) passes the same guard and
+    // yields the exact percentiles of the coarsened value
+    val bucketed = cont.select(org.apache.spark.sql.functions.floor($"v").as("v"))
+    val ok = CorpusStats.exactPercentiles(bucketed, "v", Seq(0.5), maxDistinct = 1000L)
+      .as[(Double, Long)].collect().toMap
+    assert(ok == Map(0.5 -> 250L))
+  }
 }

@@ -240,8 +240,10 @@ class PlanPostureSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     // the ADC scoring join must be a hash lookup on (cell, subspace,
-    // code) — a sort of the code table would be the 100× bottleneck
+    // code) — a sort of the code table would be the 100× bottleneck, so
+    // pin the absence of ANY sort-merge join, not just nested loops
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge join in ivfpq plan:\n$p")
   }
 
   test("stratified sample: rank window partitions by stratum with a group limit") {
@@ -304,8 +306,8 @@ class PlanPostureSpec extends SparkSpec {
   }
 
   test("watdiv s1 routes through the bucketed layout: bucketed scans, no star-join exchange") {
-    // the S-family reads the subject-bucketed quad table (r8, measured
-    // A/B in WatDivSuite.bucketedSlots' scaladoc). At the spec's tiny
+    // the S-family reads the subject-bucketed quad table (r8 measured
+    // A/B; r9 routed by the Compiler.isSubjectStar heuristic). At the tiny
     // scale Catalyst rightly prefers broadcast joins and disables the
     // bucketed read ("Bucketed: false (disabled by query planner)");
     // what must hold at EVERY size is: the scans read the bucketed
@@ -329,6 +331,47 @@ class PlanPostureSpec extends SparkSpec {
     val f2 = plan("sparql_watdiv_f2")
     assert(!f2.contains("CartesianProduct") && !f2.contains("BroadcastNestedLoopJoin"),
       s"cartesian in watdiv F2 plan:\n$f2")
+  }
+
+  test("vocabulary: no unpartitioned window over the token table — salt cells bound the global rank") {
+    // the distinct-token table of a web corpus is heavy-tailed
+    // (typos/URLs/numbers — billions of rows); the top-k rank must never
+    // move all of it into one task. The two-phase shape pins as: exactly
+    // one PARTITIONED window (the salt-cell local rank, over the full
+    // aggregate) and exactly one unpartitioned window whose input is the
+    // salt-capped survivors (≤ salts·k rows) — the unpartitioned node
+    // sits ABOVE the partitioned one in the printed plan (root-first)
+    val df = SparkEntry.queries("text_vocab_topk")(spark, sf())
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // a PARTITIONED window prints THREE bracket groups (exprs, partition,
+    // order); unpartitioned prints two — same convention as the token
+    // shards pin above
+    def shape(plan0: String): (Seq[Int], Seq[Int]) = {
+      // a finalized AdaptiveSparkPlan prints the initial plan too — count
+      // window ops in the realized section only
+      val plan = plan0.split("== Initial Plan ==")(0)
+      val all = "Window \\[".r.findAllMatchIn(plan).map(_.start).toSeq
+      val part = "Window \\[[^\\]]*\\], \\[[^\\]]+\\], \\[".r
+        .findAllMatchIn(plan).map(_.start).toSeq
+      (all, part)
+    }
+    val (all, part) = shape(p)
+    assert(all.size == 2, s"expected 2 window ops in vocab plan:\n$p")
+    assert(part.size == 1, s"expected exactly 1 salt-cell partitioned window:\n$p")
+    // the one unpartitioned window consumes the salt-capped survivors —
+    // it sits ABOVE the partitioned one in the printed plan (root-first)
+    assert(all.filterNot(part.contains).head < part.head,
+      s"global window is not above the salt-cell window:\n$p")
+    // rank-filter pushdown caps each cell's sort at k rows pre-shuffle
+    assert(p.contains("WindowGroupLimit"), s"no pushed group limit:\n$p")
+    // BPE training inherits the same surface (wordHistogram → vocabulary)
+    val bpe = graft.pipeline.Bpe.wordHistogram(
+      spark.read.parquet(s"${sf()}/documents.parquet"), maxWords = 100)
+    bpe.collect()
+    val (ball, bpart) = shape(bpe.queryExecution.executedPlan.toString)
+    assert(ball.size == 2 && bpart.size == 1,
+      s"BPE histogram lost the two-phase rank shape:\n${bpe.queryExecution.executedPlan}")
   }
 
   test("unicode clean and CMS build stay shuffle-minimal") {

@@ -117,24 +117,55 @@ class HttpServerSpec extends SparkSpec {
   }
 
   test("oversized POST bodies answer 413, not an OOM-bound buffer") {
-    System.setProperty("graft.http.maxBodyBytes", "1024")
+    // the cap is a constructor parameter (system property only as the
+    // default) so this test never leaks a 1 KB cap into servers other
+    // suites construct concurrently
+    val srv = new GraftHttpServer(spark, maxBodyBytes = 1024L).start()
     try {
-      val srv = new GraftHttpServer(spark).start()
-      try {
-        val big = post(srv.port,
-          s"""{"sparql": "SELECT ?s WHERE { ?s <p> ?o }", "rdf": "${"x" * 4096}"}""")
-        assert(big.statusCode() == 413, s"got ${big.statusCode()}")
-        assert(mapper.readTree(big.body()).get("error").asText()
-          .contains("too large"))
-        // a small request on the same server still works
-        val q = java.net.URLEncoder.encode("SELECT ?s WHERE { ?s <p> ?o }", "UTF-8")
-        val ok = client.send(
-          HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query?query=$q"))
-            .GET().build(),
-          HttpResponse.BodyHandlers.ofString())
-        assert(ok.statusCode() == 200)
-      } finally srv.stop()
-    } finally System.clearProperty("graft.http.maxBodyBytes")
+      val big = post(srv.port,
+        s"""{"sparql": "SELECT ?s WHERE { ?s <p> ?o }", "rdf": "${"x" * 4096}"}""")
+      assert(big.statusCode() == 413, s"got ${big.statusCode()}")
+      assert(mapper.readTree(big.body()).get("error").asText()
+        .contains("too large"))
+      // a small request on the same server still works
+      val q = java.net.URLEncoder.encode("SELECT ?s WHERE { ?s <p> ?o }", "UTF-8")
+      val ok = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query?query=$q"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("error taxonomy: JSON errors carry the reference's category classes (error_handler.rs)") {
+    val srv = new GraftHttpServer(spark).start()
+    try {
+      def body(fields: (String, String)*): String = {
+        val b = mapper.createObjectNode()
+        fields.foreach { case (k, v) => b.put(k, v) }
+        b.toString
+      }
+      def check(resp: HttpResponse[String], code: Int, cat: String, frag: String): Unit = {
+        assert(resp.statusCode() == code,
+          s"expected $code, got ${resp.statusCode()}: ${resp.body()}")
+        val j = mapper.readTree(resp.body())
+        assert(j.get("category").asText() == cat, resp.body())
+        assert(j.get("error").asText().contains(frag), resp.body())
+      }
+      // syntax: parse failure — the annotated diagnostic rides the message
+      check(post(srv.port, body("sparql" -> "SELECT ?s WHERE { ?s <p> }")),
+        400, "syntax", "SPARQL parse error")
+      // unsupported: documented refusal (feature named, remedy suggested)
+      check(post(srv.port, body(
+          "sparql" -> "SELECT ?s WHERE { ?s <p> ?o }",
+          "rdf" -> "<a> <p> <b> .", "format" -> "json-ld")),
+        400, "unsupported", "not supported")
+      // data: a well-formed operation of the wrong kind for the endpoint
+      check(post(srv.port, body("sparql" -> "INSERT DATA { <a> <b> <c> }")),
+        400, "data", "not a SELECT")
+      // request: protocol-shape problem (invalid JSON body)
+      check(post(srv.port, "{ not json"), 400, "request", "Invalid JSON")
+    } finally srv.stop()
   }
 
   test("python client end-to-end (python/graft_client.py smoke)") {
