@@ -229,7 +229,23 @@ object Dedup {
         * merges `#partitions × cap` rows on the driver, and every
         * shingle OUTSIDE the map costs only candidate-pruning quality
         * (treated as df = 1), never recall. */
-      hotVocabCap: Int = 1 << 16): DataFrame = {
+      hotVocabCap: Int = 1 << 16,
+      /** Blocking-collapse guard (r9): refuse when the estimated
+        * candidate volume exceeds `maxCandidateBlowup` × the corpus's
+        * total shingle mass. Prefix filtering presumes a shingle
+        * vocabulary ≫ corpus size (the AllPairs/PPJoin premise, true of
+        * any real web corpus) — on vocabulary-EXHAUSTED data (measured:
+        * a 31-token test corpus whose ~30K possible 3-gram shingles all
+        * go hot) no shingle is rare, candidates are birthday-quadratic
+        * chance collisions (19.7M candidates at 50K docs for ZERO true
+        * pairs), and the join wedges a node before producing anything.
+        * The estimate is driver-side FREE: Σ (df/p)²/2 over the already
+        * collected sampled-df map (sample rate p) — an order-of-magnitude
+        * detector, exact enough to separate ~linear (a few × shingle
+        * mass) from collapsed (50×+). Use [[minHashLshPairs]] on such
+        * corpora (banded + capped buckets, measured linear across two
+        * decades). */
+      maxCandidateBlowup: Double = 50.0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"prefixJaccardPairs threshold $threshold must be in (0, 1]")
     // Full postings NEVER shuffle (the r6 form shuffled the exploded
@@ -288,7 +304,8 @@ object Dedup {
     // Sampling is deterministic (fixed seed over the checkpoint's fixed
     // partitioning), and a missed/extra hot entry shifts only candidate
     // volume, never the verified output.
-    val dfAgg = arr.sample(withReplacement = false, 0.1, seed = 421017L)
+    val dfSampleRate = 0.1
+    val dfAgg = arr.sample(withReplacement = false, dfSampleRate, seed = 421017L)
       .select(explode(col("sh")).as("shh"))
       .groupBy("shh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2L)
@@ -301,6 +318,37 @@ object Dedup {
         "recall is unaffected")
     val hotMap = hotRows.take(hotVocabCap)
       .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // blocking-collapse guard (see the parameter doc): candidate volume
+    // ≈ Σ C(df,2) over the vocabulary, estimated from the sampled df map
+    // already on the driver (df_full ≈ df_sample/p); compared against the
+    // corpus's total shingle mass (one narrow agg over the checkpointed
+    // array table). Hot shingles dominate Σdf² — the 64K cap loses only
+    // the near-floor tail, and on collapsed corpora the whole vocabulary
+    // fits under the cap anyway.
+    if (hotMap.nonEmpty) {
+      val sampleRate = dfSampleRate
+      // unbiased under Bernoulli thinning: E[df_s·(df_s−1)] = p²·df·(df−1),
+      // so df_s(df_s−1)/p² estimates df² without the +df/p squaring bias;
+      // (1−t)² accounts for only the per-doc prefix (≈(1−t)·n shingles)
+      // reaching the candidate join on both sides
+      val prefixFrac = 1.0 - threshold
+      val estCand = hotMap.values.iterator.map { d =>
+        prefixFrac * prefixFrac * d.toDouble * (d - 1).toDouble /
+          (2.0 * sampleRate * sampleRate)
+      }.sum
+      val shingleMass = arr.agg(sum(size(col("sh")))).head().getLong(0).toDouble
+      // the 5e7 floor keeps the guard a SCALE protection: below ~50M
+      // estimated candidates the exact join finishes anywhere, however
+      // collapsed the vocabulary (deliberately-degenerate spec corpora
+      // and sf0.1-class runs stay untouched)
+      require(estCand <= math.max(maxCandidateBlowup * shingleMass, 5e7),
+        f"prefixJaccardPairs: estimated candidate volume ${estCand}%.3g exceeds " +
+        f"$maxCandidateBlowup%.0f x the corpus shingle mass (${shingleMass}%.3g) — " +
+        "the shingle vocabulary is too small for prefix blocking (no shingle is " +
+        "rare), so the candidate join would be quadratic chance collisions. Use " +
+        "minHashLshPairs (banded + capped buckets) on this corpus, or raise " +
+        "maxCandidateBlowup to force the exact join.")
+    }
     val hotB = docs.sparkSession.sparkContext.broadcast(hotMap)
     // Per-doc order-and-slice, primitive-sorted: shingles outside the hot
     // map all carry df' = 1, so they order among themselves by hash alone

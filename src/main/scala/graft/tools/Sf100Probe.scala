@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *    depend only on the range (depth +log₂ 100 ≈ 6.6 levels, so the
   *    DOUBLING entries gain one round — output rows are what grows);
   *  - documents: 100 word-shuffled copies (same shingle cardinality per
-  *    doc, no cross-copy near-dup explosion — corpus-linear candidate
-  *    volume is exactly the property under test for prefix-Jaccard and
-  *    MinHash-LSH);
+  *    doc, no cross-copy near-dup PAIRS — true output stays sparse for
+  *    prefix-Jaccard and MinHash-LSH. r9 correction to this recipe's
+  *    original claim: candidate volume is NOT corpus-linear here,
+  *    because the source corpus draws from only 31 distinct tokens —
+  *    the ~30K-shingle space is exhausted and CHANCE shingle
+  *    collisions make exact-blocking candidates birthday-quadratic;
+  *    see [[heavy100x]]);
   *  - events: 100 copies, ids shifted, ts jittered 13 ms/copy within
   *    the same span — 100× rows PER WINDOW against the same number of
   *    fired closes, which is how event volume scales against a fixed
@@ -69,8 +73,33 @@ object Sf100Probe {
     * scaled configuration sets k ∝ n, so the 100× point is ~25B
     * assignment rows per pass — the MEASURED reason the hyperplane
     * variant (dedup_semdedup_lsh, linear, probed at both decades)
-    * exists. */
-  val heavy100x = Set("sparql_watdiv_s1", "dedup_semdedup_scaled")
+    * exists.
+    *
+    * r9 additions, each with a measured root cause (the first 100×
+    * attempt wedged one JVM in full-GC and filled the disk on another —
+    * both chased to the TEST CORPUS's 31-token vocabulary, not to the
+    * operators' shapes; see [[PrefixJaccardProbe]] and SURVEY §12):
+    *  - text_bm25_topk: the documents table draws from 31 distinct
+    *    tokens, so the query vocabulary covers the ENTIRE corpus
+    *    vocabulary and the early pruning semi-join (the operator's
+    *    scale lever on real queries) keeps every one of the ~1B
+    *    occurrence rows — a corpus-LINEAR shuffle (~40 GB with spill)
+    *    that distributes fine on a cluster but busts this container's
+    *    single /tmp disk. e₁ = the honest recorded exponent.
+    *  - dedup_prefix_jaccard / dedup_containment: 31 tokens ⇒ ~30K
+    *    possible 3-gram shingles, EXHAUSTED already at 10× (sampled
+    *    df≥2 vocab = 27,068 = the whole space, max df grows with N) —
+    *    no shingle is rare, so prefix filtering cannot prune and the
+    *    candidate volume is the birthday-quadratic Σ|postings|²
+    *    (measured: 19.7M candidates at 10× for ZERO true pairs;
+    *    projected ~2B at 100×). This is quadratic BY DATA: real web
+    *    corpora have shingle vocabularies ≫ corpus size, where
+    *    candidates track true near-dups (the AllPairs/PPJoin premise).
+    *    On vocabulary-exhausted data the banded-and-capped
+    *    MinHash-LSH family (probed linear at both decades) is the
+    *    documented alternative. */
+  val heavy100x = Set("sparql_watdiv_s1", "dedup_semdedup_scaled",
+    "text_bm25_topk", "dedup_prefix_jaccard", "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

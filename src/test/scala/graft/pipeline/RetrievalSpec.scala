@@ -318,6 +318,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got(5L) == null)
   }
 
+  test("prefix jaccard refuses a vocabulary-collapsed corpus, knob forces it through") {
+    // 3 distinct words over 3000 x 50-word docs: the 27-shingle space is
+    // exhausted, every shingle's posting list is ~corpus-sized, and the
+    // candidate join would be quadratic chance collisions (the r9 100x
+    // probe wedge, reproduced small). The sampled-df estimate must catch
+    // it BEFORE any join runs and name the LSH alternative.
+    val words = Array("aa", "bb", "cc")
+    val collapsed = spark.range(0, 8000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 50).map(i =>
+        element_at(typedLit(words.toSeq),
+          (pmod(xxhash64(col("id"), lit(i)), lit(3)) + 1).cast("int"))): _*)
+        .as("text"))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(collapsed, k = 3, threshold = 0.5).count()
+    }
+    assert(err.getMessage.contains("minHashLshPairs"),
+      s"guard message should point at the LSH path: ${err.getMessage}")
+    // the escape hatch: an explicit blowup budget forces the exact join,
+    // which still returns (this corpus is small enough to finish) —
+    // proving the guard is a refusal, not a capability loss
+    val forced = Dedup.prefixJaccardPairs(collapsed, k = 3, threshold = 0.5,
+      maxCandidateBlowup = 1e12)
+    assert(forced.columns.toSet == Set("id_a", "id_b", "jaccard"))
+  }
+
   test("nfc_normalize registers through SQL and rejects wrong arity") {
     graft.functions.NfcNormalize.register(spark)
     val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS c").as[String].head()
