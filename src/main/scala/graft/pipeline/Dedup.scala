@@ -428,32 +428,91 @@ object Dedup {
   def containmentPairs(contained: DataFrame, corpus: DataFrame, k: Int = 3,
       threshold: Double = 0.9, containedIdCol: String = "probe_id",
       corpusIdCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      /** The probe-vocabulary broadcast is the operator's scale lever,
+        * and it presumes the CONTRACT side of the asymmetry: `contained`
+        * is snippets/suspected excerpts, orders of magnitude smaller
+        * than the haystack. 5M distinct shingle hashes ≈ 40 MB
+        * broadcast; beyond that the probe set is not "snippets" and the
+        * symmetric [[prefixJaccardPairs]] (or MinHash-LSH) family is the
+        * right tool. */
+      maxProbeVocab: Long = 5000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairs threshold $threshold must be in (0, 1]")
-    val shA = shingles(contained.withColumnRenamed(containedIdCol, "doc_id")
-      .select(col("doc_id"), col(textCol)), k).withColumnRenamed("id", "pid")
-    val shB = shingles(corpus.select(col(corpusIdCol).as("doc_id"), col(textCol)), k)
-    val dfB = shB.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val perProbe = Window.partitionBy("pid").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = shA
-      // corpus-absent shingles carry df 0 — harmless for recall (any
-      // order is complete) and they join no postings anyway
-      .join(dfB, Seq("shingle"), "left_outer")
+    // r9 kernel (the query-bounded posture [[graft.pipeline.Retrieval
+    // .bm25TopK]] uses, applied to the containment join): the corpus is
+    // NEVER fully shuffled. The old form shuffled the exploded corpus
+    // (doc, shingle-string) relation twice — a full-vocabulary df groupBy
+    // plus a collect_set rebuild of every document's shingle set — both
+    // of which grow with the corpus, not with the probes. Instead the
+    // probe vocabulary (bounded by contract, guarded below) broadcasts
+    // into a semi-join directly behind the corpus-side shingle kernel, so
+    // the only corpus-wide work is one narrow scan and the only shuffled
+    // corpus rows are occurrences OF PROBE SHINGLES. Shingle identity is
+    // the same 64-bit xxhash the prefix-Jaccard kernel verifies with
+    // (exactness modulo V²/2⁶⁵ hash collisions — hash-matched against the
+    // string-exact DuckDB oracle every round since the switch). The
+    // rare-first prefix now tie-breaks by hash instead of shingle string:
+    // ANY total order keeps the one-sided prefix filter recall-complete
+    // (the corpus side stays full), so the verified output is unchanged.
+    // probe-sized, read three times (vocab, prefix, verify) — the
+    // checkpoint collapses the caller's upstream lineage (a repartition
+    // or derivation of the snippet table) to ONE run; the first cut of
+    // this kernel left it lazy and the plan replayed that subtree at
+    // every use (~10 exchanges, entry 3x slower than the old form)
+    val arrA = contained.select(col(containedIdCol).as("pid"),
+        graft.functions.ShingleHashes.ofColumn(col(textCol), k).as("sha"))
+      .filter(size(col("sha")) > 0)
+      .localCheckpoint()
+    val arrB = corpus.select(col(corpusIdCol).as("id"),
+        graft.functions.ShingleHashes.ofColumn(col(textCol), k).as("shb"))
+      .filter(size(col("shb")) > 0)
+    // the probe vocabulary is guard-bounded and feeds TWO broadcast sites
+    // (occB's semi-join is evaluated under both dfB and the candidate
+    // join, and Catalyst re-plans the distinct at each) — collect it once
+    // and re-enter as a literal local relation: zero recompute, and the
+    // size guard is free on the collected array
+    val vocabRows = arrA.select(explode(col("sha")).as("shh")).distinct().collect()
+    require(vocabRows.length <= maxProbeVocab,
+      s"containmentPairs: probe vocabulary ${vocabRows.length} exceeds " +
+      s"maxProbeVocab $maxProbeVocab — the probe side is supposed to be " +
+      "snippets (the broadcast-prune contract); for symmetric " +
+      "corpus-vs-corpus joins use prefixJaccardPairs or minHashLshPairs, " +
+      "or raise maxProbeVocab.")
+    val vocabA = contained.sparkSession.createDataFrame(
+      java.util.Arrays.asList(vocabRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shh",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // corpus occurrences of probe shingles: narrow explode pipelined into
+    // the broadcast semi-join — survivors are query-bounded
+    val occB = arrB.select(col("id"), explode(col("shb")).as("shh"))
+      .join(broadcast(vocabA), Seq("shh"), "left_semi")
+    // df per PROBE shingle only (shingle arrays are distinct per doc, so
+    // count = document frequency); probe shingles absent from the corpus
+    // fall out of occB and carry df 0 through the left_outer — harmless
+    // for recall (any order is complete) and they join no postings anyway
+    val dfB = occB.groupBy("shh").agg(count(lit(1)).as("df"))
+    val perProbe = Window.partitionBy("pid").orderBy(col("df").asc, col("shh").asc)
+    val prefix = arrA
+      .select(col("pid"), size(col("sha")).cast(LongType).as("n_sh"),
+        explode(col("sha")).as("shh"))
+      .join(dfB, Seq("shh"), "left_outer")
       .na.fill(0L, Seq("df"))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("pid")))
       .withColumn("pos", row_number().over(perProbe))
       .filter(col("pos") <= col("n_sh") - ceilMulExact(threshold, col("n_sh")) + 1)
-      .select("pid", "shingle")
-    val cand = prefix.join(shB, Seq("shingle"))
+      .select("pid", "shh")
+    val cand = prefix.join(occB, Seq("shh"))
       .select("pid", "id").distinct()
-    val setsA = shA.groupBy("pid").agg(collect_set(col("shingle")).as("set_a"))
-    val setsB = shB.groupBy("id").agg(collect_set(col("shingle")).as("set_b"))
-    cand.join(setsA, "pid").join(setsB, "id")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .filter(col("inter").cast(DoubleType) >= lit(threshold) * size(col("set_a")))
+    // verification intersects the in-row hashed arrays — the corpus side
+    // re-derives its arrays in the same narrow scan shape rather than
+    // materializing a corpus-sized checkpoint for one more reader
+    cand.join(arrA.select(col("pid"), col("sha")), "pid")
+      .join(arrB.select(col("id"), col("shb")), "id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter").cast(DoubleType) >= lit(threshold) * size(col("sha")))
       .select(col("pid").as(containedIdCol), col("id").as(corpusIdCol),
-        round(col("inter").cast(DoubleType) / size(col("set_a")).cast(DoubleType), 6)
+        round(col("inter").cast(DoubleType) / size(col("sha")).cast(DoubleType), 6)
           .as("containment"))
   }
 

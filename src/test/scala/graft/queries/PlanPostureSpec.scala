@@ -228,6 +228,23 @@ class PlanPostureSpec extends SparkSpec {
       s"non-equi pairing in edit-distance plan:\n$p")
   }
 
+  test("containment: corpus prunes through a broadcast semi-join, no corpus-wide set rebuild") {
+    val p = plan("dedup_containment")
+    // the r9 kernel's contract: the corpus is never fully shuffled — its
+    // occurrences meet the probe vocabulary through a broadcast LeftSemi
+    // right behind the shingle kernel, so the only shuffled corpus rows
+    // are occurrences OF PROBE SHINGLES
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"corpus not broadcast-pruned by the probe vocabulary:\n$p")
+    // the old form rebuilt every corpus document's shingle set through a
+    // corpus-wide collect_set (ObjectHashAggregate) — that shuffle class
+    // must never come back
+    assert(!p.contains("collect_set"),
+      s"corpus-wide set rebuild returned to the containment plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in containment plan:\n$p")
+  }
+
   test("triangles: wedge build and closure are equi-joins, no cartesian") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
