@@ -341,13 +341,44 @@ object Dedup {
       // estimated candidates the exact join finishes anywhere, however
       // collapsed the vocabulary (deliberately-degenerate spec corpora
       // and sf0.1-class runs stay untouched)
-      require(estCand <= math.max(maxCandidateBlowup * shingleMass, 5e7),
-        f"prefixJaccardPairs: estimated candidate volume ${estCand}%.3g exceeds " +
-        f"$maxCandidateBlowup%.0f x the corpus shingle mass (${shingleMass}%.3g) — " +
-        "the shingle vocabulary is too small for prefix blocking (no shingle is " +
-        "rare), so the candidate join would be quadratic chance collisions. Use " +
-        "minHashLshPairs (banded + capped buckets) on this corpus, or raise " +
-        "maxCandidateBlowup to force the exact join.")
+      if (estCand > math.max(maxCandidateBlowup * shingleMass, 5e7)) {
+        // Σdf² alone over-counts: rare-first ordering keeps hot shingles
+        // out of prefixes whenever a doc has enough RARE shingles to fill
+        // its prefix, so a healthy corpus with a few boilerplate shingles
+        // (df ~10% of docs) never sends those postings to the join even
+        // though their (1−t)²·df²/2 term dominates the estimate. The
+        // refusal therefore gates on the signal rare-first cannot route
+        // around: vocabulary exhaustion — most sampled shingles repeat,
+        // so prefixes have no rare shingles to prefer. Computed lazily
+        // (one extra sample-sized job) only on suspect corpora.
+        val vs = arr.sample(withReplacement = false, dfSampleRate, seed = 421017L)
+          .select(explode(col("sh")).as("shh"))
+          .groupBy("shh").agg(count(lit(1)).as("df"))
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("repeated")).head()
+        val vocab = vs.getLong(0)
+        val repeatedFrac =
+          if (vocab == 0L) 0.0 else vs.getLong(1).toDouble / vocab.toDouble
+        // Bernoulli thinning only DEFLATES this fraction (a df=2 shingle
+        // survives as repeated w.p. p²), so 0.5 in the sample certifies a
+        // corpus whose true repeated fraction is higher still — healthy
+        // corpora (mostly-unique shingles) read ~0 and pass untouched.
+        require(repeatedFrac <= 0.5 || estCand <= math.max(
+            maxCandidateBlowup * shingleMass, 5e7),
+          f"prefixJaccardPairs: estimated candidate volume ${estCand}%.3g exceeds " +
+          f"$maxCandidateBlowup%.0f x the corpus shingle mass (${shingleMass}%.3g) " +
+          f"and ${repeatedFrac * 100}%.0f%% of the sampled shingle vocabulary " +
+          "repeats — the vocabulary is exhausted (no shingle is rare), so the " +
+          "candidate join would be quadratic chance collisions. Use " +
+          "minHashLshPairs (banded + capped buckets) on this corpus, or raise " +
+          "maxCandidateBlowup to force the exact join.")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"prefixJaccardPairs: hot-shingle mass is high (est. candidates " +
+          f"${estCand}%.3g > $maxCandidateBlowup%.0f x shingle mass " +
+          f"${shingleMass}%.3g) but the vocabulary is healthy " +
+          f"(${repeatedFrac * 100}%.0f%% repeated) — rare-first ordering keeps " +
+          "hot shingles out of prefixes, proceeding with the exact join")
+      }
     }
     val hotB = docs.sparkSession.sparkContext.broadcast(hotMap)
     // Per-doc order-and-slice, primitive-sorted: shingles outside the hot
@@ -447,8 +478,9 @@ object Dedup {
     // of which grow with the corpus, not with the probes. Instead the
     // probe vocabulary (bounded by contract, guarded below) broadcasts
     // into a semi-join directly behind the corpus-side shingle kernel, so
-    // the only corpus-wide work is one narrow scan and the only shuffled
-    // corpus rows are occurrences OF PROBE SHINGLES. Shingle identity is
+    // the corpus-wide work is two narrow scans (one filling the occB
+    // checkpoint below, one re-deriving arrays at verify) and the only
+    // shuffled corpus rows are occurrences OF PROBE SHINGLES. Shingle identity is
     // the same 64-bit xxhash the prefix-Jaccard kernel verifies with
     // (exactness modulo V²/2⁶⁵ hash collisions — hash-matched against the
     // string-exact DuckDB oracle every round since the switch). The
@@ -470,11 +502,16 @@ object Dedup {
     // the probe vocabulary is guard-bounded and feeds TWO broadcast sites
     // (occB's semi-join is evaluated under both dfB and the candidate
     // join, and Catalyst re-plans the distinct at each) — collect it once
-    // and re-enter as a literal local relation: zero recompute, and the
-    // size guard is free on the collected array
-    val vocabRows = arrA.select(explode(col("sha")).as("shh")).distinct().collect()
+    // and re-enter as a literal local relation: zero recompute. The
+    // collect itself is CAPPED at maxProbeVocab+1 rows, so a misuse the
+    // guard exists to refuse (a corpus-sized probe side, tens of millions
+    // of distinct hashes) fails the require without ever shipping the
+    // oversized vocabulary to the driver — the distinct still executes on
+    // the executors, but only cap+1 rows cross the wire.
+    val vocabRows = arrA.select(explode(col("sha")).as("shh")).distinct()
+      .limit(math.min(maxProbeVocab + 1L, Int.MaxValue.toLong).toInt).collect()
     require(vocabRows.length <= maxProbeVocab,
-      s"containmentPairs: probe vocabulary ${vocabRows.length} exceeds " +
+      s"containmentPairs: probe vocabulary exceeds " +
       s"maxProbeVocab $maxProbeVocab — the probe side is supposed to be " +
       "snippets (the broadcast-prune contract); for symmetric " +
       "corpus-vs-corpus joins use prefixJaccardPairs or minHashLshPairs, " +
@@ -485,9 +522,15 @@ object Dedup {
         org.apache.spark.sql.types.StructField("shh",
           org.apache.spark.sql.types.LongType, nullable = false))))
     // corpus occurrences of probe shingles: narrow explode pipelined into
-    // the broadcast semi-join — survivors are query-bounded
+    // the broadcast semi-join — survivors are query-bounded, and the LAZY
+    // checkpoint materializes them on the final job's first pass so both
+    // readers (dfB and the candidate join) are served from ONE corpus
+    // scan instead of Catalyst replaying the explode+semi-join subtree at
+    // each site. Lazy (not eager) because the vocab collect above already
+    // paid the driver barrier — no extra job, the final action fills it.
     val occB = arrB.select(col("id"), explode(col("shb")).as("shh"))
       .join(broadcast(vocabA), Seq("shh"), "left_semi")
+      .localCheckpoint(eager = false)
     // df per PROBE shingle only (shingle arrays are distinct per doc, so
     // count = document frequency); probe shingles absent from the corpus
     // fall out of occB and carry df 0 through the left_outer — harmless

@@ -43,10 +43,16 @@ object PrefixJaccardProbe {
       .groupBy("shh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2L)
     val hotN = t("sampled df>=2 vocab")(dfAgg.count())
-    val hotRows = t("hot map TakeOrdered")(
-      dfAgg.orderBy(col("df").desc, col("shh").asc).limit(hotVocabCap + 1).collect().length)
-    val hotMap = dfAgg.orderBy(col("df").desc, col("shh").asc)
-      .limit(hotVocabCap + 1).collect().take(hotVocabCap)
+    // collect ONCE and derive both the stage-volume count and the map from
+    // the same array — a second collect would double the very driver-heavy
+    // stage this probe exists to attribute
+    var hotRowsArr: Array[org.apache.spark.sql.Row] = Array.empty
+    val hotRows = t("hot map TakeOrdered") {
+      hotRowsArr = dfAgg.orderBy(col("df").desc, col("shh").asc)
+        .limit(hotVocabCap + 1).collect()
+      hotRowsArr.length
+    }
+    val hotMap = hotRowsArr.take(hotVocabCap)
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     println(s"[pj-probe] hot map size ${hotMap.size}, max df ${if (hotMap.nonEmpty) hotMap.values.max else 0}")
     val hotB = spark.sparkContext.broadcast(hotMap)

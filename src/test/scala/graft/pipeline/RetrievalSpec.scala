@@ -319,28 +319,37 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("prefix jaccard refuses a vocabulary-collapsed corpus, knob forces it through") {
-    // 3 distinct words over 3000 x 50-word docs: the 27-shingle space is
+    // 3 distinct words over 8000 x 50-word docs: the 27-shingle space is
     // exhausted, every shingle's posting list is ~corpus-sized, and the
     // candidate join would be quadratic chance collisions (the r9 100x
     // probe wedge, reproduced small). The sampled-df estimate must catch
-    // it BEFORE any join runs and name the LSH alternative.
+    // it BEFORE any join runs and name the LSH alternative — and the
+    // refusal must fire on the EXHAUSTION signal (all 27 sampled shingles
+    // repeat), not on raw hot mass alone.
     val words = Array("aa", "bb", "cc")
-    val collapsed = spark.range(0, 8000).select(col("id").as("doc_id"),
-      concat_ws(" ", (0 until 50).map(i =>
-        element_at(typedLit(words.toSeq),
-          (pmod(xxhash64(col("id"), lit(i)), lit(3)) + 1).cast("int"))): _*)
-        .as("text"))
+    def collapsedCorpus(nDocs: Long) =
+      spark.range(0, nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 50).map(i =>
+          element_at(typedLit(words.toSeq),
+            (pmod(xxhash64(col("id"), lit(i)), lit(3)) + 1).cast("int"))): _*)
+          .as("text"))
     val err = intercept[IllegalArgumentException] {
-      Dedup.prefixJaccardPairs(collapsed, k = 3, threshold = 0.5).count()
+      Dedup.prefixJaccardPairs(collapsedCorpus(8000), k = 3, threshold = 0.5)
+        .count()
     }
     assert(err.getMessage.contains("minHashLshPairs"),
       s"guard message should point at the LSH path: ${err.getMessage}")
-    // the escape hatch: an explicit blowup budget forces the exact join,
-    // which still returns (this corpus is small enough to finish) —
+    assert(err.getMessage.contains("vocabulary is exhausted"),
+      s"guard message should name the exhaustion signal: ${err.getMessage}")
+    // the escape hatch: an explicit blowup budget forces the exact join —
+    // EXECUTED (not just planned) on a few hundred collapsed docs, small
+    // enough that the quadratic candidate join finishes in seconds —
     // proving the guard is a refusal, not a capability loss
-    val forced = Dedup.prefixJaccardPairs(collapsed, k = 3, threshold = 0.5,
-      maxCandidateBlowup = 1e12)
+    val forced = Dedup.prefixJaccardPairs(collapsedCorpus(300), k = 3,
+      threshold = 0.5, maxCandidateBlowup = 1e12)
     assert(forced.columns.toSet == Set("id_a", "id_b", "jaccard"))
+    assert(forced.count() > 0L,
+      "forced exact join on the collapsed corpus should complete and find pairs")
   }
 
   test("nfc_normalize registers through SQL and rejects wrong arity") {
