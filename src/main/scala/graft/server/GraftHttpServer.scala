@@ -26,6 +26,13 @@ import graft.sparql.{Compiler, SparqlParser}
   *    `data` rows as `[var, value]` pair arrays (the reference's
   *    `Vec<(String, String)>` row shape).
   *  - `GET /query?query=…` (URL-encoded) against the base store.
+  *  - Standard SPARQL 1.1 protocol on the same route
+  *    (`sparql_database.rs:2065-2114` handle_http_request): POST
+  *    `application/sparql-query` (body = query), POST
+  *    `application/sparql-update` (body = update, mutates the standing
+  *    store), POST `application/x-www-form-urlencoded` with `query=` or
+  *    `update=`. Off-the-shelf SPARQL clients (curl, rdflib, Jena) work
+  *    without speaking the JSON envelope.
   *  - `OPTIONS` answers CORS preflight like the reference.
   *
   * RSP persistent sessions (`main.rs:616-948`):
@@ -57,6 +64,12 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  /** The server's standing dataset: the provided base store, or one
+    * lasting empty store so standard-protocol updates (below) persist for
+    * the server's lifetime the way the reference's in-memory database
+    * does (`sparql_database.rs:2078-2107` mutates the live store). */
+  private val serverStore: QuadStore = base.getOrElse(QuadStore.empty(spark))
 
   /** One registered RSP session's execution plane. */
   private sealed trait RspBackend {
@@ -217,28 +230,43 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
           }
         case "POST" =>
           val body = readBody(exchange)
-          val parsed: Either[String, JsonNode] =
-            try Right(mapper.readTree(body))
-            catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
-          parsed match {
-            case Left(msg) => respond(exchange, 400, error(msg))
-            case Right(req) =>
-              def strings(single: String, multi: String): Seq[String] = {
-                val one = Option(req.get(single)).filter(!_.isNull).map(_.asText()).toSeq
-                val many = Option(req.get(multi)).filter(_.isArray).toSeq
-                  .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
-                one ++ many
+          // standard SPARQL 1.1 protocol content types
+          // (`sparql_database.rs:2078-2107` accepts direct-query,
+          // direct-update and form-urlencoded POSTs alongside GET ?query=;
+          // routed here so curl/rdflib/Jena work against /query unchanged):
+          //  - application/sparql-query   → body IS the query
+          //  - application/sparql-update  → body IS the update (mutates the
+          //    server's standing store, like the reference's live database)
+          //  - application/x-www-form-urlencoded → query= or update= param
+          // Anything else (application/json, absent) stays on the server's
+          // own JSON envelope — that surface is untouched.
+          val contentType = Option(
+              exchange.getRequestHeaders.getFirst("Content-Type"))
+            .map(_.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))
+            .getOrElse("")
+          contentType match {
+            case "application/sparql-query" =>
+              respond(exchange, 200,
+                runQueries(Seq(body), Nil, None, "ntriples").toString)
+            case "application/sparql-update" =>
+              runUpdate(body)
+              respond(exchange, 200, updateOk)
+            case "application/x-www-form-urlencoded" =>
+              val params = body.split("&").filter(_.contains("=")).map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                java.net.URLDecoder.decode(k, "UTF-8") ->
+                  java.net.URLDecoder.decode(v, "UTF-8")
+              }.toMap
+              (params.get("query"), params.get("update")) match {
+                case (Some(q), _) => respond(exchange, 200,
+                  runQueries(Seq(q), Nil, None, "ntriples").toString)
+                case (_, Some(u)) =>
+                  runUpdate(u)
+                  respond(exchange, 200, updateOk)
+                case _ => respond(exchange, 400,
+                  error("form body needs a query= or update= parameter"))
               }
-              val queries = strings("sparql", "queries")
-              if (queries.isEmpty) respond(exchange, 400, error("No queries provided"))
-              else {
-                val rules = strings("rule", "rules")
-                val rdf = Option(req.get("rdf")).filter(!_.isNull)
-                  .map(_.asText()).filter(_.trim.nonEmpty)
-                val format = Option(req.get("format")).filter(!_.isNull)
-                  .map(_.asText()).getOrElse("rdfxml")
-                respond(exchange, 200, runQueries(queries, rules, rdf, format).toString)
-              }
+            case _ => postEnvelope(exchange, body)
           }
         case _ => respond(exchange, 404, error("Not Found"))
       }
@@ -247,6 +275,52 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
         respond(exchange, 413, error("Request body too large"))
       case e: Exception => fail(exchange, e)
     }
+
+  /** Standard-protocol update against the standing store: deletes before
+    * inserts inside [[graft.sparql.Compiler.executeUpdate]]; serialized so
+    * two concurrent protocol updates never interleave read-modify-write on
+    * the store's quads reference. */
+  private def runUpdate(update: String): Unit =
+    serverStore.synchronized {
+      new Compiler(serverStore).executeUpdate(SparqlParser().parseUpdate(update))
+    }
+
+  /** Reference update-protocol success body (`sparql_database.rs:2045-2062`
+    * answers "Update Successful" text; JSON here to match every other
+    * route's envelope). */
+  private def updateOk: String = {
+    val n = mapper.createObjectNode()
+    n.put("status", "Update Successful")
+    n.toString
+  }
+
+  /** The server's own JSON envelope — `{sparql | queries, rule | rules,
+    * rdf, format}` — the non-standard-content-type POST /query path. */
+  private def postEnvelope(exchange: HttpExchange, body: String): Unit = {
+    val parsed: Either[String, JsonNode] =
+      try Right(mapper.readTree(body))
+      catch { case e: Exception => Left(s"Invalid JSON: ${e.getMessage}") }
+    parsed match {
+      case Left(msg) => respond(exchange, 400, error(msg))
+      case Right(req) =>
+        def strings(single: String, multi: String): Seq[String] = {
+          val one = Option(req.get(single)).filter(!_.isNull).map(_.asText()).toSeq
+          val many = Option(req.get(multi)).filter(_.isArray).toSeq
+            .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+          one ++ many
+        }
+        val queries = strings("sparql", "queries")
+        if (queries.isEmpty) respond(exchange, 400, error("No queries provided"))
+        else {
+          val rules = strings("rule", "rules")
+          val rdf = Option(req.get("rdf")).filter(!_.isNull)
+            .map(_.asText()).filter(_.trim.nonEmpty)
+          val format = Option(req.get("format")).filter(!_.isNull)
+            .map(_.asText()).getOrElse("rdfxml")
+          respond(exchange, 200, runQueries(queries, rules, rdf, format).toString)
+        }
+    }
+  }
 
   /** `POST /rsp-query` (`main.rs:1127-1260` execute_rsp_query): one-shot
     * RSP run — `{query, events: [{stream, timestamp, ntriples}],
@@ -471,7 +545,7 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
     }
 
   private def buildStore(rdf: Option[String], format: String): QuadStore = rdf match {
-    case None => base.getOrElse(QuadStore.empty(spark))
+    case None => serverStore
     case Some(data) =>
       val triples = format match {
         case "ntriples" => RdfIO.parseNtDoc(data)

@@ -228,7 +228,13 @@ object Ast {
 
   /** RSP-QL window spec `[RANGE w STEP s]`, milliseconds
     * (`rsp/s2r.rs:175-330`, `parser.rs:2594-2643`). */
-  final case class WindowSpec(iri: String, streamIri: String, rangeMs: Long, stepMs: Long)
+  /** One `FROM NAMED WINDOW` clause. `report`/`tick` carry the raw parsed
+    * strategy keywords (`parser.rs:2644-2661` parses REPORT ON_WINDOW_CLOSE/
+    * ON_CONTENT_CHANGE/NON_EMPTY_CONTENT/PERIODIC and TICK TIME_DRIVEN/
+    * TUPLE_DRIVEN/BATCH_DRIVEN inside the window bracket); lowering to
+    * engine strategies happens in [[graft.streaming.RspEngineBuilder]]. */
+  final case class WindowSpec(iri: String, streamIri: String, rangeMs: Long, stepMs: Long,
+      report: Option[String] = None, tick: Option[String] = None)
 
   sealed trait R2SKind
   case object RStream extends R2SKind

@@ -527,14 +527,36 @@ class SparqlParser extends RegexParsers {
       case ms ~ steal => TimeoutPolicy(ms, steal)
     }
 
+  /** `REPORT` strategies inside the window bracket (`parser.rs:2644-2653`). */
+  def reportStrategyKw: Parser[String] =
+    kw("ON_WINDOW_CLOSE") | kw("ON_CONTENT_CHANGE") |
+    kw("NON_EMPTY_CONTENT") | kw("PERIODIC")
+
+  /** `TICK` strategies (`parser.rs:2655-2661`): the reference PARSES all
+    * three but only TimeDriven executes (`rsp/s2r.rs:246-264` no-ops the
+    * other arms, so such windows silently never fire). The grammar here
+    * accepts the same surface; [[graft.streaming.RspEngine]] refuses
+    * non-TIME_DRIVEN loudly with the typed `unsupported` category instead
+    * of the reference's silent never-firing window. */
+  def tickKw: Parser[String] =
+    kw("TIME_DRIVEN") | kw("TUPLE_DRIVEN") | kw("BATCH_DRIVEN")
+
   /** `ON ?s` (stream variable = match all streams, `rsp_engine.rs:773-810`)
-    * is represented as stream IRI "*". */
-  def windowClause: Parser[(String, String, Long, Long, Option[SyncPolicySpec])] =
+    * is represented as stream IRI "*". The window bracket accepts the
+    * reference's full surface (`parser.rs:2594-2664`): RANGE / TUMBLING /
+    * SLIDING width, optional STEP, optional REPORT, optional TICK. The
+    * window-type keyword carries no extra semantics there either — width +
+    * slide (defaulted to width, i.e. tumbling) drive the engine
+    * (`rsp/builder.rs:247-250`). */
+  def windowClause: Parser[(WindowSpec, Option[SyncPolicySpec])] =
     kw("FROM") ~> kw("NAMED") ~> kw("WINDOW") ~> iri ~
       (kw("ON") ~> (varName ^^ (_ => "*") | iri)) ~
-      ("[" ~> kw("RANGE") ~> duration ~ opt(kw("STEP") ~> duration) <~ "]") ~
+      ("[" ~> (kw("RANGE") | kw("TUMBLING") | kw("SLIDING")) ~> duration ~
+        opt(kw("STEP") ~> duration) ~ opt(kw("REPORT") ~> reportStrategyKw) ~
+        opt(kw("TICK") ~> tickKw) <~ "]") ~
       opt(kw("WITH") ~> kw("POLICY") ~> policySpec) ^^ {
-      case w ~ s ~ (r ~ st) ~ pol => (w, s, r, st.getOrElse(r), pol)
+      case w ~ s ~ (r ~ st ~ rep ~ tick) ~ pol =>
+        (WindowSpec(w, s, r, st.getOrElse(r), rep, tick), pol)
     }
 
   def rspQuery: Parser[RspQuery] =
@@ -557,11 +579,11 @@ class SparqlParser extends RegexParsers {
              items.collect { case Right(a) => a })
         }
         RspQuery(kind, out,
-          wins.map { case (w, s, r, st, _) => WindowSpec(w, s, r, st) },
+          wins.map(_._1),
           Select(dist.isDefined, vars, aggs,
             where, gb.getOrElse(Nil), ob.getOrElse(Nil), lim, off, Nil, Nil,
             having = hv.getOrElse(Nil)),
-          policy = wins.flatMap(_._5).lastOption)
+          policy = wins.flatMap(_._2).lastOption)
     }
 
   // ---- ML surface (`parser.rs:2219-2580`) --------------------------------

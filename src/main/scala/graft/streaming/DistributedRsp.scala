@@ -74,6 +74,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     staticStore: Option[graft.model.QuadStore] = None) {
   import DistributedRsp._
 
+  // both planes are time-driven: a never-firing tick must not reach this
+  // plane either (the server routes pure-BGP sessions here directly)
+  RspEngine.requireExecutableTicks(query)
+
   rules.foreach { r =>
     val terms = (r.premise ++ r.negativePremise ++ r.conclusion)
       .flatMap(tp => Seq(tp.s, tp.p, tp.o))

@@ -51,6 +51,24 @@ object RspEngine {
   case object OnContentChange extends ReportStrategy
   final case class Periodic(n: Int) extends ReportStrategy
 
+  /** Tick-strategy parity: the reference parses TUPLE_DRIVEN/BATCH_DRIVEN
+    * (`parser.rs:2655-2661`) but its window runtime only fires under
+    * TimeDriven (`rsp/s2r.rs:246-264` — the other arms no-op, so such a
+    * window silently NEVER emits). Both execution planes here are
+    * time-driven by the same design; rather than accept a tick that would
+    * never fire, refuse it with the typed `unsupported` category at
+    * construction. Called by the [[RspEngine]] constructor and by
+    * [[DistributedRsp]], so a query cannot reach either plane with a
+    * never-firing tick. */
+  def requireExecutableTicks(q: RspQuery): Unit =
+    q.windows.flatMap(_.tick).foreach {
+      case "TIME_DRIVEN" => ()
+      case other => throw new UnsupportedOperationException(
+        s"TICK $other is parsed but not supported: only TIME_DRIVEN executes " +
+        "(the reference's runtime likewise no-ops non-time-driven ticks — " +
+        "such windows never fire). Use TICK TIME_DRIVEN or omit the clause.")
+    }
+
   /** Cross-window SDS+ mode (`rsp_engine.rs:293-295,1213-1268`): N3-logic
     * rules over the UNION of all windows' latest raw contents, each fact
     * expiry-tagged with ITS window's width as α; the window blocks then
@@ -83,6 +101,8 @@ class RspEngine(
     crossWindow: Option[RspEngine.CrossWindow] = None) {
 
   import RspEngine._
+
+  RspEngine.requireExecutableTicks(query)
 
   private case class WindowRuntime(
       spec: WindowSpec,
@@ -418,6 +438,20 @@ object RspEngineBuilder {
     * reference's builder `with_sync_policy`). `policy` is an Option so an
     * explicit `Some(Wait)` also wins — a sentinel default could not tell
     * "caller wants Wait" from "caller said nothing". */
+  /** A `REPORT` keyword from the window bracket lowered to the engine's
+    * strategy type (`rsp/builder.rs:259-265`). PERIODIC lowers to
+    * `Periodic(1)` — the engine's Periodic counts firings, and 1 matches
+    * the reference default's observable cadence under its one-second test
+    * windows (its `Periodic(1000)` is milliseconds). */
+  def lowerReport(s: String): RspEngine.ReportStrategy = s match {
+    case "ON_WINDOW_CLOSE" => RspEngine.OnWindowClose
+    case "ON_CONTENT_CHANGE" => RspEngine.OnContentChange
+    case "NON_EMPTY_CONTENT" => RspEngine.NonEmptyContent
+    case "PERIODIC" => RspEngine.Periodic(1)
+    case other => throw new IllegalArgumentException(
+      s"unknown REPORT strategy $other")
+  }
+
   def fromQuery(spark: SparkSession, rspQl: String,
       staticStore: Option[QuadStore] = None,
       policy: Option[RspEngine.SyncPolicy] = None,
@@ -425,10 +459,17 @@ object RspEngineBuilder {
       rules: Seq[Rule] = Nil,
       /** N3-logic cross-window rules (the reference builder's
         * `add_cross_window_rules`, `rsp_engine.rs:293`). */
-      crossWindow: Option[RspEngine.CrossWindow] = None): RspEngine = {
+      crossWindow: Option[RspEngine.CrossWindow] = None,
+      /** Explicit strategies win over `REPORT` keywords in the query text
+        * (the same programmatic-override rule as `policy`). */
+      reportStrategies: Option[Seq[RspEngine.ReportStrategy]] = None): RspEngine = {
     val q = SparqlParser().parseRsp(rspQl)
     val effective = policy.getOrElse(q.policy.map(lower).getOrElse(RspEngine.Wait))
-    new RspEngine(spark, q, staticStore, effective, consumer, rules = rules,
-      crossWindow = crossWindow)
+    val reports = reportStrategies.getOrElse {
+      val fromText = q.windows.flatMap(_.report).distinct.map(lowerReport)
+      if (fromText.nonEmpty) fromText else Seq(RspEngine.OnWindowClose)
+    }
+    new RspEngine(spark, q, staticStore, effective, consumer,
+      reportStrategies = reports, rules = rules, crossWindow = crossWindow)
   }
 }

@@ -165,6 +165,19 @@ class HttpServerSpec extends SparkSpec {
         400, "data", "not a SELECT")
       // request: protocol-shape problem (invalid JSON body)
       check(post(srv.port, "{ not json"), 400, "request", "Invalid JSON")
+      // unsupported: a tick strategy the reference parses but never
+      // executes (parser.rs:2655-2661 vs s2r.rs:246-264) — registration
+      // refuses with the unsupported category instead of a window that
+      // silently never fires
+      val reg = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/rsp/register"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body("query" ->
+            """REGISTER RSTREAM <http://out> AS SELECT ?s
+               FROM NAMED WINDOW <w> ON <st> [RANGE 1 s TICK TUPLE_DRIVEN]
+               WHERE { WINDOW <w> { ?s <p> ?o } }"""))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      check(reg, 400, "unsupported", "TIME_DRIVEN")
     } finally srv.stop()
   }
 
@@ -356,6 +369,62 @@ class HttpServerSpec extends SparkSpec {
         .map(l => mapper.readTree(l.stripPrefix("data: ")))
         .map(n => (n.get("e").asText(), n.get("u").asText())).toSet
       assert(got == want, s"SSE $got vs engine $want")
+    } finally srv.stop()
+  }
+
+  test("standard SPARQL protocol content types on /query (sparql_database.rs:2065-2114)") {
+    val srv = new GraftHttpServer(spark).start()
+    def send(contentType: String, body: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query"))
+          .header("Content-Type", contentType)
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // 1. direct update: mutates the server's standing store
+      val up1 = send("application/sparql-update",
+        "INSERT DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o1> . }")
+      assert(up1.statusCode() == 200)
+      assert(mapper.readTree(up1.body()).get("status").asText() == "Update Successful")
+      // 2. direct query sees the inserted triple (charset parameter tolerated)
+      val q1 = send("application/sparql-query; charset=utf-8",
+        "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o }")
+      assert(q1.statusCode() == 200)
+      val d1 = mapper.readTree(q1.body()).get("results").get(0).get("data")
+      assert(d1.size() == 1 && d1.get(0).get(0).get(1).asText() == "http://ex.org/o1")
+      // 3. form-urlencoded update (URL-encoded body, update= param)
+      val form = "update=" + java.net.URLEncoder.encode(
+        "INSERT DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o2> . }",
+        "UTF-8")
+      val up2 = send("application/x-www-form-urlencoded", form)
+      assert(up2.statusCode() == 200)
+      assert(mapper.readTree(up2.body()).get("status").asText() == "Update Successful")
+      // 4. form-urlencoded query sees both triples
+      val q2 = send("application/x-www-form-urlencoded", "query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o } ORDER BY ?o",
+          "UTF-8"))
+      assert(q2.statusCode() == 200)
+      val d2 = mapper.readTree(q2.body()).get("results").get(0).get("data")
+      assert(d2.size() == 2 && d2.get(1).get(0).get(1).asText() == "http://ex.org/o2")
+      // 5. a DELETE DATA update takes effect (deletes-before-inserts path)
+      val up3 = send("application/sparql-update",
+        "DELETE DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o1> . }")
+      assert(up3.statusCode() == 200)
+      // 6. the JSON envelope on the SAME server still works and reads the
+      //    standing store (regression guard for the envelope surface)
+      val env = post(srv.port, mapper.createObjectNode()
+        .put("sparql", "SELECT ?o WHERE { ?s <http://ex.org/p> ?o }").toString)
+      assert(env.statusCode() == 200)
+      val d3 = mapper.readTree(env.body()).get("results").get(0).get("data")
+      assert(d3.size() == 1 && d3.get(0).get(0).get(1).asText() == "http://ex.org/o2")
+      // 7. a malformed update answers 400 with the syntax category
+      val bad = send("application/sparql-update", "INSERT GIBBERISH")
+      assert(bad.statusCode() == 400)
+      assert(mapper.readTree(bad.body()).get("category").asText() == "syntax")
+      // 8. form body with neither query= nor update= answers 400
+      val none = send("application/x-www-form-urlencoded", "other=1")
+      assert(none.statusCode() == 400)
     } finally srv.stop()
   }
 

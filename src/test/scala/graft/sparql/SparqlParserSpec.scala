@@ -115,6 +115,30 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(q.windows == Seq(WindowSpec("w1", "stream1", 10000, 5000)))
   }
 
+  test("window bracket accepts the full reference surface: TUMBLING/SLIDING, REPORT, TICK (parser.rs:2594-2664)") {
+    // TUMBLING without STEP: slide defaults to width (rsp/builder.rs:247-250)
+    val t = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <out> AS SELECT ?s
+      FROM NAMED WINDOW <w> ON <st> [TUMBLING 10 s]
+      WHERE { WINDOW <w> { ?s <p> ?o } }""")
+    assert(t.windows.head.rangeMs == 10000 && t.windows.head.stepMs == 10000)
+    // SLIDING + STEP + REPORT + TICK all inside one bracket
+    val f = SparqlParser().parseRsp("""
+      REGISTER ISTREAM <out> AS SELECT ?s
+      FROM NAMED WINDOW <w> ON <st> [SLIDING 10 s STEP 5 s REPORT NON_EMPTY_CONTENT TICK TIME_DRIVEN]
+      WHERE { WINDOW <w> { ?s <p> ?o } }""")
+    val w = f.windows.head
+    assert(w.rangeMs == 10000 && w.stepMs == 5000)
+    assert(w.report.contains("NON_EMPTY_CONTENT") && w.tick.contains("TIME_DRIVEN"))
+    // the non-executing ticks PARSE (reference parity) — refusal is the
+    // engine's job, with the typed unsupported category
+    val b = SparqlParser().parseRsp("""
+      REGISTER RSTREAM <out> AS SELECT ?s
+      FROM NAMED WINDOW <w> ON <st> [RANGE 10 s TICK BATCH_DRIVEN]
+      WHERE { WINDOW <w> { ?s <p> ?o } }""")
+    assert(b.windows.head.tick.contains("BATCH_DRIVEN"))
+  }
+
   test("review regressions: bare-second RANGE/STEP, lowercase HAVING agg, default prefix, 'a:' prefix") {
     // `[RANGE 10 STEP 5]` — the unit parser must not eat STEP's 'S'
     val q = SparqlParser().parseRsp("""

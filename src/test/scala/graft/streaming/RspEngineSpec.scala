@@ -239,6 +239,45 @@ class RspEngineSpec extends SparkSpec {
     assert(e2.emissions.size < all.emissions.size)
   }
 
+  test("tick strategies: TIME_DRIVEN accepted, TUPLE/BATCH_DRIVEN refuse typed (parser.rs:2655-2661, s2r.rs:246-264)") {
+    def build(tick: String) = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out> AS SELECT *
+      FROM NAMED WINDOW <w> ON ?s [RANGE 2 ms STEP 1 ms TICK $tick]
+      WHERE { WINDOW <w> { ?s a <$itype> . } }""")
+    // TIME_DRIVEN is the executing tick — accepted and fires normally
+    val e = build("TIME_DRIVEN")
+    Seq(1L, 2L, 3L).foreach { ts =>
+      val (s, p, o) = typeTriple(s"s$ts"); e.add("x", s, p, o, ts)
+    }
+    assert(e.emissions.nonEmpty)
+    // the reference PARSES these but its runtime no-ops them (the window
+    // silently never fires); here the parse succeeds and the ENGINE
+    // refuses with the unsupported category at construction
+    Seq("TUPLE_DRIVEN", "BATCH_DRIVEN").foreach { t =>
+      val err = intercept[UnsupportedOperationException] { build(t) }
+      assert(err.getMessage.contains("TIME_DRIVEN"), err.getMessage)
+    }
+  }
+
+  test("REPORT keyword in the window bracket lowers to engine strategies (rsp/builder.rs:259-265)") {
+    // NON_EMPTY_CONTENT from the query text suppresses empty firings the
+    // same way the programmatic reportStrategies parameter does
+    def engine(reportClause: String) = RspEngineBuilder.fromQuery(spark, s"""
+      REGISTER RSTREAM <http://out> AS SELECT *
+      FROM NAMED WINDOW <w> ON ?s [RANGE 2 ms STEP 1 ms$reportClause]
+      WHERE { WINDOW <w> { ?s a <$itype> . } }""")
+    val gated = engine(" REPORT NON_EMPTY_CONTENT")
+    val open = engine("")
+    Seq(1L, 5L, 6L, 7L).foreach { ts =>
+      val (s, p, o) = typeTriple(s"s$ts")
+      gated.add("x", s, p, o, ts); open.add("x", s, p, o, ts)
+    }
+    assert(gated.emissions.nonEmpty)
+    assert(gated.emissions.size <= open.emissions.size)
+    assert(gated.emissions.forall(_.rows.nonEmpty),
+      "NON_EMPTY_CONTENT must suppress empty-content firings")
+  }
+
   test("probabilistic input: one stable seed per arrival, pre-fanout (rsp_engine.rs:960-998)") {
     val e = RspEngineBuilder.fromQuery(spark, s"""
       REGISTER RSTREAM <http://out> AS SELECT *
