@@ -45,7 +45,9 @@ object Bench {
     "prob_minmax_closure", "prob_hybrid_twohop", "prob_sdd_wmc",
     // pipeline scale paths
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
-    "similarity_ivf_topk", "similarity_lsh_topk", "text_langid", "text_quality",
+    // (similarity_ivf_topk retired r10 — float leg is spec-covered; the
+    // portable twin + IVF-PQ below carry the IVF family's bench slots)
+    "similarity_lsh_topk", "text_langid", "text_quality",
     "text_fingerprint", "text_token_count", "text_subword_count",
     "text_repetition", // new r5: Gopher-style duplicate-ngram fractions
     "text_contamination", "text_pii_scrub", // new r5: decontam sweep + PII redaction

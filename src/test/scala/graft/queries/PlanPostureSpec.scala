@@ -245,6 +245,30 @@ class PlanPostureSpec extends SparkSpec {
       s"non-equi pairing in containment plan:\n$p")
   }
 
+  test("multimodal dHash pairs: one pigeonhole equi-join, decode stage narrow") {
+    // VERDICT r9 item 4: multimodal_phash_pairs drifted 9x in a noisy
+    // bench window with no plan pin to rule out a real regression. The
+    // contract: dHash signatures come from a NARROW mapPartitions decode
+    // (no exchange between the scan and the signature), and candidate
+    // pairing is ONE equi-join on (segment, segment-value) — never a
+    // cartesian/BNLJ, never a per-pair shuffle class.
+    val p = plan("multimodal_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in dHash plan:\n$p")
+    // the (seg, segval) self-join is the only pair generator: an equi
+    // hash/SMJ must appear, keyed by the segment columns
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi pair join in dHash plan:\n$p")
+    assert(p.contains("seg") && p.contains("segval"),
+      s"pair join not keyed by the pigeonhole segments:\n$p")
+    // exchange budget: signature explode + the self-join's two sides +
+    // the pair dropDuplicates — a corpus-sized extra shuffle (e.g. a
+    // collect_set rebuild or a resurrected per-pair aggregation) breaks
+    // this ceiling and fails here instead of hiding in a host window
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 6, s"dHash plan grew to $exchanges exchanges:\n$p")
+  }
+
   test("triangles: wedge build and closure are equi-joins, no cartesian") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
