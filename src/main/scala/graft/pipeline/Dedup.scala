@@ -477,10 +477,13 @@ object Dedup {
     // plus a collect_set rebuild of every document's shingle set — both
     // of which grow with the corpus, not with the probes. Instead the
     // probe vocabulary (bounded by contract, guarded below) broadcasts
-    // into a semi-join directly behind the corpus-side shingle kernel, so
-    // the corpus-wide work is two narrow scans (one filling the occB
-    // checkpoint below, one re-deriving arrays at verify) and the only
-    // shuffled corpus rows are occurrences OF PROBE SHINGLES. Shingle identity is
+    // into an IN-ROW array filter directly behind the corpus-side shingle
+    // kernel (r10: formerly a row-exploded broadcast semi-join — see the
+    // occB comment for the measured reason), so the corpus-wide work is
+    // two narrow scans (one filling the occB checkpoint below, one
+    // re-deriving arrays at verify), row expansion only ever happens for
+    // PROBE-shingle occurrences, and those survivors are the only
+    // shuffled corpus rows. Shingle identity is
     // the same 64-bit xxhash the prefix-Jaccard kernel verifies with
     // (exactness modulo V²/2⁶⁵ hash collisions — hash-matched against the
     // string-exact DuckDB oracle every round since the switch). The
@@ -499,15 +502,12 @@ object Dedup {
     val arrB = corpus.select(col(corpusIdCol).as("id"),
         graft.functions.ShingleHashes.ofColumn(col(textCol), k).as("shb"))
       .filter(size(col("shb")) > 0)
-    // the probe vocabulary is guard-bounded and feeds TWO broadcast sites
-    // (occB's semi-join is evaluated under both dfB and the candidate
-    // join, and Catalyst re-plans the distinct at each) — collect it once
-    // and re-enter as a literal local relation: zero recompute. The
-    // collect itself is CAPPED at maxProbeVocab+1 rows, so a misuse the
-    // guard exists to refuse (a corpus-sized probe side, tens of millions
-    // of distinct hashes) fails the require without ever shipping the
-    // oversized vocabulary to the driver — the distinct still executes on
-    // the executors, but only cap+1 rows cross the wire.
+    // the probe vocabulary is guard-bounded; collect it once. The collect
+    // is CAPPED at maxProbeVocab+1 rows, so a misuse the guard exists to
+    // refuse (a corpus-sized probe side, tens of millions of distinct
+    // hashes) fails the require without ever shipping the oversized
+    // vocabulary to the driver — the distinct still executes on the
+    // executors, but only cap+1 rows cross the wire.
     val vocabRows = arrA.select(explode(col("sha")).as("shh")).distinct()
       .limit(math.min(maxProbeVocab + 1L, Int.MaxValue.toLong).toInt).collect()
     require(vocabRows.length <= maxProbeVocab,
@@ -516,20 +516,31 @@ object Dedup {
       "snippets (the broadcast-prune contract); for symmetric " +
       "corpus-vs-corpus joins use prefixJaccardPairs or minHashLshPairs, " +
       "or raise maxProbeVocab.")
-    val vocabA = contained.sparkSession.createDataFrame(
-      java.util.Arrays.asList(vocabRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("shh",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    // corpus occurrences of probe shingles: narrow explode pipelined into
-    // the broadcast semi-join — survivors are query-bounded, and the LAZY
-    // checkpoint materializes them on the final job's first pass so both
-    // readers (dfB and the candidate join) are served from ONE corpus
-    // scan instead of Catalyst replaying the explode+semi-join subtree at
-    // each site. Lazy (not eager) because the vocab collect above already
-    // paid the driver barrier — no extra job, the final action fills it.
-    val occB = arrB.select(col("id"), explode(col("shb")).as("shh"))
-      .join(broadcast(vocabA), Seq("shh"), "left_semi")
+    // corpus occurrences of probe shingles, pruned IN-ROW before any row
+    // expansion: each document's shingle array is filtered against the
+    // broadcast vocabulary (sorted long[] + binary search — no boxing, no
+    // per-row set build) and only the SURVIVORS explode into rows. The
+    // r9 form exploded the full corpus (one (id, shingle) row per corpus
+    // shingle) into a broadcast LeftSemi; the Generate of those ~M rows —
+    // nearly all of which the semi-join immediately discarded — was the
+    // measured wall on a realistic wide-vocabulary corpus (cont-probe at
+    // the 100× Zipf corpus: 60M-row explode 213 s, corpus scan itself
+    // 4.6 s), since a generator row costs allocation whether or not it
+    // survives. Filter-then-explode produces the identical occurrence
+    // set with row expansion proportional to the QUERY-bounded survivors.
+    // The LAZY checkpoint serves both readers (dfB and the candidate
+    // join) from one corpus pass; lazy (not eager) because the vocab
+    // collect above already paid the driver barrier — no extra job.
+    val vocabSorted: Array[Long] = {
+      val a = vocabRows.map(_.getLong(0)); java.util.Arrays.sort(a); a
+    }
+    val vocabB = contained.sparkSession.sparkContext.broadcast(vocabSorted)
+    val keepProbeShingles = udf((sh: Seq[Long]) => {
+      val v = vocabB.value
+      sh.filter(h => java.util.Arrays.binarySearch(v, h) >= 0)
+    })
+    val occB = arrB
+      .select(col("id"), explode(keepProbeShingles(col("shb"))).as("shh"))
       .localCheckpoint(eager = false)
     // df per PROBE shingle only (shingle arrays are distinct per doc, so
     // count = document frequency); probe shingles absent from the corpus

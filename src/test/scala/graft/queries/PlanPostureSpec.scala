@@ -228,14 +228,23 @@ class PlanPostureSpec extends SparkSpec {
       s"non-equi pairing in edit-distance plan:\n$p")
   }
 
-  test("containment: corpus prunes through a broadcast semi-join, no corpus-wide set rebuild") {
+  test("containment: corpus prunes in-row against the probe vocabulary, no corpus-wide set rebuild") {
     val p = plan("dedup_containment")
-    // the r9 kernel's contract: the corpus is never fully shuffled — its
-    // occurrences meet the probe vocabulary through a broadcast LeftSemi
-    // right behind the shingle kernel, so the only shuffled corpus rows
-    // are occurrences OF PROBE SHINGLES
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"corpus not broadcast-pruned by the probe vocabulary:\n$p")
+    // the r10 kernel's contract: the corpus is never fully shuffled AND
+    // never fully row-expanded — each document's shingle array meets the
+    // broadcast probe vocabulary through an in-row filter (UDF over the
+    // array, binary search on a sorted long[]) and only the surviving
+    // query-bounded occurrences explode into rows (the r9 corpus-sized
+    // Generate into a broadcast LeftSemi measured 213 s of generator
+    // allocation at the 100× wide-vocab probe for rows the semi-join
+    // then discarded). The occurrence table is lazily checkpointed, so
+    // the FINAL plan reads it as an ExistingRDD scan — the pin asserts
+    // that scan is present and that no corpus-wide explode/semi-join or
+    // set-rebuild shape appears downstream of it.
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"checkpointed occurrence table missing from the containment plan:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("Generate explode(shb"),
+      s"corpus-sized explode-into-semi-join returned to the containment plan:\n$p")
     // the old form rebuilt every corpus document's shingle set through a
     // corpus-wide collect_set (ObjectHashAggregate) — that shuffle class
     // must never come back
