@@ -199,15 +199,27 @@ object Bench {
     val failed = failedQ.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._1 != "_load_quads").map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"warmup_sec":$warmSecs,"warm_rep":$warmJson,"spread":$spread,"rep_times":$repTimes,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // stdout of long runs gets tail-truncated by the capture (ADVICE r5) —
-    // the full line also lands in a file the round can always recompute from
+    // The full line lands in a file the round can always recompute from
+    // (ADVICE r5: long stdout gets tail-truncated by the capture).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line + "\n")
-    spark.stop()
-    if (failedQ.nonEmpty) {
+    // BENCH_r{9,10}.json parsed null: the streaming entries' StateStore
+    // maintenance daemon raced spark.stop() and dumped a stack trace
+    // AFTER the JSON line, so the driver's stdout-tail capture grabbed
+    // the trace instead (VERDICT r10 item 3). Tear everything down FIRST
+    // — active streams, state-store maintenance, the session — THEN emit
+    // the JSON as the genuinely last stdout line, and exit immediately so
+    // no lingering daemon can print after it.
+    if (failedQ.nonEmpty)
       System.err.println(s"[bench] ${failedQ.size} queries FAILED: ${failedQ.keys.mkString(", ")}")
-      sys.exit(1)
-    }
+    try {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    } catch { case _: Throwable => () }
+    spark.stop()
+    Thread.sleep(500) // let any in-flight executor/daemon log lines land
+    System.out.println(line)
+    System.out.flush()
+    sys.exit(if (failedQ.nonEmpty) 1 else 0)
   }
 }

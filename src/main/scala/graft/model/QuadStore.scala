@@ -31,8 +31,15 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     val dictEncoded: Boolean = false) {
   import QuadStore._
 
-  private var quadsDf: DataFrame = align(spark, initial)
-  private var graphCatalog: Set[String] = Set.empty
+  // @volatile: a store shared across threads (the HTTP server's pooled
+  // handlers) needs a happens-before edge from an updating thread to a
+  // querying one — without it a reader may see a stale quads reference
+  // indefinitely (JMM; plain vars have no visibility guarantee). For a
+  // CONSISTENT multi-field view (quads + encoded snapshot + catalog)
+  // readers use [[snapshot]], which takes the store's own monitor — the
+  // same lock serialized updaters hold.
+  @volatile private var quadsDf: DataFrame = align(spark, initial)
+  @volatile private var graphCatalog: Set[String] = Set.empty
   /** String→String UDF registry (`sparql_database.rs:2130-2135`). */
   val udfs = scala.collection.mutable.Map.empty[String, Seq[String] => String]
 
@@ -44,9 +51,25 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     * ANY quad mutation ([[invalidateEncoded]]): a stale snapshot would
     * answer encoded-path queries from pre-mutation data while fallback
     * paths see the mutation. */
-  private var encodedSource: Option[(DataFrame, DataFrame)] = None
+  @volatile private var encodedSource: Option[(DataFrame, DataFrame)] = None
 
   private def invalidateEncoded(): Unit = { encodedSource = None; derivedTerms = None }
+
+  /** Consistent point-in-time copy for concurrent readers: quads, graph
+    * catalog, encoded source, derived-terms cache and UDFs captured
+    * together under the store's monitor — the lock every serialized
+    * updater (e.g. the HTTP server's `runUpdate`) already holds, so a
+    * snapshot can never pair a new quads reference with a stale encoded
+    * view. The copy shares the immutable DataFrames; only references are
+    * copied, so this is cheap enough to take per request. */
+  def snapshot: QuadStore = this.synchronized {
+    val s = new QuadStore(spark, quadsDf, dictEncoded)
+    s.graphCatalog = graphCatalog
+    s.encodedSource = encodedSource
+    s.derivedTerms = derivedTerms
+    udfs.foreach { case (n, f) => s.registerUdf(n, f) }
+    s
+  }
 
   /** A dictionary-encoded view over a SNAPSHOT of the current quads;
     * optionally backed by pre-materialized id/terms tables. Mutations
@@ -80,7 +103,7 @@ class QuadStore(val spark: SparkSession, initial: DataFrame,
     * this frame, and without caching a query decoding N variables
     * replans N explode+distinct shuffles over the quads. Invalidated
     * with the encoded source on updates. */
-  private var derivedTerms: Option[DataFrame] = None
+  @volatile private var derivedTerms: Option[DataFrame] = None
   def termsTable: DataFrame = encodedSource.map(_._2).getOrElse {
     if (derivedTerms.isEmpty)
       derivedTerms = Some(

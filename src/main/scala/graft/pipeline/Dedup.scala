@@ -348,10 +348,18 @@ object Dedup {
         // (df ~10% of docs) never sends those postings to the join even
         // though their (1−t)²·df²/2 term dominates the estimate. The
         // refusal therefore gates on the signal rare-first cannot route
-        // around: vocabulary exhaustion — most sampled shingles repeat,
-        // so prefixes have no rare shingles to prefer. Computed lazily
-        // (one extra sample-sized job) only on suspect corpora.
-        val vs = arr.sample(withReplacement = false, dfSampleRate, seed = 421017L)
+        // around: vocabulary exhaustion — most shingles repeat, so
+        // prefixes have no rare shingles to prefer. Computed over the
+        // FULL corpus, not the df sample: Bernoulli thinning deflates the
+        // repeated fraction quadratically (a df=2 shingle survives as
+        // repeated w.p. p²≈0.01 at p=0.1), so an exhausted corpus
+        // dominated by moderate-df shingles would read ~0 in the sample
+        // and FALSELY PASS into the quadratic join this guard exists to
+        // refuse (ADVICE r10). The exact-df agg is vocabulary-sized, but
+        // this branch only runs on corpora estCand already flagged —
+        // the extra full agg is bounded by suspicion, and refusing or
+        // proceeding correctly is worth one shuffle here.
+        val vs = arr
           .select(explode(col("sh")).as("shh"))
           .groupBy("shh").agg(count(lit(1)).as("df"))
           .agg(count(lit(1)).as("vocab"),
@@ -359,15 +367,13 @@ object Dedup {
         val vocab = vs.getLong(0)
         val repeatedFrac =
           if (vocab == 0L) 0.0 else vs.getLong(1).toDouble / vocab.toDouble
-        // Bernoulli thinning only DEFLATES this fraction (a df=2 shingle
-        // survives as repeated w.p. p²), so 0.5 in the sample certifies a
-        // corpus whose true repeated fraction is higher still — healthy
-        // corpora (mostly-unique shingles) read ~0 and pass untouched.
+        // exact fraction: healthy corpora (mostly-unique shingles) read
+        // ~0 and pass untouched; > 0.5 certifies genuine exhaustion.
         require(repeatedFrac <= 0.5 || estCand <= math.max(
             maxCandidateBlowup * shingleMass, 5e7),
           f"prefixJaccardPairs: estimated candidate volume ${estCand}%.3g exceeds " +
           f"$maxCandidateBlowup%.0f x the corpus shingle mass (${shingleMass}%.3g) " +
-          f"and ${repeatedFrac * 100}%.0f%% of the sampled shingle vocabulary " +
+          f"and ${repeatedFrac * 100}%.0f%% of the shingle vocabulary " +
           "repeats — the vocabulary is exhausted (no shingle is rare), so the " +
           "candidate join would be quadratic chance collisions. Use " +
           "minHashLshPairs (banded + capped buckets) on this corpus, or raise " +
@@ -518,8 +524,10 @@ object Dedup {
       "or raise maxProbeVocab.")
     // corpus occurrences of probe shingles, pruned IN-ROW before any row
     // expansion: each document's shingle array is filtered against the
-    // broadcast vocabulary (sorted long[] + binary search — no boxing, no
-    // per-row set build) and only the SURVIVORS explode into rows. The
+    // broadcast vocabulary by the compiled [[SortedVocabFilter]] kernel
+    // (sorted long[] + binary search, primitive in and out — the r10 UDF
+    // form boxed every Seq[Long] element) and only the SURVIVORS explode
+    // into rows. The
     // r9 form exploded the full corpus (one (id, shingle) row per corpus
     // shingle) into a broadcast LeftSemi; the Generate of those ~M rows —
     // nearly all of which the semi-join immediately discarded — was the
@@ -535,12 +543,9 @@ object Dedup {
       val a = vocabRows.map(_.getLong(0)); java.util.Arrays.sort(a); a
     }
     val vocabB = contained.sparkSession.sparkContext.broadcast(vocabSorted)
-    val keepProbeShingles = udf((sh: Seq[Long]) => {
-      val v = vocabB.value
-      sh.filter(h => java.util.Arrays.binarySearch(v, h) >= 0)
-    })
     val occB = arrB
-      .select(col("id"), explode(keepProbeShingles(col("shb"))).as("shh"))
+      .select(col("id"), explode(
+        graft.functions.SortedVocabFilter.ofColumn(col("shb"), vocabB)).as("shh"))
       .localCheckpoint(eager = false)
     // df per PROBE shingle only (shingle arrays are distinct per doc, so
     // count = document frequency); probe shingles absent from the corpus

@@ -31,8 +31,12 @@ import graft.sparql.{Compiler, SparqlParser}
   *    `application/sparql-query` (body = query), POST
   *    `application/sparql-update` (body = update, mutates the standing
   *    store), POST `application/x-www-form-urlencoded` with `query=` or
-  *    `update=`. Off-the-shelf SPARQL clients (curl, rdflib, Jena) work
-  *    without speaking the JSON envelope.
+  *    `update=`. Standard-content-type query responses are SPARQL 1.1
+  *    Results JSON (`application/sparql-results+json`; boolean form for
+  *    ASK), so off-the-shelf clients (curl, rdflib, Jena) parse them
+  *    without speaking the JSON envelope — an Accept of plain
+  *    `application/json` keeps the envelope body instead. (The reference
+  *    answers tab-separated text here, `sparql_database.rs:2036-2044`.)
   *  - `OPTIONS` answers CORS preflight like the reference.
   *
   * RSP persistent sessions (`main.rs:616-948`):
@@ -224,6 +228,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
               k -> java.net.URLDecoder.decode(v, "UTF-8")
             }.toMap
           params.get("query") match {
+            // GET keeps the envelope by default (the playground and the
+            // Python client read it); a standard client that ASKS for
+            // SPARQL results via Accept gets the conformant body
+            case Some(q) if wantsSparqlResults(exchange) =>
+              respondSparqlResults(exchange, q)
             case Some(q) => respond(exchange, 200,
               runQueries(Seq(q), Nil, None, "ntriples").toString)
             case None => respond(exchange, 400, error("No queries provided"))
@@ -246,8 +255,10 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
             .getOrElse("")
           contentType match {
             case "application/sparql-query" =>
-              respond(exchange, 200,
-                runQueries(Seq(body), Nil, None, "ntriples").toString)
+              if (wantsEnvelope(exchange))
+                respond(exchange, 200,
+                  runQueries(Seq(body), Nil, None, "ntriples").toString)
+              else respondSparqlResults(exchange, body)
             case "application/sparql-update" =>
               runUpdate(body)
               respond(exchange, 200, updateOk)
@@ -258,8 +269,11 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
                   java.net.URLDecoder.decode(v, "UTF-8")
               }.toMap
               (params.get("query"), params.get("update")) match {
-                case (Some(q), _) => respond(exchange, 200,
-                  runQueries(Seq(q), Nil, None, "ntriples").toString)
+                case (Some(q), _) =>
+                  if (wantsEnvelope(exchange))
+                    respond(exchange, 200,
+                      runQueries(Seq(q), Nil, None, "ntriples").toString)
+                  else respondSparqlResults(exchange, q)
                 case (_, Some(u)) =>
                   runUpdate(u)
                   respond(exchange, 200, updateOk)
@@ -284,6 +298,67 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
     serverStore.synchronized {
       new Compiler(serverStore).executeUpdate(SparqlParser().parseUpdate(update))
     }
+
+  /** Accept-header negotiation for the standard-protocol query routes.
+    * Standard content types default to SPARQL 1.1 Results JSON (what
+    * rdflib/Jena/`SPARQLWrapper` parse); a client that explicitly Accepts
+    * only `application/json` keeps the server's envelope. GET is the
+    * inverse: envelope by default (playground/Python-client compat),
+    * standard body when Accept names it. */
+  private def wantsSparqlResults(exchange: HttpExchange): Boolean =
+    Option(exchange.getRequestHeaders.getFirst("Accept"))
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("sparql-results"))
+
+  private def wantsEnvelope(exchange: HttpExchange): Boolean = {
+    val accept = Option(exchange.getRequestHeaders.getFirst("Accept"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    accept.contains("application/json") && !accept.contains("sparql-results")
+  }
+
+  /** SPARQL 1.1 Query Results JSON (W3C sparql11-results-json) over a
+    * snapshot of the standing store. The store is string-typed, so term
+    * kind is recovered syntactically — `_:` prefix → bnode, an absolute
+    * IRI scheme → uri, anything else → literal — strictly more typing
+    * than the reference's standard-protocol body (tab-separated text with
+    * no typing at all, `sparql_database.rs:2036-2044`). ASK answers the
+    * boolean form. */
+  private def respondSparqlResults(exchange: HttpExchange, query: String): Unit = {
+    // execute, not select: the standard protocol carries ASK/CONSTRUCT/
+    // DESCRIBE query forms too, and execute dispatches all of them
+    val df = new Compiler(serverStore.snapshot).execute(query)
+    val cols = df.columns
+    val rows = df.collect()
+    val root = mapper.createObjectNode()
+    val stripped = query.replaceAll("(?is)(PREFIX\\s+\\S+\\s+<[^>]*>|BASE\\s+<[^>]*>)", "").trim
+    if (stripped.toLowerCase(java.util.Locale.ROOT).startsWith("ask") &&
+        cols.sameElements(Array("ask"))) {
+      root.putObject("head")
+      root.put("boolean", rows.headOption.exists(_.getBoolean(0)))
+    } else {
+      val vars = root.putObject("head").putArray("vars")
+      cols.foreach(vars.add)
+      val bindings = root.putObject("results").putArray("bindings")
+      rows.foreach { r =>
+        val b = bindings.addObject()
+        cols.zipWithIndex.foreach { case (c, i) =>
+          if (!r.isNullAt(i)) { // unbound variable → key absent, per spec
+            val v = r.get(i).toString
+            val term = b.putObject(c)
+            if (v.startsWith("_:")) {
+              term.put("type", "bnode"); term.put("value", v.substring(2))
+            } else if (v.matches("[A-Za-z][A-Za-z0-9+.\\-]*:\\S*") &&
+                (v.contains("://") || v.startsWith("urn:") || v.startsWith("mailto:"))) {
+              term.put("type", "uri"); term.put("value", v)
+            } else {
+              term.put("type", "literal"); term.put("value", v)
+            }
+          }
+        }
+      }
+    }
+    respond(exchange, 200, root.toString,
+      contentType = "application/sparql-results+json")
+  }
 
   /** Reference update-protocol success body (`sparql_database.rs:2045-2062`
     * answers "Update Successful" text; JSON here to match every other
@@ -545,7 +620,10 @@ class GraftHttpServer(spark: SparkSession, base: Option[QuadStore] = None,
     }
 
   private def buildStore(rdf: Option[String], format: String): QuadStore = rdf match {
-    case None => serverStore
+    // point-in-time copy under the store's monitor (the lock runUpdate
+    // holds): a pooled query handler must never observe a half-applied
+    // update or a new quads reference paired with a stale encoded view
+    case None => serverStore.snapshot
     case Some(data) =>
       val triples = format match {
         case "ntriples" => RdfIO.parseNtDoc(data)

@@ -86,7 +86,12 @@ class RspEngine(
     staticStore: Option[QuadStore] = None,
     policy: RspEngine.SyncPolicy = RspEngine.Wait,
     consumer: RspEngine.Emission => Unit = _ => (),
-    reportStrategies: Seq[RspEngine.ReportStrategy] = Seq(RspEngine.OnWindowClose),
+    /** GLOBAL programmatic override: when non-empty, every window reports
+      * under this conjunctive list. When empty (the default), each window
+      * carries its OWN strategy lowered from its bracket's `REPORT`
+      * keyword — the reference binds report_strategy per RSPWindow
+      * (`rsp/builder.rs:259-273`), defaulting to OnWindowClose. */
+    reportStrategies: Seq[RspEngine.ReportStrategy] = Nil,
     /** Forward-chaining rules applied to each window's content store
       * before the R2R query runs — the reference's `add_sparql_rules`
       * R2R enrichment (`rsp/builder.rs`, `main.rs:689-700`). */
@@ -116,7 +121,16 @@ class RspEngine(
       /** Cross-window mode: the latest firing's raw `(ts, s, p, o)`
         * content (replace semantics, `rsp_engine.rs:655-658`). */
       var latestRaw: Option[Seq[(Long, String, String, String)]] = None,
-      var fresh: Boolean = false)
+      var fresh: Boolean = false,
+      /** THIS window's report strategies (per-window, not engine-global —
+        * one window's NON_EMPTY_CONTENT must not gate another's firings)
+        * plus the per-window state they read: ON_CONTENT_CHANGE compares
+        * against this window's own last content, PERIODIC counts this
+        * window's own firings (`rsp/s2r.rs:27-84` keeps report state
+        * inside each CSPARQLWindow). */
+      reportStrats: Seq[RspEngine.ReportStrategy] = Seq(RspEngine.OnWindowClose),
+      var fireCount: Int = 0,
+      var lastContentHash: Option[Int] = None)
 
   private val windowBlocks: Map[String, Seq[Element]] =
     query.select.where.collect { case WindowBlockElem(w, elems) => w -> elems }.toMap
@@ -124,8 +138,13 @@ class RspEngine(
     query.select.where.filterNot(_.isInstanceOf[WindowBlockElem])
 
   private val windows: Seq[WindowRuntime] = query.windows.map { spec =>
+    val strats =
+      if (reportStrategies.nonEmpty) reportStrategies // programmatic override
+      else spec.report.map(r => Seq(RspEngineBuilder.lowerReport(r)))
+        .getOrElse(Seq(OnWindowClose))
     WindowRuntime(spec, windowBlocks.getOrElse(spec.iri,
-      throw new IllegalArgumentException(s"no WINDOW block for ${spec.iri}")))
+      throw new IllegalArgumentException(s"no WINDOW block for ${spec.iri}")),
+      reportStrats = strats)
   }
 
   /** Cross-window N3 rules, parsed against the query's own window specs
@@ -293,9 +312,6 @@ class RspEngine(
     drainTimes.foreach { case (w, t) => advance(w, t) }
   }
 
-  private var fireCount = 0
-  private var lastContentHash: Option[Int] = None
-
   /** Timeout-cycle bookkeeping (virtual clock): when the first window of
     * a cycle fired (`cycle_start`, `rsp_engine.rs:566-568,660-663`) and
     * the max close seen this cycle (the reference's `max_ts`). */
@@ -313,16 +329,18 @@ class RspEngine(
     // evict events that can never appear in a future window
     val evictBefore = close + w.spec.stepMs - w.spec.rangeMs
     w.events.filterInPlace(_._1 >= evictBefore)
-    // ALL report strategies must pass (`s2r.rs:27-84`)
-    fireCount += 1
+    // ALL of THIS window's report strategies must pass (`s2r.rs:27-84`);
+    // the firing counter and last-content hash are per-window so
+    // interleaved firings of different windows never cross-talk
+    w.fireCount += 1
     val contentHash = content.toSet.hashCode()
-    val passes = reportStrategies.forall {
+    val passes = w.reportStrats.forall {
       case OnWindowClose => true
       case NonEmptyContent => content.nonEmpty
-      case OnContentChange => !lastContentHash.contains(contentHash)
-      case Periodic(n) => fireCount % math.max(n, 1) == 0
+      case OnContentChange => !w.lastContentHash.contains(contentHash)
+      case Periodic(n) => w.fireCount % math.max(n, 1) == 0
     }
-    lastContentHash = Some(contentHash)
+    w.lastContentHash = Some(contentHash)
     if (!passes) return
     val wasCycleOpen = windows.exists(_.fresh)
     if (crossWindow.isDefined) {
@@ -465,11 +483,11 @@ object RspEngineBuilder {
       reportStrategies: Option[Seq[RspEngine.ReportStrategy]] = None): RspEngine = {
     val q = SparqlParser().parseRsp(rspQl)
     val effective = policy.getOrElse(q.policy.map(lower).getOrElse(RspEngine.Wait))
-    val reports = reportStrategies.getOrElse {
-      val fromText = q.windows.flatMap(_.report).distinct.map(lowerReport)
-      if (fromText.nonEmpty) fromText else Seq(RspEngine.OnWindowClose)
-    }
+    // None → each window lowers its OWN bracket's REPORT keyword inside
+    // the engine (per-window binding, `rsp/builder.rs:259-273`); Some →
+    // the global conjunctive override applies to every window.
     new RspEngine(spark, q, staticStore, effective, consumer,
-      reportStrategies = reports, rules = rules, crossWindow = crossWindow)
+      reportStrategies = reportStrategies.getOrElse(Nil),
+      rules = rules, crossWindow = crossWindow)
   }
 }

@@ -232,8 +232,9 @@ class PlanPostureSpec extends SparkSpec {
     val p = plan("dedup_containment")
     // the r10 kernel's contract: the corpus is never fully shuffled AND
     // never fully row-expanded — each document's shingle array meets the
-    // broadcast probe vocabulary through an in-row filter (UDF over the
-    // array, binary search on a sorted long[]) and only the surviving
+    // broadcast probe vocabulary through an in-row filter (the compiled
+    // SortedVocabFilter expression since r11: binary search on a sorted
+    // long[], primitive in and out) and only the surviving
     // query-bounded occurrences explode into rows (the r9 corpus-sized
     // Generate into a broadcast LeftSemi measured 213 s of generator
     // allocation at the 100× wide-vocab probe for rows the semi-join

@@ -386,12 +386,20 @@ class HttpServerSpec extends SparkSpec {
         "INSERT DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o1> . }")
       assert(up1.statusCode() == 200)
       assert(mapper.readTree(up1.body()).get("status").asText() == "Update Successful")
-      // 2. direct query sees the inserted triple (charset parameter tolerated)
+      // 2. direct query sees the inserted triple (charset parameter
+      //    tolerated); the response is SPARQL 1.1 Results JSON — the body
+      //    an off-the-shelf client (rdflib, Jena, SPARQLWrapper) parses
       val q1 = send("application/sparql-query; charset=utf-8",
         "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o }")
       assert(q1.statusCode() == 200)
-      val d1 = mapper.readTree(q1.body()).get("results").get(0).get("data")
-      assert(d1.size() == 1 && d1.get(0).get(0).get(1).asText() == "http://ex.org/o1")
+      assert(q1.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/sparql-results+json"))
+      val r1 = mapper.readTree(q1.body())
+      assert(r1.get("head").get("vars").get(0).asText() == "o")
+      val b1 = r1.get("results").get("bindings")
+      assert(b1.size() == 1)
+      assert(b1.get(0).get("o").get("type").asText() == "uri")
+      assert(b1.get(0).get("o").get("value").asText() == "http://ex.org/o1")
       // 3. form-urlencoded update (URL-encoded body, update= param)
       val form = "update=" + java.net.URLEncoder.encode(
         "INSERT DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o2> . }",
@@ -405,8 +413,34 @@ class HttpServerSpec extends SparkSpec {
           "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o } ORDER BY ?o",
           "UTF-8"))
       assert(q2.statusCode() == 200)
-      val d2 = mapper.readTree(q2.body()).get("results").get(0).get("data")
-      assert(d2.size() == 2 && d2.get(1).get(0).get(1).asText() == "http://ex.org/o2")
+      val b2 = mapper.readTree(q2.body()).get("results").get("bindings")
+      assert(b2.size() == 2)
+      assert(b2.get(1).get("o").get("value").asText() == "http://ex.org/o2")
+      // 4b. ASK over the standard protocol answers the boolean form
+      val qa = send("application/sparql-query",
+        "ASK { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o2> }")
+      assert(qa.statusCode() == 200, qa.body())
+      assert(mapper.readTree(qa.body()).get("boolean").asBoolean())
+      // 4c. Accept: application/json opts back into the server envelope
+      val qe = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query"))
+          .header("Content-Type", "application/sparql-query")
+          .header("Accept", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o }")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(qe.statusCode() == 200)
+      assert(mapper.readTree(qe.body()).get("results").get(0).has("data"))
+      // 4d. GET with Accept: application/sparql-results+json gets the
+      //     standard body too (default GET keeps the envelope)
+      val qg = client.send(
+        HttpRequest.newBuilder(new URI(s"http://localhost:${srv.port}/query?query=" +
+          java.net.URLEncoder.encode(
+            "SELECT ?o WHERE { <http://ex.org/s> <http://ex.org/p> ?o }", "UTF-8")))
+          .header("Accept", "application/sparql-results+json").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(qg.statusCode() == 200)
+      assert(mapper.readTree(qg.body()).get("results").has("bindings"))
       // 5. a DELETE DATA update takes effect (deletes-before-inserts path)
       val up3 = send("application/sparql-update",
         "DELETE DATA { <http://ex.org/s> <http://ex.org/p> <http://ex.org/o1> . }")

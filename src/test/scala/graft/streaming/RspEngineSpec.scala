@@ -278,6 +278,55 @@ class RspEngineSpec extends SparkSpec {
       "NON_EMPTY_CONTENT must suppress empty-content firings")
   }
 
+  test("REPORT binds per window: one window's NON_EMPTY_CONTENT doesn't gate the other (rsp/builder.rs:259-273)") {
+    // windB's NON_EMPTY_CONTENT is its own; windA (no REPORT) defaults to
+    // OnWindowClose and must still fire on empty content — flattening all
+    // brackets into one engine-global conjunctive list would suppress
+    // windA's empty firing and Wait would never see a full cycle
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/stream> AS SELECT *
+      FROM NAMED WINDOW :windA ON :streamA [RANGE 2 ms STEP 2 ms]
+      FROM NAMED WINDOW :windB ON :streamB [RANGE 2 ms STEP 2 ms REPORT NON_EMPTY_CONTENT]
+      WHERE {
+        WINDOW :windA { ?s1 a <http://test/TypeA> . }
+        WINDOW :windB { ?s2 a <http://test/TypeB> . }
+      }""", policy = Some(Wait))
+    addTyped(e, "streamA", "a0", "TypeA", 0L)
+    addTyped(e, "streamB", "b1", "TypeB", 3L)
+    // B fires close 4 with {b1} (non-empty, passes its own gate)
+    addTyped(e, "streamB", "b2", "TypeB", 5L)
+    // A fires close 4 with empty content — its own default passes
+    addTyped(e, "streamA", "a1", "TypeA", 5L)
+    assert(e.emissions.nonEmpty,
+      "windA's OnWindowClose default must not be gated by windB's NON_EMPTY_CONTENT")
+  }
+
+  test("ON_CONTENT_CHANGE hashes per window: interleaved firings of the other window don't reset it") {
+    // windA repeats empty content across two firings with windB firing
+    // non-empty content in between; a single engine-global lastContentHash
+    // would read A's repeat as \"changed\" and spuriously fire it
+    val e = RspEngineBuilder.fromQuery(spark, """
+      REGISTER RSTREAM <http://out/stream> AS SELECT *
+      FROM NAMED WINDOW :windA ON :streamA [RANGE 4 ms STEP 2 ms REPORT ON_CONTENT_CHANGE]
+      FROM NAMED WINDOW :windB ON :streamB [RANGE 4 ms STEP 2 ms]
+      WHERE {
+        WINDOW :windA { ?s1 a <http://test/TypeA> . }
+        WINDOW :windB { ?s2 a <http://test/TypeB> . }
+      }""", policy = Some(Steal))
+    addTyped(e, "streamA", "a0", "TypeA", 1L)
+    addTyped(e, "streamB", "b0", "TypeB", 1L)
+    addTyped(e, "streamA", "a1", "TypeA", 3L)  // A fires close 2: {a0} — changed
+    addTyped(e, "streamB", "b1", "TypeB", 3L)  // B fires close 2: {b0} → emission (close 2)
+    addTyped(e, "streamA", "a2", "TypeA", 20L) // A fires close 18: empty — changed → emission
+    addTyped(e, "streamB", "b2", "TypeB", 22L) // B fires close 20: empty → emission
+    addTyped(e, "streamB", "b3", "TypeB", 24L) // B fires close 22: {b2} → emission
+    addTyped(e, "streamA", "a3", "TypeA", 30L) // A fires close 28: empty — UNCHANGED for A → suppressed
+    assert(e.emissions.size == 4, s"got closes ${e.emissions.map(_.windowClose)}")
+    assert(e.emissions.last.windowClose == 22L,
+      "A's repeated empty content must be suppressed by ITS OWN hash, " +
+      "not compared against B's interleaved firings")
+  }
+
   test("probabilistic input: one stable seed per arrival, pre-fanout (rsp_engine.rs:960-998)") {
     val e = RspEngineBuilder.fromQuery(spark, s"""
       REGISTER RSTREAM <http://out> AS SELECT *
