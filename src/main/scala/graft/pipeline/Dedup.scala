@@ -1254,9 +1254,13 @@ object Dedup {
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
-    val cents = Similarity.kmeansMicro(emb, nClusters, iters, idCol, vecCol)
-    val e = emb.join(Similarity.assignIntL2(emb, cents, idCol, vecCol), idCol)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cid"))
+    // r11: cell assignment is an in-row argmin against the driver-local
+    // centroid matrix (same micro-unit arithmetic/tie-break the oracle
+    // replays) — no assignment join, the corpus is scanned once per side
+    // of the within-cell pair join
+    val cmat = Similarity.kmeansMicroMatrix(emb, nClusters, iters, idCol, vecCol)._1
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.nearestCid(vecCol, cmat).as("cid"))
     e.as("a").join(e.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("cos",

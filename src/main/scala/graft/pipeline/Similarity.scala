@@ -78,16 +78,12 @@ object Similarity {
     * [[assign]] below). One broadcast join + two aggregations. */
   def assignIntL2(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val x = corpus.select(col(idCol).as("id"),
-      posexplode(transform(col(vecCol),
-        v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-        .as(Seq("pos", "xq")))
-    x.join(broadcast(centroids.select("cid", "pos", "cq")), "pos")
-      .groupBy("id", "cid")
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      .groupBy("id")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      .select(col("id").as(idCol), col("cid"))
+    // centroids are model-sized by contract (k·dim rows) — collected into
+    // a codegen constant so assignment is a zero-shuffle narrow pass
+    // (was: explode + broadcast join + two aggregations per call). Same
+    // micro-unit arithmetic, same (d2, cid) tie-break — bit-identical.
+    val cmat = centroidMatrix(centroids)
+    corpus.select(col(idCol), nearestCid(vecCol, cmat).as("cid"))
   }
 
   def assign(corpus: DataFrame, centroids: DataFrame,
@@ -207,61 +203,121 @@ object Similarity {
     * k ≪ n, so a failure means k is too close to the corpus size.
     * Eager (k-row checkpoint + count); also saves the lazy plan's
     * second corpus scan through the seed groupBy. */
-  private def seedSlots(corpus: DataFrame, idCol: String, k: Int): DataFrame = {
-    val seeds = corpus.select(col(idCol).as("id"),
+  /** The k seed VECTORS (cid → the min-id member's `vec` projection),
+    * collected in ONE pass: the hash-slot/min-id seeding every portable
+    * training chain uses (md5-portable — the oracle reproduces the
+    * seeds), fused with the seed-vector fetch that used to be a second
+    * action. k is model-sized by contract, so this is bounded driver
+    * control state; collecting (instead of the old localCheckpoint +
+    * count + join) makes seeding one job total and leaves no blocks to
+    * leak across bench reps. A slot no id hashes into would silently
+    * train FEWER than k centroids (ADVICE r6) — fail loudly instead. */
+  private def seedVectors(corpus: DataFrame, idCol: String, k: Int,
+      vec: Column): Array[(Int, Array[Long])] = {
+    val rows = corpus.select(col(idCol).as("id"),
         pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
-          lit(k.toLong)).cast(IntegerType).as("cid"))
-      .groupBy("cid").agg(min(col("id")).as("id"))
-      .localCheckpoint()
-    val filled = seeds.count()
-    require(filled == k, s"k-means seeding filled $filled of $k slots — " +
+          lit(k.toLong)).cast(IntegerType).as("cid"),
+        vec.as("xq"))
+      .groupBy("cid")
+      .agg(min_by(struct(col("id"), col("xq")), col("id")).as("s"))
+      .select(col("cid"), col("s.xq"))
+      .collect()
+    require(rows.length == k, s"k-means seeding filled ${rows.length} of $k slots — " +
       "nClusters/ksub too close to the corpus size for hash seeding")
-    seeds
+    rows.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+  }
+
+  /** Micro-unit quantization column: floor(v·10⁶) as BIGINT per
+    * component — the grid every portable-similarity stage computes on. */
+  private[pipeline] def microCol(vecCol: String): Column =
+    transform(col(vecCol), v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType))
+
+  /** Collect a long-format (cid, pos, cq) centroid frame into a dense
+    * matrix indexed [cid][pos] — model-sized by contract (k·dim rows). */
+  private[pipeline] def centroidMatrix(centroids: DataFrame): Array[Array[Long]] = {
+    val rows = centroids.select(col("cid").cast(IntegerType),
+      col("pos").cast(IntegerType), col("cq")).collect()
+    require(rows.nonEmpty, "centroidMatrix: empty centroid table")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Long](k, dim)
+    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    m
+  }
+
+  /** Argmin cid against a centroid matrix, in-row: index of the first
+    * minimum d2 — identical to the old `min_by(cid, struct(d2, cid))`
+    * tie-break (lowest cid among equal distances). */
+  private[pipeline] def nearestCid(vecCol: String, cents: Array[Array[Long]]): Column = {
+    val d2s = graft.functions.CentroidDistances(col(vecCol), cents)
+    (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
   }
 
   def kmeansMicro(corpus: DataFrame, nClusters: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      /** Materialize the exploded corpus once and each round's k·dim
-        * centroid table (tiny) — the per-round chain otherwise doubles
-        * per iteration (each round reads the previous centroids twice:
-        * the assignment join and the empty-cluster left join). Measured
-        * at sf0.1/k=8: 3.0 s lazy → 1.3 s checkpointed. Off for
-        * single-action composition into an outer plan. */
+      /** Retained for source compatibility — the r11 kernel form has no
+        * intermediate to materialize: centroids live as driver-local
+        * model state (k·dim longs) between rounds, and each round is ONE
+        * narrow corpus pass. */
       checkpoint: Boolean = true): DataFrame = {
     require(nClusters >= 1 && iters >= 1, "kmeansMicro needs k >= 1, iters >= 1")
-    val x0 = corpus.select(col(idCol).as("id"),
-      posexplode(transform(col(vecCol),
-        v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-        .as(Seq("pos", "xq")))
-    val x = if (checkpoint) x0.localCheckpoint() else x0
-    val seedIds = seedSlots(corpus, idCol, nClusters)
-    var cent = x.join(broadcast(seedIds), "id")
-      .select(col("cid"), col("pos"), col("xq").as("cq"))
-    var centOwn = false
-    var sizes: DataFrame = null
+    val spark = corpus.sparkSession
+    val (cent, counts) = kmeansMicroMatrix(corpus, nClusters, iters, idCol, vecCol)
+    val out: Seq[org.apache.spark.sql.Row] =
+      for (c <- cent.indices; p <- cent(c).indices)
+        yield org.apache.spark.sql.Row(c, p, cent(c)(p), counts(c))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("cq", LongType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
+  /** The r11 Lloyd loop: centroids as a DRIVER-LOCAL matrix (model-sized,
+    * k·dim longs — the bounded control state every round's plan embeds
+    * as a codegen constant via [[graft.functions.CentroidDistances]]).
+    * Per round the corpus makes ONE narrow pass: in-row argmin against
+    * the centroid constant (zero-shuffle assignment — guide §2.4), then
+    * a (cid, pos) partial-aggregated sum/count whose k·dim result rows
+    * are collected and merged on the driver with the SAME floor-division
+    * mean, `(s − pmod(s, n)) / n` = `Math.floorDiv(s, n)` for n > 0 —
+    * bit-identical to the old exploded-join formulation the DuckDB
+    * oracles replay (pinned by PipelineSpec's partition-invariance and
+    * blob-geometry tests).
+    *
+    * Replaces, per round: one corpus-sized explode shuffle through a
+    * broadcast join + two aggregations, a k·dim localCheckpoint, and a
+    * broadcast build job — measured (JobCountProbe, sf0.1):
+    * similarity_kmeans 28 jobs → single-digit. At 100 TB the win is the
+    * same shape: assignment is scan-parallel with no exchange, and only
+    * k·dim aggregate rows ever reach the driver. */
+  private[pipeline] def kmeansMicroMatrix(corpus: DataFrame, nClusters: Int,
+      iters: Int, idCol: String, vecCol: String): (Array[Array[Long]], Array[Long]) = {
+    // seeding + initial centroids fused into one collect (the k seed
+    // vectors on the micro grid)
+    var cent: Array[Array[Long]] = new Array(nClusters)
+    seedVectors(corpus, idCol, nClusters, microCol(vecCol))
+      .foreach { case (cid, v) => cent(cid) = v }
+    var counts = new Array[Long](nClusters)
     for (_ <- 0 until iters) {
-      val assigned = x.join(broadcast(cent), "pos")
-        .groupBy("id", "cid")
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-        .groupBy("id")
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      val sums = x.join(assigned, "id")
-        .groupBy("cid", "pos").agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
-      val prev = cent
-      val prevOwn = centOwn
-      val next = cent.as("o").join(sums.as("u"), Seq("cid", "pos"), "left_outer")
-        .select(col("cid"), col("pos"),
-          coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
-            .cast(LongType), col("o.cq")).as("cq"),
-          coalesce(col("u.n"), lit(0L)).as("n"))
-      val mat = if (checkpoint) next.localCheckpoint() else next
-      cent = mat.select("cid", "pos", "cq")
-      centOwn = checkpoint
-      sizes = mat.filter(col("pos") === 0).select(col("cid"), col("n"))
-      if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
+      val sums = corpus
+        .select(nearestCid(vecCol, cent).as("cid"),
+          posexplode(microCol(vecCol)).as(Seq("pos", "xq")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cent.map(_.clone)
+      counts = new Array[Long](nClusters)
+      sums.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1)
+        next(cid)(pos) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        if (pos == 0) counts(cid) = r.getLong(3)
+      }
+      cent = next
     }
-    cent.join(sizes, Seq("cid"), "left_outer")
-      .select(col("cid"), col("pos"), col("cq"), coalesce(col("n"), lit(0L)).as("n"))
+    (cent, counts)
   }
 
   /** Product-quantization ANN (Jégou, Douze & Schmid 2011) — the
@@ -300,49 +356,36 @@ object Similarity {
         "pqTopK: empty corpus — nothing to train codebooks on")).getInt(0)
     require(pqDim == m * dsub,
       s"pqTopK: vector dim $pqDim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
-    def subRows(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId),
-        posexplode(transform(col(vecCol),
-          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-          .as(Seq("gpos", "xq")))
-        .select(col(outId), floor(col("gpos") / lit(dsub)).cast(IntegerType).as("m"),
-          pmod(col("gpos"), lit(dsub)).as("pos"), col("xq"))
-    // one exploded (id, m, pos, xq) table serves training AND encoding;
-    // checkpointed so neither re-reads the source
-    val x = subRows(corpus, "id").localCheckpoint()
-    val seedIds = seedSlots(corpus, idCol, ksub)
-    var cent = x.join(broadcast(seedIds), "id")
-      .select(col("m"), col("cid"), col("pos"), col("xq").as("cq"))
-    var centOwn = false
-    for (_ <- 0 until iters) {
-      val assigned = x.join(broadcast(cent), Seq("m", "pos"))
-        .groupBy("id", "m", "cid")
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-        .groupBy("id", "m")
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      val sums = x.join(assigned, Seq("id", "m"))
-        .groupBy("m", "cid", "pos")
-        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
-      val prev = cent
-      val prevOwn = centOwn
-      cent = cent.as("o").join(sums.as("u"), Seq("m", "cid", "pos"), "left_outer")
-        .select(col("m"), col("cid"), col("pos"),
-          coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
-            .cast(LongType), col("o.cq")).as("cq"))
-        .localCheckpoint()
-      centOwn = true
-      if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
-    }
-    val centroids = cent
-    val codes = x.join(broadcast(centroids), Seq("m", "pos"))
-      .groupBy("id", "m", "cid")
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      .groupBy("id", "m")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      .withColumnRenamed("id", "nid")
-    val dt = subRows(queries, "qid").join(broadcast(centroids), Seq("m", "pos"))
-      .groupBy("qid", "m", "cid")
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    // r11 kernel form (same move as kmeansMicroMatrix): the m codebooks
+    // are driver-local model state (m·ksub·dsub longs), per-subspace code
+    // assignment is an IN-ROW argmin against them
+    // ([[graft.functions.CentroidDistances]] on the subspace slice), and
+    // each Lloyd round is ONE narrow corpus pass whose m·ksub·dsub
+    // aggregate rows are collected and floor-div merged on the driver —
+    // bit-identical arithmetic to the exploded-join form the DuckDB
+    // oracle replays. Replaces, per round: a corpus-sized (id, m, pos)
+    // explode shuffle through a broadcast join + two aggregations, a
+    // codebook localCheckpoint and its broadcast build.
+    val books = trainSubspaceBooks(corpus, m, dsub, ksub, iters, idCol, vecCol,
+      residualOfCell = None)
+    def codesArr(vec: Column): Column = array((0 until m).map { mi =>
+      val d2s = graft.functions.CentroidDistances
+        .slice(vec, books(mi), mi * dsub, dsub)
+      (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
+    }: _*)
+    val codes = corpus.select(col(idCol).as("nid"),
+      posexplode(codesArr(col(vecCol))).as(Seq("m", "cid")))
+    // per-query ADC distance tables: all ksub distances per subspace,
+    // flattened (gp = m·ksub + cid) then re-split — queries are the
+    // small side by construction
+    val dtParts = (0 until m).map(mi => graft.functions.CentroidDistances
+      .slice(col(vecCol), books(mi), mi * dsub, dsub))
+    val dt = queries
+      .select(col(idCol).as("qid"),
+        posexplode(flatten(array(dtParts: _*))).as(Seq("gp", "d2")))
+      .select(col("qid"),
+        floor(col("gp") / lit(ksub)).cast(IntegerType).as("m"),
+        pmod(col("gp"), lit(ksub)).cast(IntegerType).as("cid"), col("d2"))
     val scored = codes.join(broadcast(dt), Seq("m", "cid"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid").agg(sum(col("d2")).as("dist"))
@@ -350,6 +393,53 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("dist").asc, col("nid").asc)))
       .filter(col("rank") <= k)
       .select("qid", "nid", "dist", "rank")
+  }
+
+  /** Train the m per-subspace codebooks (Lloyd on the micro grid, keyed
+    * by subspace — one Spark pass per round for all m, the batching
+    * [[pqTopK]] always used) and return them as a driver-local
+    * [m][ksub][dsub] matrix. With `residualOfCell = Some((coarse, cellCol))`
+    * the training vectors are RESIDUALS against the assigned coarse
+    * centroid (the IVF-PQ form): rq_j = xq_j − coarse[cell]_j, computed
+    * in-row. Seeds, tie-breaks and the floor-division mean are the same
+    * md5/min-id/exact-integer construction as [[kmeansMicroMatrix]]. */
+  private def trainSubspaceBooks(corpus: DataFrame, m: Int, dsub: Int,
+      ksub: Int, iters: Int, idCol: String, vecCol: String,
+      residualOfCell: Option[(Array[Array[Long]], Column)]): Array[Array[Array[Long]]] = {
+    val trainVec: Column = residualOfCell match {
+      case Some((coarse, cellCol)) =>
+        val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+        zip_with(microCol(vecCol), element_at(coarseLit, cellCol + 1),
+          (x, c) => x - c)
+      case None => microCol(vecCol)
+    }
+    var books: Array[Array[Array[Long]]] = Array.ofDim[Array[Long]](m, ksub)
+    seedVectors(corpus, idCol, ksub, trainVec).foreach { case (cid, v) =>
+      for (mi <- 0 until m)
+        books(mi)(cid) = java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
+    }
+    for (_ <- 0 until iters) {
+      val codesArr = array((0 until m).map { mi =>
+        val d2s = graft.functions.CentroidDistances
+          .slice(trainVec, books(mi), mi * dsub, dsub)
+        (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
+      }: _*)
+      val mOf = floor(col("gpos") / lit(dsub)).cast(IntegerType)
+      val sums = corpus
+        .select(codesArr.as("codes"), posexplode(trainVec).as(Seq("gpos", "xq")))
+        .select(mOf.as("m"), element_at(col("codes"), mOf + 1).as("cid"),
+          pmod(col("gpos"), lit(dsub)).cast(IntegerType).as("pos"), col("xq"))
+        .groupBy("m", "cid", "pos")
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          Math.floorDiv(r.getLong(3), r.getLong(4))
+      }
+      books = next
+    }
+    books
   }
 
   /** Symmetric int8 quantization: per-vector scale = maxAbs/127 (1.0 for
@@ -455,36 +545,28 @@ object Similarity {
       nClusters: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
-    // k·dim rows; checkpointed so the three consumers below (corpus
-    // assignment, query probing) don't each re-run the Lloyd chain
-    val cent = kmeansMicro(corpus, nClusters, iters = 2, idCol, vecCol)
-      .select(col("cid"), col("pos"), col("cq")).localCheckpoint()
-    def micro(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId),
-        posexplode(transform(col(vecCol),
-          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-          .as(Seq("pos", "xq")))
-    def nearest(df: DataFrame, outId: String): DataFrame =
-      micro(df, outId).join(broadcast(cent), "pos")
-        .groupBy(outId, "cid")
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-    val codes = nearest(corpus, "nid")
-      .groupBy("nid")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-    val probes = nearest(queries, "qid")
+    // r11 kernel form: the trained centroids are a driver-local matrix,
+    // so list assignment is an IN-ROW argmin fused into the corpus scan
+    // (no explode shuffle, no codes join — guide §2.4), and query
+    // probing is a posexplode of the per-query d2 array (queries are the
+    // small side by construction). Distances, tie-breaks and the in-list
+    // round-6 cosine are bit-identical to the exploded-join form the
+    // DuckDB oracle replays (recall + partition-invariance pinned by
+    // PipelineSpec).
+    val cmat = kmeansMicroMatrix(corpus, nClusters, iters = 2, idCol, vecCol)._1
+    val d2s = graft.functions.CentroidDistances(col(vecCol), cmat)
+    val indexed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      nearestCid(vecCol, cmat).as("cid"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        posexplode(d2s).as(Seq("cid", "d2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2").asc, col("cid").asc)))
       .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("cid"))
-    val indexed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .join(codes, "nid")
-    val qSide = probes
-      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid")
-    val scored = indexed.join(broadcast(qSide), Seq("cid"))
+      .select(col("qid"), col("qv"), col("cid").cast(IntegerType).as("cid"))
+    val scored = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
-    // cent's checkpoint blocks (k·dim longs) stay resident until driver
-    // GC — model-sized, the documented tradeoff kmeansMicro also makes
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
       .filter(col("rank") <= k)
@@ -531,99 +613,56 @@ object Similarity {
         "ivfPqTopK: empty corpus — nothing to train the quantizers on")).getInt(0)
     require(dim == m * dsub,
       s"ivfPqTopK: vector dim $dim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
+    // r11 kernel form: coarse centroids AND residual codebooks live as
+    // driver-local model state, so cell assignment, residual
+    // computation and per-subspace encoding are ALL in-row expressions
+    // fused into the corpus scan — no exploded corpus table, no
+    // checkpoint chain, no codes join (guide §2.4/§4). Every number is
+    // the same exact micro-unit arithmetic the DuckDB oracle replays
+    // CTE-for-CTE.
     // coarse quantizer: integer Lloyd, 2 rounds (the oracle unrolls 2)
-    val cent = kmeansMicro(corpus, nCells, iters = 2, idCol, vecCol)
-      .select(col("cid").as("cell"), col("pos"), col("cq")).localCheckpoint()
-    def micro(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId),
-        posexplode(transform(col(vecCol),
-          v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-          .as(Seq("pos", "xq")))
-    // ONE exploded corpus table serves cell assignment AND the residual
-    // build (pqTopK's pattern) — without it each consumer re-scans the
-    // source and re-runs the explode projection
-    val xc = micro(corpus, "id").localCheckpoint()
-    def nearestCell(df: DataFrame, outId: String): DataFrame =
-      micro(df, outId).join(broadcast(cent), "pos")
-        .groupBy(outId, "cell")
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-    // corpus → cell (one shuffle; this IS the inverted-list structure)
-    val cells = xc.join(broadcast(cent), "pos")
-      .groupBy("id", "cell")
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      .groupBy("id")
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
-    // residual rows, split into m subspaces of dsub components each
-    val xr = xc.join(cells, "id")
-      .join(broadcast(cent), Seq("cell", "pos"))
-      .select(col("id"), col("cell"),
-        floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),
-        pmod(col("pos"), lit(dsub)).as("spos"),
-        (col("xq") - col("cq")).as("rq"))
-      .localCheckpoint()
+    val cmat = kmeansMicroMatrix(corpus, nCells, iters = 2, idCol, vecCol)._1
+    val coarseLit = typedLit(cmat.map(_.toSeq).toSeq)
+    val cellCol = nearestCid(vecCol, cmat)
     // residual PQ codebooks: ONE Lloyd chain keyed by subspace (result
-    // equals m separate trainings — pqTopK's measured batching), seeds
-    // shared with the coarse hash family
-    val seedIds = seedSlots(corpus, idCol, ksub)
-    var pc = xr.join(broadcast(seedIds), "id")
-      .select(col("msub"), col("cid"), col("spos"), col("rq").as("cq"))
-    var pcOwn = false
-    for (_ <- 0 until 2) {
-      val assigned = xr.join(broadcast(pc), Seq("msub", "spos"))
-        .groupBy("id", "msub", "cid")
-        .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
-        .groupBy("id", "msub")
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      val sums = xr.join(assigned, Seq("id", "msub"))
-        .groupBy("msub", "cid", "spos")
-        .agg(sum(col("rq")).as("s"), count(lit(1)).as("n"))
-      val prev = pc
-      val prevOwn = pcOwn
-      pc = pc.as("o").join(sums.as("u"), Seq("msub", "cid", "spos"), "left_outer")
-        .select(col("msub"), col("cid"), col("spos"),
-          coalesce(((col("u.s") - pmod(col("u.s"), col("u.n"))) / col("u.n"))
-            .cast(LongType), col("o.cq")).as("cq"))
-        .localCheckpoint()
-      pcOwn = true
-      if (prevOwn) graft.reasoner.Reasoner.unpersistCheckpoint(prev)
-    }
-    // encode: m codes per vector (this is ALL a candidate costs at scan).
-    // Checkpointed so the n·dim training tables (xc, xr) can be RELEASED
-    // here instead of leaking cached blocks across bench reps — codes is
-    // n·m rows (dim/m× smaller), the only corpus-sized block the result
-    // retains
-    val codes = xr.join(broadcast(pc), Seq("msub", "spos"))
-      .groupBy("id", "cell", "msub", "cid")
-      .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
-      .groupBy("id", "cell", "msub")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
-      .withColumnRenamed("id", "nid")
-      .localCheckpoint()
-    graft.reasoner.Reasoner.unpersistCheckpoint(xc)
-    graft.reasoner.Reasoner.unpersistCheckpoint(xr)
+    // equals m separate trainings — pqTopK's batching), seeds shared
+    // with the coarse hash family; training vectors are the residuals
+    // against the assigned cell
+    val books = trainSubspaceBooks(corpus, m, dsub, ksub, iters = 2,
+      idCol, vecCol, residualOfCell = Some((cmat, cellCol)))
+    def rqOf(cell: Column): Column =
+      zip_with(microCol(vecCol), element_at(coarseLit, cell + 1), (x, c) => x - c)
+    def codesArr(rq: Column): Column = array((0 until m).map { mi =>
+      val d2s = graft.functions.CentroidDistances
+        .slice(rq, books(mi), mi * dsub, dsub)
+      (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
+    }: _*)
+    // encode: m codes per vector, computed in the scan projection
+    val codes = corpus.select(col(idCol).as("nid"), cellCol.as("cell"),
+      posexplode(codesArr(rqOf(cellCol))).as(Seq("msub", "code")))
     // query side: nProbe nearest cells, then one ADC distance table per
     // probed cell (the residual depends on the cell, Jégou §IV.A)
-    val probes = nearestCell(queries, "qid")
+    val coarseD2s = graft.functions.CentroidDistances(col(vecCol), cmat)
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        posexplode(coarseD2s).as(Seq("cell", "d2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
       .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("cell"))
-    val qr = micro(queries, "qid").join(broadcast(probes), "qid")
-      .join(broadcast(cent), Seq("cell", "pos"))
+      .select(col("qid"), col("qv"), col("cell"))
+    // dt is |q|·nProbe·m·ksub rows — broadcast-tiny; the probed cell's
+    // residual and all ksub subspace distances are in-row expressions
+    val qrCell = zip_with(
+      transform(col("qv"), v => floor(v.cast(DoubleType) * lit(1000000.0)).cast(LongType)),
+      element_at(coarseLit, col("cell") + 1), (x, c) => x - c)
+    val dtParts = (0 until m).map(mi => graft.functions.CentroidDistances
+      .slice(qrCell, books(mi), mi * dsub, dsub))
+    val dt = probes
       .select(col("qid"), col("cell"),
-        floor(col("pos") / lit(dsub)).cast(IntegerType).as("msub"),
-        pmod(col("pos"), lit(dsub)).as("spos"),
-        (col("xq") - col("cq")).as("rq"))
-    // dt is |q|·nProbe·m·ksub rows — broadcast-tiny; materializing it
-    // lets the coarse centroids and PQ codebooks be released too, so the
-    // returned frame retains only codes + dt (bounded), not the five
-    // training checkpoints (the ADVICE r8 session-drag class)
-    val dt = qr.join(broadcast(pc), Seq("msub", "spos"))
-      .groupBy("qid", "cell", "msub", "cid")
-      .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq"))).as("d2"))
-      .localCheckpoint()
-    graft.reasoner.Reasoner.unpersistCheckpoint(cent)
-    if (pcOwn) graft.reasoner.Reasoner.unpersistCheckpoint(pc)
+        posexplode(flatten(array(dtParts: _*))).as(Seq("gp", "d2")))
+      .select(col("qid"), col("cell"),
+        floor(col("gp") / lit(ksub)).cast(IntegerType).as("msub"),
+        pmod(col("gp"), lit(ksub)).cast(IntegerType).as("cid"), col("d2"))
     // ADC: candidates in probed cells cost m table lookups each
     val scored = codes.join(broadcast(dt),
         codes("cell") === dt("cell") && codes("msub") === dt("msub") &&
