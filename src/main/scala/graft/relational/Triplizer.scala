@@ -130,10 +130,22 @@ object Triplizer {
         val key = corpusKey(sfDir, defaultGraph)
         val path = s"/tmp/graft_quads/$key"
         if (!new java.io.File(path, "_SUCCESS").exists()) {
+          // RANGE-partitioned by (p, s) rather than hash-by-p (r11): the
+          // predicate distribution is Zipf-ish (the fact table's 17
+          // predicates dominate), so hashing p funneled most rows through
+          // a few sort+write tasks — measured 19.7 s vs 8.2 s for the
+          // range layout at sf0.1 (LoadProbe2). Every file still holds a
+          // contiguous (p, s) range sorted within, so predicate min/max
+          // pruning on p is as tight as before, and a hot predicate now
+          // SPLITS across files instead of serializing one scan task —
+          // the same fix the 100 TB layout needs (guide §2.5 input skew,
+          // §6 sort order on write).
           quads(spark, sfDir, defaultGraph)
-            .repartition(col("p"))
+            .repartitionByRange(spark.sparkContext.defaultParallelism,
+              col("p"), col("s"))
             .sortWithinPartitions("p", "s")
-            .write.mode("overwrite").parquet(path)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(path)
         }
         QuadStore(spark, spark.read.parquet(path))
       })
@@ -193,6 +205,7 @@ object Triplizer {
         } else {
           cachedStore(spark, sfDir, defaultGraph).quads
             .write.bucketBy(buckets, "s").sortBy("s")
+            .option("compression", "zstd")
             .mode("overwrite").saveAsTable(table)
           java.nio.file.Files.writeString(marker.toPath, s"$buckets\n$srcPath")
         }
@@ -225,11 +238,13 @@ object Triplizer {
           base.termsTable
             .repartitionByRange(spark.sparkContext.defaultParallelism, col("id"))
             .sortWithinPartitions("id")
-            .write.mode("overwrite").parquet(termsPath)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(termsPath)
           base.encodedQuads
             .repartition(col("p_id"))
             .sortWithinPartitions("p_id", "s_id")
-            .write.mode("overwrite").parquet(idsPath)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(idsPath)
         }
         base.withDictEncoding(Some(
           (spark.read.parquet(idsPath), spark.read.parquet(termsPath))))
