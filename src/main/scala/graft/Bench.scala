@@ -137,6 +137,15 @@ object Bench {
     if (selected.exists(n => n.startsWith("sparql_watdiv_") ||
         n == "sparql_star_join_bucketed"))
       graft.relational.Triplizer.bucketedStore(spark, sfDir).quads.count()
+    // settle the load's writeback debt INSIDE the untimed load window
+    // (r11): the one-time store writes leave hundreds of MB of dirty
+    // pages, and on a writeback-bound host the kernel flushes them
+    // DURING the first timed entries — measured as 2-4× inflation of
+    // whichever queries run right after a cold load (guide §1: time the
+    // computation, not the sink). Best-effort; a missing /bin/sync is
+    // ignored.
+    try new ProcessBuilder("sync").start().waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Throwable => () }
     val loadSecs = (System.nanoTime() - tLoad) / 1e9
     // n repetitions per query IN ONE SESSION (VERDICT r4 item 3: single
     // runs conflate plan cost with JVM/GC noise — the r4 artifact recorded
