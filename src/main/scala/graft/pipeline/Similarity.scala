@@ -349,13 +349,6 @@ object Similarity {
       m: Int = 4, dsub: Int = 16, ksub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dsub >= 1 && ksub >= 2, "pqTopK needs m, dsub >= 1, ksub >= 2")
-    // same m·dsub tiling contract as ivfPqTopK: the split is dsub-driven,
-    // so a mismatched m would silently train a different code count
-    val pqDim = corpus.select(size(col(vecCol)).as("d")).head(1).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "pqTopK: empty corpus — nothing to train codebooks on")).getInt(0)
-    require(pqDim == m * dsub,
-      s"pqTopK: vector dim $pqDim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
     // r11 kernel form (same move as kmeansMicroMatrix): the m codebooks
     // are driver-local model state (m·ksub·dsub longs), per-subspace code
     // assignment is an IN-ROW argmin against them
@@ -415,6 +408,11 @@ object Similarity {
     }
     var books: Array[Array[Array[Long]]] = Array.ofDim[Array[Long]](m, ksub)
     seedVectors(corpus, idCol, ksub, trainVec).foreach { case (cid, v) =>
+      // the m·dsub tiling contract, checked on the seed vectors (one
+      // collect carries seeding, init AND the dim guard — no head() job)
+      require(v.length == m * dsub,
+        s"PQ codebooks: vector dim ${v.length} != m*dsub = ${m * dsub} — " +
+          "set m/dsub to tile the vector exactly")
       for (mi <- 0 until m)
         books(mi)(cid) = java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
     }
@@ -606,13 +604,8 @@ object Similarity {
     // m is a CONTRACT, not just documentation: the subspace split is
     // driven by dsub, so a dim that isn't exactly m·dsub would silently
     // train a different code count than the caller asked for (and a
-    // ragged final subspace) — fail loudly instead. One head() on a
-    // 1-row projection.
-    val dim = corpus.select(size(col(vecCol)).as("d")).head(1).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "ivfPqTopK: empty corpus — nothing to train the quantizers on")).getInt(0)
-    require(dim == m * dsub,
-      s"ivfPqTopK: vector dim $dim != m*dsub = ${m * dsub} — set m/dsub to tile the vector exactly")
+    // ragged final subspace) — fail loudly instead. r11: checked against
+    // the seed vectors inside trainSubspaceBooks (no separate head() job).
     // r11 kernel form: coarse centroids AND residual codebooks live as
     // driver-local model state, so cell assignment, residual
     // computation and per-subspace encoding are ALL in-row expressions
