@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." trailer after commands: the bench
+// contract needs its one-line JSON to be the genuinely LAST stdout line
+// (the driver's stdout-tail parser failed on the trailing sbt line two
+// rounds running — VERDICT r11 item 1). Success/failure still reaches
+// the driver through the exit code, which sbt sets regardless.
+Global / showSuccess := false
+Global / showTiming := false
+// the two keys above are consumed by sbt's command layer, which the
+// lintUnused check cannot see — exclude them from the startup warning
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output INHERITS sbt's stdout/stderr instead of being piped
+// through the logger: the logger stamps every stdout line with an
+// "[info] " prefix, which breaks a json.loads of the bench's one-line
+// JSON (and buffers/reorders lines). With StdoutOutput the JSON line
+// reaches the driver byte-identical to what the JVM printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
