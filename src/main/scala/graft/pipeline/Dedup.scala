@@ -342,6 +342,33 @@ object Dedup {
       // collapsed the vocabulary (deliberately-degenerate spec corpora
       // and sf0.1-class runs stay untouched)
       if (estCand > math.max(maxCandidateBlowup * shingleMass, 5e7)) {
+        // r12 (VERDICT r11 item 8): a PROVABLE health bound lets a
+        // clean-but-flagged corpus skip the vocabulary-sized exact-df
+        // shuffle below. Every repeated shingle contributes ≥ 2 of the
+        // M = Σdf total occurrences, so with V = |vocabulary|:
+        // repeated ≤ M − V, hence repeatedFrac ≤ M/V − 1. V is estimated
+        // with approx_count_distinct (one narrow scan, constant-size HLL
+        // sketch — no shuffle of the vocabulary) and lower-bounded by a
+        // 3σ margin (rsd 2% → 6%), so the bound only ever OVERSTATES the
+        // repeated fraction: when even the overstated bound clears the
+        // 0.5 exhaustion line, the exact aggregation would have decided
+        // "healthy, proceed" too, and is skipped. A corpus the bound
+        // cannot clear still reaches the exact check unchanged — the
+        // refusal fixture fires exactly as before (spec-pinned).
+        val vApprox = arr.select(explode(col("sh")).as("shh"))
+          .agg(approx_count_distinct(col("shh"), 0.02)).head().getLong(0)
+        val vLow = vApprox.toDouble * 0.94
+        val healthBound = if (vLow > 0.0) shingleMass / vLow - 1.0
+          else Double.PositiveInfinity
+        if (healthBound <= 0.5) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"prefixJaccardPairs: hot-shingle mass is high (est. candidates " +
+            f"${estCand}%.3g > $maxCandidateBlowup%.0f x shingle mass " +
+            f"${shingleMass}%.3g) but the vocabulary is provably healthy " +
+            f"(repeated fraction ≤ ${healthBound * 100}%.0f%% by the mass/" +
+            "distinct bound) — rare-first ordering keeps hot shingles out " +
+            "of prefixes, proceeding with the exact join")
+        } else {
         // Σdf² alone over-counts: rare-first ordering keeps hot shingles
         // out of prefixes whenever a doc has enough RARE shingles to fill
         // its prefix, so a healthy corpus with a few boilerplate shingles
@@ -384,6 +411,7 @@ object Dedup {
           f"${shingleMass}%.3g) but the vocabulary is healthy " +
           f"(${repeatedFrac * 100}%.0f%% repeated) — rare-first ordering keeps " +
           "hot shingles out of prefixes, proceeding with the exact join")
+        }
       }
     }
     val hotB = docs.sparkSession.sparkContext.broadcast(hotMap)

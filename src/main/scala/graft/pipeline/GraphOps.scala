@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.reasoner.Reasoner.RoundCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph analytics over edge lists (beyond-reference: the
   * reference reasons over the RDF graph but has no whole-graph
@@ -140,20 +139,21 @@ object GraphOps {
     // the distinct() alone would leave it partitioned by (v, u))
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
       .distinct().repartition(col("u")).localCheckpointSevered()
-    var lbl = und.groupBy("v").agg(least(min(col("u")), col("v")).as("lbl"))
-      .localCheckpointSevered()
     // convergence check: labels are node ids that only ever DECREASE, so
     // Σ lbl strictly decreases whenever any vertex changed and the
-    // fixpoint is "sum unchanged" — one exchange-free agg scan of the
-    // round's checkpoint instead of the old |V|⋈|V| changed-count join
-    // (a per-round shuffle at scale). DECIMAL(38,0) keeps the sum exact:
-    // |V|·max(id) ≤ 10¹⁰·2⁶³ ≈ 10²⁹ ≪ 10³⁸.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      // coalesce: sum over ZERO rows is null — an empty edge set must
-      // converge on the first round (sum 0 == 0), not NPE in compareTo
-      df.agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0)))).first().getDecimal(0)
-    var prevSum = lblSum(lbl)
+    // fixpoint is "sum unchanged". r12: the sum rides the checkpoint's
+    // own materialization job (exact integer sum, long accumulation with
+    // BigInteger promotion — the same value the old
+    // `sum(cast(lbl as decimal(38,0)))` scan computed in a SECOND action
+    // per round over the already-materialized blocks). lbl is ordinal 1
+    // of the (v, lbl) frame and non-null by construction.
+    def ckWithSum(df: DataFrame): (DataFrame, BigInt) = {
+      val (ck, _, s) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointSeveredCountSum(df, sumOrdinal = 1)
+      (ck, s)
+    }
+    var (lbl, prevSum) = ckWithSum(
+      und.groupBy("v").agg(least(min(col("u")), col("v")).as("lbl")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -163,15 +163,13 @@ object GraphOps {
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: lbl'(v) = min(lbl(v), lbl(lbl(v))) — labels are
       // node ids of the same component, so the shortcut stays in-component
-      val next = stepped.as("a")
+      val (next, nextSum) = ckWithSum(stepped.as("a")
         .join(stepped.select(col("v").as("lbl"), col("lbl").as("lbl2")).as("b"),
           Seq("lbl"), "left_outer")
-        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpointSevered()
-      val nextSum = lblSum(next)
+        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       graft.reasoner.Reasoner.unpersistCheckpoint(lbl)
       lbl = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = nextSum == prevSum
       prevSum = nextSum
       round += 1
       graft.reasoner.Reasoner.maybeReclaimShuffles(round)
@@ -202,17 +200,21 @@ object GraphOps {
     // join key once (same prePartition rationale as pageRank/components)
     val und = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
       .distinct().repartition(col("v")).localCheckpointSevered()
-    var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpointSevered()
+    // r12: the frontier's emptiness check rides its checkpoint job (was a
+    // separate isEmpty action per hop)
+    var (visited, frontierN) = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpointSeveredCounted()
     var frontier = visited
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && frontierN > 0) {
       val reached = und.join(frontier.select(col("node").as("v")), "v")
         .select(col("u").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
       val prevFrontier = frontier
-      frontier = reached.localCheckpointSevered()
+      val (f2, fn2) = reached.localCheckpointSeveredCounted()
+      frontier = f2
+      frontierN = fn2
       val prev = visited
       visited = prev.unionByName(frontier).localCheckpointSevered()
       graft.reasoner.Reasoner.unpersistCheckpoint(prev)

@@ -76,6 +76,11 @@ object Similarity {
     * (d2, cid) tie-break the training loop uses, so DuckDB replays the
     * assignment exactly (the engine-portable counterpart of the cosine
     * [[assign]] below). One broadcast join + two aggregations. */
+  /** Element-type contract (ADVICE r11): `array<long>` columns are
+    * treated as ALREADY micro-quantized (no ×10⁶ floor) — the grid the
+    * training loop itself emits; float/double/int arrays are quantized
+    * per element. Callers holding raw (non-micro) long embeddings must
+    * cast to double first. */
   def assignIntL2(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // centroids are model-sized by contract (k·dim rows) — collected into
@@ -214,17 +219,71 @@ object Similarity {
     * train FEWER than k centroids (ADVICE r6) — fail loudly instead. */
   private def seedVectors(corpus: DataFrame, idCol: String, k: Int,
       vec: Column): Array[(Int, Array[Long])] = {
-    val rows = corpus.select(col(idCol).as("id"),
-        pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
-          lit(k.toLong)).cast(IntegerType).as("cid"),
-        vec.as("xq"))
-      .groupBy("cid")
-      .agg(min_by(struct(col("id"), col("xq")), col("id")).as("s"))
-      .select(col("cid"), col("s.xq"))
-      .collect()
+    val slotted = corpus.select(
+      pmod(Dedup.md5Hash60(concat(lit("kmeans-seed"), col(idCol).cast("string"))),
+        lit(k.toLong)).cast(IntegerType).as("cid"),
+      col(idCol).as("id"), vec.as("xq"))
+    // r12: for integral ids (every current caller) the per-slot min-id
+    // fold is one zero-shuffle ScanBridge job instead of groupBy →
+    // Exchange → min_by → collect (2 AQE jobs). Same winner per slot —
+    // the minimum is the minimum on any partitioning.
+    val integralId = corpus.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val rows: Array[(Int, Array[Long])] = if (integralId) {
+      val typed = slotted.select(col("cid"), col("id").cast(LongType), col("xq"))
+      val slots = org.apache.spark.sql.graft.ScanBridge
+        .aggregateRows[Array[(Long, Array[Long])]](typed,
+          () => new Array[(Long, Array[Long])](k),
+          { (acc, row) =>
+              if (row.isNullAt(0)) throw new IllegalArgumentException(
+                "k-means seeding: null id in the corpus")
+              val cid = row.getInt(0)
+              val id = row.getLong(1)
+              if (acc(cid) == null || id < acc(cid)._1) {
+                // a null vector still competes by id (the min_by
+                // semantics); the non-null contract is enforced below
+                val v = if (row.isNullAt(2)) null else {
+                  val a = row.getArray(2)
+                  var i = 0
+                  while (i < a.numElements()) {
+                    if (a.isNullAt(i)) throw new IllegalArgumentException(
+                      "k-means seeding: seed vector has a null element")
+                    i += 1
+                  }
+                  a.toLongArray()
+                }
+                acc(cid) = (id, v)
+              }
+              acc
+          },
+          { (a, b) =>
+              var c = 0
+              while (c < k) {
+                if (a(c) == null || (b(c) != null && b(c)._1 < a(c)._1)) a(c) = b(c)
+                c += 1
+              }
+              a
+          })
+      slots.zipWithIndex.collect { case (s, cid) if s != null => cid -> s._2 }
+    } else {
+      slotted
+        .groupBy("cid")
+        .agg(min_by(struct(col("id"), col("xq")), col("id")).as("s"))
+        .select(col("cid"), col("s.xq"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1).toArray))
+    }
     require(rows.length == k, s"k-means seeding filled ${rows.length} of $k slots — " +
       "nClusters/ksub too close to the corpus size for hash seeding")
-    rows.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+    // a min-id seed row with a NULL vector would NPE downstream with no
+    // hint at the cause (ADVICE r11) — name the contract instead
+    rows.foreach { case (cid, v) => require(v != null,
+      s"k-means seeding: slot $cid's min-id row has a null " +
+        "embedding — seed vectors must be non-null") }
+    rows
   }
 
   /** Micro-unit quantization column: floor(v·10⁶) as BIGINT per
@@ -240,6 +299,12 @@ object Similarity {
     require(rows.nonEmpty, "centroidMatrix: empty centroid table")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     val dim = rows.iterator.map(_.getInt(1)).max + 1
+    // dense-coverage contract (ADVICE r11): a gapped/sparse centroid
+    // frame would silently zero-fill missing (cid, pos) cells and let a
+    // phantom origin-vector centroid win the argmin — fail loudly
+    require(rows.length == k * dim,
+      s"centroidMatrix: ${rows.length} (cid, pos) rows for k=$k × dim=$dim — " +
+        "the centroid table must cover every cell exactly once")
     val m = Array.ofDim[Long](k, dim)
     rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     m
@@ -301,19 +366,58 @@ object Similarity {
     seedVectors(corpus, idCol, nClusters, microCol(vecCol))
       .foreach { case (cid, v) => cent(cid) = v }
     var counts = new Array[Long](nClusters)
+    val dim = cent(0).length
     for (_ <- 0 until iters) {
-      val sums = corpus
-        .select(nearestCid(vecCol, cent).as("cid"),
-          posexplode(microCol(vecCol)).as(Seq("pos", "xq")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      // r12: the per-round (cid, pos) sum/count is MODEL-sized dense
+      // state, so it folds in ONE zero-shuffle job (ScanBridge) instead
+      // of posexplode → hash aggregate → Exchange → final aggregate →
+      // collect (2-3 AQE jobs per round). The heavy per-row math — the
+      // argmin and the micro quantization — still runs in whole-stage
+      // codegen inside this projection; the fold only adds longs into a
+      // per-task array. Exact BIGINT sums in either form: bit-identical
+      // centroids on any partitioning (PipelineSpec pins this).
+      val (sums, ns) = org.apache.spark.sql.graft.ScanBridge
+        .aggregateRows[(Array[Array[Long]], Array[Long])](
+          corpus.select(nearestCid(vecCol, cent).as("cid"),
+            microCol(vecCol).as("xq")),
+          () => (Array.ofDim[Long](nClusters, dim), new Array[Long](nClusters)),
+          { case (acc @ (s, n), row) =>
+              // null vec → null cid AND null xq: the old posexplode
+              // emitted nothing for it — skip. A null cid with a
+              // non-null vector (ragged dim) crashed the old collect
+              // (NPE on getInt) — fail loudly instead.
+              if (!row.isNullAt(1)) {
+                if (row.isNullAt(0)) throw new IllegalStateException(
+                  "kmeansMicro: vector has no nearest centroid (dimension " +
+                    "mismatch with the seed vectors?)")
+                val cid = row.getInt(0)
+                val arr = row.getArray(1)
+                val sc = s(cid)
+                var i = 0
+                while (i < dim) { sc(i) += arr.getLong(i); i += 1 }
+                n(cid) += 1L
+              }
+              acc
+          },
+          { case ((s1, n1), (s2, n2)) =>
+              var c = 0
+              while (c < nClusters) {
+                val a = s1(c); val b = s2(c)
+                var i = 0
+                while (i < dim) { a(i) += b(i); i += 1 }
+                n1(c) += n2(c); c += 1
+              }
+              (s1, n1)
+          })
       val next = cent.map(_.clone)
-      counts = new Array[Long](nClusters)
-      sums.foreach { r =>
-        val cid = r.getInt(0); val pos = r.getInt(1)
-        next(cid)(pos) = Math.floorDiv(r.getLong(2), r.getLong(3))
-        if (pos == 0) counts(cid) = r.getLong(3)
+      counts = ns
+      var c = 0
+      while (c < nClusters) {
+        if (ns(c) > 0L) {
+          var i = 0
+          while (i < dim) { next(c)(i) = Math.floorDiv(sums(c)(i), ns(c)); i += 1 }
+        }
+        c += 1
       }
       cent = next
     }
@@ -422,18 +526,65 @@ object Similarity {
           .slice(trainVec, books(mi), mi * dsub, dsub)
         (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
       }: _*)
-      val mOf = floor(col("gpos") / lit(dsub)).cast(IntegerType)
-      val sums = corpus
-        .select(codesArr.as("codes"), posexplode(trainVec).as(Seq("gpos", "xq")))
-        .select(mOf.as("m"), element_at(col("codes"), mOf + 1).as("cid"),
-          pmod(col("gpos"), lit(dsub)).cast(IntegerType).as("pos"), col("xq"))
-        .groupBy("m", "cid", "pos")
-        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      // r12: one zero-shuffle job per round (same move as
+      // kmeansMicroMatrix — the (m, cid, pos) sums are model-sized dense
+      // state; codes and residuals still computed in codegen upstream).
+      // Exact integer sums → bit-identical codebooks.
+      val (sums, ns) = org.apache.spark.sql.graft.ScanBridge
+        .aggregateRows[(Array[Array[Array[Long]]], Array[Array[Long]])](
+          corpus.select(codesArr.as("codes"), trainVec.as("xq")),
+          () => (Array.ofDim[Long](m, ksub, dsub), Array.ofDim[Long](m, ksub)),
+          { case (acc @ (s, n), row) =>
+              // null residual/vector → the old posexplode emitted nothing
+              // for the row — skip (its codes are null too). A null code
+              // with a non-null vector crashed the old collect — fail
+              // loudly instead.
+              if (!row.isNullAt(1)) {
+                val codes = row.getArray(0)
+                val arr = row.getArray(1)
+                var mi = 0
+                while (mi < m) {
+                  if (codes.isNullAt(mi)) throw new IllegalStateException(
+                    "PQ codebooks: sub-vector has no nearest centroid " +
+                      "(dimension mismatch with the seed vectors?)")
+                  val cid = codes.getInt(mi)
+                  val sc = s(mi)(cid)
+                  var p = 0
+                  while (p < dsub) { sc(p) += arr.getLong(mi * dsub + p); p += 1 }
+                  n(mi)(cid) += 1L
+                  mi += 1
+                }
+              }
+              acc
+          },
+          { case ((s1, n1), (s2, n2)) =>
+              var mi = 0
+              while (mi < m) {
+                var c = 0
+                while (c < ksub) {
+                  val a = s1(mi)(c); val b = s2(mi)(c)
+                  var p = 0
+                  while (p < dsub) { a(p) += b(p); p += 1 }
+                  n1(mi)(c) += n2(mi)(c); c += 1
+                }
+                mi += 1
+              }
+              (s1, n1)
+          })
       val next = books.map(_.map(_.clone))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          Math.floorDiv(r.getLong(3), r.getLong(4))
+      var mi = 0
+      while (mi < m) {
+        var c = 0
+        while (c < ksub) {
+          if (ns(mi)(c) > 0L) {
+            var p = 0
+            while (p < dsub) {
+              next(mi)(c)(p) = Math.floorDiv(sums(mi)(c)(p), ns(mi)(c)); p += 1
+            }
+          }
+          c += 1
+        }
+        mi += 1
       }
       books = next
     }

@@ -287,11 +287,21 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
         .filter(col("__ftag").isNull || col("tag") =!= col("__ftag"))
         .withColumn("__retag", col("__ftag").isNotNull)
         .select("s", "p", "o", "tag", "__retag")
-        .localCheckpointSevered()
-      deltaRows = improved.count()
+      // r12: checkpoint + BOTH convergence counts (frontier size and
+      // retagged rows) fold into the materialization job — this loop used
+      // to pay three actions per round (checkpoint, count, the __retag
+      // isEmpty probe) for one round's worth of data. Same rows, same
+      // counts, one action.
+      val (improvedCk, (dn, retagged)) =
+        org.apache.spark.sql.graft.CheckpointBridge.localCheckpointSeveredAgg[(Long, Long)](
+          improved, (0L, 0L),
+          { case ((all, rt), row) =>
+              (all + 1L, if (row.getBoolean(4)) rt + 1L else rt) },
+          { case ((a1, r1), (a2, r2)) => (a1 + a2, r1 + r2) })
+      deltaRows = dn
       if (debug) println(f"[annotated] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
-      delta = improved.select("s", "p", "o", "tag")
+      delta = improvedCk.select("s", "p", "o", "tag")
       // insert-only fast path: when no existing fact was re-tagged (the
       // common case for set-like closures — each fact's tag is fixed by
       // its first derivation), the accumulated facts are untouched and the
@@ -301,7 +311,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       // Union constraint rewrite on self-joins — see closureByDoubling),
       // so re-materialize the accumulated union every few rounds to keep
       // plan size bounded.
-      if (improved.filter(col("__retag")).isEmpty) {
+      if (retagged == 0L) {
         facts = facts.unionByName(delta)
         fastPathDepth += 1
         if (fastPathDepth >= fastPathCheckpointEvery) {
@@ -351,8 +361,13 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
             .otherwise(semiring.plusPair(col("__htag"), col("__old"))))
         .withColumn("__chg", col("__old").isNull || col("tag") =!= col("__old"))
         .select("s", "o", "tag", "__chg")
-        .localCheckpointSevered()
-      val changed = next.filter(col("__chg")).count()
+      // r12: checkpoint + the __chg convergence count fused into the one
+      // materialization job (was: checkpoint action, then a filtered
+      // count action over the same blocks)
+      val (nextCk, changed) =
+        org.apache.spark.sql.graft.CheckpointBridge.localCheckpointSeveredAgg[Long](
+          next, 0L,
+          (c, row) => if (row.getBoolean(3)) c + 1L else c, _ + _)
       if (debug) println(f"[annotated] doubling round $round: changed=$changed, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized; dropping them eagerly (instead of waiting for the
@@ -360,7 +375,7 @@ class AnnotatedReasoner(spark: SparkSession, semiring: Semiring,
       // large heap) is what keeps rep-to-rep spread down — each rep
       // otherwise accumulates every round of every prior rep on-heap
       Reasoner.unpersistCheckpoint(t)
-      t = next.select("s", "o", "tag")
+      t = nextCk.select("s", "o", "tag")
       if (changed == 0) { lastConverged = true; return t }
       round += 1
       Reasoner.maybeReclaimShuffles(round)

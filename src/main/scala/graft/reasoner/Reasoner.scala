@@ -55,10 +55,34 @@ object Reasoner {
   def ckRound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.graft.CheckpointBridge.localCheckpointSevered(df)
 
+  /** [[ckRound]] + row count in ONE action (r12): every fixpoint round
+    * used to pay a second blocking action (a fresh SQL execution +
+    * scheduled job) just to read the convergence count off blocks the
+    * checkpoint had already materialized — at bench scale that fixed
+    * per-action latency is the dominant per-round constant
+    * (optimization guide §1.2). Identical rows, identical count. */
+  def ckRoundCounted(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) =
+    org.apache.spark.sql.graft.CheckpointBridge.localCheckpointSeveredCounted(df)
+
   /** Syntax for [[ckRound]]: `df.localCheckpointSevered()` — drop-in for
     * `localCheckpoint()` at fixpoint-round call sites. */
   implicit class RoundCheckpointOps(private val df: org.apache.spark.sql.DataFrame) {
     def localCheckpointSevered(): org.apache.spark.sql.DataFrame = ckRound(df)
+    def localCheckpointSeveredCounted(): (org.apache.spark.sql.DataFrame, Long) =
+      ckRoundCounted(df)
+  }
+
+  /** Run two independent Spark actions CONCURRENTLY (guide §2.6 "overlap
+    * independent jobs"): `fb` on a pool thread while `fa` runs on the
+    * caller's thread; returns both. Actions are only sequential because
+    * driver code calls them sequentially — inside a fixpoint round the
+    * R-advance and the J-square read the SAME immutable checkpoints and
+    * write different ones, so overlapping them cuts the driver-paced
+    * wall to max(tA, tB) without touching what either computes. */
+  def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val fut = scala.concurrent.Future(fb)(scala.concurrent.ExecutionContext.global)
+    val a = fa
+    (a, scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf))
   }
 
   /** Long fixpoints also leak shuffle FILES: ContextCleaner deletes a
@@ -259,16 +283,15 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
   /** Naive fixpoint: apply all rules to all facts until no new facts. */
   def materializeNaive(facts0: DataFrame, rules: Seq[Rule],
       maxRounds: Int = 1000): DataFrame = {
-    var facts = facts0.select("s", "p", "o").distinct().localCheckpointSevered()
-    var size = facts.count()
+    var (facts, size) = facts0.select("s", "p", "o").distinct().localCheckpointSeveredCounted()
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
       val derived = rules.map { r =>
         instantiateHead(r, evalBody(r, facts, None, defaultCond))
       }.reduce(_ unionByName _)
-      val next = facts.unionByName(derived).distinct().localCheckpointSevered()
-      val n = next.count()
+      // checkpoint + convergence count fused into one action (r12)
+      val (next, n) = facts.unionByName(derived).distinct().localCheckpointSeveredCounted()
       // eagerly drop the superseded round's blocks — the weak-ref
       // ContextCleaner rarely fires on an idle heap (same hygiene as
       // AnnotatedReasoner.closureByDoubling)
@@ -386,9 +409,11 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
       }
       // distinct() after the anti-join: the join already hash-partitioned
       // the derived side on (s,p,o), so the aggregate adds no exchange.
-      delta = derived.join(known, Seq("s", "p", "o"), "left_anti")
-        .distinct().localCheckpointSevered()
-      deltaRows = delta.count()
+      // Checkpoint + frontier count fused into one action (r12).
+      val (d, dn) = derived.join(known, Seq("s", "p", "o"), "left_anti")
+        .distinct().localCheckpointSeveredCounted()
+      delta = d
+      deltaRows = dn
       if (debug) println(f"[reasoner] round $round: delta=$deltaRows, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       if (deltaRows == 0) return facts
       facts = facts.unionByName(delta)
@@ -424,15 +449,14 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     // frames trip Catalyst's Union constraint rewrite on shared
     // attribute ids. log₂(depth) rounds keeps the total re-shuffle at
     // O(|closure| · log depth) either way.
-    var t = edges.distinct().localCheckpointSevered()
-    var n = t.count()
+    var (t, n) = edges.distinct().localCheckpointSeveredCounted()
     var round = 0
     while (round < math.min(maxRounds, 64)) {
       val tRound = System.nanoTime()
       val hop = t.as("l").join(t.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      val next = t.unionByName(hop).distinct().localCheckpointSevered()
-      val n2 = next.count()
+      // checkpoint + convergence count fused into one action (r12)
+      val (next, n2) = t.unionByName(hop).distinct().localCheckpointSeveredCounted()
       // drop the superseded round's blocks (AnnotatedReasoner hygiene)
       Reasoner.unpersistCheckpoint(t)
       t = next
@@ -473,28 +497,40 @@ class Reasoner(spark: SparkSession, enableDoubling: Boolean = true) {
     * (BASELINE.md row 2 parity). */
   private def typeClosureByDoubling(types: DataFrame, sub: DataFrame,
       maxRounds: Int, debug: Boolean): DataFrame = {
-    var r = types.distinct().localCheckpointSevered()
-    var j = sub.distinct().localCheckpointSevered()
-    var n = r.count()
-    var jn = j.count()
+    // r12: each round used to pay FOUR sequential blocking actions
+    // (R checkpoint, R count, J checkpoint, J count). Two moves, results
+    // untouched: (1) checkpoint + count fuse into ONE action
+    // (ckRoundCounted); (2) the R-advance and the J-square are
+    // INDEPENDENT given the previous round's (r, j) checkpoints, so they
+    // run as CONCURRENT jobs (guide §2.6) — the driver wall per round is
+    // max(tR, tJ) instead of tR + tJ. The J-square is speculative on the
+    // stall round (the old code skipped it after seeing R stall); that
+    // wastes one small job per ENTRY against an overlap win on EVERY
+    // round, and the speculative result is discarded unread.
+    var ((r, n), (j, jn)) = Reasoner.inParallel(
+      types.distinct().localCheckpointSeveredCounted(),
+      sub.distinct().localCheckpointSeveredCounted())
     var round = 0
     while (round < math.min(maxRounds, 64) && jn > 0) {
       val tRound = System.nanoTime()
       val stepped = r.as("l").join(j.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      val nextR = r.unionByName(stepped).distinct().localCheckpointSevered()
-      val n2 = nextR.count()
+      val ((nextR, n2), (jj, jn2)) = Reasoner.inParallel(
+        r.unionByName(stepped).distinct().localCheckpointSeveredCounted(),
+        j.as("l").join(j.as("r"), col("l.o") === col("r.s"))
+          .select(col("l.s").as("s"), col("r.o").as("o"))
+          .distinct().localCheckpointSeveredCounted())
       Reasoner.unpersistCheckpoint(r)
       r = nextR
       if (debug) println(f"[reasoner] type-doubling round $round: typed=$n2, jumps=$jn, ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-      if (n2 == n) { Reasoner.unpersistCheckpoint(j); return r }
+      if (n2 == n) {
+        Reasoner.unpersistCheckpoint(j); Reasoner.unpersistCheckpoint(jj)
+        return r
+      }
       n = n2
-      val jj = j.as("l").join(j.as("r"), col("l.o") === col("r.s"))
-        .select(col("l.s").as("s"), col("r.o").as("o"))
-        .distinct().localCheckpointSevered()
       Reasoner.unpersistCheckpoint(j)
       j = jj
-      jn = j.count()
+      jn = jn2
       round += 1
       Reasoner.maybeReclaimShuffles(round)
     }

@@ -259,9 +259,10 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     var round = 0
     while (round < 32) {
       val derived = rules.map(applyRuleOnce(facts, _)).reduce(_ unionByName _)
-      val delta = derived.join(facts, facts.columns.toSeq, "left_anti")
-        .distinct().localCheckpointSevered()
-      if (delta.isEmpty) return facts
+      // r12: checkpoint + emptiness probe fused into one action
+      val (delta, deltaN) = derived.join(facts, facts.columns.toSeq, "left_anti")
+        .distinct().localCheckpointSeveredCounted()
+      if (deltaN == 0L) return facts
       facts = facts.unionByName(delta).localCheckpointSevered()
       round += 1
     }
@@ -463,16 +464,15 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
     require(!edges.isStreaming,
       "arbitrary-length paths need a fixpoint; a micro-batch stream cannot " +
         "loop — use the batch emissions or RspEngine")
-    var r = edges.distinct().localCheckpointSevered()
-    var n = r.count()
+    // r12: checkpoint + convergence count fused into one action per round
+    var (r, n) = edges.distinct().localCheckpointSeveredCounted()
     var done = false
     while (!done) {
-      val next = r.unionByName(
+      val (next, m) = r.unionByName(
           r.withColumnRenamed("__po", "__m")
             .join(r.withColumnRenamed("__ps", "__m"), ck :+ "__m", "inner")
             .select((ck.map(col) :+ col("__ps") :+ col("__po")): _*))
-        .distinct().localCheckpointSevered()
-      val m = next.count()
+        .distinct().localCheckpointSeveredCounted()
       done = m == n
       n = m
       val prev = r
@@ -776,14 +776,14 @@ class DistributedRsp(spark: SparkSession, val query: RspQuery,
       .filter(col("__k") === perFired.size).select("p", "n").localCheckpoint()
     val e0 = perFired.map(_.agg(min("close").as("__m"))).reduce(_ unionByName _)
       .agg(max("__m").as("__c"))
-    var reach = e0.localCheckpointSevered()
-    var n = reach.count()
+    // r12: checkpoint + growth count fused into one action per round
+    var (reach, n) = e0.localCheckpointSeveredCounted()
     var grew = true
     while (grew) {
       val stepped = reach.join(hop, reach("__c") === hop("p"))
         .select(col("n").as("__c"))
-      val merged = reach.unionByName(stepped).distinct().localCheckpointSevered()
-      val m = merged.count()
+      val (merged, m) = reach.unionByName(stepped).distinct()
+        .localCheckpointSeveredCounted()
       grew = m > n
       if (grew) {
         reach = merged; n = m

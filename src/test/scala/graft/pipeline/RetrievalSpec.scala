@@ -352,6 +352,25 @@ class RetrievalSpec extends SparkSpec {
       "forced exact join on the collapsed corpus should complete and find pairs")
   }
 
+  test("prefix jaccard: clean-but-flagged corpus proceeds via the approx health bound") {
+    // r12 (VERDICT r11 item 8): a few boilerplate shingles hot in EVERY
+    // doc push the sampled candidate estimate past the refusal line
+    // (est ≈ 1.5e8 > the 5e7 floor), but the vocabulary is mostly unique
+    // (M/V − 1 ≈ 0.07 ≪ 0.5), so the approx_count_distinct mass/distinct
+    // bound certifies health WITHOUT the vocabulary-sized exact-df pass
+    // and the exact join proceeds. Rare-first prefixes ignore the hot
+    // shingles, so the flagged-but-healthy corpus yields zero pairs —
+    // completing (not refusing) is the pinned behavior.
+    val docs = spark.range(0, 20000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("common boiler plate text here") +:
+        (0 until 45).map(i => concat(lit("w"), col("id"), lit("x" + i))): _*)
+        .as("text"))
+    val got = Dedup.prefixJaccardPairs(docs, k = 3, threshold = 0.5)
+    assert(got.count() == 0L,
+      "healthy-but-flagged corpus should proceed through the exact join " +
+        "and find no pairs (all docs differ in their unique tail)")
+  }
+
   test("nfc_normalize registers through SQL and rejects wrong arity") {
     graft.functions.NfcNormalize.register(spark)
     val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS c").as[String].head()
