@@ -1119,23 +1119,53 @@ object Dedup {
         fwd.select(col("u").as("v"), col("v").as("u")))
       .distinct().localCheckpointSevered()
     // labels start at min(self, direct neighbors); each round pulls the
-    // smallest label visible one hop away, until no label changes
-    var labels = edges.groupBy("v")
-      .agg(least(min(col("u")), col("v")).as("lbl")).localCheckpointSevered()
+    // smallest label visible one hop away, until no label changes.
+    // r12 convergence check: labels are ids that only ever DECREASE
+    // (least of self and neighbors), so Σ lbl strictly decreases iff any
+    // label changed — the exact integer sum rides the round checkpoint's
+    // own materialization job (graph-components' move), replacing BOTH
+    // the separate changed-count action AND its |V|⋈|V| join per round.
+    // Non-integral id types keep the old join-count (no caller has one;
+    // the fallback keeps the operator total).
+    val integralIds = pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def ckSum(df: DataFrame): (DataFrame, BigInt) = {
+      val (ck, _, s) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointSeveredCountSum(df, sumOrdinal = 1)
+      (ck, s)
+    }
+    val labels0Plan = edges.groupBy("v")
+      .agg(least(min(col("u")), col("v")).as("lbl"))
+    var (labels, prevSum) =
+      if (integralIds) ckSum(labels0Plan)
+      else (labels0Plan.localCheckpointSevered(), BigInt(0))
     val maxRounds = 64
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val viaNeighbor = edges.join(labels.select(col("v").as("u"), col("lbl")), "u")
         .groupBy("v").agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(viaNeighbor, Seq("v"), "left_outer")
+      val nextPlan = labels.join(viaNeighbor, Seq("v"), "left_outer")
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpointSevered()
-      val changed = next.select(col("v"), col("lbl").as("nl"))
-        .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
-      graft.reasoner.Reasoner.unpersistCheckpoint(labels)
-      labels = next
-      converged = changed == 0
+      if (integralIds) {
+        val (next, nextSum) = ckSum(nextPlan)
+        graft.reasoner.Reasoner.unpersistCheckpoint(labels)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      } else {
+        val next = nextPlan.localCheckpointSevered()
+        val changed = next.select(col("v"), col("lbl").as("nl"))
+          .join(labels, Seq("v")).filter(col("nl") =!= col("lbl")).count()
+        graft.reasoner.Reasoner.unpersistCheckpoint(labels)
+        labels = next
+        converged = changed == 0
+      }
       round += 1
       graft.reasoner.Reasoner.maybeReclaimShuffles(round)
     }

@@ -205,28 +205,41 @@ object GraphOps {
     var (visited, frontierN) = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpointSeveredCounted()
     var frontier = visited
+    var liveFrontiers = List(visited)
+    var hopsSinceCk = 0
+    val ckEvery = 16
     var h = 1
     while (h <= maxHops && frontierN > 0) {
       val reached = und.join(frontier.select(col("node").as("v")), "v")
         .select(col("u").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-      val prevFrontier = frontier
       val (f2, fn2) = reached.localCheckpointSeveredCounted()
       frontier = f2
       frontierN = fn2
-      val prev = visited
-      visited = prev.unionByName(frontier).localCheckpointSevered()
-      graft.reasoner.Reasoner.unpersistCheckpoint(prev)
-      // rounds ≥ 2 leave a dead frontier checkpoint behind (round 1's
-      // "frontier" IS the initial visited, dropped just above)
-      if (prevFrontier ne prev) graft.reasoner.Reasoner.unpersistCheckpoint(prevFrontier)
+      // r12: visited stays a LAZY union of the per-hop frontier
+      // checkpoints — every member is already a materialized leaf, so
+      // re-checkpointing the union per hop bought nothing but one more
+      // blocking action and a full rewrite of |visited| blocks each
+      // round. The union's plan depth equals the hop count; collapse it
+      // every `ckEvery` hops so an unbounded maxHops keeps a bounded
+      // plan (the fixpoint-lineage discipline the reasoners use).
+      visited = visited.unionByName(frontier)
+      hopsSinceCk += 1
+      if (hopsSinceCk >= ckEvery) {
+        val ck = visited.localCheckpointSevered()
+        // the collapsed checkpoint covers every folded frontier; the
+        // CURRENT frontier stays live too (next hop's expansion joins it)
+        liveFrontiers.foreach(graft.reasoner.Reasoner.unpersistCheckpoint)
+        liveFrontiers = List(ck, frontier)
+        visited = ck
+        hopsSinceCk = 0
+      } else liveFrontiers ::= frontier
       h += 1
     }
-    // visited is its own checkpoint — edge blocks and the last frontier
-    // (already folded into visited) are dead
+    // the result reads the live frontier checkpoints — only the edge
+    // blocks are dead here (the frontiers' blocks back `visited`)
     graft.reasoner.Reasoner.unpersistCheckpoint(und)
-    if (frontier ne visited) graft.reasoner.Reasoner.unpersistCheckpoint(frontier)
     visited
   }
 

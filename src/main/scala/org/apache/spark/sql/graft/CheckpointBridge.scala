@@ -66,6 +66,13 @@ object CheckpointBridge {
     * partition count matches the materialized RDD — anything else falls
     * back to the wrapper's report (never a wrong claim, at worst the old
     * missing one). */
+  /** A/B escape hatch for the executed-partitioning stamp
+    * (−Dgraft.checkpoint.executedPartitioning=false reverts to the
+    * wrapper's — i.e. Unknown — report). */
+  private def executedPartitioningEnabled: Boolean =
+    !"false".equalsIgnoreCase(
+      System.getProperty("graft.checkpoint.executedPartitioning", "true"))
+
   private def executedLayout(plan: org.apache.spark.sql.execution.SparkPlan,
       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       rddPartitions: Int,
@@ -75,17 +82,25 @@ object CheckpointBridge {
          Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]) = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeSet, Expression}
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
+    if (!executedPartitioningEnabled) return (fallback, fallbackOrdering)
     val p = plan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case o => o
     }
     val outSet = AttributeSet(output)
+    // only NON-TRIVIAL layouts are worth claiming: a 1-partition hash
+    // layout elides no exchange (a local/broadcast join is as good) while
+    // the claim still constrains the consumer's planning — measured at
+    // sf0.1 (graph_components, whose keyed exchange AQE coalesces to ONE
+    // partition): stamping the 1-partition claim added ~2 aligned-shuffle
+    // stage-jobs per round (59 → 74 jobs) for a wall-neutral result. At
+    // any real scale the layout has > 1 partition and the claim elides
+    // the pre-partitioned side's exchange (CkPartProbe's forced-SMJ leg).
     val part: Partitioning = p.outputPartitioning match {
       case e: Expression with Partitioning
-        if e.references.subsetOf(outSet) &&
+        if rddPartitions > 1 && e.references.subsetOf(outSet) &&
           e.asInstanceOf[Partitioning].numPartitions == rddPartitions => e
-      case SinglePartition if rddPartitions == 1 => SinglePartition
       case _ => fallback
     }
     // ordering is positional — only a PREFIX whose references survive is
